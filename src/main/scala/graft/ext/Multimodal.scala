@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.engine.{GraftSession, Tables}
+
+/** Multimodal-column plumbing (north-star Tier B): opaque `binary`
+  * payloads + typed metadata structs, with decode / feature-extract /
+  * frame-sample stages.
+  *
+  * The real media codecs are NOT available in this environment, so the
+  * decode step is a clearly-marked deterministic fake
+  * ([[fakeDecodeFeatures]]) — what is real and tested is the Spark-side
+  * plumbing: the asset schema (binary + struct metadata), the batch
+  * shape (row-local, codegen'd, no shuffle), partition-count
+  * preservation, and the frame-sampling slice logic. Swapping the fake
+  * for a real codec is a single expression replacement.
+  */
+object Multimodal {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(GraftSession.tuned(s), dir, n)
+
+  /** Asset schema: id + opaque payload + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType),
+      StructField("n_bytes", IntegerType),
+      StructField("codec", StringType))))))
+
+  /** Build an asset table from documents: payload = UTF-8 bytes of the
+    * text (stand-in for image/audio bytes), metadata struct alongside.
+    */
+  def assets(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("kind"),
+        octet_length(col("text")).as("n_bytes"),
+        lit("identity").as("codec")).as("meta"))
+
+  /** FAKE DECODE — deterministic stand-in for a real media decoder.
+    * Derives an 8-dim feature vector from payload bytes via xxhash64.
+    * Replace this expression with a real codec UDF when the media
+    * libraries are available; the surrounding plumbing is unchanged.
+    */
+  def fakeDecodeFeatures(assets: DataFrame): DataFrame =
+    assets.withColumn("features", expr(
+      """transform(sequence(0, 7),
+        |          i -> CAST(pmod(xxhash64(i, payload), 1000) AS DOUBLE) / 1000.0)""".stripMargin))
+
+  /** Frame sampling: carve the payload into fixed-size "frames" and keep
+    * every `stride`-th one — the batch shape of video frame extraction
+    * (row-local explode; partitioning preserved).
+    */
+  def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    assets.select(
+      col("asset_id"),
+      expr(
+        s"""posexplode(filter(transform(sequence(0, CAST(ceil(meta.n_bytes / $frameBytes.0) AS INT) - 1),
+           |  f -> CASE WHEN f % $stride = 0 THEN substring(payload, f * $frameBytes + 1, $frameBytes) END),
+           |  x -> x IS NOT NULL))""".stripMargin).as(Seq("frame_idx", "frame")))
+
+  // ---- registered queries ----------------------------------------------
+
+  def metaQuery(s: SparkSession, dir: String): DataFrame =
+    assets(t(s, dir, "documents"))
+      .select(
+        col("asset_id"),
+        col("meta.kind").as("kind"),
+        col("meta.n_bytes").as("n_bytes"),
+        octet_length(col("payload")).as("payload_bytes"))
+      .orderBy("asset_id")
+
+  def featuresQuery(s: SparkSession, dir: String): DataFrame =
+    fakeDecodeFeatures(assets(t(s, dir, "documents")))
+      .select(col("asset_id"), col("meta.kind").as("kind"), col("features"))
+      .orderBy("asset_id")
+
+  def framesQuery(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(assets(t(s, dir, "documents")), frameBytes = 64, stride = 2)
+      .select(col("asset_id"), col("frame_idx"), octet_length(col("frame")).as("frame_bytes"))
+      .orderBy("asset_id", "frame_idx")
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_multimodal_meta", "binary payload + struct metadata projection",
+      metaQuery,
+      Some(
+        """SELECT doc_id AS asset_id, 'text/plain' AS kind,
+          |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+          |       CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes
+          |FROM documents ORDER BY asset_id""".stripMargin)),
+    GraftQuery("q_multimodal_features", "fake-decode feature extraction over binary payloads",
+      featuresQuery, None),
+    GraftQuery("q_multimodal_frames", "frame-sampling slices of binary payloads",
+      framesQuery, None),
+  )
+}

@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.engine.{GraftSession, Tables}
+
+/** Text analysis for training-data pipelines (north-star Tier B):
+  * token counting (whitespace + BPE-ish regex), language-ID heuristic,
+  * quality scoring, and document fingerprinting. All stay inside
+  * whole-stage codegen (builtin string/regex/higher-order functions — no
+  * UDFs), so at 100 TB they run as a single scan with no shuffle.
+  */
+object TextOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(GraftSession.tuned(s), dir, n)
+
+  /** BPE-ish pretokenizer: letter runs, digit runs, single punctuation. */
+  val bpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def whitespaceTokens(c: Column): Column = split(c, " ")
+
+  /** Lowercase, strip non-alphanumerics, collapse runs of spaces — the
+    * canonical normalization step before fingerprinting/dedup.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Stable 128-bit content fingerprint of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  // language-ID marker-word regexes; scored per language, argmax with a
+  // fixed tie preference (zh > en > de > es > fr)
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|and|of|to|is)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+    "es" -> "\\b(el|la|los|de|que|y)\\b",
+    "fr" -> "\\b(le|la|les|des|est|et)\\b")
+  private val cjkPattern = "[\\u4e00-\\u9fff]"
+
+  /** n-gram/marker-word language-ID heuristic over a text column. */
+  def languageIdScores(c: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, pat) => lang -> regexp_count(c, lit(pat)) }
+
+  def predictedLanguage(c: Column): Column = {
+    val s = languageIdScores(c).toMap
+    when(regexp_count(c, lit(cjkPattern)) > 0, "zh")
+      .when(s("en") >= s("de") && s("en") >= s("es") && s("en") >= s("fr"), "en")
+      .when(s("de") >= s("es") && s("de") >= s("fr"), "de")
+      .when(s("es") >= s("fr"), "es")
+      .otherwise("fr")
+  }
+
+  // ---- registered queries --------------------------------------------
+
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(txt).as("n_chars_c"),
+        size(whitespaceTokens(txt)).as("n_tokens"),
+        size(array_distinct(whitespaceTokens(txt))).as("n_distinct_tokens"),
+        regexp_count(txt, lit(bpeTokenPattern)).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val scores = languageIdScores(txt).map { case (l, c) => c.as(s"score_$l") }
+    t(s, dir, "documents")
+      .select(
+        Seq(col("doc_id"), col("lang").as("labeled_lang")) ++ scores
+          :+ predictedLanguage(txt).as("predicted_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val nTokens = size(whitespaceTokens(txt))
+    val nChars = length(txt)
+    val stopHits = regexp_count(txt, lit(langMarkers.head._2))
+    val punct = regexp_count(txt, lit("[^a-zA-Z0-9\\s]"))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        (nChars.cast(DoubleType) / nTokens).as("avg_token_span"),
+        (stopHits.cast(DoubleType) / nTokens).as("stopword_ratio"),
+        (punct.cast(DoubleType) / greatest(nChars, lit(1))).as("punct_ratio"),
+        (nTokens >= 10 && nTokens <= 2000
+          && punct.cast(DoubleType) / greatest(nChars, lit(1)) < lit(0.2))
+          .as("passes_quality"))
+      .orderBy("doc_id")
+  }
+
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fingerprint"),
+        substring(normalizeText(col("text")), 1, 32).as("norm_prefix"))
+      .orderBy("doc_id")
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_text_stats", "token/char counts incl. BPE-ish regex tokenizer",
+      textStats,
+      Some(
+        s"""SELECT doc_id,
+           |       CAST(length(text) AS INTEGER) AS n_chars_c,
+           |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           |       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+           |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_lang_id", "marker-word language-ID heuristic + argmax",
+      langId,
+      Some(
+        """SELECT doc_id, lang AS labeled_lang,
+          |       CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|is)\b')) AS INTEGER) AS score_en,
+          |       CAST(len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')) AS INTEGER) AS score_de,
+          |       CAST(len(regexp_extract_all(text, '\b(el|la|los|de|que|y)\b')) AS INTEGER) AS score_es,
+          |       CAST(len(regexp_extract_all(text, '\b(le|la|les|des|est|et)\b')) AS INTEGER) AS score_fr,
+          |       CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+          |            WHEN len(regexp_extract_all(text, '\b(the|a|and|of|to|is)\b')) >= len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b'))
+          |             AND len(regexp_extract_all(text, '\b(the|a|and|of|to|is)\b')) >= len(regexp_extract_all(text, '\b(el|la|los|de|que|y)\b'))
+          |             AND len(regexp_extract_all(text, '\b(the|a|and|of|to|is)\b')) >= len(regexp_extract_all(text, '\b(le|la|les|des|est|et)\b')) THEN 'en'
+          |            WHEN len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')) >= len(regexp_extract_all(text, '\b(el|la|los|de|que|y)\b'))
+          |             AND len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')) >= len(regexp_extract_all(text, '\b(le|la|les|des|est|et)\b')) THEN 'de'
+          |            WHEN len(regexp_extract_all(text, '\b(el|la|los|de|que|y)\b')) >= len(regexp_extract_all(text, '\b(le|la|les|des|est|et)\b')) THEN 'es'
+          |            ELSE 'fr' END AS predicted_lang
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_quality_score", "length/punct/stopword quality scoring",
+      qualityScore,
+      Some(
+        """SELECT doc_id,
+          |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+          |       CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_span,
+          |       CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|is)\b')) AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+          |       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+          |       (len(string_split(text, ' ')) BETWEEN 10 AND 2000
+          |        AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) < 0.2) AS passes_quality
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_doc_fingerprint", "md5 fingerprint of normalized text",
+      docFingerprint,
+      Some(
+        """SELECT doc_id,
+          |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+          |       substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 32) AS norm_prefix
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+}

@@ -1,0 +1,439 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.engine.{GraftSession, Tables}
+
+/** Tier A relational operators (SURVEY.md §2.1–2.8), re-grounded on the
+  * driver testdata. Shapes mirror the reference's single curated query
+  * (k8s/codes/variables.py:18-89): 3-way positional UNION ALL, a
+  * five-relation left-outer join chain ending in a composite two-key
+  * join whose keys come from different left-side relations, lenient
+  * casts, `M/d/yyyy` date round-trips, currency-string cleanup, NVL.
+  *
+  * Determinism contract: every oracle-checked query ends in an explicit
+  * ORDER BY over non-null keys, pins the type of every computed column,
+  * and does all float arithmetic in decimal (doubles only pass through
+  * untouched or convert exactly), so Spark and DuckDB agree bit-for-bit.
+  */
+object RelationalOps {
+
+  private val dec5 = DecimalType(5, 2)
+  private val dec10 = DecimalType(10, 2)
+  private val dec12 = DecimalType(12, 2)
+  private val dec18 = DecimalType(18, 2)
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(GraftSession.tuned(s), dir, n)
+
+  /** CSV fixture read with the reference's exact options: `sep=","`,
+    * `header=True`, UTF-8, and NO inferSchema ⇒ all columns StringType
+    * (csv-to-parquet.py:38-44). That all-string ingest is what makes the
+    * curated query's lenient casts load-bearing.
+    */
+  def csvScanAllString(spark: SparkSession, path: String): DataFrame =
+    GraftSession.tuned(spark).read
+      .format("csv")
+      .option("sep", ",")
+      .option("header", true)
+      .option("encoding", "UTF-8")
+      .load(path)
+
+  val customersCsvPath = "/root/repo/fixtures/adventureworks/AdventureWorks_Customers.csv"
+
+  // ---- builders -----------------------------------------------------
+
+  /** S2: bare parquet scan (transformation.py:32-36). */
+  def parquetScan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").orderBy("n_nationkey")
+
+  /** S1: all-string CSV scan of the AdventureWorks Customers fixture. */
+  def csvScan(s: SparkSession, dir: String): DataFrame =
+    csvScanAllString(s, customersCsvPath).orderBy("CustomerKey")
+
+  /** A1: count(*) validation query (etl_aws_vini.py:244-256). */
+  def countStar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  /** lineitem split three ways by ship year, mirroring
+    * Sales_2015/16/17 → UNION ALL (variables.py:19-24, positional).
+    */
+  private def allSales(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val y = year(col("l_shipdate"))
+    li.where(y <= 1996)
+      .union(li.where(y === 1997 || y === 1998)) // positional, not ByName
+      .union(li.where(y >= 1999))
+  }
+
+  /** U1: 3-way positional UNION ALL. */
+  def unionAll(s: SparkSession, dir: String): DataFrame =
+    allSales(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(IntegerType).as("qty"),
+        year(col("l_shipdate")).as("ship_year"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P1/F4: projection with per-column cast + alias (variables.py:26-60). */
+  def projectCast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(IntegerType).as("qty"),
+        col("l_extendedprice").cast(dec12).as("price"),
+        col("l_shipdate").cast(DateType).as("ship_date"),
+        col("l_returnflag").as("flag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F5: lenient string→decimal/int casts — garbage in, NULL out
+    * (Spark 3.1 semantics the reference depends on; GraftSession pins
+    * ansi=false to preserve them on Spark 4).
+    */
+  def castDecimal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        format_string("%.2f", col("o_totalprice")).as("price_str"),
+        format_string("%.2f", col("o_totalprice")).cast(dec10).as("price_dec"),
+        col("o_orderpriority").cast(dec10).as("garbage_dec"),
+        col("o_orderstatus").cast(IntegerType).as("garbage_int"))
+      .orderBy("o_orderkey")
+
+  /** F1–F3: `M/d/yyyy` string round-trip via
+    * unix_timestamp → from_unixtime → cast date (variables.py:27-28).
+    */
+  def dateParse(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "M/d/yyyy").as("us_date"),
+        from_unixtime(
+          unix_timestamp(date_format(col("o_orderdate"), "M/d/yyyy"), "M/d/yyyy"),
+          "yyyy-MM-dd").cast(DateType).as("parsed_date"))
+      .orderBy("o_orderkey")
+
+  /** F6: nested replace() currency cleanup (variables.py:40:
+    * `cast(replace(replace(AnnualIncome,'$',''),',','') as decimal(10,2))`).
+    */
+  def replaceCurrency(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        concat(lit("$"), format_number(col("c_acctbal"), 2)).as("income_str"),
+        regexp_replace(
+          regexp_replace(concat(lit("$"), format_number(col("c_acctbal"), 2)), lit("\\$"), lit("")),
+          lit(","), lit(""))
+          .cast(dec12).as("acctbal_dec"))
+      .orderBy("c_custkey")
+
+  /** F7: NVL default after a failed left join (variables.py:60:
+    * `NVL(f.ReturnQuantity, 0)`). Customer filtered to one segment so
+    * most orders miss ⇒ NULL path exercised.
+    */
+  def nvlAfterJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("c_acctbal").cast(dec12), lit(0).cast(dec12)).as("acctbal0"),
+        coalesce(col("c_name"), lit("unknown")).as("name0"))
+      .orderBy("o_orderkey")
+  }
+
+  /** P3: predicate filter; pushed to the parquet scan by Catalyst. */
+  def filterPredicate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(
+        col("l_shipdate") >= lit("1998-01-01").cast(TimestampType)
+          && col("l_returnflag") === "R"
+          && col("l_discount") > 0.05)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast(dec12).as("price"),
+        col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** J1: LEFT outer equi-join, single key (variables.py:62-66). */
+  def leftJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        col("c_name"), col("c_mktsegment"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J3 fan-out half: LEFT join against a non-unique right side — row
+    * multiplication is intended behavior (variables.py:79-83; Returns is
+    * not unique on its key pair).
+    */
+  def joinFanout(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val sup = t(s, dir, "supplier")
+    n.join(sup, n("n_nationkey") === sup("s_nationkey"), "left_outer")
+      .select(col("n_nationkey"), col("n_name"), col("s_suppkey"), col("s_name"))
+      .orderBy(col("n_nationkey"), col("s_suppkey").asc_nulls_first)
+  }
+
+  /** J3: composite 2-column key whose columns come from two different
+    * left-side relations (variables.py:79-83: `a.TerritoryKey =
+    * f.TerritoryKey AND c.ProductKey = f.ProductKey`).
+    */
+  def leftJoinComposite(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "lineitem").as("a")
+    val b = t(s, dir, "orders").as("b")
+    val c = t(s, dir, "customer").as("c")
+    val f = t(s, dir, "supplier").as("f")
+    a.join(b, col("a.l_orderkey") === col("b.o_orderkey"), "left_outer")
+      .join(c, col("b.o_custkey") === col("c.c_custkey"), "left_outer")
+      .join(f,
+        col("a.l_suppkey") === col("f.s_suppkey")
+          && col("c.c_nationkey") === col("f.s_nationkey"),
+        "left_outer")
+      .select(
+        col("a.l_orderkey").as("l_orderkey"),
+        col("a.l_linenumber").as("l_linenumber"),
+        col("f.s_name").as("supplier_name"),
+        coalesce(col("f.s_acctbal").cast(dec12), lit(0).cast(dec12))
+          .as("supp_acctbal"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** C1/S4: WITH-clause with two chained CTEs over registered temp views,
+    * run through spark.sql — the reference's exact execution style
+    * (transformation.py:30-41). The SQL string is ANSI enough that the
+    * identical text is the DuckDB oracle.
+    */
+  val cteSql: String =
+    """WITH order_rev AS (
+      |  SELECT l_orderkey,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+      |  FROM lineitem GROUP BY l_orderkey
+      |), cust_rev AS (
+      |  SELECT o.o_custkey AS o_custkey,
+      |         CAST(SUM(r.revenue) AS DECIMAL(18,2)) AS cust_revenue,
+      |         COUNT(*) AS n_orders
+      |  FROM orders o JOIN order_rev r ON o.o_orderkey = r.l_orderkey
+      |  GROUP BY o.o_custkey
+      |)
+      |SELECT o_custkey, cust_revenue, n_orders FROM cust_rev ORDER BY o_custkey""".stripMargin
+
+  def cte(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tuned(s)
+    Tables.registerAll(s, dir)
+    s.sql(cteSql)
+  }
+
+  /** A-extra: grouped aggregation with exact decimal arithmetic (partial
+    * map-side aggregation comes free from Spark; at scale this is the
+    * two-phase partial/final pattern).
+    */
+  def groupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(dec12)).cast(dec18).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec12)).cast(dec18).as("sum_price"),
+        sum(col("l_extendedprice").cast(dec12)
+          * (lit(1).cast(dec5) - col("l_discount").cast(dec5)))
+          .cast(DecimalType(22, 4)).as("revenue"),
+        (sum(col("l_quantity").cast(dec12)).cast(DoubleType) / count(lit(1)))
+          .as("avg_qty"),
+        min(col("l_shipdate").cast(DateType)).as("min_ship"),
+        max(col("l_shipdate").cast(DateType)).as("max_ship"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** J4 + C1 + U1 + P1 + F4-F7 in one: the flagship — the reference's
+    * curated query shape (variables.py:18-89) transplanted onto testdata.
+    * 3-way UNION ALL ≈ Sales_2015/16/17; five LEFT joins ending in the
+    * two-sided composite supplier join ≈ the Returns join.
+    */
+  def joinChain(s: SparkSession, dir: String): DataFrame = {
+    val a = allSales(s, dir).as("a")
+    val b = t(s, dir, "orders").as("b")
+    val c = t(s, dir, "customer").as("c")
+    val n = t(s, dir, "nation").as("n")
+    val r = t(s, dir, "region").as("r")
+    val f = t(s, dir, "supplier").as("f")
+    a.join(b, col("a.l_orderkey") === col("b.o_orderkey"), "left_outer")
+      .join(c, col("b.o_custkey") === col("c.c_custkey"), "left_outer")
+      .join(n, col("c.c_nationkey") === col("n.n_nationkey"), "left_outer")
+      .join(r, col("n.n_regionkey") === col("r.r_regionkey"), "left_outer")
+      .join(f,
+        col("a.l_suppkey") === col("f.s_suppkey")
+          && col("c.c_nationkey") === col("f.s_nationkey"),
+        "left_outer")
+      .select(
+        col("a.l_orderkey").as("l_orderkey"),
+        col("a.l_linenumber").as("l_linenumber"),
+        col("a.l_quantity").cast(IntegerType).as("qty"),
+        col("a.l_extendedprice").cast(dec12).as("price"),
+        col("a.l_shipdate").cast(DateType).as("ship_date"),
+        col("b.o_orderstatus").as("order_status"),
+        col("b.o_totalprice").cast(dec12).as("total_price"),
+        col("b.o_orderdate").cast(DateType).as("order_date"),
+        col("c.c_name").as("customer_name"),
+        col("c.c_mktsegment").as("mktsegment"),
+        col("c.c_acctbal").cast(dec12).as("acctbal"),
+        col("n.n_name").as("nation_name"),
+        col("r.r_name").as("region_name"),
+        col("f.s_name").as("supplier_name"),
+        coalesce(col("f.s_acctbal").cast(dec12), lit(0).cast(dec12))
+          .as("supplier_acctbal"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ---- oracle SQL (DuckDB dialect, SURVEY.md §7.6) --------------------
+
+  private val joinChainOracle =
+    """WITH all_sales AS (
+      |  SELECT * FROM lineitem WHERE year(l_shipdate) <= 1996
+      |  UNION ALL
+      |  SELECT * FROM lineitem WHERE year(l_shipdate) IN (1997, 1998)
+      |  UNION ALL
+      |  SELECT * FROM lineitem WHERE year(l_shipdate) >= 1999
+      |), info AS (
+      |  SELECT a.l_orderkey AS l_orderkey, a.l_linenumber AS l_linenumber,
+      |    CAST(a.l_quantity AS INTEGER) AS qty,
+      |    CAST(a.l_extendedprice AS DECIMAL(12,2)) AS price,
+      |    CAST(a.l_shipdate AS DATE) AS ship_date,
+      |    b.o_orderstatus AS order_status,
+      |    CAST(b.o_totalprice AS DECIMAL(12,2)) AS total_price,
+      |    CAST(b.o_orderdate AS DATE) AS order_date,
+      |    c.c_name AS customer_name, c.c_mktsegment AS mktsegment,
+      |    CAST(c.c_acctbal AS DECIMAL(12,2)) AS acctbal,
+      |    n.n_name AS nation_name, r.r_name AS region_name,
+      |    f.s_name AS supplier_name,
+      |    COALESCE(CAST(f.s_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS supplier_acctbal
+      |  FROM all_sales a
+      |  LEFT JOIN orders b ON a.l_orderkey = b.o_orderkey
+      |  LEFT JOIN customer c ON b.o_custkey = c.c_custkey
+      |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  LEFT JOIN supplier f ON a.l_suppkey = f.s_suppkey AND c.c_nationkey = f.s_nationkey
+      |)
+      |SELECT * FROM info ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_parquet_scan", "S2 parquet scan (transformation.py:32-36)",
+      parquetScan,
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+    GraftQuery("q_csv_scan", "S1 all-string CSV scan (csv-to-parquet.py:38-44)",
+      csvScan,
+      Some(s"SELECT * FROM read_csv('$customersCsvPath', header=true, all_varchar=true) ORDER BY CustomerKey")),
+    GraftQuery("q_count_star", "A1 count(*) validation (etl_aws_vini.py:244-256)",
+      countStar,
+      Some("SELECT count(*) AS cnt FROM lineitem")),
+    GraftQuery("q_union_all", "U1 3-way positional UNION ALL (variables.py:19-24)",
+      unionAll,
+      Some(
+        """WITH s AS (
+          |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty,
+          |         CAST(year(l_shipdate) AS INTEGER) AS ship_year
+          |  FROM lineitem WHERE year(l_shipdate) <= 1996
+          |  UNION ALL
+          |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER),
+          |         CAST(year(l_shipdate) AS INTEGER)
+          |  FROM lineitem WHERE year(l_shipdate) IN (1997, 1998)
+          |  UNION ALL
+          |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER),
+          |         CAST(year(l_shipdate) AS INTEGER)
+          |  FROM lineitem WHERE year(l_shipdate) >= 1999
+          |)
+          |SELECT * FROM s ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    GraftQuery("q_project_cast", "P1/F4 cast-and-alias projection (variables.py:26-60)",
+      projectCast,
+      Some(
+        """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty,
+          |       CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+          |       CAST(l_shipdate AS DATE) AS ship_date,
+          |       l_returnflag AS flag
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    GraftQuery("q_cast_decimal", "F5 lenient string→decimal/int casts",
+      castDecimal,
+      Some(
+        """SELECT o_orderkey,
+          |       printf('%.2f', o_totalprice) AS price_str,
+          |       TRY_CAST(printf('%.2f', o_totalprice) AS DECIMAL(10,2)) AS price_dec,
+          |       TRY_CAST(o_orderpriority AS DECIMAL(10,2)) AS garbage_dec,
+          |       TRY_CAST(o_orderstatus AS INTEGER) AS garbage_int
+          |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    GraftQuery("q_date_parse", "F1-F3 M/d/yyyy round-trip (variables.py:27-28)",
+      dateParse,
+      Some(
+        """SELECT o_orderkey,
+          |       strftime(o_orderdate, '%-m/%-d/%Y') AS us_date,
+          |       CAST(strptime(strftime(o_orderdate, '%-m/%-d/%Y'), '%-m/%-d/%Y') AS DATE) AS parsed_date
+          |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    GraftQuery("q_replace", "F6 nested replace currency cleanup (variables.py:40)",
+      replaceCurrency,
+      Some(
+        """SELECT c_custkey,
+          |       '$' || format('{:,.2f}', c_acctbal) AS income_str,
+          |       CAST(replace(replace('$' || format('{:,.2f}', c_acctbal), '$', ''), ',', '') AS DECIMAL(12,2)) AS acctbal_dec
+          |FROM customer ORDER BY c_custkey""".stripMargin)),
+    GraftQuery("q_nvl", "F7 NVL default after failed left join (variables.py:60)",
+      nvlAfterJoin,
+      Some(
+        """SELECT o_orderkey,
+          |       COALESCE(CAST(c_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS acctbal0,
+          |       COALESCE(c_name, 'unknown') AS name0
+          |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+          |  ON o_custkey = c_custkey
+          |ORDER BY o_orderkey""".stripMargin)),
+    GraftQuery("q_filter", "P3 pushed-down predicate filter",
+      filterPredicate,
+      Some(
+        """SELECT l_orderkey, l_linenumber,
+          |       CAST(l_extendedprice AS DECIMAL(12,2)) AS price, l_returnflag
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_returnflag = 'R' AND l_discount > 0.05
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    GraftQuery("q_left_join", "J1 LEFT equi-join single key (variables.py:62-66)",
+      leftJoin,
+      Some(
+        """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+          |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+          |ORDER BY o_orderkey""".stripMargin)),
+    GraftQuery("q_join_fanout", "J3 fan-out left join, non-unique right (variables.py:79-83)",
+      joinFanout,
+      Some(
+        """SELECT n_nationkey, n_name, s_suppkey, s_name
+          |FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+          |ORDER BY n_nationkey, s_suppkey NULLS FIRST""".stripMargin)),
+    GraftQuery("q_left_join_composite", "J3 composite key from two left relations (variables.py:79-83)",
+      leftJoinComposite,
+      Some(
+        """SELECT a.l_orderkey AS l_orderkey, a.l_linenumber AS l_linenumber,
+          |       f.s_name AS supplier_name,
+          |       COALESCE(CAST(f.s_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS supp_acctbal
+          |FROM lineitem a
+          |LEFT JOIN orders b ON a.l_orderkey = b.o_orderkey
+          |LEFT JOIN customer c ON b.o_custkey = c.c_custkey
+          |LEFT JOIN supplier f ON a.l_suppkey = f.s_suppkey AND c.c_nationkey = f.s_nationkey
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    GraftQuery("q_cte", "C1 chained CTEs via spark.sql over temp views (variables.py:19-88)",
+      cte, Some(cteSql)),
+    GraftQuery("q_group_agg", "grouped agg, exact decimal arithmetic (Tier B §2.4)",
+      groupAgg,
+      Some(
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DECIMAL(22,4)) AS revenue,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+          |       min(CAST(l_shipdate AS DATE)) AS min_ship,
+          |       max(CAST(l_shipdate AS DATE)) AS max_ship
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    GraftQuery("q_join_chain", "J4 flagship: UNION ALL + 5 left joins + casts (variables.py:18-89)",
+      joinChain, Some(joinChainOracle)),
+  )
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.engine.{GraftSession, Tables}
+
+/** Sorts, limits, top-k and window functions (SURVEY.md §2.5 — absent
+  * from the reference, declared Tier B there). All oracle-checked.
+  *
+  * Scale notes: `orderBy().limit(n)` plans as TakeOrderedAndProject —
+  * per-partition top-n then a single driver merge of n·P rows, no global
+  * sort. row_number top-k shuffles once on the partition key; no global
+  * ordering is ever required.
+  */
+object WindowOps {
+
+  private val dec12 = DecimalType(12, 2)
+  private val dec18 = DecimalType(18, 2)
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(GraftSession.tuned(s), dir, n)
+
+  /** ORDER BY … LIMIT n → TakeOrderedAndProject (no full sort at scale). */
+  def sortLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice").cast(dec12).as("total_price"),
+        col("o_orderpriority"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** Top-k per group via row_number window + filter. */
+  def topkWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(
+        col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast(dec12).as("acctbal"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** Running total: sum over ROWS UNBOUNDED PRECEDING..CURRENT ROW. */
+  def runningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast(dec12).as("price"),
+        sum(col("o_totalprice").cast(dec12)).over(w).cast(dec18)
+          .as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** lag/lead over an ordered per-key window. */
+  def lagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast(dec12).as("price"),
+        lag(col("o_totalprice").cast(dec12), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice").cast(dec12), 1).over(w).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_sort_limit", "ORDER BY + LIMIT → TakeOrderedAndProject",
+      sortLimit,
+      Some(
+        """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total_price, o_orderpriority
+          |FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin)),
+    GraftQuery("q_topk_window", "top-k per group via row_number window",
+      topkWindow,
+      Some(
+        """SELECT c_mktsegment, rn, c_custkey, c_name, acctbal FROM (
+          |  SELECT c_mktsegment, c_custkey, c_name,
+          |         CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal,
+          |         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn
+          |  FROM customer
+          |) WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin)),
+    GraftQuery("q_window_running", "running total window (ROWS UNBOUNDED PRECEDING)",
+      runningTotal,
+      Some(
+        """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+          |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+          |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+    GraftQuery("q_lag_lead", "lag/lead over ordered per-key window",
+      lagLead,
+      Some(
+        """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+          |       lag(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS prev_price,
+          |       lead(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS next_price
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+  )
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftQuery
+import graft.engine.{GraftSession, Tables}
+
+/** Event-time windowed aggregation (SURVEY.md §2.10). The reference has
+  * no streaming — its nearest analogs are Airflow polling sensors
+  * (etl_aws_vini.py:459-468) — so this family is Tier B: batch-mode
+  * `window()` aggregations that are oracle-checkable, plus a Structured
+  * Streaming twin (see [[streamingTumblingCounts]]) exercised in tests.
+  */
+object EventOps {
+
+  private val dec12 = DecimalType(12, 2)
+  private val dec18 = DecimalType(18, 2)
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(GraftSession.tuned(s), dir, n)
+
+  /** Tumbling 1-hour event-time windows, batch mode. Window start is
+    * emitted as a formatted string: parquet timestamp annotation parity
+    * between engines (adjusted-to-UTC vs naive) is not hash-stable, while
+    * strings are.
+    */
+  def tumblingAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec12)).cast(dec18).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Sliding 1-hour windows every 30 minutes (each event lands in 2). */
+  def slidingAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+      .orderBy("window_start", "event_type")
+
+  /** Per-user event counts + value stats — the groupBy shuffles once on
+    * user_id; at 100 TB this is the canonical partial/final aggregate.
+    */
+  def userStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("value").cast(dec12)).cast(dec18).as("sum_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("user_id")
+
+  /** Structured Streaming twin of [[tumblingAgg]]: same logical window
+    * aggregation as a streaming query with a watermark. Used by tests
+    * with a memory sink; `Trigger.AvailableNow`-style synchronous drain.
+    */
+  def streamingTumblingCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tuned(spark)
+    // raw footer schema (ts = nanos long, see Tables.load), converted to
+    // a micros timestamp inside the stream
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(raw)
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_tumbling_window_agg", "tumbling 1h event-time windows (batch twin of streaming agg)",
+      tumblingAgg,
+      Some(
+        """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+          |       event_type, count(*) AS n_events,
+          |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+    GraftQuery("q_sliding_window_agg", "sliding 1h/30min event-time windows",
+      slidingAgg,
+      // every event lands in exactly 2 sliding windows: the 30-min bucket
+      // containing it, and that bucket minus 30 min
+      Some(
+        """WITH offs AS (SELECT 0 AS o UNION ALL SELECT 1)
+          |SELECT strftime(time_bucket(INTERVAL 30 MINUTE, ts) - (INTERVAL 30 MINUTE * o), '%Y-%m-%d %H:%M:%S') AS window_start,
+          |       event_type, count(*) AS n_events
+          |FROM events CROSS JOIN offs
+          |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+    GraftQuery("q_user_event_stats", "per-user event stats (partial/final agg)",
+      userStats,
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |       count(DISTINCT event_type) AS n_types,
+          |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value,
+          |       max(value) AS max_value
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+  )
+}
