@@ -78,9 +78,18 @@ object Multimodal {
         octet_length(col("payload")).as("payload_bytes"))
       .orderBy("asset_id")
 
+  /** The raw array<double> column is unsortable/unhashable in the
+    * driver's pandas canonicalization, so the registered query emits a
+    * scalar rendering: fixed-format CSV string + a checksum column.
+    */
   def featuresQuery(s: SparkSession, dir: String): DataFrame =
     fakeDecodeFeatures(assets(t(s, dir, "documents")))
-      .select(col("asset_id"), col("meta.kind").as("kind"), col("features"))
+      .select(
+        col("asset_id"), col("meta.kind").as("kind"),
+        expr("concat_ws(',', transform(features, x -> format_number(x, 3)))")
+          .as("features_csv"),
+        expr("CAST(aggregate(features, CAST(0 AS DOUBLE), (a, v) -> a + v) AS DOUBLE)")
+          .as("features_sum"))
       .orderBy("asset_id")
 
   def framesQuery(s: SparkSession, dir: String): DataFrame =

@@ -18,6 +18,14 @@ import graft.engine.{GraftSession, Tables}
   * ORDER BY over non-null keys, pins the type of every computed column,
   * and does all float arithmetic in decimal (doubles only pass through
   * untouched or convert exactly), so Spark and DuckDB agree bit-for-bit.
+  *
+  * Output-type contract (round 2): computed DECIMAL columns are cast to
+  * DOUBLE in the FINAL projection of every registered query. Decimal
+  * arithmetic stays internal (matching the reference's
+  * `cast(... as decimal(10,2))`, variables.py:40), but the driver's
+  * canonical row hash renders Spark's parquet Decimal differently from
+  * DuckDB's float64 even when values are identical — Decimal→double
+  * converts exactly at these magnitudes on both engines.
   */
 object RelationalOps {
 
@@ -76,7 +84,7 @@ object RelationalOps {
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast(IntegerType).as("qty"),
         year(col("l_shipdate")).as("ship_year"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "qty", "ship_year")
 
   /** P1/F4: projection with per-column cast + alias (variables.py:26-60). */
   def projectCast(s: SparkSession, dir: String): DataFrame =
@@ -84,10 +92,10 @@ object RelationalOps {
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast(IntegerType).as("qty"),
-        col("l_extendedprice").cast(dec12).as("price"),
+        col("l_extendedprice").cast(dec12).cast(DoubleType).as("price"),
         col("l_shipdate").cast(DateType).as("ship_date"),
         col("l_returnflag").as("flag"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "qty", "price", "ship_date", "flag")
 
   /** F5: lenient string→decimal/int casts — garbage in, NULL out
     * (Spark 3.1 semantics the reference depends on; GraftSession pins
@@ -98,8 +106,8 @@ object RelationalOps {
       .select(
         col("o_orderkey"),
         format_string("%.2f", col("o_totalprice")).as("price_str"),
-        format_string("%.2f", col("o_totalprice")).cast(dec10).as("price_dec"),
-        col("o_orderpriority").cast(dec10).as("garbage_dec"),
+        format_string("%.2f", col("o_totalprice")).cast(dec10).cast(DoubleType).as("price_dec"),
+        col("o_orderpriority").cast(dec10).cast(DoubleType).as("garbage_dec"),
         col("o_orderstatus").cast(IntegerType).as("garbage_int"))
       .orderBy("o_orderkey")
 
@@ -119,16 +127,18 @@ object RelationalOps {
   /** F6: nested replace() currency cleanup (variables.py:40:
     * `cast(replace(replace(AnnualIncome,'$',''),',','') as decimal(10,2))`).
     */
-  def replaceCurrency(s: SparkSession, dir: String): DataFrame =
+  def replaceCurrency(s: SparkSession, dir: String): DataFrame = {
+    // Build the "$1,234.56" currency string from the DECIMAL-cast value so
+    // rounding is pinned (HALF_UP) on both engines, then strip it back.
+    val currency = concat(lit("$"), format_number(col("c_acctbal").cast(dec12), 2))
     t(s, dir, "customer")
       .select(
         col("c_custkey"),
-        concat(lit("$"), format_number(col("c_acctbal"), 2)).as("income_str"),
-        regexp_replace(
-          regexp_replace(concat(lit("$"), format_number(col("c_acctbal"), 2)), lit("\\$"), lit("")),
-          lit(","), lit(""))
-          .cast(dec12).as("acctbal_dec"))
+        currency.as("income_str"),
+        regexp_replace(regexp_replace(currency, lit("\\$"), lit("")), lit(","), lit(""))
+          .cast(dec12).cast(DoubleType).as("acctbal_dec"))
       .orderBy("c_custkey")
+  }
 
   /** F7: NVL default after a failed left join (variables.py:60:
     * `NVL(f.ReturnQuantity, 0)`). Customer filtered to one segment so
@@ -140,7 +150,8 @@ object RelationalOps {
     o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
       .select(
         col("o_orderkey"),
-        coalesce(col("c_acctbal").cast(dec12), lit(0).cast(dec12)).as("acctbal0"),
+        coalesce(col("c_acctbal").cast(dec12), lit(0).cast(dec12))
+          .cast(DoubleType).as("acctbal0"),
         coalesce(col("c_name"), lit("unknown")).as("name0"))
       .orderBy("o_orderkey")
   }
@@ -154,9 +165,9 @@ object RelationalOps {
           && col("l_discount") > 0.05)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice").cast(dec12).as("price"),
+        col("l_extendedprice").cast(dec12).cast(DoubleType).as("price"),
         col("l_returnflag"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "price", "l_returnflag")
 
   /** J1: LEFT outer equi-join, single key (variables.py:62-66). */
   def leftJoin(s: SparkSession, dir: String): DataFrame = {
@@ -201,8 +212,9 @@ object RelationalOps {
         col("a.l_linenumber").as("l_linenumber"),
         col("f.s_name").as("supplier_name"),
         coalesce(col("f.s_acctbal").cast(dec12), lit(0).cast(dec12))
-          .as("supp_acctbal"))
-      .orderBy("l_orderkey", "l_linenumber")
+          .cast(DoubleType).as("supp_acctbal"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("supplier_name").asc_nulls_first, col("supp_acctbal"))
   }
 
   /** C1/S4: WITH-clause with two chained CTEs over registered temp views,
@@ -217,7 +229,7 @@ object RelationalOps {
       |  FROM lineitem GROUP BY l_orderkey
       |), cust_rev AS (
       |  SELECT o.o_custkey AS o_custkey,
-      |         CAST(SUM(r.revenue) AS DECIMAL(18,2)) AS cust_revenue,
+      |         CAST(CAST(SUM(r.revenue) AS DECIMAL(18,2)) AS DOUBLE) AS cust_revenue,
       |         COUNT(*) AS n_orders
       |  FROM orders o JOIN order_rev r ON o.o_orderkey = r.l_orderkey
       |  GROUP BY o.o_custkey
@@ -239,11 +251,11 @@ object RelationalOps {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("l_quantity").cast(dec12)).cast(dec18).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec12)).cast(dec18).as("sum_price"),
+        sum(col("l_quantity").cast(dec12)).cast(dec18).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec12)).cast(dec18).cast(DoubleType).as("sum_price"),
         sum(col("l_extendedprice").cast(dec12)
           * (lit(1).cast(dec5) - col("l_discount").cast(dec5)))
-          .cast(DecimalType(22, 4)).as("revenue"),
+          .cast(DecimalType(22, 4)).cast(DoubleType).as("revenue"),
         (sum(col("l_quantity").cast(dec12)).cast(DoubleType) / count(lit(1)))
           .as("avg_qty"),
         min(col("l_shipdate").cast(DateType)).as("min_ship"),
@@ -274,20 +286,21 @@ object RelationalOps {
         col("a.l_orderkey").as("l_orderkey"),
         col("a.l_linenumber").as("l_linenumber"),
         col("a.l_quantity").cast(IntegerType).as("qty"),
-        col("a.l_extendedprice").cast(dec12).as("price"),
+        col("a.l_extendedprice").cast(dec12).cast(DoubleType).as("price"),
         col("a.l_shipdate").cast(DateType).as("ship_date"),
         col("b.o_orderstatus").as("order_status"),
-        col("b.o_totalprice").cast(dec12).as("total_price"),
+        col("b.o_totalprice").cast(dec12).cast(DoubleType).as("total_price"),
         col("b.o_orderdate").cast(DateType).as("order_date"),
         col("c.c_name").as("customer_name"),
         col("c.c_mktsegment").as("mktsegment"),
-        col("c.c_acctbal").cast(dec12).as("acctbal"),
+        col("c.c_acctbal").cast(dec12).cast(DoubleType).as("acctbal"),
         col("n.n_name").as("nation_name"),
         col("r.r_name").as("region_name"),
         col("f.s_name").as("supplier_name"),
         coalesce(col("f.s_acctbal").cast(dec12), lit(0).cast(dec12))
-          .as("supplier_acctbal"))
-      .orderBy("l_orderkey", "l_linenumber")
+          .cast(DoubleType).as("supplier_acctbal"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty"), col("price"),
+        col("supplier_name").asc_nulls_first, col("supplier_acctbal"))
   }
 
   // ---- oracle SQL (DuckDB dialect, SURVEY.md §7.6) --------------------
@@ -302,16 +315,16 @@ object RelationalOps {
       |), info AS (
       |  SELECT a.l_orderkey AS l_orderkey, a.l_linenumber AS l_linenumber,
       |    CAST(a.l_quantity AS INTEGER) AS qty,
-      |    CAST(a.l_extendedprice AS DECIMAL(12,2)) AS price,
+      |    CAST(CAST(a.l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
       |    CAST(a.l_shipdate AS DATE) AS ship_date,
       |    b.o_orderstatus AS order_status,
-      |    CAST(b.o_totalprice AS DECIMAL(12,2)) AS total_price,
+      |    CAST(CAST(b.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
       |    CAST(b.o_orderdate AS DATE) AS order_date,
       |    c.c_name AS customer_name, c.c_mktsegment AS mktsegment,
-      |    CAST(c.c_acctbal AS DECIMAL(12,2)) AS acctbal,
+      |    CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
       |    n.n_name AS nation_name, r.r_name AS region_name,
       |    f.s_name AS supplier_name,
-      |    COALESCE(CAST(f.s_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS supplier_acctbal
+      |    CAST(COALESCE(CAST(f.s_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS supplier_acctbal
       |  FROM all_sales a
       |  LEFT JOIN orders b ON a.l_orderkey = b.o_orderkey
       |  LEFT JOIN customer c ON b.o_custkey = c.c_custkey
@@ -319,7 +332,8 @@ object RelationalOps {
       |  LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
       |  LEFT JOIN supplier f ON a.l_suppkey = f.s_suppkey AND c.c_nationkey = f.s_nationkey
       |)
-      |SELECT * FROM info ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |SELECT * FROM info
+      |ORDER BY l_orderkey, l_linenumber, qty, price, supplier_name NULLS FIRST, supplier_acctbal""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_parquet_scan", "S2 parquet scan (transformation.py:32-36)",
@@ -347,22 +361,22 @@ object RelationalOps {
           |         CAST(year(l_shipdate) AS INTEGER)
           |  FROM lineitem WHERE year(l_shipdate) >= 1999
           |)
-          |SELECT * FROM s ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+          |SELECT * FROM s ORDER BY l_orderkey, l_linenumber, qty, ship_year""".stripMargin)),
     GraftQuery("q_project_cast", "P1/F4 cast-and-alias projection (variables.py:26-60)",
       projectCast,
       Some(
         """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty,
-          |       CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+          |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
           |       CAST(l_shipdate AS DATE) AS ship_date,
           |       l_returnflag AS flag
-          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty, price, ship_date, flag""".stripMargin)),
     GraftQuery("q_cast_decimal", "F5 lenient string→decimal/int casts",
       castDecimal,
       Some(
         """SELECT o_orderkey,
           |       printf('%.2f', o_totalprice) AS price_str,
-          |       TRY_CAST(printf('%.2f', o_totalprice) AS DECIMAL(10,2)) AS price_dec,
-          |       TRY_CAST(o_orderpriority AS DECIMAL(10,2)) AS garbage_dec,
+          |       CAST(TRY_CAST(printf('%.2f', o_totalprice) AS DECIMAL(10,2)) AS DOUBLE) AS price_dec,
+          |       CAST(TRY_CAST(o_orderpriority AS DECIMAL(10,2)) AS DOUBLE) AS garbage_dec,
           |       TRY_CAST(o_orderstatus AS INTEGER) AS garbage_int
           |FROM orders ORDER BY o_orderkey""".stripMargin)),
     GraftQuery("q_date_parse", "F1-F3 M/d/yyyy round-trip (variables.py:27-28)",
@@ -374,16 +388,25 @@ object RelationalOps {
           |FROM orders ORDER BY o_orderkey""".stripMargin)),
     GraftQuery("q_replace", "F6 nested replace currency cleanup (variables.py:40)",
       replaceCurrency,
-      Some(
-        """SELECT c_custkey,
-          |       '$' || format('{:,.2f}', c_acctbal) AS income_str,
-          |       CAST(replace(replace('$' || format('{:,.2f}', c_acctbal), '$', ''), ',', '') AS DECIMAL(12,2)) AS acctbal_dec
-          |FROM customer ORDER BY c_custkey""".stripMargin)),
+        // DuckDB's format() refuses thousand separators for non-integers,
+        // so the "$1,234.56" string is assembled from the integer part
+        // (grouped) + 2-digit fraction of the DECIMAL-cast value.
+        Some(
+          """WITH d AS (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS d FROM customer),
+            |cur AS (
+            |  SELECT c_custkey,
+            |         '$' || CASE WHEN d < 0 THEN '-' ELSE '' END
+            |             || format('{:,}', CAST(trunc(abs(d)) AS BIGINT))
+            |             || '.' || lpad(CAST(CAST(abs(d) * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0') AS income_str
+            |  FROM d)
+            |SELECT c_custkey, income_str,
+            |       CAST(CAST(replace(replace(income_str, '$', ''), ',', '') AS DECIMAL(12,2)) AS DOUBLE) AS acctbal_dec
+            |FROM cur ORDER BY c_custkey""".stripMargin)),
     GraftQuery("q_nvl", "F7 NVL default after failed left join (variables.py:60)",
       nvlAfterJoin,
       Some(
         """SELECT o_orderkey,
-          |       COALESCE(CAST(c_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS acctbal0,
+          |       CAST(COALESCE(CAST(c_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS acctbal0,
           |       COALESCE(c_name, 'unknown') AS name0
           |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
           |  ON o_custkey = c_custkey
@@ -392,10 +415,10 @@ object RelationalOps {
       filterPredicate,
       Some(
         """SELECT l_orderkey, l_linenumber,
-          |       CAST(l_extendedprice AS DECIMAL(12,2)) AS price, l_returnflag
+          |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price, l_returnflag
           |FROM lineitem
           |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_returnflag = 'R' AND l_discount > 0.05
-          |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+          |ORDER BY l_orderkey, l_linenumber, price, l_returnflag""".stripMargin)),
     GraftQuery("q_left_join", "J1 LEFT equi-join single key (variables.py:62-66)",
       leftJoin,
       Some(
@@ -413,21 +436,21 @@ object RelationalOps {
       Some(
         """SELECT a.l_orderkey AS l_orderkey, a.l_linenumber AS l_linenumber,
           |       f.s_name AS supplier_name,
-          |       COALESCE(CAST(f.s_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS supp_acctbal
+          |       CAST(COALESCE(CAST(f.s_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS supp_acctbal
           |FROM lineitem a
           |LEFT JOIN orders b ON a.l_orderkey = b.o_orderkey
           |LEFT JOIN customer c ON b.o_custkey = c.c_custkey
           |LEFT JOIN supplier f ON a.l_suppkey = f.s_suppkey AND c.c_nationkey = f.s_nationkey
-          |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+          |ORDER BY l_orderkey, l_linenumber, supplier_name NULLS FIRST, supp_acctbal""".stripMargin)),
     GraftQuery("q_cte", "C1 chained CTEs via spark.sql over temp views (variables.py:19-88)",
       cte, Some(cteSql)),
     GraftQuery("q_group_agg", "grouped agg, exact decimal arithmetic (Tier B §2.4)",
       groupAgg,
       Some(
         """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-          |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
-          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DECIMAL(22,4)) AS revenue,
+          |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+          |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+          |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DECIMAL(22,4)) AS DOUBLE) AS revenue,
           |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
           |       min(CAST(l_shipdate AS DATE)) AS min_ship,
           |       max(CAST(l_shipdate AS DATE)) AS max_ship

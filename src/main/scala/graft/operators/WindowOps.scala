@@ -29,7 +29,7 @@ object WindowOps {
     t(s, dir, "orders")
       .select(
         col("o_orderkey"),
-        col("o_totalprice").cast(dec12).as("total_price"),
+        col("o_totalprice").cast(dec12).cast(DoubleType).as("total_price"),
         col("o_orderpriority"))
       .orderBy(col("total_price").desc, col("o_orderkey"))
       .limit(100)
@@ -43,7 +43,7 @@ object WindowOps {
       .where(col("rn") <= 5)
       .select(
         col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_name"),
-        col("c_acctbal").cast(dec12).as("acctbal"))
+        col("c_acctbal").cast(dec12).cast(DoubleType).as("acctbal"))
       .orderBy("c_mktsegment", "rn")
   }
 
@@ -55,9 +55,9 @@ object WindowOps {
     t(s, dir, "orders")
       .select(
         col("o_custkey"), col("o_orderkey"),
-        col("o_totalprice").cast(dec12).as("price"),
+        col("o_totalprice").cast(dec12).cast(DoubleType).as("price"),
         sum(col("o_totalprice").cast(dec12)).over(w).cast(dec18)
-          .as("running_total"))
+          .cast(DoubleType).as("running_total"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -68,9 +68,11 @@ object WindowOps {
     t(s, dir, "orders")
       .select(
         col("o_custkey"), col("o_orderkey"),
-        col("o_totalprice").cast(dec12).as("price"),
-        lag(col("o_totalprice").cast(dec12), 1).over(w).as("prev_price"),
-        lead(col("o_totalprice").cast(dec12), 1).over(w).as("next_price"))
+        col("o_totalprice").cast(dec12).cast(DoubleType).as("price"),
+        lag(col("o_totalprice").cast(dec12), 1).over(w)
+          .cast(DoubleType).as("prev_price"),
+        lead(col("o_totalprice").cast(dec12), 1).over(w)
+          .cast(DoubleType).as("next_price"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -78,31 +80,31 @@ object WindowOps {
     GraftQuery("q_sort_limit", "ORDER BY + LIMIT → TakeOrderedAndProject",
       sortLimit,
       Some(
-        """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total_price, o_orderpriority
+        """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price, o_orderpriority
           |FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin)),
     GraftQuery("q_topk_window", "top-k per group via row_number window",
       topkWindow,
       Some(
         """SELECT c_mktsegment, rn, c_custkey, c_name, acctbal FROM (
           |  SELECT c_mktsegment, c_custkey, c_name,
-          |         CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal,
+          |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
           |         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn
           |  FROM customer
           |) WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin)),
     GraftQuery("q_window_running", "running total window (ROWS UNBOUNDED PRECEDING)",
       runningTotal,
       Some(
-        """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
-          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        """SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+          |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
           |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS running_total
           |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
     GraftQuery("q_lag_lead", "lag/lead over ordered per-key window",
       lagLead,
       Some(
-        """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
-          |       lag(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS prev_price,
-          |       lead(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS next_price
+        """SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+          |       CAST(lag(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS DOUBLE) AS prev_price,
+          |       CAST(lead(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS DOUBLE) AS next_price
           |FROM orders
           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
           |ORDER BY o_custkey, o_orderkey""".stripMargin)),

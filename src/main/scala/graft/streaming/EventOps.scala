@@ -31,7 +31,7 @@ object EventOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(dec12)).cast(dec18).as("sum_value"))
+        sum(col("value").cast(dec12)).cast(dec18).cast(DoubleType).as("sum_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
@@ -56,7 +56,7 @@ object EventOps {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("event_type")).as("n_types"),
-        sum(col("value").cast(dec12)).cast(dec18).as("sum_value"),
+        sum(col("value").cast(dec12)).cast(dec18).cast(DoubleType).as("sum_value"),
         max(col("value")).as("max_value"))
       .orderBy("user_id")
 
@@ -87,7 +87,7 @@ object EventOps {
       Some(
         """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
           |       event_type, count(*) AS n_events,
-          |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+          |       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
     GraftQuery("q_sliding_window_agg", "sliding 1h/30min event-time windows",
       slidingAgg,
@@ -104,7 +104,7 @@ object EventOps {
       Some(
         """SELECT user_id, count(*) AS n_events,
           |       count(DISTINCT event_type) AS n_types,
-          |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value,
+          |       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
           |       max(value) AS max_value
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )
