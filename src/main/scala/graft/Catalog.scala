@@ -21,7 +21,8 @@ final case class GraftQuery(
 /** Aggregates every operator family's registrable queries. */
 object Catalog {
   def all: Seq[GraftQuery] =
-    graft.operators.RelationalOps.queries ++
+    graft.engine.CuratedQuery.queries ++
+      graft.operators.RelationalOps.queries ++
       graft.operators.WindowOps.queries ++
       graft.functions.TextOps.queries ++
       graft.ext.Dedup.queries ++

@@ -30,6 +30,7 @@ object GraftSession {
     // At 100 TB the build side of a dim join must still broadcast; 32 MB
     // keeps all TPC-H-ish dims broadcastable without risking driver OOM.
     c.set("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
+    graft.functions.HashExprs.register(spark)
     spark
   }
 }

@@ -58,34 +58,45 @@ object Dedup {
            |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
       .drop("toks")
 
-  /** MinHash signature: sig[s] = min over shingles of xxhash64(s, shingle).
-    * Computed per-row with nested higher-order functions — no explode, no
-    * shuffle, stays in whole-stage codegen.
+  /** MinHash signature via the native codegen'd [[graft.functions.MinHashSigExpr]]
+    * (one string-hash per shingle, k long-remixes — a tight JVM loop per
+    * row instead of interpreted HOF lambdas). Row-local: no explode, no
+    * shuffle.
     */
   def withMinhashSignature(shingled: DataFrame, numHashes: Int): DataFrame =
-    shingled.withColumn("sig", expr(
-      s"""transform(sequence(1, $numHashes),
-         |          s -> array_min(transform(shingles, sh -> xxhash64(s, sh))))""".stripMargin))
+    shingled.withColumn("sig", expr(s"graft_minhash_sig(shingles, $numHashes)"))
 
   /** Explode the signature into LSH bands: a pair agreeing on ALL rows of
     * any band becomes a candidate. band_hash = xxhash64 over the band
-    * slice of the signature.
+    * slice of the signature. The full signature rides along so candidate
+    * pairs can be prefiltered by estimated Jaccard without re-joining.
     */
   def lshBands(signed: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame =
     signed
-      .select(col(idCol), expr(
+      .select(col(idCol), col("sig"), expr(
         s"""explode(transform(sequence(0, ${bands - 1}),
            |  b -> struct(b AS band_id,
            |              xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS band_hash)))
            |""".stripMargin).as("band"))
-      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+      .select(col(idCol), col("sig"), col("band.band_id"), col("band.band_hash"))
 
-  /** Candidate pairs = ids sharing any (band_id, band_hash) bucket. */
-  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val l = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
-    val r = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
+  /** Candidate pairs = ids sharing any (band_id, band_hash) bucket,
+    * prefiltered by the MinHash Jaccard ESTIMATE (fraction of agreeing
+    * signature rows — unbiased estimator of Jaccard) so the expensive
+    * exact-verify join only sees plausible pairs, then deduped. At scale
+    * the wide data (signatures) is dropped before the distinct shuffle.
+    */
+  def candidatePairs(bandsDf: DataFrame, idCol: String, numHashes: Int,
+      minEstJaccard: Double): DataFrame = {
+    val l = bandsDf.select(col("band_id"), col("band_hash"),
+      col(idCol).as("id1"), col("sig").as("sig1"))
+    val r = bandsDf.select(col("band_id"), col("band_hash"),
+      col(idCol).as("id2"), col("sig").as("sig2"))
     l.join(r, Seq("band_id", "band_hash"))
       .where(col("id1") < col("id2"))
+      .where(expr(
+        s"""size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))
+           |  >= CAST(ceil($minEstJaccard * $numHashes) AS INT)""".stripMargin))
       .select("id1", "id2")
       .distinct()
   }
@@ -94,22 +105,46 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** doc_id + DISTINCT hashed word-level n-gram shingles, via the native
+    * codegen'd [[graft.functions.ShingleHashExpr]]. The shingle STRINGS
+    * are never materialized — dedup only ever consumes their hashes
+    * (signatures and set-overlap verification), and the HOF string
+    * construction (slice+concat_ws per window) was the single largest
+    * cost in the round-1 bench.
+    */
+  def hashedShingleSets(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    docs
+      .withColumn("toks", split(TextOps.normalizeText(col(textCol)), " "))
+      .withColumn("shs", expr(s"graft_shingle_hashes(toks, $n)"))
+      .where(size(col("shs")) > 0)
+      .select(col(idCol), col("shs"))
+
   /** Full MinHash→LSH→verify pipeline: candidate pairs with their EXACT
-    * shingle-set Jaccard (computed only inside buckets), thresholded.
+    * shingle-set Jaccard, thresholded.
+    *
+    * Scale shape: shingle hashes/signatures/bands are row-local native
+    * expressions (one scan, whole-stage codegen); the only shuffles are
+    * the (band_id, band_hash) bucket join, a narrow (id1, id2) distinct,
+    * and the survivor-only verify join. The verify join carries hashed
+    * shingle sets (array<long>) — same Jaccard up to xxhash64 collisions
+    * (negligible), a fraction of the raw-string shuffle bytes. 4
+    * rows/band makes a band match already mean sig-agreement^4, and the
+    * estimated-Jaccard prefilter (sig agreement fraction ≥ threshold)
+    * kills the remaining candidate flood before anything wide moves.
     */
   def minhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 2, numHashes: Int = 16, bands: Int = 8,
+      shingleN: Int = 2, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.2): DataFrame = {
-    val shingled = shingleSets(docs, textCol, shingleN)
-      .where(size(col("shingles")) > 0)
-    val signed = withMinhashSignature(shingled, numHashes)
+    val sets = hashedShingleSets(docs, textCol, idCol, shingleN)
+    val signed = sets.withColumn("sig", expr(s"graft_minhash_sig(shs, $numHashes)"))
     val cand = candidatePairs(
-      lshBands(signed, idCol, bands, numHashes / bands), idCol)
-    val sets = shingled.select(col(idCol), col("shingles"))
+      lshBands(signed.drop("shs"), idCol, bands, numHashes / bands), idCol,
+      numHashes, minEstJaccard = threshold)
     cand
-      .join(sets.withColumnRenamed(idCol, "id1").withColumnRenamed("shingles", "sh1"), "id1")
-      .join(sets.withColumnRenamed(idCol, "id2").withColumnRenamed("shingles", "sh2"), "id2")
+      .join(sets.withColumnRenamed(idCol, "id1").withColumnRenamed("shs", "sh1"), "id1")
+      .join(sets.withColumnRenamed(idCol, "id2").withColumnRenamed("shs", "sh2"), "id2")
       .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy("id1", "id2")
@@ -117,44 +152,57 @@ object Dedup {
 
   // ---- SimHash ---------------------------------------------------------
 
-  /** 64-bit SimHash of a token array: bit i of the result is 1 iff the
-    * sum over tokens of ±1 (sign of bit i of xxhash64(token)) is > 0.
-    * Row-local, codegen'd.
+  /** 64-bit SimHash of the token column: bit i of the result is 1 iff
+    * more than half the token hashes have bit i set (the classic ±1 vote
+    * sum > 0). Computed by the native codegen'd
+    * [[graft.functions.SimHash64Expr]] — one string-hash + 64 bit-adds
+    * per token in a tight JVM loop. (SQL HOF formulations evaluate an
+    * interpreted lambda per token×bit and were 10-50× slower.)
     */
-  def simhash64(tokens: String): Column = expr(
-    s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc +
-       |  CASE WHEN aggregate($tokens, CAST(0 AS BIGINT),
-       |         (a, t) -> a + CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1 THEN 1 ELSE -1 END) > 0
-       |       THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
-
   def withSimhash(docs: DataFrame, textCol: String): DataFrame =
     docs
       .withColumn("toks", split(TextOps.normalizeText(col(textCol)), " "))
-      .withColumn("simhash", simhash64("toks"))
+      .withColumn("simhash", expr("graft_simhash64(toks)"))
       .drop("toks")
 
-  /** Near-dup pairs by SimHash: block on 4×16-bit chunks (any pair within
-    * Hamming distance ≤ 3·16 shares ≥1 chunk... in practice pairs with
-    * distance ≤ maxHamming are found when they agree on some chunk), then
-    * verify exact Hamming distance via bit_count(xor).
+  /** Near-dup pairs by SimHash with an EXACT recall guarantee: the 64-bit
+    * hash is blocked on `maxHamming + 1` equal-width chunks, so any pair
+    * within Hamming distance ≤ maxHamming shares at least one chunk
+    * (pigeonhole). Verification (bit_count of xor) runs inside buckets
+    * only; the hamming filter runs BEFORE the pair-dedup distinct so the
+    * shuffle carries survivors, not the candidate flood.
+    *
+    * Scale guard: buckets larger than `maxBucket` (degenerate chunks —
+    * boilerplate/empty docs sharing a chunk value) are dropped from
+    * candidate generation via a broadcast anti-join; at 100 TB this caps
+    * the O(bucket²) pairing. Dropped buckets are a documented recall
+    * trade: pairs found ONLY through a dropped chunk are missed.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 16): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, "chunks need >= 4 bits")
+    val chunks = maxHamming + 1
+    val bits = 64 / chunks
+    val mask = (1L << bits) - 1
     val hashed = withSimhash(docs, textCol).select(col(idCol), col("simhash"))
     val chunked = hashed.select(
       col(idCol), col("simhash"),
-      expr("explode(transform(sequence(0, 3), b -> struct(b AS chunk_id, (shiftright(simhash, b * 16) & 65535) AS chunk)))").as("c"))
+      expr(s"explode(transform(sequence(0, ${chunks - 1}), b -> struct(b AS chunk_id, (shiftright(simhash, b * $bits) & $mask) AS chunk)))").as("c"))
       .select(col(idCol), col("simhash"), col("c.chunk_id"), col("c.chunk"))
-    val l = chunked.select(col("chunk_id"), col("chunk"),
+    val oversized = chunked.groupBy("chunk_id", "chunk")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
+    val pruned = chunked.join(broadcast(oversized), Seq("chunk_id", "chunk"), "left_anti")
+    val l = pruned.select(col("chunk_id"), col("chunk"),
       col(idCol).as("id1"), col("simhash").as("h1"))
-    val r = chunked.select(col("chunk_id"), col("chunk"),
+    val r = pruned.select(col("chunk_id"), col("chunk"),
       col(idCol).as("id2"), col("simhash").as("h2"))
     l.join(r, Seq("chunk_id", "chunk"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("id1", "id2")
   }
 

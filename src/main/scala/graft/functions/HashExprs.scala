@@ -1,0 +1,357 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (with codegen) for the signature
+  * computations that dominate the near-dup pipelines.
+  *
+  * Why not SQL higher-order functions: `aggregate`/`transform` lambdas
+  * are interpreted per element — a 64-bit SimHash via HOFs costs ~64
+  * expression-tree evaluations (or a 64-wide array allocation) per
+  * TOKEN. These expressions do the same math as a tight JVM loop per
+  * ROW, participate in whole-stage codegen, and hash each input string
+  * exactly once. This is the (b) tier of the operator preference order:
+  * a scalar computation Spark's builtins can't express efficiently.
+  *
+  * Registered as temp functions `graft_simhash64` / `graft_minhash_sig`
+  * by [[HashExprs.register]] (idempotent, called from GraftSession).
+  */
+object HashImpls {
+  private val seed = 42L // Spark SQL's xxhash64 default seed
+
+  /** 64-bit SimHash over non-null array elements: bit i set iff more
+    * than half the element hashes have bit i set (±1 vote sum > 0).
+    */
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var nonNull = 0
+    var k = 0
+    while (k < n) {
+      if (!arr.isNullAt(k)) {
+        nonNull += 1
+        val h = XXH64.hashUTF8String(arr.getUTF8String(k), seed)
+        var i = 0
+        while (i < 64) {
+          counts(i) += ((h >>> i) & 1L).toInt
+          i += 1
+        }
+      }
+      k += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (2 * counts(i) > nonNull) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature: sig[s] = min over elements of
+    * xxhash64(seed=s+1, xxhash64(element)). Each string is hashed once;
+    * the k rows remix the 8-byte hash (hashLong), not the string.
+    */
+  def minhashSig(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var k = 0
+    while (k < n) {
+      if (!arr.isNullAt(k)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(k), seed)
+        var s = 0
+        while (s < numHashes) {
+          val hs = XXH64.hashLong(h, s + 1)
+          if (hs < mins(s)) mins(s) = hs
+          s += 1
+        }
+      }
+      k += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** [[minhashSig]] over already-hashed elements (array<bigint>). */
+  def minhashSigLong(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var k = 0
+    while (k < n) {
+      if (!arr.isNullAt(k)) {
+        val h = arr.getLong(k)
+        var s = 0
+        while (s < numHashes) {
+          val hs = XXH64.hashLong(h, s + 1)
+          if (hs < mins(s)) mins(s) = hs
+          s += 1
+        }
+      }
+      k += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Cosine similarity of two numeric arrays (float or double elements),
+    * strict left-to-right accumulation (deterministic, matches the SQL
+    * `aggregate` fold and DuckDB's `list_sum` order). Null elements
+    * count as 0; the dot product runs over the common prefix.
+    */
+  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.min(na, nb)
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val av = if (a.isNullAt(i)) 0.0 else if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val bv = if (b.isNullAt(i)) 0.0 else if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += av * bv
+      i += 1
+    }
+    var na2 = 0.0
+    i = 0
+    while (i < na) {
+      val v = if (a.isNullAt(i)) 0.0 else if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      na2 += v * v
+      i += 1
+    }
+    var nb2 = 0.0
+    i = 0
+    while (i < nb) {
+      val v = if (b.isNullAt(i)) 0.0 else if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      nb2 += v * v
+      i += 1
+    }
+    dot / (math.sqrt(na2) * math.sqrt(nb2))
+  }
+
+  /** SRP bucket id: bit p of the result = sign of dot(vec, planes[p]).
+    * `planes` is an array<array<double>> plan literal.
+    */
+  def srpBucket(vec: ArrayData, vFloat: Boolean, planes: ArrayData): Int = {
+    val p = planes.numElements()
+    var bucket = 0
+    var pi = 0
+    while (pi < p) {
+      val plane = planes.getArray(pi)
+      val n = math.min(vec.numElements(), plane.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val v = if (vec.isNullAt(i)) 0.0 else if (vFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        dot += v * plane.getDouble(i)
+        i += 1
+      }
+      if (dot > 0) bucket |= (1 << pi)
+      pi += 1
+    }
+    bucket
+  }
+
+  /** DISTINCT rolling-hash values of the word-level n-gram shingles of a
+    * token array. Equivalent information to building the shingle STRINGS
+    * and hashing them (what dedup actually consumes downstream), minus
+    * the string materialization: each token is hashed once, then each
+    * window folds the n token hashes with hashLong.
+    */
+  def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
+    val total = arr.numElements()
+    if (total < n) return new GenericArrayData(Array.emptyLongArray)
+    val tokHash = new Array[Long](total)
+    var i = 0
+    while (i < total) {
+      tokHash(i) = if (arr.isNullAt(i)) 0L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), seed)
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](total - n + 1)
+    var m = 0
+    i = 0
+    while (i <= total - n) {
+      var h = tokHash(i)
+      var j = i + 1
+      while (j < i + n) {
+        h = XXH64.hashLong(tokHash(j), h)
+        j += 1
+      }
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+}
+
+private object ArrayOfString {
+  def check(e: Expression, name: String): TypeCheckResult = e.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<string>, got ${other.catalogString}")
+  }
+}
+
+/** `graft_simhash64(array<string>) -> bigint` */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArrayOfString.check(child, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpls.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** `graft_minhash_sig(array<string|bigint>, k) -> array<bigint>` (k a
+  * literal). Over array<bigint> the elements are assumed pre-hashed
+  * (e.g. [[ShingleHashExpr]] output) and only remixed.
+  */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  private lazy val overLongs = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> or array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  protected override def nullSafeEval(input: Any): Any =
+    if (overLongs) HashImpls.minhashSigLong(input.asInstanceOf[ArrayData], numHashes)
+    else HashImpls.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (overLongs) "minhashSigLong" else "minhashSig"
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.$fn($c, $numHashes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_hashes(array<string>, n) -> array<bigint>` (n a
+  * literal): distinct rolling hashes of word-level n-gram shingles.
+  */
+case class ShingleHashExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArrayOfString.check(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpls.shingleHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
+    copy(child = newChild)
+}
+
+/** `graft_cosine(array<float|double>, array<float|double>) -> double` */
+case class CosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float|double> args")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.cosine(a.asInstanceOf[ArrayData], isFloat(left),
+      b.asInstanceOf[ArrayData], isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashImpls.cosine($a, ${isFloat(left)}, $b, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_srp_bucket(array<float|double>, array<array<double>>) -> int` */
+case class SrpBucketExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def vFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<float|double>, array<array<double>>)")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_srp_bucket"
+
+  protected override def nullSafeEval(v: Any, planes: Any): Any =
+    HashImpls.srpBucket(v.asInstanceOf[ArrayData], vFloat, planes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, p) =>
+      s"graft.functions.HashImpls.srpBucket($v, $vFloat, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SrpBucketExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object HashExprs {
+  /** Idempotent session registration of the graft_* temp functions. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => exprs match {
+        case Seq(arr, Literal(k: Int, IntegerType)) => MinHashSigExpr(arr, k)
+        case Seq(arr) => MinHashSigExpr(arr, 16)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash_sig(array<string|bigint>[, k literal int])")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => exprs match {
+        case Seq(arr, Literal(n: Int, IntegerType)) => ShingleHashExpr(arr, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_shingle_hashes(array<string>, n literal int)")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => exprs match {
+        case Seq(a, b) => CosineExpr(a, b)
+        case _ => throw new IllegalArgumentException("graft_cosine(a, b)")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_srp_bucket",
+      exprs => exprs match {
+        case Seq(v, p) => SrpBucketExpr(v, p)
+        case _ => throw new IllegalArgumentException("graft_srp_bucket(vec, planes)")
+      }, "built-in")
+  }
+}

@@ -43,12 +43,7 @@ object RelationalOps {
     * curated query's lenient casts load-bearing.
     */
   def csvScanAllString(spark: SparkSession, path: String): DataFrame =
-    GraftSession.tuned(spark).read
-      .format("csv")
-      .option("sep", ",")
-      .option("header", true)
-      .option("encoding", "UTF-8")
-      .load(path)
+    graft.engine.CsvToParquet.readCsvAllString(spark, path)
 
   val customersCsvPath = "/root/repo/fixtures/adventureworks/AdventureWorks_Customers.csv"
 
