@@ -71,7 +71,10 @@ object EventOps {
     val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
     spark.readStream
       .schema(raw)
-      .parquet(s"$sfDir/events.parquet")
+      // the file stream source requires a DIRECTORY; testdata lays each
+      // table out as a single file, so stream the parent with a glob
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Dedup invariants + planted-near-dup recall (SURVEY §5.2 item 3,
+  * VERDICT round-1 items 6-7).
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsDf(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("exact dedup: |dedup| <= |input|, idempotent, counts add up") {
+    val texts = Seq("a b c", "a b c", "d e f", "a b c", "g h i", "d e f")
+    val out = Dedup.exactDedup(spark, sfDir) // smoke on real table
+    assert(out.count() <= spark.read.parquet(s"$sfDir/documents.parquet").count())
+
+    val local = docsDf(texts)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+    val rows = local.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("n")).sum == texts.length)
+    // survivor is deterministic: min doc_id per group
+    assert(rows.map(_.getAs[Long]("keep")).sorted.toSeq == Seq(0L, 2L, 4L))
+  }
+
+  test("minhash near-dup finds planted near-duplicates and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again until dawn"
+    val nearDup = base.replace("dawn", "dusk") // 1-word edit
+    val unrelated = "completely different content about spark catalyst optimizer internals"
+    val docs = docsDf(Seq(base, nearDup, unrelated))
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)), s"planted pair missed: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc matched")
+  }
+
+  test("minhash estimated-Jaccard prefilter preserves the exact result set") {
+    // with and without the prefilter must agree on the final pairs for a
+    // seeded corpus (the prefilter is a superset guard, not a semantic change)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val withFilter = Dedup.minhashNearDupPairs(docs, "text", "doc_id")
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // relaxed prefilter (est >= 0) = no prefilter
+    val sets = Dedup.hashedShingleSets(docs, "text", "doc_id", 2)
+    val signed = sets.withColumn("sig", expr("graft_minhash_sig(shs, 16)"))
+    val cand = Dedup.candidatePairs(
+      Dedup.lshBands(signed.drop("shs"), "doc_id", 4, 4), "doc_id", 16, 0.0)
+    val noFilter = cand
+      .join(sets.withColumnRenamed("doc_id", "id1").withColumnRenamed("shs", "sh1"), "id1")
+      .join(sets.withColumnRenamed("doc_id", "id2").withColumnRenamed("shs", "sh2"), "id2")
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double")).as("j"))
+      .where(col("j") >= 0.2)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withFilter == noFilter)
+  }
+
+  test("simhash: identical docs at Hamming 0; blocking finds all pairs <= maxHamming") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = docsDf(Seq(base, base, "unrelated words entirely distinct tokens"))
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((0L, 1L, 0)))
+  }
+
+  test("simhash blocking recall equals brute force within the radius") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hashed = Dedup.withSimhash(docs, "text").select(col("doc_id"), col("simhash"))
+    val l = hashed.select(col("doc_id").as("id1"), col("simhash").as("h1"))
+    val r = hashed.select(col("doc_id").as("id2"), col("simhash").as("h2"))
+    val brute = l.crossJoin(r).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val blocked = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(blocked == brute, "pigeonhole blocking must be lossless within radius")
+  }
+
+  test("property: dedup by distinct is idempotent and bounded (100 seeded samples)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 100) {
+      val xs = List.fill(1 + rnd.nextInt(50))(rnd.nextInt(20))
+      val df = xs.toDF("v")
+      val d1 = df.distinct()
+      assert(d1.count() == xs.distinct.size)
+      assert(d1.count() <= df.count())
+      assert(d1.distinct().count() == d1.count())
+    }
+  }
+}

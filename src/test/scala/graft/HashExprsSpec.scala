@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the native hash expressions against independent
+  * reference computations.
+  */
+class HashExprsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("graft_simhash64: identical token arrays hash identically; disjoint differ") {
+    val out = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("a", "b", "c")),
+      (3L, Seq("x", "y", "z", "w")),
+      (4L, Seq.empty[String]))
+      .toDF("id", "toks")
+      .select(col("id"), expr("graft_simhash64(toks)").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+    assert(out(4L) == 0L) // empty doc hashes to 0
+  }
+
+  test("graft_simhash64: single token equals that token's xxhash64 bit pattern") {
+    // with one token, every bit with a 1 in the token hash wins the vote
+    val row = Seq((1L, Seq("hello"))).toDF("id", "toks")
+      .select(expr("graft_simhash64(toks)").as("h"), expr("xxhash64(toks[0])").as("x"))
+      .head()
+    assert(row.getLong(0) == row.getLong(1))
+  }
+
+  test("graft_minhash_sig: length k, permutation-min property, string/long agree") {
+    val df = Seq((1L, Seq("a", "b", "c", "d"))).toDF("id", "toks")
+      .select(
+        expr("graft_minhash_sig(toks, 8)").as("sig"),
+        expr("graft_minhash_sig(transform(toks, t -> xxhash64(t)), 8)").as("sigL"))
+    val r = df.head()
+    val sig = r.getSeq[Long](0)
+    val sigL = r.getSeq[Long](1)
+    assert(sig.length == 8)
+    assert(sig == sigL) // long path over pre-hashed strings = string path
+    // signature of a subset is >= elementwise (min over fewer values)
+    val sub = Seq((1L, Seq("a", "b"))).toDF("id", "toks")
+      .select(expr("graft_minhash_sig(toks, 8)").as("sig")).head().getSeq[Long](0)
+    assert(sig.zip(sub).forall { case (full, s) => full <= s })
+  }
+
+  test("graft_shingle_hashes: count = windows, distinct, order-insensitive set equality with string shingles") {
+    val df = Seq((1L, "a b c d e")).toDF("id", "text")
+      .select(expr("graft_shingle_hashes(split(text, ' '), 2)").as("shs")).head()
+    assert(df.getSeq[Long](0).length == 4) // 5 tokens -> 4 bigrams, all distinct
+    val dup = Seq((1L, "a b a b a b")).toDF("id", "text")
+      .select(expr("graft_shingle_hashes(split(text, ' '), 2)").as("shs")).head()
+    assert(dup.getSeq[Long](0).length == 2) // {"a b", "b a"} deduped
+  }
+
+  test("graft_srp_bucket: sign pattern matches a driver-side dot product") {
+    val planes = Seq(Seq(1.0, 0.0), Seq(0.0, -1.0))
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f)),   // dot1=+1 -> bit0; dot2=-1 -> no bit1 => 1
+      (2L, Array(-1.0f, -1.0f)), // dot1=-1; dot2=+1 -> bit1 => 2
+      (3L, Array(1.0f, -1.0f)))  // both positive => 3
+    val out = vecs.toDF("id", "embedding")
+      .withColumn("__graft_planes", typedlit(planes))
+      .select(col("id"), expr("graft_srp_bucket(embedding, __graft_planes)").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 1, 2L -> 2, 3L -> 3))
+  }
+}

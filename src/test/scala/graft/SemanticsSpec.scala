@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-semantics edge cases the engine depends on (SURVEY §5.2):
+  * lenient casts, M/d/yyyy parsing, NVL-after-miss, composite-join
+  * fan-out, positional UNION ALL.
+  */
+class SemanticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("lenient casts: garbage to NULL, not error (Spark 3.1 semantics, ansi off)") {
+    val df = Seq("N/A", "", "12", "12.7", "$1,234.56").toDF("s")
+      .select(
+        col("s"),
+        col("s").cast(IntegerType).as("i"),
+        col("s").cast(DecimalType(10, 2)).as("d"))
+    val byS = df.collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    assert(byS("N/A") == (null, null))
+    assert(byS("") == (null, null))
+    assert(byS("12") == (12, new java.math.BigDecimal("12.00")))
+    // cast string->int truncates via decimal in lenient mode
+    assert(byS("12.7")._2 == new java.math.BigDecimal("12.70"))
+    // currency string is NOT directly castable - that's why the reference
+    // strips '$' and ',' first (variables.py:40)
+    assert(byS("$1,234.56") == (null, null))
+  }
+
+  test("currency cleanup: replace '$'/',' then cast (variables.py:40)") {
+    val out = Seq("$90,000", "$1,234.56", "garbage", null)
+      .toDF("income")
+      .select(expr("cast(replace(replace(income, '$', ''), ',', '') as decimal(10,2))").as("d"))
+      .collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(out.toSeq == Seq(Some("90000.00"), Some("1234.56"), None, None))
+  }
+
+  test("M/d/yyyy date round-trip incl. non-zero-padded days (variables.py:27-28)") {
+    val out = Seq("1/7/2015", "12/25/2017", "4/8/1966", "not a date", null)
+      .toDF("s")
+      .select(expr(
+        "cast(from_unixtime(unix_timestamp(s, 'M/d/yyyy'), 'yyyy-MM-dd') as date)").as("d"))
+      .collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(out.toSeq == Seq(
+      Some("2015-01-07"), Some("2017-12-25"), Some("1966-04-08"), None, None))
+  }
+
+  test("NVL after a missed left join defaults, not drops (variables.py:60)") {
+    val sales = Seq((1, 10), (2, 20)).toDF("k", "v")
+    val returns = Seq((1, 5)).toDF("k", "ret")
+    val out = sales.join(returns, Seq("k"), "left_outer")
+      .select(col("k"), expr("nvl(ret, 0)").as("ret0"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(out.toSeq == Seq((1, 5), (2, 0)))
+  }
+
+  test("composite-key join fan-out multiplies rows (variables.py:79-83)") {
+    val a = Seq((1, "x"), (1, "y")).toDF("t", "p") // 2 sales rows, same keys
+    val f = Seq((1, "r1"), (1, "r2"), (1, "r3")).toDF("t", "r") // 3 returns
+    val joined = a.join(f, Seq("t"), "left_outer")
+    assert(joined.count() == 6) // 2 x 3 - fan-out is intended behavior
+  }
+
+  test("UNION ALL is positional, not by-name (variables.py:19-24)") {
+    val x = Seq((1, "a")).toDF("n", "s")
+    val y = Seq((2, "b")).toDF("s", "n") // same positional types, names swapped
+    val u = x.union(y) // positional: y's first column lands under x's "n"
+    val rows = u.orderBy("n").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1, "a"), (2, "b"))) // unionByName would give (2,"b")->("b",2)
+    assert(u.schema.fieldNames.toSeq == Seq("n", "s"))
+  }
+
+  test("count(*) validation shape (etl_aws_vini.py:244-256)") {
+    val n = operators.RelationalOps.countStar(spark, sfDir)
+      .collect()(0).getLong(0)
+    val raw = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(n == raw && n > 0)
+  }
+}

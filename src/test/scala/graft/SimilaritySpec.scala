@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** Similarity-search invariants: native cosine correctness, top-k ⊆
+  * sorted prefix, ANN recall vs brute force, near-dup planting.
+  */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("graft_cosine matches a driver-side computation") {
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 2.0f, 2.0f), Array(2.0f, 1.0f, 2.0f)))
+      .toDF("id", "a", "b")
+      .select(col("id"), expr("graft_cosine(a, b)").as("c"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    assert(math.abs(rows(0) - 1.0) < 1e-12)
+    assert(math.abs(rows(1) - 0.0) < 1e-12)
+    assert(math.abs(rows(2) - 8.0 / 9.0) < 1e-12) // (2+2+4)/(3*3)
+  }
+
+  test("brute-force top-k: self first, descending, k rows") {
+    val out = Similarity.bruteForceTopK(emb, queryVecId = 0L, k = 10).collect()
+    assert(out.length == 10)
+    assert(out.head.getAs[Long]("vec_id") == 0L) // self-similarity = 1.0
+    val sims = out.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("ANN top-k is a subset of a brute-force prefix and includes self") {
+    val k = 5
+    val ann = Similarity.lshTopK(emb, queryVecId = 0L, k = k)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ann.contains(0L))
+    // every ANN hit must appear in the exact top-30 (multiprobe recall is
+    // approximate but hits can't be arbitrarily bad on 50 vectors)
+    val brute = Similarity.bruteForceTopK(emb, queryVecId = 0L, k = 30)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ann.subsetOf(brute), s"ANN returned far-from-top vectors: ${ann -- brute}")
+  }
+
+  test("embedding near-dup finds a planted duplicate vector pair") {
+    val v = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val dup = v.clone(); dup(0) = (v(0) + 0.01f)
+    val other = Array.tabulate(8)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((0L, "a", v), (1L, "b", dup), (2L, "c", other))
+      .toDF("vec_id", "label", "embedding")
+    val pairs = Similarity.nearDupPairs(df, threshold = 0.95, numPlanes = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("plane table is deterministic and correctly sized") {
+    val p1 = Similarity.planeTable(6, 16)
+    val p2 = Similarity.planeTable(6, 16)
+    assert(p1 == p2)
+    assert(p1.size == 6 && p1.forall(_.size == 16))
+    assert(p1.flatten.forall(w => w >= -1.0 && w < 1.0))
+    assert(Similarity.planesFor(500) == 4)       // min clamp
+    assert(Similarity.planesFor(1_000_000_000L) >= 20) // scales with N
+  }
+}
