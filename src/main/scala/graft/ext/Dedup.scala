@@ -43,6 +43,19 @@ object Dedup {
       .distinct()
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** HLL++ approximate distinct count next to the exact count. The
+    * sketch value is engine-specific (DuckDB's approx algorithm differs
+    * bit-for-bit), so this key is rows-only in the driver gate; the unit
+    * suite bounds its relative error against the exact count. At 100 TB
+    * this is THE distinct-count operator: constant memory per partition,
+    * mergeable, no giant shuffle of distinct keys.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+
   // ---- MinHash + LSH ---------------------------------------------------
 
   /** doc_id + distinct word-level n-gram shingles of the normalized text.
@@ -238,6 +251,8 @@ object Dedup {
       Some(
         """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    GraftQuery("q_approx_distinct", "HLL++ approx distinct vs exact (rows-only; unit-bounded)",
+      approxDistinct, None),
     GraftQuery("q_minhash_neardup", "MinHash+LSH near-dup candidate pairs w/ exact Jaccard verify",
       minhashQuery, None),
     GraftQuery("q_simhash_neardup", "SimHash 64-bit near-dup pairs (chunk-blocked)",

@@ -108,6 +108,17 @@ object Multimodal {
     GraftQuery("q_multimodal_features", "fake-decode feature extraction over binary payloads",
       featuresQuery, None),
     GraftQuery("q_multimodal_frames", "frame-sampling slices of binary payloads",
-      framesQuery, None),
+      framesQuery,
+      // frame lengths are pure arithmetic over the payload size, so the
+      // oracle never touches blob slicing: kept frames are f = 0,2,4,...
+      // and the last frame is the remainder
+      Some(
+        """WITH fr AS (
+          |  SELECT doc_id, octet_length(encode(text)) AS n,
+          |         unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 2)) AS f
+          |  FROM documents)
+          |SELECT doc_id AS asset_id, CAST(f // 2 AS INT) AS frame_idx,
+          |       CAST(least(64, n - f * 64) AS INT) AS frame_bytes
+          |FROM fr ORDER BY asset_id, frame_idx""".stripMargin)),
   )
 }

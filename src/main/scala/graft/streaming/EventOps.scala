@@ -47,6 +47,24 @@ object EventOps {
         col("event_type"), col("n_events"))
       .orderBy("window_start", "event_type")
 
+  /** Session windows (30-min inactivity gap) per user, batch mode — the
+    * builtin `session_window` merges overlapping [ts, ts+gap) intervals;
+    * one shuffle on user_id. An event at exactly start+gap opens a NEW
+    * session (windows are half-open), which the oracle mirrors with a
+    * `>= gap` new-session marker in a gaps-and-islands rewrite.
+    */
+  def sessionAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec12)).cast(dec18).cast(DoubleType).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   /** Per-user event counts + value stats — the groupBy shuffles once on
     * user_id; at 100 TB this is the canonical partial/final aggregate.
     */
@@ -84,6 +102,27 @@ object EventOps {
         col("event_type"), col("n_events"))
   }
 
+  /** Structured Streaming twin of [[sessionAgg]]: session_window +
+    * watermark (Spark merges in-flight sessions in state). Exercised by
+    * the streaming test suite against the batch result.
+    */
+  def streamingSessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tuned(spark)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_tumbling_window_agg", "tumbling 1h event-time windows (batch twin of streaming agg)",
       tumblingAgg,
@@ -102,6 +141,26 @@ object EventOps {
           |       event_type, count(*) AS n_events
           |FROM events CROSS JOIN offs
           |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+    GraftQuery("q_session_window_agg", "per-user session windows, 30-min gap (batch twin of streaming sessions)",
+      sessionAgg,
+      Some(
+        """WITH marked AS (
+          |  SELECT user_id, ts, value,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+          |              THEN 1 ELSE 0 END AS new_s
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          |), sess AS (
+          |  SELECT user_id, ts, value,
+          |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM marked
+          |)
+          |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          |       count(*) AS n_events,
+          |       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+          |FROM sess GROUP BY user_id, sid
+          |ORDER BY user_id, session_start""".stripMargin)),
     GraftQuery("q_user_event_stats", "per-user event stats (partial/final agg)",
       userStats,
       Some(

@@ -84,6 +84,15 @@ class DedupSpec extends SparkTestBase {
     assert(blocked == brute, "pigeonhole blocking must be lossless within radius")
   }
 
+  test("approx_count_distinct stays within its configured relative error") {
+    val row = Dedup.approxDistinct(spark, sfDir).head()
+    val approx = row.getLong(0).toDouble
+    val exact = row.getLong(1).toDouble
+    assert(exact > 0)
+    assert(math.abs(approx - exact) / exact < 0.10,
+      s"HLL rsd=0.02 drifted: approx=$approx exact=$exact") // 5 sigma headroom
+  }
+
   test("property: dedup by distinct is idempotent and bounded (100 seeded samples)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 100) {
