@@ -24,6 +24,7 @@ object Catalog {
     graft.engine.CuratedQuery.queries ++
       graft.operators.RelationalOps.queries ++
       graft.operators.WindowOps.queries ++
+      graft.operators.TopK.queries ++
       graft.functions.TextOps.queries ++
       graft.ext.Dedup.queries ++
       graft.ext.Similarity.queries ++

@@ -1,11 +1,30 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.GraftQuery
 import graft.engine.{GraftSession, Tables}
+
+/** Typed asset row for the [[Multimodal.typedDecode]] partition-decode
+  * path (Dataset[T] with a case-class Encoder).
+  */
+final case class GraftAsset(asset_id: Long, payload: Array[Byte], kind: String, n_bytes: Int)
+
+final case class GraftAssetFeatures(asset_id: Long, kind: String, features: Array[Double])
+
+/** FAKE media codec — deterministic stand-in; see [[Multimodal.typedDecode]]. */
+final class FakeCodec {
+  private val crc = new java.util.zip.CRC32
+  def decodeOne(payload: Array[Byte]): Array[Double] =
+    Array.tabulate(8) { i =>
+      crc.reset()
+      crc.update(i)
+      crc.update(payload, 0, payload.length)
+      (crc.getValue % 1000L).toDouble / 1000.0
+    }
+}
 
 /** Multimodal-column plumbing (north-star Tier B): opaque `binary`
   * payloads + typed metadata structs, with decode / feature-extract /
@@ -66,6 +85,27 @@ object Multimodal {
         s"""posexplode(filter(transform(sequence(0, CAST(ceil(meta.n_bytes / $frameBytes.0) AS INT) - 1),
            |  f -> CASE WHEN f % $stride = 0 THEN substring(payload, f * $frameBytes + 1, $frameBytes) END),
            |  x -> x IS NOT NULL))""".stripMargin).as(Seq("frame_idx", "frame")))
+
+  /** Typed batch-decode plumbing: the Scala analog of a `mapInPandas`
+    * decode stage. The partition iterator shape is the load-bearing part:
+    * a REAL decoder initializes its codec once per partition (the
+    * expensive step), then streams rows through it — exactly what this
+    * does with a deterministic fake in place of the codec. Swapping in a
+    * real media library changes only `decodeOne`.
+    */
+  def typedDecode(spark: SparkSession, assetsDf: DataFrame): Dataset[GraftAssetFeatures] = {
+    import spark.implicits._
+    assetsDf
+      .select(
+        col("asset_id"), col("payload"),
+        col("meta.kind").as("kind"), col("meta.n_bytes").as("n_bytes"))
+      .as[GraftAsset]
+      .mapPartitions { rows =>
+        // per-partition "codec" init happens HERE (once), not per row
+        val codec = new FakeCodec
+        rows.map(a => GraftAssetFeatures(a.asset_id, a.kind, codec.decodeOne(a.payload)))
+      }
+  }
 
   // ---- registered queries ----------------------------------------------
 

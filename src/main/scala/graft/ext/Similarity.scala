@@ -133,6 +133,77 @@ object Similarity {
       .orderBy("id1", "id2")
   }
 
+  // ---- IVF (inverted-file) ANN -----------------------------------------
+
+  /** Deterministic centroid bootstrap: every ceil(n/k)-th vector by
+    * vec_id. A kmeans-free stand-in with the same IVF mechanics — swap in
+    * MLlib KMeans centroids where a training budget exists; list shape
+    * and probe logic are unchanged.
+    */
+  def sampleCentroids(emb: DataFrame, k: Int): Array[(Int, Seq[Double])] = {
+    val n = emb.count()
+    val stride = math.max(1L, n / k)
+    emb.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").limit(k)
+      .select(col("embedding")).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }
+      }
+  }
+
+  /** IVF list assignment: each vector goes to its nearest centroid (by
+    * cosine against the broadcast centroid-table literal). `graft_srp_bucket`'s
+    * sibling pattern: the argmax runs row-local over a plan literal, so
+    * assignment is a single scan with no shuffle.
+    */
+  def withIvfList(emb: DataFrame, centroids: Array[(Int, Seq[Double])]): DataFrame = {
+    val table = centroids.map(_._2.toSeq).toSeq
+    emb
+      .withColumn("__graft_centroids", typedlit(table))
+      .withColumn("ivf_list", expr(
+        s"""aggregate(sequence(0, ${table.size - 1}),
+           |          named_struct('best', -1, 'bestSim', CAST(-2 AS DOUBLE)),
+           |          (acc, c) -> CASE
+           |            WHEN graft_cosine(embedding, element_at(__graft_centroids, c + 1)) > acc.bestSim
+           |            THEN named_struct('best', c, 'bestSim', graft_cosine(embedding, element_at(__graft_centroids, c + 1)))
+           |            ELSE acc END).best""".stripMargin))
+      .drop("__graft_centroids")
+  }
+
+  /** IVF ANN top-k: probe the `nProbe` lists whose centroids are nearest
+    * the query vector, exact-rank inside them. At 100 TB: assignment is
+    * one scan; the probe filter prunes the search to nProbe/k of the
+    * corpus; per-list data can be written `partitionBy(ivf_list)` so a
+    * probe is a partition-pruned read.
+    */
+  def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int,
+      numLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = sampleCentroids(emb, numLists)
+    val assigned = withIvfList(emb, centroids)
+    val qVec = emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }
+    def cos(c: Seq[Double]): Double = {
+      val dot = c.zip(qVec).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(c.map(x => x * x).sum) * math.sqrt(qVec.map(x => x * x).sum))
+    }
+    val probes = centroids.sortBy { case (_, c) => -cos(c) }.take(nProbe).map(_._1)
+    val q = emb.where(col("vec_id") === queryVecId).select(col("embedding").as("qv"))
+    assigned
+      .where(col("ivf_list").isin(probes.toIndexedSeq: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), col("ivf_list"),
+        cosine("embedding", "qv").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   // ---- registered queries ----------------------------------------------
 
   def cosineTopkQuery(s: SparkSession, dir: String): DataFrame =
@@ -140,6 +211,9 @@ object Similarity {
 
   def lshTopkQuery(s: SparkSession, dir: String): DataFrame =
     lshTopK(t(s, dir, "embeddings"), queryVecId = 0L, k = 10)
+
+  def ivfTopkQuery(s: SparkSession, dir: String): DataFrame =
+    ivfTopK(t(s, dir, "embeddings"), queryVecId = 0L, k = 10)
 
   /** Threshold 0.3: the synthetic embeddings are near-orthogonal random
     * vectors (max pairwise cosine ≈ 0.44 at sf0.01), so a classic 0.8+
@@ -164,6 +238,8 @@ object Similarity {
           |SELECT vec_id, label, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin)),
     GraftQuery("q_ann_lsh_topk", "SRP-LSH bucketed ANN top-k, Hamming-1 multiprobe (scale path)",
       lshTopkQuery, None),
+    GraftQuery("q_ann_ivf_topk", "IVF ANN top-k: centroid lists + nProbe probing (scale path)",
+      ivfTopkQuery, None),
     GraftQuery("q_embed_neardup", "embedding-cosine near-dup pairs, SRP-blocked + multiprobe",
       nearDupQuery, None),
   )

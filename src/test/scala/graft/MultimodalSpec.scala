@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Multimodal, Similarity}
+
+/** Multimodal plumbing + IVF ANN behavior. */
+class MultimodalSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("typed mapPartitions decode: one feature row per asset, bounded values, partition count preserved") {
+    val assets = Multimodal.assets(docs)
+    val decoded = Multimodal.typedDecode(spark, assets)
+    assert(decoded.rdd.getNumPartitions == assets.rdd.getNumPartitions)
+    val rows = decoded.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.features.length == 8))
+    assert(rows.forall(_.features.forall(f => f >= 0.0 && f < 1.0)))
+    // deterministic fake: same input -> same features
+    val again = Multimodal.typedDecode(spark, assets).collect()
+      .map(r => r.asset_id -> r.features.toSeq).toMap
+    assert(rows.forall(r => again(r.asset_id) == r.features.toSeq))
+  }
+
+  test("frame sampling: every other 64-byte frame, remainder in last frame") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.assets(docs), frameBytes = 64, stride = 2)
+    val byAsset = frames
+      .groupBy("asset_id").agg(count(lit(1)).as("n"), sum(octet_length(col("frame"))).as("bytes"))
+      .join(docs.select(col("doc_id").as("asset_id"), octet_length(encode(col("text"), "UTF-8")).as("n_bytes")), "asset_id")
+      .collect()
+    byAsset.foreach { r =>
+      val nBytes = r.getAs[Int]("n_bytes")
+      val totalChunks = math.ceil(nBytes / 64.0).toInt
+      val expected = (0 until totalChunks).count(_ % 2 == 0)
+      assert(r.getAs[Long]("n") == expected, s"asset ${r.getAs[Long]("asset_id")}")
+    }
+  }
+
+  test("IVF top-k: includes self, subset of brute-force prefix, probes prune the scan") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivf = Similarity.ivfTopK(emb, queryVecId = 0L, k = 5, numLists = 8, nProbe = 3)
+      .collect()
+    assert(ivf.head.getAs[Long]("vec_id") == 0L)
+    assert(ivf.map(_.getAs[Int]("ivf_list")).distinct.length <= 3) // probed lists only
+    val brute = Similarity.bruteForceTopK(emb, queryVecId = 0L, k = 30)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ivf.map(_.getAs[Long]("vec_id")).toSet.subsetOf(brute))
+  }
+
+  test("IVF assignment: every vector lands in exactly one existing list") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = Similarity.sampleCentroids(emb, 8)
+    val assigned = Similarity.withIvfList(emb, centroids)
+    assert(assigned.count() == emb.count())
+    val lists = assigned.select("ivf_list").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(lists.subsetOf(centroids.map(_._1).toSet))
+    assert(lists.nonEmpty)
+  }
+}
