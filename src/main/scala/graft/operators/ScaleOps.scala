@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities for the 100 TB design notes (SURVEY §7.5): skew-salted
+  * joins, bucketed co-located joins, and partitioned sinks. These are
+  * engine API, exercised by ScaleOpsSpec; they have no reference-grounded
+  * query keys of their own (the reference ran at AdventureWorks scale and
+  * needed none of them — at 100 TB they are what keeps the same logical
+  * plans alive).
+  */
+object ScaleOps {
+
+  /** Skew-salted LEFT equi-join: the left (large, skewed) side gets a
+    * random-but-deterministic salt in [0, buckets); the right side is
+    * exploded `buckets`× so every (key, salt) pair can match. Same result
+    * as a plain equi-join, but a hot key's rows spread over `buckets`
+    * reducers instead of one straggler.
+    *
+    * AQE's skew-join handles most cases at runtime (GraftSession enables
+    * it); explicit salting remains for deterministic layout control and
+    * for non-sort-merge paths AQE won't split.
+    */
+  def saltedLeftJoin(left: DataFrame, right: DataFrame, key: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0)
+    // deterministic salt: stable across retries (a random salt would
+    // break task re-execution semantics)
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets)))
+    val exploded = right
+      .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(exploded, Seq(key, "__salt"), "left_outer").drop("__salt")
+  }
+
+  /** Write both sides bucketed on the join key so a later join is
+    * co-located: no Exchange on either side of the SortMergeJoin.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Join two same-bucketed catalog tables on their bucket key. The
+    * `merge` hint pins SortMergeJoin (at demo scale the planner would
+    * otherwise broadcast, which disables bucket use); with matching
+    * bucket specs the SMJ needs no shuffle Exchange on either side —
+    * the co-located join pattern for repeatedly-joined 100 TB tables.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable).hint("merge"), Seq(key))
+
+  /** Partitioned sink: `partitionBy` layout so downstream reads prune by
+    * partition column — the 100 TB replacement for `coalesce(1)`
+    * (SURVEY §7.4 risk 7).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+}

@@ -7,6 +7,9 @@ import org.apache.spark.sql.types._
 import graft.GraftQuery
 import graft.engine.{GraftSession, Tables}
 
+/** Typed state for [[EventOps.streamingUserStateCounts]]. */
+final case class UserState(n: Long, sum: Double)
+
 /** Event-time windowed aggregation (SURVEY.md §2.10). The reference has
   * no streaming — its nearest analogs are Airflow polling sensors
   * (etl_aws_vini.py:459-468) — so this family is Tier B: batch-mode
@@ -121,6 +124,39 @@ object EventOps {
         col("user_id"),
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"))
+  }
+
+  /** Per-user running state for the custom-state API surface
+    * (`KeyValueGroupedDataset.mapGroupsWithState`): event count + value
+    * sum per user, maintained in typed state. The streaming twin of
+    * [[userStats]]'s count/sum columns, for state logic the built-in
+    * aggregates can't express (the built-ins CAN express this one — it
+    * exists to pin the custom-state plumbing with a verifiable answer).
+    */
+  def streamingUserStateCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("value").cast("double").as("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) { case (user, events, state) =>
+        val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+        var n = prev.n
+        var sum = prev.sum
+        events.foreach { e => n += 1; sum += e._2 }
+        val next = UserState(n, sum)
+        state.update(next)
+        (user, next.n, next.sum)
+      }
+      .toDF("user_id", "n_events", "sum_value")
   }
 
   val queries: Seq[GraftQuery] = Seq(

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScaleOps
+
+/** The 100 TB utilities must preserve semantics AND produce the plans
+  * they promise (no Exchange for bucketed joins, PartitionFilters for
+  * partitioned reads, identical results for salted joins).
+  */
+class ScaleOpsSpec extends SparkTestBase {
+
+  private lazy val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+  private lazy val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+
+  test("salted left join returns exactly the plain join's result") {
+    val plain = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"), "left_outer")
+      .select(col("o_orderkey"), col("c_name"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sorted.toSeq
+    val salted = ScaleOps.saltedLeftJoin(
+        orders.withColumnRenamed("o_custkey", "k"),
+        customer.withColumnRenamed("c_custkey", "k").select("k", "c_name"),
+        "k", buckets = 7)
+      .select(col("o_orderkey"), col("c_name"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("bucketed co-located join plans without a shuffle Exchange") {
+    ScaleOps.writeBucketed(orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+      "graft_orders_b", "o_custkey", 4)
+    ScaleOps.writeBucketed(customer.select("c_custkey", "c_name")
+        .withColumnRenamed("c_custkey", "o_custkey"),
+      "graft_cust_b", "o_custkey", 4)
+    try {
+      val joined = ScaleOps.bucketedJoin(spark, "graft_orders_b", "graft_cust_b", "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must be shuffle-free, got:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucket pruning not used:\n$plan")
+      assert(joined.count() == orders.join(customer,
+        orders("o_custkey") === customer("c_custkey")).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cust_b")
+    }
+  }
+
+  test("partitioned write prunes partitions on filtered read") {
+    val tmp = Files.createTempDirectory("graft-part").toString
+    val withYear = orders.withColumn("o_year", year(col("o_orderdate")))
+    ScaleOps.writePartitioned(withYear, s"$tmp/orders_by_year", "o_year")
+    val years = new java.io.File(s"$tmp/orders_by_year").listFiles()
+      .filter(_.getName.startsWith("o_year=")).map(_.getName)
+    assert(years.length > 1, "expected multiple partition directories")
+
+    val read = spark.read.parquet(s"$tmp/orders_by_year")
+      .where(col("o_year") === 1995)
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("o_year"),
+      s"partition filter not pushed:\n$scan")
+    assert(read.count() == withYear.where(col("o_year") === 1995).count())
+  }
+}

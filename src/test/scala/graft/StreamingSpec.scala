@@ -51,4 +51,28 @@ class StreamingSpec extends SparkTestBase {
       s"session divergence: only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
     assert(streamed.nonEmpty)
   }
+
+  test("mapGroupsWithState per-user running totals == batch aggregation") {
+    val q = EventOps.streamingUserStateCounts(spark, sfDir).writeStream
+      .format("memory")
+      .queryName("graft_state_test")
+      .outputMode("update")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // single input batch -> one state update per user = final totals
+    val streamed = spark.table("graft_state_test")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("double")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (u, (n, s)) =>
+      assert(n == batch(u)._1, s"user $u count")
+      assert(math.abs(s - batch(u)._2) <= 1e-6 * math.max(1.0, math.abs(s)),
+        s"user $u sum: $s vs ${batch(u)._2}")
+    }
+  }
 }
