@@ -160,7 +160,17 @@ object HashImpls {
     * the string materialization: each token is hashed once, then each
     * window folds the n token hashes with hashLong.
     */
-  def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
+  def shingleHashes(arr: ArrayData, n: Int): ArrayData =
+    shingleHashesImpl(arr, n, dedupe = true)
+
+  /** Positional variant: one hash per window, duplicates kept in order —
+    * the input sequence for winnowing (which selects per-window minima
+    * by POSITION, so dedup would corrupt it).
+    */
+  def shingleHashesAll(arr: ArrayData, n: Int): ArrayData =
+    shingleHashesImpl(arr, n, dedupe = false)
+
+  private def shingleHashesImpl(arr: ArrayData, n: Int, dedupe: Boolean): ArrayData = {
     val total = arr.numElements()
     if (total < n) return new GenericArrayData(Array.emptyLongArray)
     val tokHash = new Array[Long](total)
@@ -170,7 +180,7 @@ object HashImpls {
         else XXH64.hashUTF8String(arr.getUTF8String(i), seed)
       i += 1
     }
-    val seen = new java.util.HashSet[java.lang.Long]()
+    val seen = if (dedupe) new java.util.HashSet[java.lang.Long]() else null
     val out = new Array[Long](total - n + 1)
     var m = 0
     i = 0
@@ -181,7 +191,40 @@ object HashImpls {
         h = XXH64.hashLong(tokHash(j), h)
         j += 1
       }
-      if (seen.add(h)) { out(m) = h; m += 1 }
+      if (seen == null || seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Winnowing (MOSS-style) fingerprint selection: the minimum hash of
+    * each sliding window of `w` consecutive k-gram hashes, rightmost
+    * minimum on ties, each selected position emitted once. Guarantees at
+    * least one shared fingerprint for any match of length >= w + k - 1.
+    */
+  def winnow(kgramHashes: ArrayData, w: Int): ArrayData = {
+    val n = kgramHashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (n <= w) {
+      var min = Long.MaxValue
+      var i = 0
+      while (i < n) { val v = kgramHashes.getLong(i); if (v <= min) min = v; i += 1 }
+      return new GenericArrayData(Array(min))
+    }
+    val out = new Array[Long](n - w + 1)
+    var m = 0
+    var lastPos = -1
+    var i = 0
+    while (i <= n - w) {
+      var minPos = i
+      var min = kgramHashes.getLong(i)
+      var j = i + 1
+      while (j < i + w) {
+        val v = kgramHashes.getLong(j)
+        if (v <= min) { min = v; minPos = j } // rightmost minimum
+        j += 1
+      }
+      if (minPos != lastPos) { out(m) = min; m += 1; lastPos = minPos }
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
@@ -246,22 +289,51 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
 }
 
 /** `graft_shingle_hashes(array<string>, n) -> array<bigint>` (n a
-  * literal): distinct rolling hashes of word-level n-gram shingles.
+  * literal): rolling hashes of word-level n-gram shingles; `dedupe`
+  * controls distinct-set (dedup pipelines) vs positional (winnowing).
   */
-case class ShingleHashExpr(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashExpr(child: Expression, n: Int, dedupe: Boolean = true)
+    extends UnaryExpression {
   require(n >= 1, "shingle width must be >= 1")
   override def checkInputDataTypes(): TypeCheckResult =
     ArrayOfString.check(child, prettyName)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_shingle_hashes"
+  override def prettyName: String =
+    if (dedupe) "graft_shingle_hashes" else "graft_shingle_hashes_all"
 
   protected override def nullSafeEval(input: Any): Any =
-    HashImpls.shingleHashes(input.asInstanceOf[ArrayData], n)
+    if (dedupe) HashImpls.shingleHashes(input.asInstanceOf[ArrayData], n)
+    else HashImpls.shingleHashesAll(input.asInstanceOf[ArrayData], n)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.shingleHashes($c, $n)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (dedupe) "shingleHashes" else "shingleHashesAll"
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.$fn($c, $n)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
+    copy(child = newChild)
+}
+
+/** `graft_winnow(array<bigint>, w) -> array<bigint>` (w a literal):
+  * MOSS winnowing fingerprint selection over positional k-gram hashes.
+  */
+case class WinnowExpr(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "winnow window must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpls.winnow(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.winnow($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
     copy(child = newChild)
 }
 
@@ -342,6 +414,18 @@ object HashExprs {
         case Seq(arr, Literal(n: Int, IntegerType)) => ShingleHashExpr(arr, n)
         case _ => throw new IllegalArgumentException(
           "graft_shingle_hashes(array<string>, n literal int)")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes_all",
+      exprs => exprs match {
+        case Seq(arr, Literal(n: Int, IntegerType)) => ShingleHashExpr(arr, n, dedupe = false)
+        case _ => throw new IllegalArgumentException(
+          "graft_shingle_hashes_all(array<string>, n literal int)")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      exprs => exprs match {
+        case Seq(arr, Literal(w: Int, IntegerType)) => WinnowExpr(arr, w)
+        case _ => throw new IllegalArgumentException(
+          "graft_winnow(array<bigint>, w literal int)")
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
       exprs => exprs match {

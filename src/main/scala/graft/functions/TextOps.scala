@@ -97,6 +97,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Winnowing (rolling-hash) document fingerprints: positional 3-gram
+    * hashes → per-window minima (w=4) → fingerprint set. Row-local via
+    * the native graft_* expressions; emitted as a count + stable digest
+    * so the result is scalar/hashable. Engine-specific hash values ⇒
+    * rows-only in the driver gate; the unit suite pins the semantics
+    * (identical docs share digests; overlapping docs share fingerprints).
+    */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(normalizeText(col("text")), " "))
+      .withColumn("fps", expr("graft_winnow(graft_shingle_hashes_all(toks, 3), 4)"))
+      .select(
+        col("doc_id"),
+        size(col("fps")).as("n_fingerprints"),
+        md5(concat_ws(",", array_sort(array_distinct(col("fps"))))).as("fp_digest"))
+      .orderBy("doc_id")
+
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(
@@ -143,6 +160,8 @@ object TextOps {
           |       (len(string_split(text, ' ')) BETWEEN 10 AND 2000
           |        AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) < 0.2) AS passes_quality
           |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_winnow_fingerprint", "MOSS winnowing rolling-hash fingerprints (rows-only; unit-pinned)",
+      winnowFingerprint, None),
     GraftQuery("q_doc_fingerprint", "md5 fingerprint of normalized text",
       docFingerprint,
       Some(

@@ -212,6 +212,36 @@ object RelationalOps {
         col("supplier_name").asc_nulls_first, col("supp_acctbal"))
   }
 
+  /** U+: INTERSECT (distinct set semantics) of two key projections. */
+  def intersectKeys(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.where(col("l_returnflag") === "R").select(col("l_orderkey"))
+      .intersect(li.where(col("l_linestatus") === "F").select(col("l_orderkey")))
+      .orderBy("l_orderkey")
+  }
+
+  /** U+: EXCEPT (distinct set semantics) of two key projections. */
+  def exceptKeys(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(col("o_custkey"))
+      .except(o.where(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
+  /** A+: ROLLUP with grouping_id — subtotal rows per returnflag and a
+    * grand total; NULL group keys are rollup artifacts, disambiguated by
+    * the grouping id exactly as a warehouse report would.
+    */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(dec12)).cast(dec18).cast(DoubleType).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** C1/S4: WITH-clause with two chained CTEs over registered temp views,
     * run through spark.sql — the reference's exact execution style
     * (transformation.py:30-41). The SQL string is ANSI enough that the
@@ -453,5 +483,28 @@ object RelationalOps {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
     GraftQuery("q_join_chain", "J4 flagship: UNION ALL + 5 left joins + casts (variables.py:18-89)",
       joinChain, Some(joinChainOracle)),
+    GraftQuery("q_intersect", "INTERSECT distinct set semantics (§2.6 Tier B)",
+      intersectKeys,
+      Some(
+        """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+          |INTERSECT
+          |SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+          |ORDER BY l_orderkey""".stripMargin)),
+    GraftQuery("q_except", "EXCEPT distinct set semantics (§2.6 Tier B)",
+      exceptKeys,
+      Some(
+        """SELECT o_custkey FROM orders
+          |EXCEPT
+          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          |ORDER BY o_custkey""".stripMargin)),
+    GraftQuery("q_rollup", "ROLLUP subtotals + grouping_id (§2.4 Tier B)",
+      rollupAgg,
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |       count(*) AS cnt,
+          |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
   )
 }

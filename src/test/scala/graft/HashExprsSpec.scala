@@ -55,6 +55,35 @@ class HashExprsSpec extends SparkTestBase {
     assert(dup.getSeq[Long](0).length == 2) // {"a b", "b a"} deduped
   }
 
+  test("graft_winnow: identical docs share digests; an embedded copy shares fingerprints") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val embedded = s"prefix words here $base and a suffix tail"
+    val unrelated = "totally different vocabulary with no overlap whatsoever present"
+    def fps(text: String): Set[Long] =
+      Seq(Tuple1(text)).toDF("text")
+        .select(expr("graft_winnow(graft_shingle_hashes_all(split(text, ' '), 3), 4)").as("f"))
+        .head().getSeq[Long](0).toSet
+    assert(fps(base) == fps(base)) // deterministic
+    val overlap = fps(base).intersect(fps(embedded))
+    assert(overlap.nonEmpty, "embedded copy must share winnowed fingerprints")
+    assert(fps(base).intersect(fps(unrelated)).isEmpty)
+  }
+
+  test("graft_winnow guarantee: any window of w consecutive k-grams contributes a fingerprint") {
+    // 20 tokens -> 18 trigram hashes -> every 4-window has a selected min
+    val df = Seq(Tuple1((1 to 20).map(i => s"tok$i").mkString(" "))).toDF("text")
+      .select(
+        expr("graft_shingle_hashes_all(split(text, ' '), 3)").as("all"),
+        expr("graft_winnow(graft_shingle_hashes_all(split(text, ' '), 3), 4)").as("w"))
+      .head()
+    val all = df.getSeq[Long](0)
+    val win = df.getSeq[Long](1).toSet
+    assert(all.length == 18)
+    all.sliding(4).foreach { window =>
+      assert(window.exists(win.contains), s"window $window has no fingerprint")
+    }
+  }
+
   test("graft_srp_bucket: sign pattern matches a driver-side dot product") {
     val planes = Seq(Seq(1.0, 0.0), Seq(0.0, -1.0))
     val vecs = Seq(
