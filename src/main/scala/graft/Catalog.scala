@@ -27,6 +27,7 @@ object Catalog {
       graft.operators.TopK.queries ++
       graft.functions.TextOps.queries ++
       graft.ext.Dedup.queries ++
+      graft.ext.TrainingPrep.queries ++
       graft.ext.Similarity.queries ++
       graft.ext.Multimodal.queries ++
       graft.streaming.EventOps.queries

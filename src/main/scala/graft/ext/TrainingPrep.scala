@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.engine.{GraftSession, Tables}
+import graft.functions.TextOps
+
+/** Training-data preparation operators (north-star Tier B): the steps
+  * between a deduped corpus and a training shard — chunking to context
+  * windows, deterministic shuffling, and stratified sampling. All three
+  * are single-scan, row-local or sort-only, and oracle-checked (they use
+  * md5, which DuckDB shares, instead of engine-specific hashes).
+  */
+object TrainingPrep {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(GraftSession.tuned(s), dir, n)
+
+  /** Overlapping token-window chunks: window `size` tokens, stride
+    * `stride` (= size − overlap). One `explode` per doc; chunk text and
+    * bounds are deterministic, so downstream packing is reproducible.
+    * At 100 TB this is a map-only stage — no shuffle.
+    */
+  def chunkDocuments(docs: DataFrame, textCol: String,
+      window: Int = 32, stride: Int = 24): DataFrame =
+    docs
+      .withColumn("toks", split(TextOps.normalizeText(col(textCol)), " "))
+      .select(col("doc_id"), expr(
+        s"""posexplode(transform(sequence(0, CAST(ceil(size(toks) / $stride.0) AS INT) - 1,  1),
+           |  i -> concat_ws(' ', slice(toks, i * $stride + 1, $window))))""".stripMargin)
+        .as(Seq("chunk_idx", "chunk_text")))
+      .where(col("chunk_text") =!= "")
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(split(col("chunk_text"), " ")).as("chunk_tokens"),
+        col("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Deterministic corpus shuffle: global order by md5(doc_id) — the
+    * reproducible stand-in for a training-shard shuffle. At scale this
+    * is `repartitionByRange` on the hash key; a seed is mixed into the
+    * hash to generate distinct epochs.
+    */
+  def deterministicShuffle(docs: DataFrame, seed: Int = 0): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        md5(concat(lit(seed.toString), lit(":"), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+      .orderBy("shuffle_key", "doc_id")
+
+  /** Stratified deterministic sampling: keep ~25% per language via an
+    * md5 prefix threshold — reproducible, key-stable (a doc is in or out
+    * regardless of cluster layout), and per-stratum fair.
+    */
+  def stratifiedSample(docs: DataFrame, langCol: String): DataFrame =
+    docs
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":"), col(langCol))))
+      .where(substring(col("h"), 1, 1) <= "3") // hex chars 0-3 = 4/16 = 25%
+      .select(col("doc_id"), col(langCol), col("h").as("sample_key"))
+      .orderBy("doc_id")
+
+  // ---- registered queries ----------------------------------------------
+
+  def chunksQuery(s: SparkSession, dir: String): DataFrame =
+    chunkDocuments(t(s, dir, "documents"), "text")
+
+  def shuffleQuery(s: SparkSession, dir: String): DataFrame =
+    deterministicShuffle(t(s, dir, "documents"))
+
+  def sampleQuery(s: SparkSession, dir: String): DataFrame =
+    stratifiedSample(t(s, dir, "documents"), "lang")
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_doc_chunks", "overlapping token-window chunking (32/stride 24)",
+      chunksQuery,
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents
+           |), idx AS (
+           |  SELECT doc_id, tk,
+           |         unnest(range(0, CAST(ceil(len(tk) / 24.0) AS BIGINT))) AS i
+           |  FROM toks)
+           |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           |       CAST(len(tk[i * 24 + 1 : i * 24 + 32]) AS INT) AS chunk_tokens,
+           |       list_aggregate(tk[i * 24 + 1 : i * 24 + 32], 'string_agg', ' ') AS chunk_text
+           |FROM idx
+           |WHERE list_aggregate(tk[i * 24 + 1 : i * 24 + 32], 'string_agg', ' ') <> ''
+           |ORDER BY doc_id, chunk_idx""".stripMargin)),
+    GraftQuery("q_deterministic_shuffle", "reproducible corpus shuffle by md5(doc_id)",
+      shuffleQuery,
+      Some(
+        """SELECT doc_id, md5('0' || ':' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+          |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin)),
+    GraftQuery("q_stratified_sample", "deterministic ~25% per-language sample via md5 threshold",
+      sampleQuery,
+      Some(
+        """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR) || ':' || lang) AS sample_key
+          |FROM documents
+          |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 1) <= '3'
+          |ORDER BY doc_id""".stripMargin)),
+  )
+}
