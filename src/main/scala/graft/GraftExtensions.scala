@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions._
+
+/** Library packaging: register every graft_* native function through the
+  * standard extension point, so a user enables the whole function
+  * surface with
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (no code dependency on [[graft.engine.GraftSession]] needed). The
+  * engine's own sessions get the same functions via
+  * `HashExprs.register`; both paths build identical expression trees.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions.HashExprs", null, name, usage, "")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(k: Int, IntegerType) => k
+    case _ => throw new IllegalArgumentException(s"$what must be a literal int")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(array<string>) - 64-bit SimHash"),
+      (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "graft_minhash_sig(array<string|bigint>[, k]) - MinHash signature"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(arr) => MinHashSigExpr(arr, 16)
+        case Seq(arr, k) => MinHashSigExpr(arr, intLit(k, "k"))
+        case _ => throw new IllegalArgumentException("graft_minhash_sig(arr[, k])")
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "graft_shingle_hashes(array<string>, n) - distinct n-gram shingle hashes"),
+      (exprs: Seq[Expression]) => ShingleHashExpr(exprs.head, intLit(exprs(1), "n"))))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes_all"),
+      info("graft_shingle_hashes_all", "graft_shingle_hashes_all(array<string>, n) - positional n-gram shingle hashes"),
+      (exprs: Seq[Expression]) => ShingleHashExpr(exprs.head, intLit(exprs(1), "n"), dedupe = false)))
+    ext.injectFunction((FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", "graft_winnow(array<bigint>, w) - winnowing fingerprint selection"),
+      (exprs: Seq[Expression]) => WinnowExpr(exprs.head, intLit(exprs(1), "w"))))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of numeric arrays"),
+      (exprs: Seq[Expression]) => CosineExpr(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_srp_bucket"),
+      info("graft_srp_bucket", "graft_srp_bucket(vec, planes) - sign-random-projection bucket id"),
+      (exprs: Seq[Expression]) => SrpBucketExpr(exprs.head, exprs(1))))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark.sql.extensions packaging must expose every graft_* function
+  * in a fresh session with no GraftSession involvement.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("a session configured with graft.GraftExtensions resolves all graft_* functions") {
+    // getOrCreate would hand back any existing session and silently skip
+    // the extensions config - clear, build fresh, restore after
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s.implicits._
+      val row = Seq(Tuple1(Seq("a", "b", "c", "d", "e")))
+        .toDF("toks")
+        .select(
+          expr("graft_simhash64(toks)").as("sh"),
+          expr("graft_minhash_sig(toks, 4)").as("mh"),
+          expr("graft_shingle_hashes(toks, 2)").as("shg"),
+          expr("graft_winnow(graft_shingle_hashes_all(toks, 2), 2)").as("win"))
+        .head()
+      assert(row.getLong(0) != 0L)
+      assert(row.getSeq[Long](1).length == 4)
+      assert(row.getSeq[Long](2).length == 4)
+      assert(row.getSeq[Long](3).nonEmpty)
+
+      val cos = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")
+        .select(expr("graft_cosine(a, b)")).head().getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-12)
+
+      // same expression trees as the temp-function path => same values
+      val viaRegistry = {
+        graft.functions.HashExprs.register(s)
+        Seq(Tuple1(Seq("a", "b", "c", "d", "e"))).toDF("toks")
+          .select(expr("graft_simhash64(toks)")).head().getLong(0)
+      }
+      assert(viaRegistry == row.getLong(0))
+    } finally {
+      // restore the shared test session for subsequent suites (the
+      // SparkContext is shared, so do NOT stop it)
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
