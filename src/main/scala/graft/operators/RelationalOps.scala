@@ -242,6 +242,26 @@ object RelationalOps {
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** A+: static pivot — per-priority totals pivoted on order status.
+    * Pivot values are pinned (F/O/P) so the output schema is static and
+    * the oracle expresses the same thing with FILTER aggregates.
+    */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast(dec12)).cast(dec18).cast(DoubleType))
+      .orderBy("o_orderpriority")
+
+  /** A+: exact percentiles (linear interpolation) per group. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("med"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .orderBy("o_orderpriority")
+
   /** C1/S4: WITH-clause with two chained CTEs over registered temp views,
     * run through spark.sql — the reference's exact execution style
     * (transformation.py:30-41). The SQL string is ANSI enough that the
@@ -497,6 +517,21 @@ object RelationalOps {
           |EXCEPT
           |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
           |ORDER BY o_custkey""".stripMargin)),
+    GraftQuery("q_pivot", "static pivot on order status (conditional-agg equivalent)",
+      pivotStatus,
+      Some(
+        """SELECT o_orderpriority,
+          |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (o_orderstatus = 'F') AS DECIMAL(18,2)) AS DOUBLE) AS "F",
+          |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (o_orderstatus = 'O') AS DECIMAL(18,2)) AS DOUBLE) AS "O",
+          |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (o_orderstatus = 'P') AS DECIMAL(18,2)) AS DOUBLE) AS "P"
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    GraftQuery("q_percentile", "exact linear-interpolation percentiles per group",
+      percentiles,
+      Some(
+        """SELECT o_orderpriority,
+          |       quantile_cont(o_totalprice, 0.5) AS med,
+          |       quantile_cont(o_totalprice, 0.9) AS p90
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     GraftQuery("q_rollup", "ROLLUP subtotals + grouping_id (§2.4 Tier B)",
       rollupAgg,
       Some(

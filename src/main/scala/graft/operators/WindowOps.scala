@@ -76,6 +76,39 @@ object WindowOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** RANGE-framed window: per-priority sum over orders whose key lies in
+    * [current − 100, current] — value-based frames, not row counts.
+    */
+  def rangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+      .rangeBetween(-100, Window.currentRow)
+    t(s, dir, "orders")
+      .select(
+        col("o_orderpriority"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(dec12)).over(w).cast(dec18)
+          .cast(DoubleType).as("near_total"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** Rank-statistics family over one window: rank, dense_rank,
+    * percent_rank, cume_dist, ntile(4). The custkey tiebreaker makes the
+    * ordering total, so every engine agrees on all five.
+    */
+  def rankStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(
+        col("c_mktsegment"), col("c_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("c_mktsegment", "rnk")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_sort_limit", "ORDER BY + LIMIT → TakeOrderedAndProject",
       sortLimit,
@@ -99,6 +132,26 @@ object WindowOps {
           |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS running_total
           |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+    GraftQuery("q_range_window", "RANGE-framed window sum (value-based frame)",
+      rangeWindow,
+      Some(
+        """SELECT o_orderpriority, o_orderkey,
+          |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+          |         PARTITION BY o_orderpriority ORDER BY o_orderkey
+          |         RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS near_total
+          |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+    GraftQuery("q_rank_stats", "rank/dense_rank/percent_rank/cume_dist/ntile in one window",
+      rankStats,
+      Some(
+        """SELECT c_mktsegment, c_custkey,
+          |       CAST(rank() OVER w AS INTEGER) AS rnk,
+          |       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+          |       percent_rank() OVER w AS prnk,
+          |       cume_dist() OVER w AS cdist,
+          |       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+          |FROM customer
+          |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+          |ORDER BY c_mktsegment, rnk""".stripMargin)),
     GraftQuery("q_lag_lead", "lag/lead over ordered per-key window",
       lagLead,
       Some(
