@@ -223,6 +223,22 @@ object Similarity {
   def nearDupQuery(s: SparkSession, dir: String): DataFrame =
     nearDupPairs(t(s, dir, "embeddings"), threshold = 0.3)
 
+  /** Scalar array-function sweep over the embedding column (size,
+    * extrema, element access, norms) — outputs scalars only, since array
+    * columns defeat the driver's canonicalization.
+    */
+  def arrayFuncsQuery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        expr("CAST(array_max(embedding) AS DOUBLE)").as("vmax"),
+        expr("CAST(array_min(embedding) AS DOUBLE)").as("vmin"),
+        expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("first_v"),
+        expr("CAST(element_at(embedding, -1) AS DOUBLE)").as("last_v"),
+        expr("graft_cosine(embedding, embedding)").as("self_cos"))
+      .orderBy("vec_id")
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_cosine_topk", "brute-force cosine top-k vs query vector",
       cosineTopkQuery,
@@ -242,5 +258,19 @@ object Similarity {
       ivfTopkQuery, None),
     GraftQuery("q_embed_neardup", "embedding-cosine near-dup pairs, SRP-blocked + multiprobe",
       nearDupQuery, None),
+    GraftQuery("q_array_funcs", "scalar array-function sweep over embeddings",
+      arrayFuncsQuery,
+      Some(
+        """SELECT vec_id,
+          |       CAST(len(embedding) AS INTEGER) AS dim,
+          |       CAST(list_max(embedding) AS DOUBLE) AS vmax,
+          |       CAST(list_min(embedding) AS DOUBLE) AS vmin,
+          |       CAST(embedding[1] AS DOUBLE) AS first_v,
+          |       CAST(embedding[-1] AS DOUBLE) AS last_v,
+          |       list_sum(list_transform(range(1, len(embedding) + 1),
+          |                i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) /
+          |       (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS self_cos
+          |FROM embeddings ORDER BY vec_id""".stripMargin)),
   )
 }

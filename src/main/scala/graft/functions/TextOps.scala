@@ -54,6 +54,24 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Scalar string-function sweep (the engine's everyday warehouse
+    * surface beyond the reference's replace/NVL): case mapping,
+    * substring/pad, regex extraction, position, reverse, edit distance.
+    */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        lower(col("c_mktsegment")).as("lseg"),
+        substring(col("c_name"), 1, 8).as("prefix8"),
+        lpad(col("c_custkey").cast(StringType), 10, "0").as("padded_key"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+        instr(col("c_name"), "#").as("hash_pos"),
+        reverse(col("c_name")).as("rev_name"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist"))
+      .orderBy("c_custkey")
+
   // ---- registered queries --------------------------------------------
 
   def textStats(s: SparkSession, dir: String): DataFrame = {
@@ -162,6 +180,19 @@ object TextOps {
           |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_winnow_fingerprint", "MOSS winnowing rolling-hash fingerprints (rows-only; unit-pinned)",
       winnowFingerprint, None),
+    GraftQuery("q_string_funcs", "scalar string-function sweep incl. edit distance",
+      stringFuncs,
+      Some(
+        """SELECT c_custkey,
+          |       upper(c_name) AS uname,
+          |       lower(c_mktsegment) AS lseg,
+          |       substring(c_name, 1, 8) AS prefix8,
+          |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+          |       coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS name_digits,
+          |       CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+          |       reverse(c_name) AS rev_name,
+          |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS seg_dist
+          |FROM customer ORDER BY c_custkey""".stripMargin)),
     GraftQuery("q_doc_fingerprint", "md5 fingerprint of normalized text",
       docFingerprint,
       Some(
