@@ -10,8 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   test("a session configured with graft.GraftExtensions resolves all graft_* functions") {
-    // getOrCreate would hand back any existing session and silently skip
-    // the extensions config - clear, build fresh, restore after
+    // getOrCreate would hand back any existing session and skip new
+    // config - clear, build fresh, restore after. withExtensions is the
+    // in-process hook for the same class: the spark.sql.extensions STATIC
+    // conf string is only honored when the SparkContext itself is fresh,
+    // which a shared test JVM can't provide.
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
     SparkSession.clearDefaultSession()
@@ -19,7 +22,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions()(_))
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
