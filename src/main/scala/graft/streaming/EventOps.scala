@@ -159,6 +159,25 @@ object EventOps {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Streaming exact dedup on a natural key with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` evicts keys older than the
+    * watermark, which is what makes exact dedup viable on an unbounded
+    * stream (batch `dropDuplicates` keeps all keys; a streaming job
+    * cannot). The streaming twin of the Dedup family's exact path.
+    */
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tuned(spark)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_tumbling_window_agg", "tumbling 1h event-time windows (batch twin of streaming agg)",
       tumblingAgg,

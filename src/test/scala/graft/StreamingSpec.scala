@@ -52,6 +52,24 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup emits one row per key (watermark-bounded state)") {
+    val q = EventOps.streamingDedup(spark, sfDir).writeStream
+      .format("memory")
+      .queryName("graft_dedup_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_dedup_test")
+      .select("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // exactly one survivor per distinct key pair, none lost
+    assert(streamed.length == streamed.distinct.length)
+    val batchKeys = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed.toSet == batchKeys)
+  }
+
   test("mapGroupsWithState per-user running totals == batch aggregation") {
     val q = EventOps.streamingUserStateCounts(spark, sfDir).writeStream
       .format("memory")
