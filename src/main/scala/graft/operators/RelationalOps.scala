@@ -253,6 +253,50 @@ object RelationalOps {
       .agg(sum(col("o_totalprice").cast(dec12)).cast(dec18).cast(DoubleType))
       .orderBy("o_orderpriority")
 
+  /** A+: unpivot/melt — the inverse of [[pivotStatus]]: wide per-status
+    * totals back to (priority, status, total) long form.
+    */
+  def unpivotStatus(s: SparkSession, dir: String): DataFrame =
+    pivotStatus(s, dir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")),
+        "o_orderstatus", "total")
+      .where(col("total").isNotNull)
+      .orderBy("o_orderpriority", "o_orderstatus")
+
+  /** F+: date/time function sweep — truncation, component extraction,
+    * arithmetic, month boundaries.
+    */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("d"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_add(col("o_orderdate").cast(DateType), 30).as("plus30"),
+        datediff(lit("1998-12-31").cast(DateType), col("o_orderdate").cast(DateType))
+          .as("days_to_end"))
+      .orderBy("o_orderkey")
+
+  /** F+: conditional expressions — CASE, nullif, nvl2, greatest/least. */
+  def conditionalFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("other").as("status_label"),
+        expr("nullif(o_orderstatus, 'P')").as("status_not_p"),
+        expr("nvl2(nullif(o_orderstatus, 'P'), 'has', 'none')").as("nvl2_label"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("price_floor"),
+        least(col("o_totalprice"), lit(100000.0)).as("price_cap"))
+      .orderBy("o_orderkey")
+
   /** A+: exact percentiles (linear interpolation) per group. */
   def percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -525,6 +569,46 @@ object RelationalOps {
           |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (o_orderstatus = 'O') AS DECIMAL(18,2)) AS DOUBLE) AS "O",
           |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (o_orderstatus = 'P') AS DECIMAL(18,2)) AS DOUBLE) AS "P"
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    GraftQuery("q_unpivot", "unpivot/melt back to long form (inverse of q_pivot)",
+      unpivotStatus,
+      Some(
+        """WITH wide AS (
+          |  SELECT o_orderpriority,
+          |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (o_orderstatus = 'F') AS DECIMAL(18,2)) AS DOUBLE) AS "F",
+          |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (o_orderstatus = 'O') AS DECIMAL(18,2)) AS DOUBLE) AS "O",
+          |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (o_orderstatus = 'P') AS DECIMAL(18,2)) AS DOUBLE) AS "P"
+          |  FROM orders GROUP BY o_orderpriority)
+          |SELECT o_orderpriority, o_orderstatus, total FROM (
+          |  SELECT o_orderpriority, 'F' AS o_orderstatus, "F" AS total FROM wide
+          |  UNION ALL SELECT o_orderpriority, 'O', "O" FROM wide
+          |  UNION ALL SELECT o_orderpriority, 'P', "P" FROM wide)
+          |WHERE total IS NOT NULL
+          |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)),
+    GraftQuery("q_date_funcs", "date truncation/extraction/arithmetic sweep",
+      dateFuncs,
+      Some(
+        """SELECT o_orderkey,
+          |       CAST(o_orderdate AS DATE) AS d,
+          |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+          |       CAST(year(o_orderdate) AS INTEGER) AS y,
+          |       CAST(month(o_orderdate) AS INTEGER) AS m,
+          |       CAST(day(o_orderdate) AS INTEGER) AS dom,
+          |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+          |       CAST(o_orderdate AS DATE) + 30 AS plus30,
+          |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS days_to_end
+          |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    GraftQuery("q_conditional_funcs", "CASE/nullif/nvl2/greatest/least sweep",
+      conditionalFuncs,
+      Some(
+        """SELECT o_orderkey,
+          |       CASE WHEN o_orderstatus = 'F' THEN 'finished'
+          |            WHEN o_orderstatus = 'O' THEN 'open'
+          |            ELSE 'other' END AS status_label,
+          |       nullif(o_orderstatus, 'P') AS status_not_p,
+          |       CASE WHEN nullif(o_orderstatus, 'P') IS NOT NULL THEN 'has' ELSE 'none' END AS nvl2_label,
+          |       greatest(o_totalprice, 100000.0) AS price_floor,
+          |       least(o_totalprice, 100000.0) AS price_cap
+          |FROM orders ORDER BY o_orderkey""".stripMargin)),
     GraftQuery("q_percentile", "exact linear-interpolation percentiles per group",
       percentiles,
       Some(
