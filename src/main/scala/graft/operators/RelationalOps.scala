@@ -212,6 +212,41 @@ object RelationalOps {
         col("supplier_name").asc_nulls_first, col("supp_acctbal"))
   }
 
+  /** J+: LEFT SEMI join — customers having at least one open order
+    * (EXISTS semantics: no fan-out, left columns only).
+    */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").where(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** J+: LEFT ANTI join — customers with no order at all (NOT EXISTS). */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** J+: scalar subquery — orders priced above the global average
+    * (the average computed in decimal for cross-engine exactness).
+    */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tuned(s)
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2)) >
+        |      (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** U+: INTERSECT (distinct set semantics) of two key projections. */
   def intersectKeys(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -547,6 +582,28 @@ object RelationalOps {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
     GraftQuery("q_join_chain", "J4 flagship: UNION ALL + 5 left joins + casts (variables.py:18-89)",
       joinChain, Some(joinChainOracle)),
+    GraftQuery("q_semi_join", "LEFT SEMI join (EXISTS, no fan-out)",
+      semiJoin,
+      Some(
+        """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+          |ORDER BY c_custkey""".stripMargin)),
+    GraftQuery("q_anti_join", "LEFT ANTI join (NOT EXISTS)",
+      antiJoin,
+      Some(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          |ORDER BY c_custkey""".stripMargin)),
+    GraftQuery("q_scalar_subquery", "scalar subquery in a predicate (above-average filter)",
+      scalarSubquery,
+      Some(
+        """SELECT o_orderkey,
+          |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+          |FROM orders
+          |WHERE CAST(o_totalprice AS DECIMAL(12,2)) >
+          |      (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin)),
     GraftQuery("q_intersect", "INTERSECT distinct set semantics (§2.6 Tier B)",
       intersectKeys,
       Some(
