@@ -341,6 +341,35 @@ object RelationalOps {
         expr("percentile(o_totalprice, 0.9)").as("p90"))
       .orderBy("o_orderpriority")
 
+  /** A+: explicit GROUPING SETS — the general form rollup/cube sugar
+    * over; run through spark.sql like the reference's query style.
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tuned(s)
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  /** A+: FILTER clauses on aggregates — per-group conditional counts and
+    * sums without a self-join or CASE pyramid.
+    */
+  def aggFilter(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tuned(s)
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag,
+        |       count(*) AS cnt,
+        |       count(*) FILTER (WHERE l_discount > 0.05) AS cnt_discounted,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)) AS DOUBLE) AS qty_f
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** C1/S4: WITH-clause with two chained CTEs over registered temp views,
     * run through spark.sql — the reference's exact execution style
     * (transformation.py:30-41). The SQL string is ANSI enough that the
@@ -673,6 +702,23 @@ object RelationalOps {
           |       quantile_cont(o_totalprice, 0.5) AS med,
           |       quantile_cont(o_totalprice, 0.9) AS p90
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    GraftQuery("q_grouping_sets", "explicit GROUPING SETS with grouping bitmask",
+      groupingSets,
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |       count(*) AS cnt
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+          |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+    GraftQuery("q_agg_filter", "FILTER clauses on aggregates",
+      aggFilter,
+      Some(
+        """SELECT l_returnflag,
+          |       count(*) AS cnt,
+          |       count(*) FILTER (WHERE l_discount > 0.05) AS cnt_discounted,
+          |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)) AS DOUBLE) AS qty_f
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     GraftQuery("q_rollup", "ROLLUP subtotals + grouping_id (§2.4 Tier B)",
       rollupAgg,
       Some(
