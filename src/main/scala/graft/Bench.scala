@@ -22,6 +22,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+    // absorb session/codegen warmup outside any query's timing (the
+    // first timed query otherwise carries ~1-4 s of JVM/session init)
+    spark.range(100).selectExpr("sum(id)").collect()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>

@@ -74,6 +74,14 @@ object Multimodal {
       """transform(sequence(0, 7),
         |          i -> CAST(pmod(xxhash64(i, payload), 1000) AS DOUBLE) / 1000.0)""".stripMargin))
 
+  /** Resize stage: downsample the payload to every k-th byte via the
+    * native [[graft.functions.DownsampleExpr]] — the media-resize slot
+    * in the decode → resize → feature pipeline (a real image resizer
+    * swaps in for the sampling kernel; plumbing unchanged).
+    */
+  def resizeAssets(assetsDf: DataFrame, factor: Int): DataFrame =
+    assetsDf.withColumn("payload_small", expr(s"graft_downsample(payload, $factor)"))
+
   /** Frame sampling: carve the payload into fixed-size "frames" and keep
     * every `stride`-th one — the batch shape of video frame extraction
     * (row-local explode; partitioning preserved).
@@ -132,6 +140,14 @@ object Multimodal {
           .as("features_sum"))
       .orderBy("asset_id")
 
+  def resizeQuery(s: SparkSession, dir: String): DataFrame =
+    resizeAssets(assets(t(s, dir, "documents")), factor = 4)
+      .select(
+        col("asset_id"),
+        octet_length(col("payload")).as("orig_bytes"),
+        octet_length(col("payload_small")).as("small_bytes"))
+      .orderBy("asset_id")
+
   def framesQuery(s: SparkSession, dir: String): DataFrame =
     sampleFrames(assets(t(s, dir, "documents")), frameBytes = 64, stride = 2)
       .select(col("asset_id"), col("frame_idx"), octet_length(col("frame")).as("frame_bytes"))
@@ -147,6 +163,13 @@ object Multimodal {
           |FROM documents ORDER BY asset_id""".stripMargin)),
     GraftQuery("q_multimodal_features", "fake-decode feature extraction over binary payloads",
       featuresQuery, None),
+    GraftQuery("q_multimodal_resize", "payload downsample (resize-kernel slot)",
+      resizeQuery,
+      Some(
+        """SELECT doc_id AS asset_id,
+          |       CAST(octet_length(encode(text)) AS INTEGER) AS orig_bytes,
+          |       CAST(ceil(octet_length(encode(text)) / 4.0) AS INTEGER) AS small_bytes
+          |FROM documents ORDER BY asset_id""".stripMargin)),
     GraftQuery("q_multimodal_frames", "frame-sampling slices of binary payloads",
       framesQuery,
       // frame lengths are pure arithmetic over the payload size, so the

@@ -154,6 +154,23 @@ object HashImpls {
     bucket
   }
 
+  /** Deterministic payload downsample: every k-th byte of the input —
+    * the batch shape of a media resize (a real resizer replaces the
+    * sampling kernel; the binary-in/binary-out plumbing is identical).
+    */
+  def downsample(bytes: Array[Byte], k: Int): Array[Byte] = {
+    if (bytes.length == 0) return bytes
+    val out = new Array[Byte]((bytes.length + k - 1) / k)
+    var i = 0
+    var j = 0
+    while (i < bytes.length) {
+      out(j) = bytes(i)
+      j += 1
+      i += k
+    }
+    out
+  }
+
   /** DISTINCT rolling-hash values of the word-level n-gram shingles of a
     * token array. Equivalent information to building the shingle STRINGS
     * and hashing them (what dedup actually consumes downstream), minus
@@ -396,6 +413,29 @@ case class SrpBucketExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_downsample(binary, k) -> binary` (k a literal): every k-th
+  * byte — the deterministic stand-in for a media resize kernel.
+  */
+case class DownsampleExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "downsample factor must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_downsample"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpls.downsample(input.asInstanceOf[Array[Byte]], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.downsample($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): DownsampleExpr =
+    copy(child = newChild)
+}
+
 object HashExprs {
   /** Idempotent session registration of the graft_* temp functions. */
   def register(spark: SparkSession): Unit = {
@@ -436,6 +476,12 @@ object HashExprs {
       exprs => exprs match {
         case Seq(v, p) => SrpBucketExpr(v, p)
         case _ => throw new IllegalArgumentException("graft_srp_bucket(vec, planes)")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_downsample",
+      exprs => exprs match {
+        case Seq(b, Literal(k: Int, IntegerType)) => DownsampleExpr(b, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_downsample(binary, k literal int)")
       }, "built-in")
   }
 }
