@@ -247,6 +247,37 @@ object RelationalOps {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** A+: collect_list with pinned ordering — per-segment sorted key list,
+    * emitted as a CSV string (deterministic; array outputs defeat the
+    * driver's canonicalization). collect_list order is
+    * partition-dependent, so the sort AFTER collection is what makes
+    * this reproducible — the pattern any grouped-gather needs at scale.
+    */
+  def collectSorted(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .where(col("c_custkey") < 200)
+      .groupBy("c_mktsegment")
+      .agg(concat_ws(",", sort_array(collect_list(col("c_custkey")))).as("custkeys"))
+      .orderBy("c_mktsegment")
+
+  /** U+: UNION with distinct semantics (vs the reference's UNION ALL). */
+  def unionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .union(o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  /** J+: intentional CROSS JOIN of two small dims (125 rows) — the one
+    * place a cartesian product is legitimate; anything larger should be
+    * a keyed join (the plan audit asserts no accidental cartesians).
+    */
+  def crossJoinDims(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      .crossJoin(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+      .orderBy("r_regionkey", "n_nationkey")
+
   /** U+: INTERSECT (distinct set semantics) of two key projections. */
   def intersectKeys(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -611,6 +642,26 @@ object RelationalOps {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
     GraftQuery("q_join_chain", "J4 flagship: UNION ALL + 5 left joins + casts (variables.py:18-89)",
       joinChain, Some(joinChainOracle)),
+    GraftQuery("q_collect_sorted", "grouped gather: sorted collect_list as CSV string",
+      collectSorted,
+      Some(
+        """SELECT c_mktsegment,
+          |       list_aggregate(list_sort(list(c_custkey)), 'string_agg', ',') AS custkeys
+          |FROM customer WHERE c_custkey < 200
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+    GraftQuery("q_union_distinct", "UNION with distinct semantics",
+      unionDistinct,
+      Some(
+        """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          |UNION
+          |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          |ORDER BY o_custkey""".stripMargin)),
+    GraftQuery("q_cross_join", "intentional small-dim CROSS JOIN (125 rows)",
+      crossJoinDims,
+      Some(
+        """SELECT r_regionkey, r_name, n_nationkey, n_name
+          |FROM region CROSS JOIN nation
+          |ORDER BY r_regionkey, n_nationkey""".stripMargin)),
     GraftQuery("q_semi_join", "LEFT SEMI join (EXISTS, no fan-out)",
       semiJoin,
       Some(
