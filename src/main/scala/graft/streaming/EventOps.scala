@@ -178,6 +178,27 @@ object EventOps {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
   }
 
+  /** Stream-static enrichment join: the event stream joined to a static
+    * dimension (per-user profile derived once in batch). The static side
+    * is re-read per micro-batch by Spark; at scale it broadcasts when
+    * small or bucket-joins when not — same planning as batch.
+    */
+  def streamingEnrichedEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tuned(spark)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val profile = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("lifetime_events"))
+    val stream = spark.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+    stream.join(profile, Seq("user_id"), "left_outer")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_tumbling_window_agg", "tumbling 1h event-time windows (batch twin of streaming agg)",
       tumblingAgg,

@@ -70,6 +70,28 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.toSet == batchKeys)
   }
 
+  test("stream-static enrichment join == batch join") {
+    val q = EventOps.streamingEnrichedEvents(spark, sfDir).writeStream
+      .format("memory")
+      .queryName("graft_enrich_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_enrich_test")
+      .groupBy("user_id", "lifetime_events").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = events
+      .groupBy("user_id").agg(count(lit(1)).as("lifetime_events"))
+      .join(events, Seq("user_id"))
+      .groupBy("user_id", "lifetime_events").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    // every enriched row found its profile (the static side derives from
+    // the same keys)
+    assert(streamed.forall { case (_, lifetime, n) => lifetime == n })
+  }
+
   test("mapGroupsWithState per-user running totals == batch aggregation") {
     val q = EventOps.streamingUserStateCounts(spark, sfDir).writeStream
       .format("memory")
