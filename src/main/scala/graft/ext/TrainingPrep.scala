@@ -62,6 +62,24 @@ object TrainingPrep {
       .select(col("doc_id"), col(langCol), col("h").as("sample_key"))
       .orderBy("doc_id")
 
+  /** Training-shard writer: range-partition the corpus by its shuffle
+    * key into `numShards` shards, each internally sorted — the output
+    * stage of a data pipeline. Shard key ranges are DISJOINT
+    * (repartitionByRange), so concatenating shards in range order
+    * replays the exact global shuffle order; any subset of shards is a
+    * valid smaller epoch. At 100 TB each shard writes in parallel with
+    * no global sort.
+    */
+  def writeTrainingShards(docs: DataFrame, path: String, numShards: Int,
+      seed: Int = 0): Unit = {
+    val keyed = docs.withColumn("shuffle_key",
+      md5(concat(lit(seed.toString), lit(":"), col("doc_id").cast("string"))))
+    keyed
+      .repartitionByRange(numShards, col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
+      .write.mode("overwrite").parquet(path)
+  }
+
   // ---- registered queries ----------------------------------------------
 
   def chunksQuery(s: SparkSession, dir: String): DataFrame =

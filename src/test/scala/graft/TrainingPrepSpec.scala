@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.TrainingPrep
+
+/** Training-prep invariants: chunk coverage, shuffle determinism,
+  * sampling stability, and the shard writer's disjoint-sorted layout.
+  */
+class TrainingPrepSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("chunking covers every token and respects the overlap") {
+    val chunks = TrainingPrep.chunkDocuments(docs, "text", window = 32, stride = 24)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(max("chunk_idx").as("last_idx"), count(lit(1)).as("n"))
+      .collect()
+    perDoc.foreach(r => assert(r.getAs[Long]("n") == r.getAs[Int]("last_idx") + 1))
+    // chunk length is min(window, n - idx*stride): non-increasing in idx,
+    // capped at the window — so short chunks form a contiguous tail
+    val rows = chunks.select("doc_id", "chunk_idx", "chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+    rows.foreach { case (doc, cs) =>
+      val lens = cs.sortBy(_._2).map(_._3)
+      assert(lens.forall(_ <= 32), s"doc $doc: chunk over window")
+      assert(lens.zip(lens.tail).forall { case (a, b) => a >= b },
+        s"doc $doc: chunk lengths not non-increasing: ${lens.toSeq}")
+    }
+  }
+
+  test("deterministic shuffle: same order across runs, different across seeds") {
+    val a = TrainingPrep.deterministicShuffle(docs, seed = 0)
+      .collect().map(_.getLong(0)).toSeq
+    val b = TrainingPrep.deterministicShuffle(docs, seed = 0)
+      .collect().map(_.getLong(0)).toSeq
+    val c = TrainingPrep.deterministicShuffle(docs, seed = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    assert(a != c, "different seeds must give different epochs")
+    assert(a.sorted == c.sorted, "same corpus, permuted")
+  }
+
+  test("stratified sample is key-stable and roughly 25% per language") {
+    val s1 = TrainingPrep.stratifiedSample(docs, "lang")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = TrainingPrep.stratifiedSample(docs, "lang")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    val frac = s1.size.toDouble / docs.count()
+    assert(frac > 0.10 && frac < 0.45, s"sample fraction $frac far from 25%")
+  }
+
+  test("shard writer: disjoint sorted key ranges replay the global order") {
+    val tmp = Files.createTempDirectory("graft-shards").toString
+    TrainingPrep.writeTrainingShards(docs, s"$tmp/shards", numShards = 4)
+    val back = spark.read.parquet(s"$tmp/shards")
+    assert(back.count() == docs.count())
+
+    val files = new java.io.File(s"$tmp/shards").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length == 4)
+    // each shard is internally sorted; shard ranges are disjoint
+    val ranges = files.map { f =>
+      val keys = spark.read.parquet(f).select("shuffle_key")
+        .collect().map(_.getString(0))
+      assert(keys.sameElements(keys.sorted), s"shard not sorted: $f")
+      (keys.min, keys.max)
+    }
+    val ordered = ranges.sortBy(_._1)
+    ordered.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, "overlapping shard ranges")
+      case _ =>
+    }
+  }
+}
