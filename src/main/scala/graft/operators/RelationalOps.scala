@@ -372,6 +372,23 @@ object RelationalOps {
         expr("percentile(o_totalprice, 0.9)").as("p90"))
       .orderBy("o_orderpriority")
 
+  /** U+: INTERSECT ALL / EXCEPT ALL — bag semantics (multiplicity
+    * min / difference), distinct from the set-semantics pair above.
+    */
+  def intersectAllKeys(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.where(col("l_returnflag") === "R").select(col("l_orderkey"))
+      .intersectAll(li.where(col("l_linestatus") === "F").select(col("l_orderkey")))
+      .orderBy("l_orderkey")
+  }
+
+  def exceptAllKeys(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(col("o_custkey"))
+      .exceptAll(o.where(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
   /** A+: explicit GROUPING SETS — the general form rollup/cube sugar
     * over; run through spark.sql like the reference's query style.
     */
@@ -753,6 +770,20 @@ object RelationalOps {
           |       quantile_cont(o_totalprice, 0.5) AS med,
           |       quantile_cont(o_totalprice, 0.9) AS p90
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    GraftQuery("q_intersect_all", "INTERSECT ALL bag semantics",
+      intersectAllKeys,
+      Some(
+        """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+          |INTERSECT ALL
+          |SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+          |ORDER BY l_orderkey""".stripMargin)),
+    GraftQuery("q_except_all", "EXCEPT ALL bag semantics",
+      exceptAllKeys,
+      Some(
+        """SELECT o_custkey FROM orders
+          |EXCEPT ALL
+          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          |ORDER BY o_custkey""".stripMargin)),
     GraftQuery("q_grouping_sets", "explicit GROUPING SETS with grouping bitmask",
       groupingSets,
       Some(

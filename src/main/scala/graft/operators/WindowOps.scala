@@ -109,6 +109,23 @@ object WindowOps {
       .orderBy("c_mktsegment", "rnk")
   }
 
+  /** first_value / last_value / nth_value over an explicit full-partition
+    * frame (the default frame ends at CURRENT ROW, which makes
+    * last_value a footgun — pin the frame on both sides).
+    */
+  def firstLastWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_sort_limit", "ORDER BY + LIMIT → TakeOrderedAndProject",
       sortLimit,
@@ -132,6 +149,17 @@ object WindowOps {
           |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS running_total
           |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+    GraftQuery("q_first_last_window", "first/last/nth_value over a pinned full frame",
+      firstLastWindow,
+      Some(
+        """SELECT o_custkey, o_orderkey,
+          |       first_value(o_orderkey) OVER w AS first_order,
+          |       last_value(o_orderkey) OVER w AS last_order,
+          |       nth_value(o_orderkey, 2) OVER w AS second_order
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)),
     GraftQuery("q_range_window", "RANGE-framed window sum (value-based frame)",
       rangeWindow,
       Some(
