@@ -418,6 +418,18 @@ object RelationalOps {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** A+: CUBE — all grouping combinations (the 2^n superset of ROLLUP's
+    * prefixes), disambiguated by the grouping bitmask.
+    */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** C1/S4: WITH-clause with two chained CTEs over registered temp views,
     * run through spark.sql — the reference's exact execution style
     * (transformation.py:30-41). The SQL string is ANSI enough that the
@@ -784,6 +796,14 @@ object RelationalOps {
           |EXCEPT ALL
           |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
           |ORDER BY o_custkey""".stripMargin)),
+    GraftQuery("q_cube", "CUBE over two keys + grouping bitmask",
+      cubeAgg,
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |       count(*) AS cnt
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
     GraftQuery("q_grouping_sets", "explicit GROUPING SETS with grouping bitmask",
       groupingSets,
       Some(
