@@ -25,6 +25,8 @@ object Catalog {
       graft.operators.RelationalOps.queries ++
       graft.operators.WindowOps.queries ++
       graft.operators.TopK.queries ++
+      graft.operators.AsOfJoin.queries ++
+      graft.operators.RangeJoin.queries ++
       graft.functions.TextOps.queries ++
       graft.ext.Dedup.queries ++
       graft.ext.TrainingPrep.queries ++

@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** As-of join edge semantics on a hand-built fixture. */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("equal timestamps match; no-prior rows get nulls; latest prior wins") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L), // before any right row
+      (1L, ts("2024-01-01 12:00:00"), 101L), // equal ts -> matches
+      (1L, ts("2024-01-01 15:00:00"), 102L), // two priors -> latest (13:00)
+      (2L, ts("2024-01-01 09:00:00"), 200L)  // key with no right rows at all
+    ).toDF("user_id", "ts", "click_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 12:00:00"), 12.0),
+      (1L, ts("2024-01-01 13:00:00"), 13.0)
+    ).toDF("user_id", "ts", "value")
+
+    val out = AsOfJoin.asOfJoinLast(left, right, "user_id", "ts", Seq("ts", "value"))
+      .select(col("click_id"), col("asof_ts"), col("asof_value"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)), Option(r.get(2))))).toMap
+
+    assert(out(100L) == (None, None))
+    assert(out(101L) == (Some(ts("2024-01-01 12:00:00")), Some(12.0)))
+    assert(out(102L) == (Some(ts("2024-01-01 13:00:00")), Some(13.0)))
+    assert(out(200L) == (None, None))
+  }
+
+  test("row count is exactly the left side's (no fan-out, no drops)") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val views = ev.where(col("event_type") === "view")
+      .dropDuplicates("user_id", "ts")
+      .select(col("user_id"), col("ts"), col("value"))
+    val joined = AsOfJoin.asOfJoinLast(clicks, views, "user_id", "ts", Seq("value"))
+    assert(joined.count() == clicks.count())
+  }
+}
