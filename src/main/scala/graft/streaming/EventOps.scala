@@ -50,6 +50,24 @@ object EventOps {
         col("event_type"), col("n_events"))
       .orderBy("window_start", "event_type")
 
+  /** JSON-column extraction over the events `props` payload: path
+    * extraction (get_json_object), typed parse (from_json with an
+    * explicit schema), and existence — the semi-structured column
+    * surface of an event pipeline.
+    */
+  def jsonFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k_typed"),
+        get_json_object(col("props"), "$.missing").isNull.as("missing_is_null"))
+      .orderBy("event_id")
+
   /** Session windows (30-min inactivity gap) per user, batch mode — the
     * builtin `session_window` merges overlapping [ts, ts+gap) intervals;
     * one shuffle on user_id. An event at exactly start+gap opens a NEW
@@ -217,6 +235,15 @@ object EventOps {
           |       event_type, count(*) AS n_events
           |FROM events CROSS JOIN offs
           |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+    GraftQuery("q_json_funcs", "JSON path extraction + typed parse over the props column",
+      jsonFuncs,
+      Some(
+        """SELECT event_id,
+          |       json_extract_string(props, '$.k') AS k_str,
+          |       CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+          |       CAST(json_extract(props, '$.k') AS INTEGER) AS k_typed,
+          |       json_extract(props, '$.missing') IS NULL AS missing_is_null
+          |FROM events ORDER BY event_id""".stripMargin)),
     GraftQuery("q_session_window_agg", "per-user session windows, 30-min gap (batch twin of streaming sessions)",
       sessionAgg,
       Some(

@@ -45,6 +45,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .select(expr("graft_cosine(a, b)")).head().getDouble(0)
       assert(math.abs(cos - 1.0) < 1e-12)
 
+      val small = Seq(Tuple1("abcdefgh")).toDF("t")
+        .select(expr("octet_length(graft_downsample(encode(t, 'UTF-8'), 4))"))
+        .head().getInt(0)
+      assert(small == 2)
+
       // same expression trees as the temp-function path => same values
       val viaRegistry = {
         graft.functions.HashExprs.register(s)
