@@ -69,7 +69,11 @@ object TextOps {
         regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
         instr(col("c_name"), "#").as("hash_pos"),
         reverse(col("c_name")).as("rev_name"),
-        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist"))
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist"),
+        // backreference dialects differ ($1 in Spark/Java, \1 in DuckDB/RE2)
+        // - the oracle uses its own; results must agree
+        regexp_replace(col("c_name"), lit("Customer#0*([0-9]+)"), lit("C-$1"))
+          .as("short_name"))
       .orderBy("c_custkey")
 
   // ---- registered queries --------------------------------------------
@@ -191,7 +195,8 @@ object TextOps {
           |       coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS name_digits,
           |       CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
           |       reverse(c_name) AS rev_name,
-          |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS seg_dist
+          |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS seg_dist,
+          |       regexp_replace(c_name, 'Customer#0*([0-9]+)', 'C-\1') AS short_name
           |FROM customer ORDER BY c_custkey""".stripMargin)),
     GraftQuery("q_doc_fingerprint", "md5 fingerprint of normalized text",
       docFingerprint,
