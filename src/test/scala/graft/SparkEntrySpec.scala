@@ -1,0 +1,28 @@
+package graft
+
+/** Driver-contract invariants for SparkEntry. */
+class SparkEntrySpec extends SparkTestBase {
+
+  test("every oracle key has a registered query; keys are unique and non-empty") {
+    val qs = SparkEntry.queries
+    val os = SparkEntry.oracleSql
+    assert(qs.nonEmpty)
+    assert(os.keySet.subsetOf(qs.keySet),
+      s"oracles without queries: ${os.keySet -- qs.keySet}")
+    assert(Catalog.all.map(_.name).distinct.size == Catalog.all.size)
+    assert(qs.keys.forall(_.startsWith("q_")))
+  }
+
+  test("flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).limit(1).count() == 1)
+  }
+
+  test("oracle SQL is single-statement and DuckDB-dialect safe (no spark-only idioms)") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(!sql.contains(";"), s"$k: multi-statement oracle")
+      assert(!sql.toLowerCase.contains("xxhash64"), s"$k: spark-only hash in oracle")
+      assert(sql.toUpperCase.contains("ORDER BY") || sql.toUpperCase.startsWith("SELECT COUNT"),
+        s"$k: oracle lacks deterministic ORDER BY")
+    }
+  }
+}
