@@ -80,6 +80,31 @@ object TrainingPrep {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Histogram profile: fixed-range width_bucket counts — the standard
+    * one-scan distribution snapshot for pipeline QA dashboards.
+    */
+  def histogram(docs: DataFrame): DataFrame =
+    docs
+      .select(expr("width_bucket(length(text), 0, 1000, 20)").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** Column profile: null/distinct/extrema counts per column — the
+    * data-quality gate a corpus passes before training. One scan, one
+    * aggregate row.
+    */
+  def columnProfile(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("text").isNull, 1).otherwise(0)).as("null_text"),
+      countDistinct(col("lang")).as("distinct_langs"),
+      countDistinct(col("doc_id")).as("distinct_ids"),
+      min(length(col("text"))).as("min_len"),
+      max(length(col("text"))).as("max_len"),
+      expr("CAST(every(doc_id IS NOT NULL) AS BOOLEAN)").as("ids_all_present"),
+      expr("CAST(any(length(text) > 500) AS BOOLEAN)").as("has_long_docs"))
+
   // ---- registered queries ----------------------------------------------
 
   def chunksQuery(s: SparkSession, dir: String): DataFrame =
@@ -94,7 +119,35 @@ object TrainingPrep {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
+  def histogramQuery(s: SparkSession, dir: String): DataFrame =
+    histogram(t(s, dir, "documents"))
+
+  def profileQuery(s: SparkSession, dir: String): DataFrame =
+    columnProfile(t(s, dir, "documents"))
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_histogram", "width_bucket length histogram (one-scan distribution profile)",
+      histogramQuery,
+      // this DuckDB build lacks width_bucket; same arithmetic inline
+      // (20 buckets over [0,1000): bucket = floor(v/50)+1, clamped)
+      Some(
+        """SELECT CAST(CASE WHEN length(text) < 0 THEN 0
+          |                 WHEN length(text) >= 1000 THEN 21
+          |                 ELSE floor(length(text) / 50.0) + 1 END AS BIGINT) AS bucket,
+          |       count(*) AS n
+          |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin)),
+    GraftQuery("q_column_profile", "null/distinct/extrema/bool-agg column profile",
+      profileQuery,
+      Some(
+        """SELECT count(*) AS n_rows,
+          |       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+          |       count(DISTINCT lang) AS distinct_langs,
+          |       count(DISTINCT doc_id) AS distinct_ids,
+          |       CAST(min(length(text)) AS INTEGER) AS min_len,
+          |       CAST(max(length(text)) AS INTEGER) AS max_len,
+          |       bool_and(doc_id IS NOT NULL) AS ids_all_present,
+          |       bool_or(length(text) > 500) AS has_long_docs
+          |FROM documents""".stripMargin)),
     GraftQuery("q_doc_chunks", "overlapping token-window chunking (32/stride 24)",
       chunksQuery,
       Some(
