@@ -136,6 +136,20 @@ object TextOps {
         md5(concat_ws(",", array_sort(array_distinct(col("fps"))))).as("fp_digest"))
       .orderBy("doc_id")
 
+  /** Binary encodings + cryptographic digests: hex, base64, md5,
+    * sha2-256 — content-addressing and transport encodings for
+    * artifact/dedup stores.
+    */
+  def encodings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("hex8"),
+        base64(encode(substring(col("text"), 1, 8), "UTF-8")).as("b64_8"),
+        md5(col("text")).as("md5_hex"),
+        sha2(col("text"), 256).as("sha256_hex"))
+      .orderBy("doc_id")
+
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(
@@ -198,6 +212,15 @@ object TextOps {
           |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS seg_dist,
           |       regexp_replace(c_name, 'Customer#0*([0-9]+)', 'C-\1') AS short_name
           |FROM customer ORDER BY c_custkey""".stripMargin)),
+    GraftQuery("q_encodings", "hex/base64/md5/sha256 content encodings",
+      encodings,
+      Some(
+        """SELECT doc_id,
+          |       hex(encode(substring(text, 1, 8))) AS hex8,
+          |       to_base64(encode(substring(text, 1, 8))) AS b64_8,
+          |       md5(text) AS md5_hex,
+          |       sha256(text) AS sha256_hex
+          |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_doc_fingerprint", "md5 fingerprint of normalized text",
       docFingerprint,
       Some(
