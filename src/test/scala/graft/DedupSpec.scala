@@ -84,6 +84,15 @@ class DedupSpec extends SparkTestBase {
     assert(blocked == brute, "pigeonhole blocking must be lossless within radius")
   }
 
+  test("simhash bucket cap drops degenerate buckets (documented recall trade)") {
+    // 4 identical docs: every chunk bucket has size 4
+    val docs = docsDf(Seq.fill(4)("same words in every single document here"))
+    val capped = Dedup.simhashPairs(docs, "text", "doc_id", maxBucket = 3)
+    assert(capped.count() == 0, "buckets over the cap must not generate pairs")
+    val uncapped = Dedup.simhashPairs(docs, "text", "doc_id", maxBucket = 100)
+    assert(uncapped.count() == 6, "C(4,2) pairs when buckets fit the cap")
+  }
+
   test("approx_count_distinct stays within its configured relative error") {
     val row = Dedup.approxDistinct(spark, sfDir).head()
     val approx = row.getLong(0).toDouble
