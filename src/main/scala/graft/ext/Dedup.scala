@@ -43,6 +43,24 @@ object Dedup {
       .distinct()
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Keep-latest dedup: one survivor per key, chosen by recency — the
+    * "newest version of each document" policy (vs [[exactDedup]]'s
+    * deterministic min-id survivor). One window shuffle on the key.
+    */
+  def keepLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_id").as("latest_event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("latest_ts"),
+        col("event_type").as("latest_type"))
+      .orderBy("user_id")
+  }
+
   /** HLL++ approximate distinct count next to the exact count. The
     * sketch value is engine-specific (DuckDB's approx algorithm differs
     * bit-for-bit), so this key is rows-only in the driver gate; the unit
@@ -251,6 +269,15 @@ object Dedup {
       Some(
         """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    GraftQuery("q_dedup_latest", "keep-latest-per-key dedup (newest-version survivor policy)",
+      keepLatest,
+      Some(
+        """SELECT user_id, event_id AS latest_event_id,
+          |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS latest_ts,
+          |       event_type AS latest_type
+          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |      FROM events)
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
     GraftQuery("q_approx_distinct", "HLL++ approx distinct vs exact (rows-only; unit-bounded)",
       approxDistinct, None),
     GraftQuery("q_minhash_neardup", "MinHash+LSH near-dup candidate pairs w/ exact Jaccard verify",

@@ -92,6 +92,23 @@ object RelationalOps {
         col("l_returnflag").as("flag"))
       .orderBy("l_orderkey", "l_linenumber", "qty", "price", "ship_date", "flag")
 
+  /** F4+: numeric cast matrix. Documents a REAL cross-engine semantic
+    * difference: Spark's double→int cast TRUNCATES toward zero while
+    * DuckDB's ROUNDS — the oracle applies trunc() first so both sides
+    * state Spark's (and Java's) semantics. long→string and double→string
+    * renderings agree when the double is integral-valued or short.
+    */
+  def numericCasts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice").cast(IntegerType).as("price_int"),
+        col("o_totalprice").cast(LongType).as("price_long"),
+        col("o_orderkey").cast(StringType).as("key_str"),
+        col("o_orderkey").cast(DoubleType).as("key_dbl"),
+        (col("o_totalprice") > 200000).cast(IntegerType).as("is_big"))
+      .orderBy("o_orderkey")
+
   /** F5: lenient string→decimal/int casts — garbage in, NULL out
     * (Spark 3.1 semantics the reference depends on; GraftSession pins
     * ansi=false to preserve them on Spark 4).
@@ -583,6 +600,16 @@ object RelationalOps {
           |       CAST(l_shipdate AS DATE) AS ship_date,
           |       l_returnflag AS flag
           |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty, price, ship_date, flag""".stripMargin)),
+    GraftQuery("q_numeric_casts", "numeric cast matrix (trunc-vs-round documented)",
+      numericCasts,
+      Some(
+        """SELECT o_orderkey,
+          |       CAST(trunc(o_totalprice) AS INTEGER) AS price_int,
+          |       CAST(trunc(o_totalprice) AS BIGINT) AS price_long,
+          |       CAST(o_orderkey AS VARCHAR) AS key_str,
+          |       CAST(o_orderkey AS DOUBLE) AS key_dbl,
+          |       CAST(o_totalprice > 200000 AS INTEGER) AS is_big
+          |FROM orders ORDER BY o_orderkey""".stripMargin)),
     GraftQuery("q_cast_decimal", "F5 lenient string→decimal/int casts",
       castDecimal,
       Some(
