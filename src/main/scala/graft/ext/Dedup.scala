@@ -8,16 +8,17 @@ import graft.engine.{GraftSession, Tables}
 import graft.functions.TextOps
 
 /** Deduplication for training-data pipelines (north-star Tier B):
-  * exact (hash-groupBy), MinHash+LSH near-dup, SimHash, and n-gram
-  * Jaccard.
+  * exact (hash-groupBy), DISTINCT, keep-latest, approximate distinct,
+  * MinHash+LSH near-dup, SimHash, and n-gram Jaccard.
   *
   * 100 TB design: signatures (minhash, simhash, md5) are computed
-  * row-local with codegen'd higher-order functions — zero shuffle, no
-  * driver collect. Candidate generation shuffles only on
-  * (band_id, band_hash) buckets, so no O(N²) comparison and no global
-  * sort ever happens; exact similarity is verified only within buckets.
-  * Skewed buckets (a band hash shared by a huge near-dup cluster) are
-  * handled by AQE skew-join splitting (enabled in GraftSession).
+  * row-local by native codegen'd Catalyst expressions
+  * ([[graft.functions.HashExprs]]) — zero shuffle, no driver collect.
+  * Candidate generation shuffles only on (band_id, band_hash) /
+  * (chunk_id, chunk) buckets, so no O(N²) comparison and no global sort
+  * ever happens; exact similarity is verified only within buckets and
+  * only for prefilter survivors. Degenerate buckets are capped
+  * (simhashPairs) and skewed joins split by AQE (GraftSession).
   */
 object Dedup {
 

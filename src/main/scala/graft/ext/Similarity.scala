@@ -18,9 +18,9 @@ import graft.engine.{GraftSession, Tables}
   * grows with N instead of being a fixed global constant — the round-1
   * design's flaw.
   *
-  * All vector math is builtin higher-order functions (zip_with /
-  * aggregate) over a broadcast literal — no UDF, no driver collect of
-  * the big side.
+  * All vector math runs in native codegen'd Catalyst expressions
+  * (graft_cosine / graft_srp_bucket over plan-literal plane tables) —
+  * no UDF, no driver collect of the big side.
   */
 object Similarity {
 
