@@ -80,6 +80,27 @@ object TrainingPrep {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Sequence packing: assign documents (in deterministic corpus order)
+    * to fixed-token-budget batches by running total — the packing stage
+    * that turns a shuffled corpus into fixed-size training batches. A
+    * doc lands in batch floor(tokens_before_it / budget); contiguous,
+    * reproducible, one window pass. (Greedy first-fit would need
+    * sequential state — this streaming-friendly variant is what
+    * pipelines actually ship.)
+    */
+  def sequencePack(docs: DataFrame, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", size(split(TextOps.normalizeText(col("text")), " ")))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        floor(col("tokens_before") / budget).cast("int").as("batch_id"))
+      .orderBy("doc_id")
+  }
+
   /** Histogram profile: fixed-range width_bucket counts — the standard
     * one-scan distribution snapshot for pipeline QA dashboards.
     */
@@ -125,7 +146,21 @@ object TrainingPrep {
   def profileQuery(s: SparkSession, dir: String): DataFrame =
     columnProfile(t(s, dir, "documents"))
 
+  def packQuery(s: SparkSession, dir: String): DataFrame =
+    sequencePack(t(s, dir, "documents"), budget = 4096)
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_sequence_pack", "token-budget batch packing by running total",
+      packQuery,
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens
+          |  FROM documents)
+          |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+          |       CAST(floor(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS INTEGER) AS batch_id
+          |FROM tok ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_histogram", "width_bucket length histogram (one-scan distribution profile)",
       histogramQuery,
       // this DuckDB build lacks width_bucket; same arithmetic inline

@@ -136,6 +136,24 @@ object TextOps {
         md5(concat_ws(",", array_sort(array_distinct(col("fps"))))).as("fp_digest"))
       .orderBy("doc_id")
 
+  /** Corpus term statistics — the TF/DF building block of TF-IDF and
+    * inverted indexes: explode normalized tokens, total term frequency
+    * and document frequency per term, top 20 by tf. Integer outputs so
+    * the oracle is exact (the idf multiply is a trivial scalar on top).
+    * Scale shape: explode + one partial/final aggregate on the term key.
+    */
+  def termStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(normalizeText(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(20)
+
   /** Binary encodings + cryptographic digests: hex, base64, md5,
     * sha2-256 — content-addressing and transport encodings for
     * artifact/dedup stores.
@@ -212,6 +230,16 @@ object TextOps {
           |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS seg_dist,
           |       regexp_replace(c_name, 'Customer#0*([0-9]+)', 'C-\1') AS short_name
           |FROM customer ORDER BY c_custkey""".stripMargin)),
+    GraftQuery("q_term_stats", "corpus TF/DF term statistics (TF-IDF building block), top 20",
+      termStats,
+      Some(
+        """SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+          |FROM (
+          |  SELECT doc_id,
+          |         unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS term
+          |  FROM documents)
+          |WHERE term <> ''
+          |GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin)),
     GraftQuery("q_encodings", "hex/base64/md5/sha256 content encodings",
       encodings,
       Some(
