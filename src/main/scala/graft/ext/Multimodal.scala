@@ -126,18 +126,22 @@ object Multimodal {
         octet_length(col("payload")).as("payload_bytes"))
       .orderBy("asset_id")
 
-  /** The raw array<double> column is unsortable/unhashable in the
-    * driver's pandas canonicalization, so the registered query emits a
-    * scalar rendering: fixed-format CSV string + a checksum column.
+  /** Registered feature-extraction query. Two constraints shape it: the
+    * raw array<double> column is unsortable/unhashable in the driver's
+    * pandas canonicalization (emit a CSV string), and an xxhash-based
+    * fake can't be oracle-checked (DuckDB lacks xxhash64) — so THIS
+    * query's fake decoder derives 8 hex features from md5 over the
+    * decoded payload, which both engines compute identically. The
+    * xxhash/CRC variants remain for the expression and typed paths.
     */
   def featuresQuery(s: SparkSession, dir: String): DataFrame =
-    fakeDecodeFeatures(assets(t(s, dir, "documents")))
+    assets(t(s, dir, "documents"))
       .select(
         col("asset_id"), col("meta.kind").as("kind"),
-        expr("concat_ws(',', transform(features, x -> format_number(x, 3)))")
-          .as("features_csv"),
-        expr("CAST(aggregate(features, CAST(0 AS DOUBLE), (a, v) -> a + v) AS DOUBLE)")
-          .as("features_sum"))
+        expr(
+          """concat_ws(',', transform(sequence(0, 7),
+            |  i -> substring(md5(concat(decode(payload, 'UTF-8'), '|', CAST(i AS STRING))), 1, 6)))""".stripMargin)
+          .as("features_csv"))
       .orderBy("asset_id")
 
   def resizeQuery(s: SparkSession, dir: String): DataFrame =
@@ -162,7 +166,12 @@ object Multimodal {
           |       CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes
           |FROM documents ORDER BY asset_id""".stripMargin)),
     GraftQuery("q_multimodal_features", "fake-decode feature extraction over binary payloads",
-      featuresQuery, None),
+      featuresQuery,
+      Some(
+        """SELECT doc_id AS asset_id, 'text/plain' AS kind,
+          |       list_aggregate(list_transform(range(0, 8),
+          |         i -> substring(md5(text || '|' || i), 1, 6)), 'string_agg', ',') AS features_csv
+          |FROM documents ORDER BY asset_id""".stripMargin)),
     GraftQuery("q_multimodal_resize", "payload downsample (resize-kernel slot)",
       resizeQuery,
       Some(
