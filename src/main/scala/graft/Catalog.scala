@@ -27,6 +27,7 @@ object Catalog {
       graft.operators.TopK.queries ++
       graft.operators.AsOfJoin.queries ++
       graft.operators.RangeJoin.queries ++
+      graft.operators.ScaleOps.queries ++
       graft.functions.TextOps.queries ++
       graft.ext.Dedup.queries ++
       graft.ext.TrainingPrep.queries ++

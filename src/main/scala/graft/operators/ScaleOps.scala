@@ -34,6 +34,29 @@ object ScaleOps {
     salted.join(exploded, Seq(key, "__salt"), "left_outer").drop("__salt")
   }
 
+  /** q_salted_join: the skew-salted join on the driver's correctness
+    * surface — its oracle is the PLAIN left join, proving the salting
+    * rewrite is semantics-preserving, not just fast.
+    */
+  def saltedJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.engine.Tables.load(graft.engine.GraftSession.tuned(s), dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("k"))
+    val customer = graft.engine.Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name"))
+    saltedLeftJoin(orders, customer, "k", buckets = 8)
+      .select(col("o_orderkey"), col("c_name"))
+      .orderBy(col("o_orderkey"), col("c_name").asc_nulls_first)
+  }
+
+  val queries: Seq[graft.GraftQuery] = Seq(
+    graft.GraftQuery("q_salted_join", "skew-salted left join == plain join (semantics-preserving rewrite)",
+      saltedJoinQuery,
+      Some(
+        """SELECT o_orderkey, c_name
+          |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+          |ORDER BY o_orderkey, c_name NULLS FIRST""".stripMargin)),
+  )
+
   /** Write both sides bucketed on the join key so a later join is
     * co-located: no Exchange on either side of the SortMergeJoin.
     */
