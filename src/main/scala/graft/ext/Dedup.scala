@@ -246,6 +246,17 @@ object Dedup {
   def simhashQuery(s: SparkSession, dir: String): DataFrame =
     simhashPairs(t(s, dir, "documents"), "text", "doc_id")
 
+  /** Generator null-semantics: explode_outer preserves rows whose array
+    * is empty (as a NULL element) where explode would drop them — the
+    * difference between "docs with no 40-gram" disappearing from a
+    * report and showing up as NULL. 40-token shingles make both cases
+    * non-empty on this corpus (doc lengths straddle 40 tokens).
+    */
+  def explodeOuter(s: SparkSession, dir: String): DataFrame =
+    shingleSets(t(s, dir, "documents"), "text", 40)
+      .select(col("doc_id"), explode_outer(col("shingles")).as("gram40"))
+      .orderBy(col("doc_id"), col("gram40").asc_nulls_first)
+
   /** Oracle-checkable n-gram Jaccard: similarity of each doc with its
     * successor (deterministic pairing; DuckDB list functions replicate).
     */
@@ -285,6 +296,21 @@ object Dedup {
       minhashQuery, None),
     GraftQuery("q_simhash_neardup", "SimHash 64-bit near-dup pairs (chunk-blocked)",
       simhashQuery, None),
+    GraftQuery("q_explode_outer", "explode_outer keeps empty-array rows as NULL",
+      explodeOuter,
+      Some(
+        """WITH sets AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 40
+          |    THEN list_transform(range(1, len(toks) - 38),
+          |           i -> list_aggregate(toks[i : i + 39], 'string_agg', ' '))
+          |    ELSE [] END) AS shingles
+          |  FROM (SELECT doc_id,
+          |          string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+          |        FROM documents)
+          |)
+          |SELECT doc_id,
+          |       unnest(CASE WHEN len(shingles) = 0 THEN [NULL] ELSE shingles END) AS gram40
+          |FROM sets ORDER BY doc_id, gram40 NULLS FIRST""".stripMargin)),
     GraftQuery("q_ngram_jaccard", "bigram-shingle Jaccard of successive docs",
       ngramJaccard,
       Some(

@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val names = if (args.nonEmpty) args.toSeq
+    val names =
+      if (args.sameElements(Array("--all"))) graft.Catalog.all.map(_.name)
+      else if (args.nonEmpty) args.toSeq
       else Seq("q_join_chain", "q_filter", "q_group_agg", "q_curated",
         "q_minhash_neardup", "q_cosine_topk", "q_sort_limit")
     val spark = SparkSession.builder().master("local[8]")
