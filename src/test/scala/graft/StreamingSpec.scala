@@ -92,6 +92,29 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.forall { case (_, lifetime, n) => lifetime == n })
   }
 
+  test("streaming parquet sink with checkpoint writes exactly the input rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "user_id", "event_type", "ts")
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.parquet(s"$tmp/out")
+    val n = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(back.count() == n)
+    assert(back.select(countDistinct(col("event_id"))).head().getLong(0) == n,
+      "no duplicate deliveries within one run (exactly-once file sink)")
+  }
+
   test("mapGroupsWithState per-user running totals == batch aggregation") {
     val q = EventOps.streamingUserStateCounts(spark, sfDir).writeStream
       .format("memory")
