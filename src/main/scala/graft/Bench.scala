@@ -29,7 +29,10 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
+      // execute the query's OWN physical plan (projections, sorts and
+      // all): df.count() would let Catalyst prune every computed column
+      // and eliminate the sort, timing a bare scan instead of the query
+      val err = try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
         catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }

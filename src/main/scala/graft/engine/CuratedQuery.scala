@@ -135,10 +135,14 @@ object CuratedQuery {
       .withColumn("AnnualIncome", col("AnnualIncome").cast(DoubleType))
       .withColumn("ProductCost", col("ProductCost").cast(DoubleType))
       .withColumn("ProductPrice", col("ProductPrice").cast(DoubleType))
+      // EVERY sort key pinned nulls-first: lenient casts mean any key can
+      // be NULL on dirty input, and Spark (NULLS FIRST) and DuckDB
+      // (NULLS LAST) default differently
       .orderBy(
-        col("OrderDate"), col("CustomerKey"), col("OrderLineItem"),
-        col("ProductKey").asc_nulls_first, col("TerritoryKey"),
-        col("ReturnDate").asc_nulls_first, col("ReturnQuantity"))
+        col("OrderDate").asc_nulls_first, col("CustomerKey").asc_nulls_first,
+        col("OrderLineItem").asc_nulls_first, col("ProductKey").asc_nulls_first,
+        col("TerritoryKey").asc_nulls_first, col("ReturnDate").asc_nulls_first,
+        col("ReturnQuantity").asc_nulls_first)
   }
 
   private def csvView(v: String): String =
@@ -185,8 +189,10 @@ object CuratedQuery {
        |LEFT JOIN "Returns" f ON a.TerritoryKey = f.TerritoryKey AND c.ProductKey = f.ProductKey
        |)
        |SELECT * FROM info
-       |ORDER BY OrderDate, CustomerKey, OrderLineItem, ProductKey NULLS FIRST,
-       |         TerritoryKey, ReturnDate NULLS FIRST, ReturnQuantity""".stripMargin
+       |ORDER BY OrderDate NULLS FIRST, CustomerKey NULLS FIRST,
+       |         OrderLineItem NULLS FIRST, ProductKey NULLS FIRST,
+       |         TerritoryKey NULLS FIRST, ReturnDate NULLS FIRST,
+       |         ReturnQuantity NULLS FIRST""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_curated",

@@ -17,11 +17,13 @@ import java.util.zip.ZipInputStream
 object ZipIngest {
 
   /** Unpack every entry of `zip` under `landingDir/data/` (the lambda's
-    * `data/` prefix), returning the landed paths. Directory entries are
-    * skipped; nested entry paths are flattened to their file name, as
-    * the lambda's `file.filename` upload does. Entry names are
-    * sanitized to their basename, so a hostile archive cannot traverse
-    * outside `landingDir`.
+    * `data/` prefix), returning the landed paths. Directory entries and
+    * dot-entries ("."/"..") are skipped; nested entry paths are
+    * flattened to their file name, as the lambda's `file.filename`
+    * upload does — entries sharing a basename land last-writer-wins,
+    * matching the S3 re-upload. Entry names are sanitized to their
+    * basename, so a hostile archive cannot traverse outside
+    * `landingDir`.
     */
   def unzipToLanding(zip: InputStream, landingDir: String): Seq[String] = {
     val dataDir = Paths.get(landingDir, "data")
@@ -31,8 +33,12 @@ object ZipIngest {
     try {
       var entry = in.getNextEntry
       while (entry != null) {
-        if (!entry.isDirectory) {
-          val name = Paths.get(entry.getName).getFileName.toString
+        // basename sanitization alone passes "." and ".." through
+        // (Paths.get("a/..").getFileName is ".."), which would resolve to
+        // a directory and abort the ingest — skip such entries outright
+        val base = Option(Paths.get(entry.getName).getFileName).map(_.toString)
+        if (!entry.isDirectory && base.exists(b => b != "." && b != "..")) {
+          val name = base.get
           val target: Path = dataDir.resolve(name)
           val out = new FileOutputStream(target.toFile)
           try {

@@ -89,10 +89,13 @@ object Multimodal {
   def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     assets.select(
       col("asset_id"),
+      // the empty-payload guard matters: sequence(0, -1) in Spark steps
+      // DOWNWARD to [0, -1], which would emit a spurious zero-byte frame
       expr(
-        s"""posexplode(filter(transform(sequence(0, CAST(ceil(meta.n_bytes / $frameBytes.0) AS INT) - 1),
-           |  f -> CASE WHEN f % $stride = 0 THEN substring(payload, f * $frameBytes + 1, $frameBytes) END),
-           |  x -> x IS NOT NULL))""".stripMargin).as(Seq("frame_idx", "frame")))
+        s"""posexplode(CASE WHEN meta.n_bytes <= 0 THEN CAST(array() AS ARRAY<BINARY>)
+           |  ELSE filter(transform(sequence(0, CAST(ceil(meta.n_bytes / $frameBytes.0) AS INT) - 1),
+           |    f -> CASE WHEN f % $stride = 0 THEN substring(payload, f * $frameBytes + 1, $frameBytes) END),
+           |    x -> x IS NOT NULL) END""".stripMargin + ")").as(Seq("frame_idx", "frame")))
 
   /** Typed batch-decode plumbing: the Scala analog of a `mapInPandas`
     * decode stage. The partition iterator shape is the load-bearing part:

@@ -164,14 +164,18 @@ object Similarity {
     val table = centroids.map(_._2.toSeq).toSeq
     emb
       .withColumn("__graft_centroids", typedlit(table))
+      // materialize the k cosines ONCE, then argmax over the array — the
+      // CASE-in-aggregate formulation evaluated each cosine twice
+      .withColumn("__sims", expr(
+        "transform(__graft_centroids, c -> graft_cosine(embedding, c))"))
       .withColumn("ivf_list", expr(
         s"""aggregate(sequence(0, ${table.size - 1}),
            |          named_struct('best', -1, 'bestSim', CAST(-2 AS DOUBLE)),
            |          (acc, c) -> CASE
-           |            WHEN graft_cosine(embedding, element_at(__graft_centroids, c + 1)) > acc.bestSim
-           |            THEN named_struct('best', c, 'bestSim', graft_cosine(embedding, element_at(__graft_centroids, c + 1)))
+           |            WHEN element_at(__sims, c + 1) > acc.bestSim
+           |            THEN named_struct('best', c, 'bestSim', element_at(__sims, c + 1))
            |            ELSE acc END).best""".stripMargin))
-      .drop("__graft_centroids")
+      .drop("__graft_centroids", "__sims")
   }
 
   /** IVF ANN top-k: probe the `nProbe` lists whose centroids are nearest

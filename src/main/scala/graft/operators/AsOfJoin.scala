@@ -37,24 +37,31 @@ object AsOfJoin {
   def asOfJoinLast(left: DataFrame, right: DataFrame, key: String, ts: String,
       payload: Seq[String], prefix: String = "asof_"): DataFrame = {
     val carryCols = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    // payload travels as ONE struct so last(..., ignoreNulls) picks the
+    // matched right row ATOMICALLY — per-column last() would mix fields
+    // from different right rows whenever the latest row has a NULL field
     val lSide = left.select(
-      Seq(col(key), col(ts), lit(1).as("__side")) ++
-        carryCols.map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"$prefix$p")): _*)
+      Seq(col(key), col(ts), lit(1).as("__side"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          payload.map(p => org.apache.spark.sql.types.StructField(p, right.schema(p).dataType))))
+          .as("__payload")) ++
+        carryCols.map(col): _*)
     val rSide = right.select(
-      Seq(col(key), col(ts), lit(0).as("__side")) ++
-        carryCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"$prefix$p")): _*)
+      Seq(col(key), col(ts), lit(0).as("__side"),
+        struct(payload.map(col): _*).as("__payload")) ++
+        carryCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSide.union(rSide)
       .select(
-        Seq(col(key), col(ts), col("__side")) ++
-          carryCols.map(col) ++
-          payload.map(p => last(col(s"$prefix$p"), ignoreNulls = true).over(w).as(s"$prefix$p")): _*)
+        Seq(col(key), col(ts), col("__side"),
+          last(col("__payload"), ignoreNulls = true).over(w).as("__matched")) ++
+          carryCols.map(col): _*)
       .where(col("__side") === 1)
-      .drop("__side")
+      .select(
+        Seq(col(key), col(ts)) ++ carryCols.map(col) ++
+          payload.map(p => col(s"__matched.$p").as(s"$prefix$p")): _*)
   }
 
   /** q_asof_join: each click joined to the user's latest purchase at or

@@ -380,13 +380,19 @@ object RelationalOps {
         least(col("o_totalprice"), lit(100000.0)).as("price_cap"))
       .orderBy("o_orderkey")
 
-  /** A+: exact percentiles (linear interpolation) per group. */
+  /** A+: exact percentiles (linear interpolation) per group. Both
+    * engines interpolate in double with differently-ordered IEEE ops, so
+    * the output is pinned through DECIMAL(18,6) on both sides — last-ulp
+    * jitter cannot flip a 6-dp rounding at these magnitudes.
+    */
   def percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(
-        expr("percentile(o_totalprice, 0.5)").as("med"),
-        expr("percentile(o_totalprice, 0.9)").as("p90"))
+        expr("percentile(o_totalprice, 0.5)").cast(DecimalType(18, 6))
+          .cast(DoubleType).as("med"),
+        expr("percentile(o_totalprice, 0.9)").cast(DecimalType(18, 6))
+          .cast(DoubleType).as("p90"))
       .orderBy("o_orderpriority")
 
   /** U+: INTERSECT ALL / EXCEPT ALL — bag semantics (multiplicity
@@ -806,8 +812,8 @@ object RelationalOps {
       percentiles,
       Some(
         """SELECT o_orderpriority,
-          |       quantile_cont(o_totalprice, 0.5) AS med,
-          |       quantile_cont(o_totalprice, 0.9) AS p90
+          |       CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS med,
+          |       CAST(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     GraftQuery("q_intersect_all", "INTERSECT ALL bag semantics",
       intersectAllKeys,

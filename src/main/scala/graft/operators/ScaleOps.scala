@@ -25,10 +25,14 @@ object ScaleOps {
   def saltedLeftJoin(left: DataFrame, right: DataFrame, key: String,
       buckets: Int): DataFrame = {
     require(buckets > 0)
-    // deterministic salt: stable across retries (a random salt would
-    // break task re-execution semantics)
+    // content-derived salt: stable across task re-execution even when the
+    // input's row order is shuffle-dependent (monotonically_increasing_id
+    // would re-salt rows differently on a retried map task and corrupt
+    // the join — the SPARK-23207 failure class). Rows with identical full
+    // content share a salt; a hot KEY still spreads because its rows
+    // differ in the other columns.
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets)))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(buckets)))
     val exploded = right
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(exploded, Seq(key, "__salt"), "left_outer").drop("__salt")

@@ -154,6 +154,7 @@ object EventOps {
   def streamingUserStateCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
+    GraftSession.tuned(spark) // nanosAsLong before the first parquet read
     val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
     spark.readStream
       .schema(raw)

@@ -34,6 +34,19 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out(200L) == (None, None))
   }
 
+  test("a NULL field in the matched right row stays NULL (no cross-row mixing)") {
+    val left = Seq((1L, ts("2024-01-01 11:30:00"), 100L))
+      .toDF("user_id", "ts", "click_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 11:00:00"), None: Option[Double]) // latest, NULL value
+    ).toDF("user_id", "ts", "value")
+    val row = AsOfJoin.asOfJoinLast(left, right, "user_id", "ts", Seq("ts", "value"))
+      .select(col("asof_ts"), col("asof_value")).head()
+    assert(row.getTimestamp(0) == ts("2024-01-01 11:00:00"))
+    assert(row.isNullAt(1), "value must come from the MATCHED row, not an older one")
+  }
+
   test("row count is exactly the left side's (no fan-out, no drops)") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

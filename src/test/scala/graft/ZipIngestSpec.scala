@@ -45,4 +45,14 @@ class ZipIngestSpec extends SparkTestBase {
     assert(landed == Seq(s"$tmp/data/evil.txt"))
     assert(!Files.exists(Paths.get(tmp).getParent.resolve("evil.txt")))
   }
+
+  test("dot entries are skipped instead of aborting the ingest") {
+    val tmp = Files.createTempDirectory("graft-landing3").toString
+    val zip = makeZip(
+      ".." -> "x",          // basename '..' resolves to a directory
+      "x/.." -> "y",
+      "ok.txt" -> "fine")
+    val landed = ZipIngest.unzipToLanding(new ByteArrayInputStream(zip), tmp)
+    assert(landed == Seq(s"$tmp/data/ok.txt"))
+  }
 }
