@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -84,17 +84,60 @@ object TrainingPrep {
     * to fixed-token-budget batches by running total — the packing stage
     * that turns a shuffled corpus into fixed-size training batches. A
     * doc lands in batch floor(tokens_before_it / budget); contiguous,
-    * reproducible, one window pass. (Greedy first-fit would need
-    * sequential state — this streaming-friendly variant is what
-    * pipelines actually ship.)
+    * reproducible. (Greedy first-fit would need sequential state — this
+    * streaming-friendly variant is what pipelines actually ship.)
+    *
+    * The global prefix sum is computed in TWO PASSES so no single task
+    * ever sees the whole corpus (a bare `Window.orderBy` would move
+    * every row to one task — fatal at 100 TB):
+    *   1. bucket rows by deterministic doc_id key range and aggregate a
+    *      per-bucket token subtotal (one map-side-combined shuffle of
+    *      `parts` rows to the driver);
+    *   2. turn subtotals into cumulative per-bucket offsets (O(parts)
+    *      on the driver), broadcast them as a literal map, and run the
+    *      running sum as a window PARTITIONED by bucket — each bucket
+    *      sorts independently in parallel, then adds its offset.
+    * Bucketing is a pure function of doc_id (not spark_partition_id or
+    * sampling), so both passes agree and task retries are stable.
     */
-  def sequencePack(docs: DataFrame, budget: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs
+  def sequencePack(docs: DataFrame, budget: Int, numBuckets: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val parts =
+      if (numBuckets > 0) numBuckets
+      else spark.sessionState.conf.numShufflePartitions
+    val toks = docs
       .withColumn("n_tokens", size(split(TextOps.normalizeText(col("text")), " ")))
-      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"))
+
+    // Deterministic, order-preserving bucket id from the doc_id key range.
+    // Exact min/max costs one cheap scan; dense ids (the common case for a
+    // shuffled corpus) bucket evenly. For pathological key skew, swap the
+    // uniform width for approxQuantile-derived literal bounds — the
+    // two-pass structure is unchanged.
+    val Row(lo: Long, hi: Long) =
+      toks.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val width = math.max(1L, (hi - lo) / parts + 1)
+    val pid = ((col("doc_id") - lit(lo)) / lit(width)).cast("int")
+
+    val subtotals = toks
+      .groupBy(pid.as("pid"))
+      .agg(sum(col("n_tokens")).as("sub"))
+      .collect() // O(numBuckets) rows — driver-safe at any data scale
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = subtotals.map { case (p, sub) =>
+      val pair = (p, acc); acc += sub; pair
+    }.toMap
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    toks
+      .withColumn("pid", pid)
+      .withColumn("local_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("tokens_before",
+        col("local_before") + coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)))
       .select(
         col("doc_id"), col("n_tokens"),
         floor(col("tokens_before") / budget).cast("int").as("batch_id"))

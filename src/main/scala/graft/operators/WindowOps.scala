@@ -76,19 +76,27 @@ object WindowOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** RANGE-framed window: per-priority sum over orders whose key lies in
-    * [current − 100, current] — value-based frames, not row counts.
+  /** RANGE-framed window: per-customer trailing-90-day spend —
+    * value-based frames (all orders whose day number lies in
+    * [current − 90, current]), not row counts. Partitioned by
+    * o_custkey, a HIGH-cardinality key: at 100 TB the window shuffles
+    * once on custkey and every core gets work. (A low-cardinality
+    * partition key — e.g. the 5-value o_orderpriority — would funnel
+    * the table into 5 giant sort buffers; that shape is a scale-killer
+    * and deliberately avoided here.)
     */
   def rangeWindow(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_orderkey"))
-      .rangeBetween(-100, Window.currentRow)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day_num"))
+      .rangeBetween(-90, Window.currentRow)
     t(s, dir, "orders")
+      .withColumn("day_num",
+        datediff(col("o_orderdate"), lit("1992-01-01").cast(DateType)))
       .select(
-        col("o_orderpriority"), col("o_orderkey"),
+        col("o_custkey"), col("o_orderkey"), col("day_num"),
         sum(col("o_totalprice").cast(dec12)).over(w).cast(dec18)
-          .cast(DoubleType).as("near_total"))
-      .orderBy("o_orderpriority", "o_orderkey")
+          .cast(DoubleType).as("trailing_90d"))
+      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** Rank-statistics family over one window: rank, dense_rank,
@@ -160,14 +168,16 @@ object WindowOps {
           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
           |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
           |ORDER BY o_custkey, o_orderkey""".stripMargin)),
-    GraftQuery("q_range_window", "RANGE-framed window sum (value-based frame)",
+    GraftQuery("q_range_window", "RANGE-framed trailing-90-day window sum per customer",
       rangeWindow,
       Some(
-        """SELECT o_orderpriority, o_orderkey,
+        """SELECT o_custkey, o_orderkey,
+          |       CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_num,
           |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
-          |         PARTITION BY o_orderpriority ORDER BY o_orderkey
-          |         RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS near_total
-          |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+          |         PARTITION BY o_custkey
+          |         ORDER BY date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+          |         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS trailing_90d
+          |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
     GraftQuery("q_rank_stats", "rank/dense_rank/percent_rank/cume_dist/ntile in one window",
       rankStats,
       Some(
