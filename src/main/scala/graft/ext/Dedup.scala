@@ -117,12 +117,22 @@ object Dedup {
     * signature rows — unbiased estimator of Jaccard) so the expensive
     * exact-verify join only sees plausible pairs, then deduped. At scale
     * the wide data (signatures) is dropped before the distinct shuffle.
+    *
+    * Scale guard (same as [[simhashPairs]]): band buckets larger than
+    * `maxBucket` — degenerate hashes from boilerplate/near-empty docs —
+    * are dropped from candidate generation via a broadcast anti-join,
+    * capping the O(bucket²) self-join. Pairs found ONLY through a
+    * dropped bucket are missed: a documented recall trade.
     */
   def candidatePairs(bandsDf: DataFrame, idCol: String, numHashes: Int,
-      minEstJaccard: Double): DataFrame = {
-    val l = bandsDf.select(col("band_id"), col("band_hash"),
+      minEstJaccard: Double, maxBucket: Int = 10000): DataFrame = {
+    val oversized = bandsDf.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
+    val pruned = bandsDf.join(broadcast(oversized), Seq("band_id", "band_hash"), "left_anti")
+    val l = pruned.select(col("band_id"), col("band_hash"),
       col(idCol).as("id1"), col("sig").as("sig1"))
-    val r = bandsDf.select(col("band_id"), col("band_hash"),
+    val r = pruned.select(col("band_id"), col("band_hash"),
       col(idCol).as("id2"), col("sig").as("sig2"))
     l.join(r, Seq("band_id", "band_hash"))
       .where(col("id1") < col("id2"))
@@ -161,13 +171,20 @@ object Dedup {
     * and the survivor-only verify join. The verify join carries hashed
     * shingle sets (array<long>) — same Jaccard up to xxhash64 collisions
     * (negligible), a fraction of the raw-string shuffle bytes. 4
-    * rows/band makes a band match already mean sig-agreement^4, and the
     * estimated-Jaccard prefilter (sig agreement fraction ≥ threshold)
-    * kills the remaining candidate flood before anything wide moves.
+    * kills the candidate flood before anything wide moves.
+    *
+    * Banding is recall-first: 8 bands × 2 rows means a true pair at
+    * Jaccard j is missed with probability (1 − j²)⁸ — ≈1e-6 at j=0.9,
+    * 0.07 at j=0.5 — while the est-Jaccard prefilter (≥ threshold
+    * agreement across all 16 rows) keeps the 2-row band collisions from
+    * flooding the verify join. That recall is what lets the registered
+    * query carry a brute-force O(n²) DuckDB oracle at the correctness
+    * scale: output == exact pair list, containment AND recall checked.
     */
   def minhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 2, numHashes: Int = 16, bands: Int = 4,
+      shingleN: Int = 2, numHashes: Int = 16, bands: Int = 8,
       threshold: Double = 0.2): DataFrame = {
     val sets = hashedShingleSets(docs, textCol, idCol, shingleN)
     val signed = sets.withColumn("sig", expr(s"graft_minhash_sig(shs, $numHashes)"))
@@ -211,24 +228,40 @@ object Dedup {
     * trade: pairs found ONLY through a dropped chunk are missed.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 15, "chunks need >= 4 bits")
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    hammingBlockedPairs(
+      withSimhash(docs, textCol).select(col(idCol), col("simhash")),
+      idCol, "simhash", totalBits = 64, maxHamming = maxHamming,
+      maxBucket = maxBucket)
+
+  /** Generic pigeonhole-blocked Hamming pairing over any integer hash
+    * column: the `totalBits`-bit hash is blocked on `maxHamming + 1`
+    * equal-width chunks, so any pair within Hamming distance ≤
+    * `maxHamming` shares at least one chunk — EXACT recall. Verification
+    * (bit_count of xor) runs inside buckets only, BEFORE the pair-dedup
+    * distinct, so the shuffle carries survivors, not the candidate
+    * flood. Buckets larger than `maxBucket` are dropped via a broadcast
+    * anti-join (documented recall trade for degenerate hash values).
+    */
+  def hammingBlockedPairs(hashed: DataFrame, idCol: String, hashCol: String,
+      totalBits: Int, maxHamming: Int, maxBucket: Int): DataFrame = {
     val chunks = maxHamming + 1
-    val bits = 64 / chunks
+    require(maxHamming >= 0 && totalBits % chunks == 0 && totalBits / chunks >= 4,
+      s"need chunks of >= 4 bits: $totalBits bits / $chunks chunks")
+    val bits = totalBits / chunks
     val mask = (1L << bits) - 1
-    val hashed = withSimhash(docs, textCol).select(col(idCol), col("simhash"))
     val chunked = hashed.select(
-      col(idCol), col("simhash"),
-      expr(s"explode(transform(sequence(0, ${chunks - 1}), b -> struct(b AS chunk_id, (shiftright(simhash, b * $bits) & $mask) AS chunk)))").as("c"))
-      .select(col(idCol), col("simhash"), col("c.chunk_id"), col("c.chunk"))
+      col(idCol), col(hashCol),
+      expr(s"explode(transform(sequence(0, ${chunks - 1}), b -> struct(b AS chunk_id, (shiftright($hashCol, b * $bits) & $mask) AS chunk)))").as("c"))
+      .select(col(idCol), col(hashCol), col("c.chunk_id"), col("c.chunk"))
     val oversized = chunked.groupBy("chunk_id", "chunk")
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > maxBucket)
     val pruned = chunked.join(broadcast(oversized), Seq("chunk_id", "chunk"), "left_anti")
     val l = pruned.select(col("chunk_id"), col("chunk"),
-      col(idCol).as("id1"), col("simhash").as("h1"))
+      col(idCol).as("id1"), col(hashCol).as("h1"))
     val r = pruned.select(col("chunk_id"), col("chunk"),
-      col(idCol).as("id2"), col("simhash").as("h2"))
+      col(idCol).as("id2"), col(hashCol).as("h2"))
     l.join(r, Seq("chunk_id", "chunk"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
@@ -238,6 +271,34 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** 32-bit SimHash built ONLY from md5 — an engine-portable twin of
+    * [[withSimhash]]'s XXH64 hash. Both Spark and DuckDB share md5, so
+    * the whole pipeline (hash → pigeonhole blocking → Hamming verify)
+    * becomes oracle-checkable END TO END: the pigeonhole guarantee means
+    * the blocked output must EQUAL DuckDB's brute-force O(n²) Hamming
+    * scan — any blocking bug (missed bucket, wrong chunk math, dropped
+    * pair) breaks the driver gate. Per-token hash = lower 32 bits of
+    * md5; bit b of the doc hash = majority vote of token-hash bit b over
+    * DISTINCT tokens. Exploding (doc, token) then one 32-column groupBy
+    * keeps it a single shuffle; the production (XXH64, codegen'd) path
+    * stays [[withSimhash]] — this twin exists for verification.
+    */
+  def md5Simhash32(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol),
+        explode(array_distinct(split(TextOps.normalizeText(col(textCol)), " "))).as("tok"))
+      .withColumn("th", conv(substring(md5(col("tok")), 25, 8), 16, 10).cast("long"))
+    val voteCols = (0 until 32).map(b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b"))
+    val hashFromVotes = (0 until 32)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy(col(idCol))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col(idCol), hashFromVotes.as("simhash32"))
+  }
+
   // ---- registered queries ----------------------------------------------
 
   def minhashQuery(s: SparkSession, dir: String): DataFrame =
@@ -245,6 +306,20 @@ object Dedup {
 
   def simhashQuery(s: SparkSession, dir: String): DataFrame =
     simhashPairs(t(s, dir, "documents"), "text", "doc_id")
+
+  /** md5-SimHash blocking twin: same pigeonhole pipeline as
+    * [[simhashQuery]] but over the engine-portable [[md5Simhash32]], so
+    * the DuckDB oracle can brute-force the full O(n²) Hamming scan and
+    * the driver gate asserts blocked output == exact pair list (the
+    * pigeonhole EXACT-recall guarantee, verified end to end).
+    * maxBucket is uncapped here: a dropped bucket would be a recall
+    * trade, and this twin exists to prove there isn't one.
+    */
+  def simhashMd5Twin(s: SparkSession, dir: String): DataFrame =
+    hammingBlockedPairs(
+      md5Simhash32(t(s, dir, "documents"), "text", "doc_id"),
+      "doc_id", "simhash32", totalBits = 32, maxHamming = 3,
+      maxBucket = Int.MaxValue)
 
   /** Generator null-semantics: explode_outer preserves rows whose array
     * is empty (as a NULL element) where explode would drop them — the
@@ -292,10 +367,57 @@ object Dedup {
           |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
     GraftQuery("q_approx_distinct", "HLL++ approx distinct vs exact (rows-only; unit-bounded)",
       approxDistinct, None),
-    GraftQuery("q_minhash_neardup", "MinHash+LSH near-dup candidate pairs w/ exact Jaccard verify",
-      minhashQuery, None),
-    GraftQuery("q_simhash_neardup", "SimHash 64-bit near-dup pairs (chunk-blocked)",
+    // The oracle brute-forces ALL O(n²) pairs with exact bigram-shingle
+    // Jaccard ≥ 0.2: equality asserts BOTH containment (no false pair
+    // survives the exact-verify) AND full observed recall of the 8×2
+    // LSH banding at this scale (the fixture's near-dups sit at j ≥ 0.9,
+    // where the banding miss probability is ~1e-6 per pair). The jaccard
+    // VALUE matches because the hashed-shingle sets are collision-free
+    // here (64-bit hashes over ~10² shingles).
+    GraftQuery("q_minhash_neardup", "MinHash+LSH near-dup pairs w/ exact Jaccard verify (brute-force oracle)",
+      minhashQuery,
+      Some(
+        """WITH sets AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+          |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+          |    ELSE [] END) AS shingles
+          |  FROM (SELECT doc_id,
+          |          string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+          |        FROM documents)
+          |)
+          |SELECT a.doc_id AS id1, b.doc_id AS id2,
+          |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          |       len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+          |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+          |WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+          |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+          |ORDER BY id1, id2""".stripMargin)),
+    GraftQuery("q_simhash_neardup", "SimHash 64-bit near-dup pairs (chunk-blocked; XXH64 is engine-specific -> rows-only; blocking proven by q_simhash_md5_twin)",
       simhashQuery, None),
+    GraftQuery("q_simhash_md5_twin", "md5-SimHash pigeonhole blocking == brute-force O(n^2) Hamming scan",
+      simhashMd5Twin,
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         unnest(list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))) AS tok
+          |  FROM documents),
+          |th AS (
+          |  SELECT doc_id, ('0x' || substring(md5(tok), 25, 8))::BIGINT AS h FROM toks),
+          |votes AS (
+          |  SELECT doc_id, b,
+          |         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          |  FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) bits
+          |  GROUP BY doc_id, b),
+          |sim AS (
+          |  SELECT doc_id,
+          |         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash32
+          |  FROM votes GROUP BY doc_id)
+          |SELECT a.doc_id AS id1, b.doc_id AS id2,
+          |       CAST(bit_count(xor(a.simhash32, b.simhash32)) AS INTEGER) AS hamming
+          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3
+          |ORDER BY id1, id2""".stripMargin)),
     GraftQuery("q_explode_outer", "explode_outer keeps empty-array rows as NULL",
       explodeOuter,
       Some(

@@ -57,14 +57,22 @@ object HashImpls {
   /** MinHash signature: sig[s] = min over elements of
     * xxhash64(seed=s+1, xxhash64(element)). Each string is hashed once;
     * the k rows remix the 8-byte hash (hashLong), not the string.
+    *
+    * Returns NULL for empty (or all-null-element) input: an
+    * all-Long.MaxValue "signature of nothing" would make every pair of
+    * empty docs estimated-Jaccard 1.0 and flood near-dup candidates.
+    * Null signatures never pair downstream (null band hashes fail the
+    * agreement prefilter).
     */
   def minhashSig(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    var hashed = 0
     var k = 0
     while (k < n) {
       if (!arr.isNullAt(k)) {
         val h = XXH64.hashUTF8String(arr.getUTF8String(k), seed)
+        hashed += 1
         var s = 0
         while (s < numHashes) {
           val hs = XXH64.hashLong(h, s + 1)
@@ -74,17 +82,19 @@ object HashImpls {
       }
       k += 1
     }
-    new GenericArrayData(mins)
+    if (hashed == 0) null else new GenericArrayData(mins)
   }
 
   /** [[minhashSig]] over already-hashed elements (array<bigint>). */
   def minhashSigLong(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    var hashed = 0
     var k = 0
     while (k < n) {
       if (!arr.isNullAt(k)) {
         val h = arr.getLong(k)
+        hashed += 1
         var s = 0
         while (s < numHashes) {
           val hs = XXH64.hashLong(h, s + 1)
@@ -94,7 +104,7 @@ object HashImpls {
       }
       k += 1
     }
-    new GenericArrayData(mins)
+    if (hashed == 0) null else new GenericArrayData(mins)
   }
 
   /** Cosine similarity of two numeric arrays (float or double elements),
@@ -290,6 +300,9 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
       s"$prettyName expects array<string> or array<bigint>, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // NULL for empty/all-null input (no elements = no signature), even when
+  // the child itself is non-nullable — see HashImpls.minhashSig.
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash_sig"
 
   protected override def nullSafeEval(input: Any): Any =
@@ -298,7 +311,9 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fn = if (overLongs) "minhashSigLong" else "minhashSig"
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.$fn($c, $numHashes)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashImpls.$fn($c, $numHashes);
+      ${ev.isNull} = ${ev.value} == null;""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
