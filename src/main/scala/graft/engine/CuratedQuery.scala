@@ -137,12 +137,17 @@ object CuratedQuery {
       .withColumn("ProductPrice", col("ProductPrice").cast(DoubleType))
       // EVERY sort key pinned nulls-first: lenient casts mean any key can
       // be NULL on dirty input, and Spark (NULLS FIRST) and DuckDB
-      // (NULLS LAST) default differently
+      // (NULLS LAST) default differently. OrderQuantity + StockDate
+      // tighten the order toward total: without them, two same-day
+      // orders of one product by one customer in one territory with the
+      // same line-item number would tie on all keys and Spark/DuckDB
+      // could break the tie differently, flipping the row-hash gate.
       .orderBy(
         col("OrderDate").asc_nulls_first, col("CustomerKey").asc_nulls_first,
         col("OrderLineItem").asc_nulls_first, col("ProductKey").asc_nulls_first,
         col("TerritoryKey").asc_nulls_first, col("ReturnDate").asc_nulls_first,
-        col("ReturnQuantity").asc_nulls_first)
+        col("ReturnQuantity").asc_nulls_first,
+        col("OrderQuantity").asc_nulls_first, col("StockDate").asc_nulls_first)
   }
 
   private def csvView(v: String): String =
@@ -192,7 +197,8 @@ object CuratedQuery {
        |ORDER BY OrderDate NULLS FIRST, CustomerKey NULLS FIRST,
        |         OrderLineItem NULLS FIRST, ProductKey NULLS FIRST,
        |         TerritoryKey NULLS FIRST, ReturnDate NULLS FIRST,
-       |         ReturnQuantity NULLS FIRST""".stripMargin
+       |         ReturnQuantity NULLS FIRST,
+       |         OrderQuantity NULLS FIRST, StockDate NULLS FIRST""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_curated",

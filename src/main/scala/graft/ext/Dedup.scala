@@ -62,18 +62,26 @@ object Dedup {
       .orderBy("user_id")
   }
 
-  /** HLL++ approximate distinct count next to the exact count. The
-    * sketch value is engine-specific (DuckDB's approx algorithm differs
-    * bit-for-bit), so this key is rows-only in the driver gate; the unit
-    * suite bounds its relative error against the exact count. At 100 TB
-    * this is THE distinct-count operator: constant memory per partition,
-    * mergeable, no giant shuffle of distinct keys.
+  /** HLL++ approximate distinct count. The sketch value is
+    * engine-specific (DuckDB's approx algorithm differs bit-for-bit), so
+    * this key is rows-only in the driver gate; the unit suite bounds its
+    * relative error against [[exactDistinct]]. At 100 TB this is THE
+    * distinct-count operator: constant memory per partition, mergeable,
+    * no giant shuffle of distinct keys. Registered SEPARATELY from the
+    * exact count: putting both in one agg forces an Expand (every input
+    * row duplicated per aggregate mode), which benchmarked an
+    * intentional inefficiency rather than the operator itself.
     */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
+
+  /** Exact distinct count — the oracle-checkable companion of
+    * [[approxDistinct]] (and the accuracy baseline its unit test uses).
+    */
+  def exactDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
 
   // ---- MinHash + LSH ---------------------------------------------------
 
@@ -313,11 +321,15 @@ object Dedup {
     * the driver gate asserts blocked output == exact pair list (the
     * pigeonhole EXACT-recall guarantee, verified end to end).
     * maxBucket is uncapped here: a dropped bucket would be a recall
-    * trade, and this twin exists to prove there isn't one.
+    * trade, and this twin exists to prove there isn't one. The corpus is
+    * capped at doc_id < 500 (= the whole table at the correctness SF) so
+    * the twin's cost stays bounded at every SF — the production path is
+    * [[simhashQuery]], not this.
     */
   def simhashMd5Twin(s: SparkSession, dir: String): DataFrame =
     hammingBlockedPairs(
-      md5Simhash32(t(s, dir, "documents"), "text", "doc_id"),
+      md5Simhash32(t(s, dir, "documents").where(col("doc_id") < 500),
+        "text", "doc_id"),
       "doc_id", "simhash32", totalBits = 32, maxHamming = 3,
       maxBucket = Int.MaxValue)
 
@@ -365,8 +377,11 @@ object Dedup {
           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
           |      FROM events)
           |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
-    GraftQuery("q_approx_distinct", "HLL++ approx distinct vs exact (rows-only; unit-bounded)",
+    GraftQuery("q_approx_distinct", "HLL++ approx distinct count (rows-only; error unit-bounded vs q_distinct_exact)",
       approxDistinct, None),
+    GraftQuery("q_distinct_exact", "exact distinct count (oracle-checked companion of q_approx_distinct)",
+      exactDistinct,
+      Some("SELECT count(DISTINCT l_orderkey) AS exact_orders FROM lineitem")),
     // The oracle brute-forces ALL O(n²) pairs with exact bigram-shingle
     // Jaccard ≥ 0.2: equality asserts BOTH containment (no false pair
     // survives the exact-verify) AND full observed recall of the 8×2
@@ -401,7 +416,7 @@ object Dedup {
         """WITH toks AS (
           |  SELECT doc_id,
           |         unnest(list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))) AS tok
-          |  FROM documents),
+          |  FROM documents WHERE doc_id < 500),
           |th AS (
           |  SELECT doc_id, ('0x' || substring(md5(tok), 25, 8))::BIGINT AS h FROM toks),
           |votes AS (

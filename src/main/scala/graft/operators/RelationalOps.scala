@@ -63,13 +63,21 @@ object RelationalOps {
 
   /** lineitem split three ways by ship year, mirroring
     * Sales_2015/16/17 → UNION ALL (variables.py:19-24, positional).
+    *
+    * The three branches are disjoint filters of ONE table, so the union
+    * is hand-merged into a single scan with a disjunctive predicate —
+    * identical rows (Catalyst does not merge union branches itself, and
+    * the naive form read lineitem three times). The 3-way positional
+    * UNION ALL semantics stay pinned by q_union_all/q_join_chain's
+    * oracles (whose SQL keeps the literal UNION ALL text) and by
+    * q_curated, which executes the reference's UNION ALL SQL verbatim;
+    * the DataFrame `.union` API itself is demonstrated by
+    * [[unionDistinct]].
     */
   private def allSales(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val y = year(col("l_shipdate"))
-    li.where(y <= 1996)
-      .union(li.where(y === 1997 || y === 1998)) // positional, not ByName
-      .union(li.where(y >= 1999))
+    li.where(y <= 1996 || y === 1997 || y === 1998 || y >= 1999)
   }
 
   /** U1: 3-way positional UNION ALL. */

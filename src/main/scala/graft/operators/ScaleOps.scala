@@ -52,6 +52,35 @@ object ScaleOps {
       .orderBy(col("o_orderkey"), col("c_name").asc_nulls_first)
   }
 
+  /** q_partitioned_sink: the 100 TB sink pattern on the driver's
+    * correctness surface — write orders `partitionBy(o_orderpriority)`,
+    * read back with a partition-column predicate (pruned to ONE
+    * directory — PartitionFilters, asserted in ScaleOpsSpec), and
+    * project. The oracle reads the original table directly, proving the
+    * partitioned round-trip is lossless. This is the replacement for the
+    * reference's `coalesce(1)` single-file sink (SURVEY §7.4 risk 7).
+    */
+  def partitionedSinkQuery(s: SparkSession, dir: String): DataFrame = {
+    val spark = graft.engine.GraftSession.tuned(s)
+    val orders = graft.engine.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+    val path = "/tmp/graft_sink/" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "/orders_by_priority"
+    writePartitioned(orders, path, "o_orderpriority")
+    partitionPrunedRead(spark, path)
+  }
+
+  /** The read side of [[partitionedSinkQuery]], separated so tests can
+    * assert the plan's PartitionFilters.
+    */
+  def partitionPrunedRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("total_price"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+
   val queries: Seq[graft.GraftQuery] = Seq(
     graft.GraftQuery("q_salted_join", "skew-salted left join == plain join (semantics-preserving rewrite)",
       saltedJoinQuery,
@@ -59,6 +88,12 @@ object ScaleOps {
         """SELECT o_orderkey, c_name
           |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
           |ORDER BY o_orderkey, c_name NULLS FIRST""".stripMargin)),
+    graft.GraftQuery("q_partitioned_sink", "partitionBy sink + partition-pruned read-back == direct table read",
+      partitionedSinkQuery,
+      Some(
+        """SELECT o_orderkey, o_custkey, o_totalprice AS total_price, o_orderpriority
+          |FROM orders WHERE o_orderpriority = '1-URGENT'
+          |ORDER BY o_orderkey""".stripMargin)),
   )
 
   /** Write both sides bucketed on the join key so a later join is

@@ -25,16 +25,26 @@ object TopK {
 
   /** Keep the k largest by (raw acctbal desc, c_custkey asc) — the RAW
     * value ranks (matching the window/oracle ORDER BY); the rounded one
-    * is the projected output. Buffer is a sorted Seq truncated to k, so
-    * reduce/merge cost is O(k).
+    * is the projected output. The buffer INVARIANT is "sorted, ≤ k
+    * rows": `reduce` rejects a non-qualifying row in O(1) (the common
+    * case once the buffer is full — this is what makes the map side
+    * cheap) and otherwise inserts at its sorted position in O(k); only
+    * `merge`/`finish` (per partial buffer, not per row) re-sort.
     */
   final class TopKCustomers(k: Int) extends Aggregator[CustRow, Seq[CustRow], Seq[CustRow]] {
-    private def best(xs: Seq[CustRow]): Seq[CustRow] =
-      xs.sortBy(r => (-r.acctbal_raw, r.c_custkey)).take(k)
+    private val ord: Ordering[CustRow] =
+      Ordering.by((r: CustRow) => (-r.acctbal_raw, r.c_custkey))
+    private def best(xs: Seq[CustRow]): Seq[CustRow] = xs.sorted(ord).take(k)
     override def zero: Seq[CustRow] = Seq.empty
-    override def reduce(b: Seq[CustRow], a: CustRow): Seq[CustRow] = best(b :+ a)
+    override def reduce(b: Seq[CustRow], a: CustRow): Seq[CustRow] =
+      if (b.size >= k && ord.gteq(a, b.last)) b
+      else {
+        val i = b.indexWhere(r => ord.lt(a, r))
+        val (pre, post) = if (i < 0) (b, Seq.empty) else b.splitAt(i)
+        ((pre :+ a) ++ post).take(k)
+      }
     override def merge(b1: Seq[CustRow], b2: Seq[CustRow]): Seq[CustRow] = best(b1 ++ b2)
-    override def finish(r: Seq[CustRow]): Seq[CustRow] = best(r)
+    override def finish(r: Seq[CustRow]): Seq[CustRow] = r
     override def bufferEncoder: Encoder[Seq[CustRow]] = Encoders.kryo[Seq[CustRow]]
     override def outputEncoder: Encoder[Seq[CustRow]] = Encoders.kryo[Seq[CustRow]]
   }

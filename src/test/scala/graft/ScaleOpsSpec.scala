@@ -65,4 +65,13 @@ class ScaleOpsSpec extends SparkTestBase {
       s"partition filter not pushed:\n$scan")
     assert(read.count() == withYear.where(col("o_year") === 1995).count())
   }
+
+  test("q_partitioned_sink: read-back plan prunes, rows match a direct filter") {
+    val out = ScaleOps.partitionedSinkQuery(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderpriority"),
+      s"partition filter not pushed:\n$plan")
+    val direct = orders.where(col("o_orderpriority") === "1-URGENT").count()
+    assert(out.count() == direct)
+  }
 }
