@@ -24,4 +24,11 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Catalog.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Dev-loop query filter shared by Bench and Verify: parse
+    * `SPARK_GRAFT_ONLY=q_a, q_b` (whitespace-tolerant); None ⇒ run all.
+    */
+  def onlyFilter: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 }

@@ -15,9 +15,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev-loop filter (same contract as Bench): unset → run everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // dev-loop filter (shared parser with Bench): unset → run everything
+    val only = SparkEntry.onlyFilter
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }

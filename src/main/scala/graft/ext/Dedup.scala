@@ -178,27 +178,36 @@ object Dedup {
     * the (band_id, band_hash) bucket join, a narrow (id1, id2) distinct,
     * and the survivor-only verify join. The verify join carries hashed
     * shingle sets (array<long>) — same Jaccard up to xxhash64 collisions
-    * (negligible), a fraction of the raw-string shuffle bytes. 4
-    * estimated-Jaccard prefilter (sig agreement fraction ≥ threshold)
-    * kills the candidate flood before anything wide moves.
+    * (negligible), a fraction of the raw-string shuffle bytes. The
+    * estimated-Jaccard prefilter (sig agreement fraction) kills the
+    * candidate flood before anything wide moves.
     *
     * Banding is recall-first: 8 bands × 2 rows means a true pair at
     * Jaccard j is missed with probability (1 − j²)⁸ — ≈1e-6 at j=0.9,
-    * 0.07 at j=0.5 — while the est-Jaccard prefilter (≥ threshold
-    * agreement across all 16 rows) keeps the 2-row band collisions from
-    * flooding the verify join. That recall is what lets the registered
-    * query carry a brute-force O(n²) DuckDB oracle at the correctness
-    * scale: output == exact pair list, containment AND recall checked.
+    * 3e-4 at j=0.8. The est-Jaccard prefilter runs with 0.2 SLACK below
+    * the verify threshold: the 16-row estimate has sd ≈ 0.1–0.125, so
+    * filtering at the threshold itself would kill borderline TRUE pairs
+    * (estimate noise), while slack only lets more candidates through to
+    * the exact verify — a flood-control knob, never a correctness one.
+    *
+    * Default threshold 0.5 (the classic near-dup level). On this corpus
+    * every true duplicate sits at j ≥ 0.8 and all background pairs at
+    * j < 0.35 (measured at sf0.001/0.01/0.1), so 0.5 has a wide margin
+    * on both sides — which is what lets the registered query carry a
+    * brute-force O(n²) DuckDB oracle: output == exact pair list,
+    * containment AND recall driver-checked. (At 0.2 the oracle would sit
+    * ON the background distribution, where banding recall is ~0.3 — the
+    * equality would be broken by design at larger SFs.)
     */
   def minhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 2, numHashes: Int = 16, bands: Int = 8,
-      threshold: Double = 0.2): DataFrame = {
+      threshold: Double = 0.5): DataFrame = {
     val sets = hashedShingleSets(docs, textCol, idCol, shingleN)
     val signed = sets.withColumn("sig", expr(s"graft_minhash_sig(shs, $numHashes)"))
     val cand = candidatePairs(
       lshBands(signed.drop("shs"), idCol, bands, numHashes / bands), idCol,
-      numHashes, minEstJaccard = threshold)
+      numHashes, minEstJaccard = math.max(0.0, threshold - 0.2))
     cand
       .join(sets.withColumnRenamed(idCol, "id1").withColumnRenamed("shs", "sh1"), "id1")
       .join(sets.withColumnRenamed(idCol, "id2").withColumnRenamed("shs", "sh2"), "id2")
@@ -254,7 +263,12 @@ object Dedup {
   def hammingBlockedPairs(hashed: DataFrame, idCol: String, hashCol: String,
       totalBits: Int, maxHamming: Int, maxBucket: Int): DataFrame = {
     val chunks = maxHamming + 1
-    require(maxHamming >= 0 && totalBits % chunks == 0 && totalBits / chunks >= 4,
+    // floor-width chunks are sound even when chunks don't divide
+    // totalBits: the few uncovered high bits can only ABSORB differences,
+    // so a pair within maxHamming has ≤ maxHamming diffs across the
+    // maxHamming+1 covered chunks and must share at least one (pigeonhole);
+    // the verify step XORs the FULL hash, so no false positives either
+    require(maxHamming >= 0 && totalBits / chunks >= 4,
       s"need chunks of >= 4 bits: $totalBits bits / $chunks chunks")
     val bits = totalBits / chunks
     val mask = (1L << bits) - 1
@@ -383,12 +397,12 @@ object Dedup {
       exactDistinct,
       Some("SELECT count(DISTINCT l_orderkey) AS exact_orders FROM lineitem")),
     // The oracle brute-forces ALL O(n²) pairs with exact bigram-shingle
-    // Jaccard ≥ 0.2: equality asserts BOTH containment (no false pair
+    // Jaccard ≥ 0.5: equality asserts BOTH containment (no false pair
     // survives the exact-verify) AND full observed recall of the 8×2
-    // LSH banding at this scale (the fixture's near-dups sit at j ≥ 0.9,
-    // where the banding miss probability is ~1e-6 per pair). The jaccard
-    // VALUE matches because the hashed-shingle sets are collision-free
-    // here (64-bit hashes over ~10² shingles).
+    // LSH banding (the fixture's near-dups all sit at j ≥ 0.8, the
+    // background below 0.35 — verified at sf0.001/0.01/0.1, seed-stable
+    // testdata). The jaccard VALUE matches because the hashed-shingle
+    // sets are collision-free here (64-bit hashes over ~10² shingles).
     GraftQuery("q_minhash_neardup", "MinHash+LSH near-dup pairs w/ exact Jaccard verify (brute-force oracle)",
       minhashQuery,
       Some(
@@ -406,7 +420,7 @@ object Dedup {
           |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
           |WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
           |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-          |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+          |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
           |ORDER BY id1, id2""".stripMargin)),
     GraftQuery("q_simhash_neardup", "SimHash 64-bit near-dup pairs (chunk-blocked; XXH64 is engine-specific -> rows-only; blocking proven by q_simhash_md5_twin)",
       simhashQuery, None),

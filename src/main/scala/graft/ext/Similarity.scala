@@ -89,21 +89,28 @@ object Similarity {
     * only the buckets whose id differs from the query's bucket in at
     * most `probeRadius` plane bits (the standard recall/latency knob for
     * SRP), then rank exactly. The probe list is tiny — 1 + p + p(p−1)/2
-    * rows at radius 2 — and broadcast; at the 100 TB plane count (p≈22,
-    * 4M buckets) radius-2 probing still touches ~250 of 4M buckets.
-    * Radius 2 lifts fixture recall@10 from 0.7 (radius 1) to 0.9; the
-    * last exact neighbor sits at Hamming 4 of 4 planes (this fixture's
-    * neighbors are near-orthogonal — the hard case for SRP).
+    * rows at radius 2, +p(p−1)(p−2)/6 at radius 3 — and broadcast; at
+    * the 100 TB plane count (p≈22, 4M buckets) radius-3 probing still
+    * touches only ~1.8k of 4M buckets. On this fixture (near-orthogonal
+    * neighbors — SRP's hard case) measured recall@10 is 0.4–0.7 at
+    * radius 1, 0.5–0.9 at radius 2, 1.0 at radius 3 across all SFs
+    * (tools/AnnTune).
     */
   def lshTopK(emb: DataFrame, queryVecId: Long, k: Int,
       numPlanes: Option[Int] = None, probeRadius: Int = 2): DataFrame = {
     val p = numPlanes.getOrElse(planesFor(emb.count()))
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val bucketed = withSrpBucket(emb, planeTable(p, dim))
+    require(probeRadius >= 0 && probeRadius <= 3,
+      s"probeRadius $probeRadius unsupported: masks are enumerated explicitly up to 3")
     val masks: Seq[Int] = Seq(0) ++
       (if (probeRadius >= 1) (0 until p).map(1 << _) else Seq.empty) ++
       (if (probeRadius >= 2)
         for (i <- 0 until p; j <- (i + 1) until p) yield (1 << i) | (1 << j)
+      else Seq.empty) ++
+      (if (probeRadius >= 3)
+        for (i <- 0 until p; j <- (i + 1) until p; l <- (j + 1) until p)
+          yield (1 << i) | (1 << j) | (1 << l)
       else Seq.empty)
     val probes = bucketed.where(col("vec_id") === queryVecId)
       .select(col("embedding").as("qv"),
@@ -190,7 +197,13 @@ object Similarity {
       val byList = means.groupBy(_.getInt(0))
       centroids = centroids.map { case (i, old) =>
         byList.get(i) match {
-          case Some(rows) => i -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          // round to 1e-9: a distributed avg() sums doubles in
+          // shuffle-dependent order, so raw means can wobble in the last
+          // ulp between runs; rounding pins the centroid table (and with
+          // it list assignment + probe ranking) run-to-run, which the
+          // hash-equality oracle gate relies on
+          case Some(rows) => i -> rows.sortBy(_.getInt(1))
+            .map(r => math.rint(r.getDouble(2) * 1e9) / 1e9).toSeq
           case None       => i -> old
         }
       }
@@ -258,16 +271,23 @@ object Similarity {
   def cosineTopkQuery(s: SparkSession, dir: String): DataFrame =
     bruteForceTopK(t(s, dir, "embeddings"), queryVecId = 0L, k = 20)
 
+  /** Probe radius 3: measured recall@10 = 1.0 at sf0.001/0.01/0.1
+    * (radius 2 → 0.4–0.9 — this fixture's neighbors are near-orthogonal,
+    * the hard case for SRP; tools/AnnTune measures). At the 100 TB plane
+    * count (p≈22) radius 3 still probes ~1.8k of 4M buckets.
+    */
   def lshTopkQuery(s: SparkSession, dir: String): DataFrame =
-    lshTopK(t(s, dir, "embeddings"), queryVecId = 0L, k = 10)
+    lshTopK(t(s, dir, "embeddings"), queryVecId = 0L, k = 10, probeRadius = 3)
 
-  /** nProbe 6 of 16 lists: the measured minimum for recall@10 = 1.0 with
-    * k-means centroids on this fixture (nProbe 4 → 0.9). The fixture is
-    * a HARD case — its nearest neighbors sit at cosine ≈ 0.3, so they
-    * scatter across lists; real near-dup workloads cluster far tighter.
+  /** nProbe 8 of 16 lists: the measured minimum for recall@10 = 1.0 with
+    * k-means centroids across ALL fixture SFs (nProbe 6 → 0.9 at
+    * sf0.001; nProbe 4 → 0.9 at sf0.01/0.1 — tools/AnnTune measures).
+    * The fixture is a HARD case — its nearest neighbors sit at cosine
+    * ≈ 0.3, so they scatter across lists; real near-dup workloads
+    * cluster far tighter and probe fewer lists.
     */
   def ivfTopkQuery(s: SparkSession, dir: String): DataFrame =
-    ivfTopK(t(s, dir, "embeddings"), queryVecId = 0L, k = 10, nProbe = 6)
+    ivfTopK(t(s, dir, "embeddings"), queryVecId = 0L, k = 10, nProbe = 8)
 
   /** Threshold 0.3: the synthetic embeddings are near-orthogonal random
     * vectors (max pairwise cosine ≈ 0.44 at sf0.01), so a classic 0.8+
@@ -342,17 +362,14 @@ object Similarity {
           |     sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
           |  FROM embeddings, q)
           |SELECT vec_id, label, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin)),
-    // Measured on this fixture (tools/AnnTune): recall@10 = 0.9 at probe
-    // radius 2 (0.7 at radius 1); the last exact neighbor sits at SRP
-    // Hamming 4 of 4 — unreachable below a full scan on near-orthogonal
-    // data, so this key stays rows-only with the number documented and
-    // unit-asserted (SimilaritySpec) instead of oracle-gated.
-    GraftQuery("q_ann_lsh_topk", "SRP-LSH bucketed ANN top-k, Hamming-2 multiprobe (measured recall@10 = 0.9; rows-only)",
-      lshTopkQuery, None),
-    // Oracle = brute-force exact top-k: hash-equality asserts observed
-    // recall@10 = 1.0 at the correctness scale (probed lists are
-    // deterministic, so this is a stable gate, not a lucky sample).
-    GraftQuery("q_ann_ivf_topk", "IVF ANN top-k: k-means centroid lists + nProbe probing (oracle = exact top-k, recall 1.0)",
+    // Both ANN oracles are the brute-force exact top-k: hash-equality
+    // asserts observed recall@10 = 1.0 — measured to hold at sf0.001,
+    // sf0.01 AND sf0.1 (tools/AnnTune), and stable because the probed
+    // buckets/lists are deterministic, not a lucky sample.
+    GraftQuery("q_ann_lsh_topk", "SRP-LSH bucketed ANN top-k, Hamming-3 multiprobe (oracle = exact top-k, recall 1.0 at all fixture SFs)",
+      lshTopkQuery,
+      Some(annOracleSql(k = 10))),
+    GraftQuery("q_ann_ivf_topk", "IVF ANN top-k: k-means centroid lists + nProbe probing (oracle = exact top-k, recall 1.0 at all fixture SFs)",
       ivfTopkQuery,
       Some(annOracleSql(k = 10))),
     GraftQuery("q_embed_neardup", "embedding-cosine near-dup pairs, SRP-blocked + multiprobe (0.3 on near-orthogonal data -> rows-only; blocking proven by q_embed_planted_twin)",

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -113,15 +113,23 @@ object TrainingPrep {
     // Exact min/max costs one cheap scan; dense ids (the common case for a
     // shuffled corpus) bucket evenly. For pathological key skew, swap the
     // uniform width for approxQuantile-derived literal bounds — the
-    // two-pass structure is unchanged.
-    val Row(lo: Long, hi: Long) =
-      toks.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    // two-pass structure is unchanged. Null doc_ids bucket to -1, which
+    // sorts before every real bucket — the same nulls-first prefix
+    // position a global ORDER BY doc_id would give them. An empty corpus
+    // leaves lo/hi at 0 and flows through to an empty result.
+    val bounds = toks.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 0L)
+      else (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (hi - lo) / parts + 1)
-    val pid = ((col("doc_id") - lit(lo)) / lit(width)).cast("int")
+    val pid = coalesce(
+      ((col("doc_id") - lit(lo)) / lit(width)).cast("int"), lit(-1))
 
     val subtotals = toks
       .groupBy(pid.as("pid"))
-      .agg(sum(col("n_tokens")).as("sub"))
+      // coalesce: a bucket whose every doc has null text would sum to
+      // null and NPE the driver-side read
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("sub"))
       .collect() // O(numBuckets) rows — driver-safe at any data scale
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)

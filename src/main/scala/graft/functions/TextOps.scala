@@ -136,6 +136,32 @@ object TextOps {
         md5(concat_ws(",", array_sort(array_distinct(col("fps"))))).as("fp_digest"))
       .orderBy("doc_id")
 
+  /** md5-winnowing twin: the PRODUCTION `graft_winnow` operator driven
+    * with md5-based positional 3-gram hashes (md5 is shared with DuckDB)
+    * instead of XXH64, so the whole winnowing selection — rightmost
+    * minimum per w=4 window, one emit per distinct selected position —
+    * is checked against an independent SQL reformulation in the DuckDB
+    * oracle. Same output contract as [[winnowFingerprint]] (count +
+    * sorted-set digest). Capped at doc_id < 500 (the whole table at the
+    * correctness SF) to bound the interpreted-HOF hashing cost; the
+    * production path stays [[winnowFingerprint]].
+    */
+  def winnowMd5Twin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(col("doc_id") < 500)
+      .withColumn("toks", split(normalizeText(col("text")), " "))
+      .withColumn("hs", expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(1, size(toks) - 2),
+          |    i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))), 25, 8), 16, 10) AS BIGINT))
+          |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+      .withColumn("fps", expr("graft_winnow(hs, 4)"))
+      .select(
+        col("doc_id"),
+        size(col("fps")).as("n_fingerprints"),
+        md5(concat_ws(",", array_sort(array_distinct(col("fps"))))).as("fp_digest"))
+      .orderBy("doc_id")
+
   /** Corpus term statistics — the TF/DF building block of TF-IDF and
     * inverted indexes: explode normalized tokens, total term frequency
     * and document frequency per term, top 20 by tf. Integer outputs so
@@ -214,8 +240,32 @@ object TextOps {
           |       (len(string_split(text, ' ')) BETWEEN 10 AND 2000
           |        AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) < 0.2) AS passes_quality
           |FROM documents ORDER BY doc_id""".stripMargin)),
-    GraftQuery("q_winnow_fingerprint", "MOSS winnowing rolling-hash fingerprints (rows-only; unit-pinned)",
+    GraftQuery("q_winnow_fingerprint", "MOSS winnowing rolling-hash fingerprints (XXH64 is engine-specific -> rows-only; selection proven by q_winnow_md5_twin)",
       winnowFingerprint, None),
+    GraftQuery("q_winnow_md5_twin", "graft_winnow over md5 3-gram hashes == DuckDB SQL winnowing reformulation",
+      winnowMd5Twin,
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+          |  FROM documents WHERE doc_id < 500),
+          |hs AS (
+          |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+          |    list_transform(range(1, len(tk) - 1),
+          |      i -> ('0x' || substring(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 25, 8))::BIGINT)
+          |  ELSE [] END AS h FROM toks),
+          |fps AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+          |         WHEN len(h) <= 4 THEN [list_min(h)]
+          |         ELSE list_transform(
+          |           list_distinct(list_transform(range(1, len(h) - 2),
+          |             i -> i + 4 - list_position(list_reverse(h[i : i + 3]), list_min(h[i : i + 3])))),
+          |           p -> h[p]) END AS fp
+          |  FROM hs)
+          |SELECT doc_id, CAST(len(fp) AS INT) AS n_fingerprints,
+          |       md5(COALESCE(list_aggregate(list_sort(list_distinct(fp)), 'string_agg', ','), '')) AS fp_digest
+          |FROM fps ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_string_funcs", "scalar string-function sweep incl. edit distance",
       stringFuncs,
       Some(

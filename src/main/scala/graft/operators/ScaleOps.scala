@@ -65,8 +65,10 @@ object ScaleOps {
     val orders = graft.engine.Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderpriority"))
-    val path = "/tmp/graft_sink/" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-      "/orders_by_priority"
+    // applicationId in the path: two concurrent drivers (e.g. Bench and
+    // Verify on the same SF) must not overwrite each other's sink mid-read
+    val path = "/tmp/graft_sink/" + spark.sparkContext.applicationId + "/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "/orders_by_priority"
     writePartitioned(orders, path, "o_orderpriority")
     partitionPrunedRead(spark, path)
   }

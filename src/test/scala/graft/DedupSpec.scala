@@ -45,18 +45,19 @@ class DedupSpec extends SparkTestBase {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val withFilter = Dedup.minhashNearDupPairs(docs, "text", "doc_id")
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // relaxed prefilter (est >= 0) = no prefilter
+    // relaxed prefilter (est >= 0) = no prefilter; same 8x2 banding and
+    // 0.5 verify threshold as the registered defaults
     val sets = Dedup.hashedShingleSets(docs, "text", "doc_id", 2)
     val signed = sets.withColumn("sig", expr("graft_minhash_sig(shs, 16)"))
     val cand = Dedup.candidatePairs(
-      Dedup.lshBands(signed.drop("shs"), "doc_id", 4, 4), "doc_id", 16, 0.0)
+      Dedup.lshBands(signed.drop("shs"), "doc_id", 8, 2), "doc_id", 16, 0.0)
     val noFilter = cand
       .join(sets.withColumnRenamed("doc_id", "id1").withColumnRenamed("shs", "sh1"), "id1")
       .join(sets.withColumnRenamed("doc_id", "id2").withColumnRenamed("shs", "sh2"), "id2")
       .select(col("id1"), col("id2"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))).cast("double")).as("j"))
-      .where(col("j") >= 0.2)
+      .where(col("j") >= 0.5)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(withFilter == noFilter)
   }

@@ -38,10 +38,17 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
-  test("IVF top-k: includes self, subset of brute-force prefix") {
+  test("IVF top-k: includes self, subset of brute-force prefix, plan prunes to probed lists") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val ivf = Similarity.ivfTopK(emb, queryVecId = 0L, k = 5, numLists = 8, nProbe = 3)
-      .collect()
+    val df = Similarity.ivfTopK(emb, queryVecId = 0L, k = 5, numLists = 8, nProbe = 3)
+    // the nProbe pruning must survive as an ivf_list IN (...) filter —
+    // without it the "ANN" silently degrades to a full scan. (Checked on
+    // the ANALYZED plan: the optimizer collapses the ivf_list alias into
+    // the filter expression, hiding the name.)
+    val plan = df.queryExecution.analyzed.toString
+    assert(plan.contains("ivf_list") && plan.contains(" IN ("),
+      s"probe filter missing from plan:\n$plan")
+    val ivf = df.collect()
     assert(ivf.head.getAs[Long]("vec_id") == 0L)
     val brute = Similarity.bruteForceTopK(emb, queryVecId = 0L, k = 30)
       .collect().map(_.getAs[Long]("vec_id")).toSet
