@@ -76,4 +76,35 @@ class TrainingPrepSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("sequence packing: two-pass prefix sum == single-task global window") {
+    import spark.implicits._
+    val packed = TrainingPrep.sequencePack(docs, budget = 512).collect()
+    // reference computation: driver-side global prefix sum in doc_id order
+    val perDoc = packed.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    var acc = 0L
+    val expected = perDoc.map { case (id, n) =>
+      val batch = (acc / 512).toInt; acc += n; (id, batch)
+    }.toMap
+    packed.foreach { r =>
+      assert(r.getInt(2) == expected(r.getLong(0)),
+        s"doc ${r.getLong(0)}: batch ${r.getInt(2)} != ${expected(r.getLong(0))}")
+    }
+    // batches are contiguous, starting at 0
+    val batches = packed.map(_.getInt(2)).distinct.sorted
+    assert(batches.head == 0 && batches.sameElements(batches.head to batches.last))
+  }
+
+  test("sequence packing: empty corpus and null doc_ids don't crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(java.lang.Long, String)].toDF("doc_id", "text")
+    assert(TrainingPrep.sequencePack(empty, budget = 64).count() == 0)
+    val withNull = Seq[(java.lang.Long, String)](
+      (null, "one two three"), (1L, "four five"), (2L, "six"))
+      .toDF("doc_id", "text")
+    val out = TrainingPrep.sequencePack(withNull, budget = 64)
+      .collect().map(r => (Option(r.get(0)), r.getInt(1)))
+    assert(out.length == 3)
+    assert(out.count(_._1.isEmpty) == 1)
+  }
 }
