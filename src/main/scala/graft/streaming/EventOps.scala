@@ -123,6 +123,66 @@ object EventOps {
         col("event_type"), col("n_events"))
   }
 
+  /** Click→purchase attribution, batch mode: each purchase joined to
+    * every click by the same user within the preceding hour — the batch
+    * twin of the stream-stream interval join
+    * ([[streamingAttribution]]). Equi-join on user_id + a time-range
+    * predicate ⇒ one shuffle on user_id, range filter inside the join.
+    */
+  def attributionJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    clicks.join(purchases,
+      clicks("user_id") === purchases("user_id")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(
+        clicks("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        col("value"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  /** Stream-stream interval join (the §2.10 shape batch joins can't
+    * model): clicks and purchases as TWO watermarked streams, joined on
+    * user_id with event-time bounds in both directions — exactly what
+    * Spark needs to evict join state (a click's state expires once the
+    * purchase watermark passes click_ts + 1h). At 100 TB state is
+    * bounded by (watermark horizon × arrival rate), not stream length.
+    */
+  def streamingAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tuned(spark)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src() = spark.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src().where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(
+        col("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        col("value"))
+  }
+
   /** Structured Streaming twin of [[sessionAgg]]: session_window +
     * watermark (Spark merges in-flight sessions in state). Exercised by
     * the streaming test suite against the batch result.
@@ -236,6 +296,18 @@ object EventOps {
           |       event_type, count(*) AS n_events
           |FROM events CROSS JOIN offs
           |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+    GraftQuery("q_attribution_join", "click->purchase interval join (batch twin of the stream-stream join)",
+      attributionJoin,
+      Some(
+        """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+          |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+          |       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+          |       p.value AS value
+          |FROM events c JOIN events p
+          |  ON c.user_id = p.user_id
+          | AND c.event_type = 'click' AND p.event_type = 'purchase'
+          | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+          |ORDER BY c.user_id, click_id, purchase_id""".stripMargin)),
     GraftQuery("q_json_funcs", "JSON path extraction + typed parse over the props column",
       jsonFuncs,
       Some(

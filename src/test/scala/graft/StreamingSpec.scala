@@ -70,6 +70,26 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.toSet == batchKeys)
   }
 
+  test("stream-stream interval join == batch attribution join") {
+    val q = EventOps.streamingAttribution(spark, sfDir).writeStream
+      .format("memory")
+      .queryName("graft_attr_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))
+    val streamed = spark.table("graft_attr_test")
+      .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+      .collect().map(key).toSet
+    val batch = EventOps.attributionJoin(spark, sfDir)
+      .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"attr divergence: only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-static enrichment join == batch join") {
     val q = EventOps.streamingEnrichedEvents(spark, sfDir).writeStream
       .format("memory")
