@@ -38,10 +38,16 @@ object Bench {
     }
     val ok = results.collect { case (k, v, None) => k -> v }
     val errs = results.collect { case (k, _, Some(m)) => k -> m }
-    val qs = ok.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // 3-decimal (ms) precision keeps the line compact: the driver
+    // captures a bounded log tail, and at 90 queries full-precision
+    // doubles pushed the JSON past the capture window (BENCH_r02.json's
+    // tail lost 18 queries to truncation)
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // locale-pinned: no comma decimals
+    val qs = ok.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => s""""$k":"${esc(m)}"""" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
