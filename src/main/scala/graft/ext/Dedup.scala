@@ -271,7 +271,10 @@ object Dedup {
     require(maxHamming >= 0 && totalBits / chunks >= 4,
       s"need chunks of >= 4 bits: $totalBits bits / $chunks chunks")
     val bits = totalBits / chunks
-    val mask = (1L << bits) - 1
+    // bits = 64 (maxHamming = 0, one full-width chunk): 1L << 64 wraps
+    // to 1 and would zero the mask, collapsing every hash into one
+    // bucket — use all-ones explicitly
+    val mask = if (bits >= 64) -1L else (1L << bits) - 1
     val chunked = hashed.select(
       col(idCol), col(hashCol),
       expr(s"explode(transform(sequence(0, ${chunks - 1}), b -> struct(b AS chunk_id, (shiftright($hashCol, b * $bits) & $mask) AS chunk)))").as("c"))

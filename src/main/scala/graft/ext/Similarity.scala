@@ -98,11 +98,12 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, queryVecId: Long, k: Int,
       numPlanes: Option[Int] = None, probeRadius: Int = 2): DataFrame = {
+    // fail fast — before the count()/head() jobs below do real work
+    require(probeRadius >= 0 && probeRadius <= 3,
+      s"probeRadius $probeRadius unsupported: masks are enumerated explicitly up to 3")
     val p = numPlanes.getOrElse(planesFor(emb.count()))
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val bucketed = withSrpBucket(emb, planeTable(p, dim))
-    require(probeRadius >= 0 && probeRadius <= 3,
-      s"probeRadius $probeRadius unsupported: masks are enumerated explicitly up to 3")
     val masks: Seq[Int] = Seq(0) ++
       (if (probeRadius >= 1) (0 until p).map(1 << _) else Seq.empty) ++
       (if (probeRadius >= 2)

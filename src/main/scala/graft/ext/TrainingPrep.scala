@@ -138,8 +138,13 @@ object TrainingPrep {
       val pair = (p, acc); acc += sub; pair
     }.toMap
 
+    // n_tokens as a secondary sort key: non-null doc_ids are unique, but
+    // multiple NULL ids all tie on doc_id alone and their shuffle order
+    // would decide batch assignment run to run; with the tiebreaker the
+    // output is deterministic as a multiset (rows identical in both keys
+    // are interchangeable)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("pid").orderBy("doc_id")
+      .partitionBy("pid").orderBy(col("doc_id"), col("n_tokens"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     toks
       .withColumn("pid", pid)

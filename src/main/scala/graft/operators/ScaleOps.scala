@@ -66,8 +66,21 @@ object ScaleOps {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderpriority"))
     // applicationId in the path: two concurrent drivers (e.g. Bench and
-    // Verify on the same SF) must not overwrite each other's sink mid-read
-    val path = "/tmp/graft_sink/" + spark.sparkContext.applicationId + "/" +
+    // Verify on the same SF) must not overwrite each other's sink
+    // mid-read. Per-app dirs would otherwise accumulate forever, so
+    // prune siblings idle > 2h (old enough that no live driver owns them)
+    val root = new java.io.File("/tmp/graft_sink")
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.lastModified() < cutoff)
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(d)
+      }
+    val path = root.getPath + "/" + spark.sparkContext.applicationId + "/" +
       dir.replaceAll("[^A-Za-z0-9]", "_") + "/orders_by_priority"
     writePartitioned(orders, path, "o_orderpriority")
     partitionPrunedRead(spark, path)

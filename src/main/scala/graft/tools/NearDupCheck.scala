@@ -33,17 +33,20 @@ object NearDupCheck {
       val sets = Dedup.shingleSets(docs, "text", 2).select(col("doc_id"), col("shingles"))
       val a = sets.select(col("doc_id").as("id1"), col("shingles").as("sh1"))
       val b = sets.select(col("doc_id").as("id2"), col("shingles").as("sh2"))
+      // persist: the O(n²) join feeds two actions (margin agg + pair
+      // collect) and is the dominant cost at sf0.1
       val scored = a.join(b, col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
           (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
             greatest(size(array_union(col("sh1"), col("sh2"))), lit(1)).cast("double")).as("j"))
+        .persist()
       val margin = scored.agg(
         max(when(col("j") < threshold, col("j"))).as("max_below"),
-        min(when(col("j") >= threshold, col("j"))).as("min_above"),
-        sum(when(col("j") >= threshold, 1).otherwise(0)).as("n_true")).head()
+        min(when(col("j") >= threshold, col("j"))).as("min_above")).head()
       val brute = scored.where(col("j") >= threshold)
         .select("id1", "id2").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+      scored.unpersist()
       val missing = brute -- pipeline
       val extra = pipeline -- brute
       val pass = missing.isEmpty && extra.isEmpty

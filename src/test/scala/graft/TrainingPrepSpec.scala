@@ -106,5 +106,17 @@ class TrainingPrepSpec extends SparkTestBase {
       .collect().map(r => (Option(r.get(0)), r.getInt(1)))
     assert(out.length == 3)
     assert(out.count(_._1.isEmpty) == 1)
+    // several null ids with DIFFERENT token counts: the n_tokens
+    // tiebreaker must make batch assignment a stable multiset
+    val multiNull = Seq[(java.lang.Long, String)](
+      (null, Seq.fill(40)("w").mkString(" ")),
+      (null, Seq.fill(10)("w").mkString(" ")),
+      (null, Seq.fill(25)("w").mkString(" ")),
+      (7L, "tail doc")).toDF("doc_id", "text")
+    def runOnce(): Seq[(Option[Any], Int, Int)] =
+      TrainingPrep.sequencePack(multiNull.repartition(8), budget = 32)
+        .collect().map(r => (Option(r.get(0)), r.getInt(1), r.getInt(2))).toSeq.sortBy(_._2)
+    val first = runOnce()
+    assert(runOnce() == first, "null-id batch assignment not run-stable")
   }
 }
