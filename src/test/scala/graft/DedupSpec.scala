@@ -85,6 +85,31 @@ class DedupSpec extends SparkTestBase {
     assert(blocked == brute, "pigeonhole blocking must be lossless within radius")
   }
 
+  test("hamming blocking lossless for non-dividing chunk widths and the single-chunk edge") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hashed = Dedup.withSimhash(docs, "text").select(col("doc_id"), col("simhash"))
+    val l = hashed.select(col("doc_id").as("id1"), col("simhash").as("h1"))
+    val r = hashed.select(col("doc_id").as("id2"), col("simhash").as("h2"))
+    def brute(maxH: Int): Set[(Long, Long)] =
+      l.crossJoin(r).where(col("id1") < col("id2"))
+        .where(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxH)
+        .select("id1", "id2")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // maxHamming = 2: 64 % 3 != 0 — floor-width chunks leave a high bit
+    // uncovered, which must still be lossless (uncovered bits only absorb
+    // differences)
+    val h2 = Dedup.hammingBlockedPairs(hashed, "doc_id", "simhash",
+      totalBits = 64, maxHamming = 2, maxBucket = 10000)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(h2 == brute(2), "floor-width chunk blocking lost pairs at maxHamming=2")
+    // maxHamming = 0: one 64-bit chunk — the 1L<<64 wrap regression would
+    // collapse everything into a single bucket value
+    val h0 = Dedup.hammingBlockedPairs(hashed, "doc_id", "simhash",
+      totalBits = 64, maxHamming = 0, maxBucket = 10000)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(h0 == brute(0), "single-chunk blocking must bucket by the full hash")
+  }
+
   test("simhash bucket cap drops degenerate buckets (documented recall trade)") {
     // 4 identical docs: every chunk bucket has size 4
     val docs = docsDf(Seq.fill(4)("same words in every single document here"))
