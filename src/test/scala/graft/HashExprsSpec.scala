@@ -46,6 +46,18 @@ class HashExprsSpec extends SparkTestBase {
     assert(sig.zip(sub).forall { case (full, s) => full <= s })
   }
 
+  test("graft_minhash_sig: NULL for empty or all-null input (no signature-of-nothing)") {
+    // two empty docs must NOT pair as estimated-Jaccard-1.0 candidates
+    val r = Seq((1L, Seq.empty[String], Seq[String](null, null)))
+      .toDF("id", "empty", "nulls")
+      .select(
+        expr("graft_minhash_sig(empty, 8)").as("se"),
+        expr("graft_minhash_sig(nulls, 8)").as("sn"),
+        expr("graft_minhash_sig(CAST(array() AS ARRAY<BIGINT>), 8)").as("sl"))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("graft_shingle_hashes: count = windows, distinct, order-insensitive set equality with string shingles") {
     val df = Seq((1L, "a b c d e")).toDF("id", "text")
       .select(expr("graft_shingle_hashes(split(text, ' '), 2)").as("shs")).head()
