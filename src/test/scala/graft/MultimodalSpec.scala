@@ -55,6 +55,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(ivf.map(_.getAs[Long]("vec_id")).toSet.subsetOf(brute))
   }
 
+  test("IVF lists written partitionBy(ivf_list) give partition-pruned probes") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val assigned = Similarity.withIvfList(emb, Similarity.sampleCentroids(emb, 8))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    graft.operators.ScaleOps.writePartitioned(assigned, s"$tmp/lists", "ivf_list")
+    // probing nProbe lists = reading nProbe directories; the plan must
+    // prune on the partition column (the PLANS.md 100 TB probe layout)
+    val probe = spark.read.parquet(s"$tmp/lists").where(col("ivf_list").isin(0, 1, 2))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_list"),
+      s"probe read not partition-pruned:\n$plan")
+    assert(probe.count() ==
+      assigned.where(col("ivf_list").isin(0, 1, 2)).count())
+  }
+
   test("IVF assignment: every vector lands in exactly one existing list") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val centroids = Similarity.sampleCentroids(emb, 8)
