@@ -272,6 +272,43 @@ object RelationalOps {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** C+: CORRELATED scalar subquery — each order compared to ITS
+    * customer's average. Catalyst decorrelates this into an aggregate +
+    * join (no per-row re-execution); the same rewrite DuckDB's
+    * decorrelator applies, which is what makes the oracle comparable.
+    */
+  def correlatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tuned(s)
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o.o_orderkey, o.o_custkey,
+        |       CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+        |FROM orders o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(12,2)) >
+        |      (SELECT CAST(AVG(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+        |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** C+: LATERAL correlated subquery — top-2 orders PER customer via a
+    * correlated ORDER BY/LIMIT, the SQL-standard alternative to the
+    * row_number window for top-n-per-group. Catalyst plans the lateral
+    * as a join after decorrelation; customers without orders drop out
+    * (inner lateral semantics).
+    */
+  def lateralTopN(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tuned(s)
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey,
+        |       CAST(CAST(t.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, total_price DESC, o_orderkey""".stripMargin)
+  }
+
   /** A+: collect_list with pinned ordering — per-segment sorted key list,
     * emitted as a CSV string (deterministic; array outputs defeat the
     * driver's canonicalization). collect_list order is
@@ -754,6 +791,26 @@ object RelationalOps {
           |WHERE CAST(o_totalprice AS DECIMAL(12,2)) >
           |      (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) FROM orders)
           |ORDER BY o_orderkey""".stripMargin)),
+    GraftQuery("q_correlated_subquery", "correlated scalar subquery (per-customer average), decorrelated by Catalyst",
+      correlatedSubquery,
+      Some(
+        """SELECT o.o_orderkey, o.o_custkey,
+          |       CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+          |FROM orders o
+          |WHERE CAST(o.o_totalprice AS DECIMAL(12,2)) >
+          |      (SELECT CAST(AVG(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+          |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)),
+    GraftQuery("q_lateral_topn", "LATERAL correlated subquery: top-2 orders per customer",
+      lateralTopN,
+      Some(
+        """SELECT c.c_custkey, t.o_orderkey,
+          |       CAST(CAST(t.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+          |FROM customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c_custkey, total_price DESC, o_orderkey""".stripMargin)),
     GraftQuery("q_intersect", "INTERSECT distinct set semantics (§2.6 Tier B)",
       intersectKeys,
       Some(
