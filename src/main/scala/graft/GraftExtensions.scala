@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer surface: builtin Jaccard composition -> one-pass native
+    // expression (see graft.plans.JaccardRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardRewrite)
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(array<string>) - 64-bit SimHash"),
       (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
@@ -52,6 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of numeric arrays"),
       (exprs: Seq[Expression]) => CosineExpr(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_jaccard"),
+      info("graft_jaccard", "graft_jaccard(a, b) - exact set-Jaccard of two arrays"),
+      (exprs: Seq[Expression]) => JaccardExpr(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("graft_srp_bucket"),
       info("graft_srp_bucket", "graft_srp_bucket(vec, planes) - sign-random-projection bucket id"),
       (exprs: Seq[Expression]) => SrpBucketExpr(exprs.head, exprs(1))))

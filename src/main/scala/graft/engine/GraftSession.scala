@@ -31,6 +31,11 @@ object GraftSession {
     // keeps all TPC-H-ish dims broadcastable without risking driver OOM.
     c.set("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
     graft.functions.HashExprs.register(spark)
+    // session-level twin of GraftExtensions.injectOptimizerRule (the
+    // extensions path only applies at builder time); idempotent
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.JaccardRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.JaccardRewrite
     spark
   }
 }

@@ -141,6 +141,68 @@ object HashImpls {
     dot / (math.sqrt(na2) * math.sqrt(nb2))
   }
 
+  /** Exact Jaccard |A∩B| / |A∪B| of two long arrays under SET
+    * semantics, value-identical to the builtin composition
+    * `size(array_intersect(a,b)) / size(array_union(a,b))` cast to
+    * double with ANSI off: elements deduped, a null element counts as
+    * one distinct value, and empty∪empty → NULL (Spark's Divide yields
+    * NULL on a zero divisor with ANSI off — NOT NaN). One hash-set
+    * pass — no intermediate intersect/union arrays are ever
+    * materialized, which is what makes the near-dup verify join cheap.
+    */
+  def jaccardLong(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val sa = new java.util.HashSet[java.lang.Long]()
+    var aNull = false
+    var i = 0
+    val na = a.numElements()
+    while (i < na) {
+      if (a.isNullAt(i)) aNull = true else sa.add(a.getLong(i))
+      i += 1
+    }
+    var bNull = false
+    val sb = new java.util.HashSet[java.lang.Long]()
+    i = 0
+    val nb = b.numElements()
+    while (i < nb) {
+      if (b.isNullAt(i)) bNull = true else sb.add(b.getLong(i))
+      i += 1
+    }
+    var inter = 0
+    val it = sb.iterator()
+    while (it.hasNext) if (sa.contains(it.next())) inter += 1
+    var union = sa.size + sb.size - inter
+    if (aNull || bNull) union += 1
+    if (aNull && bNull) inter += 1
+    if (union == 0) null else java.lang.Double.valueOf(inter.toDouble / union)
+  }
+
+  /** [[jaccardLong]] over string arrays. */
+  def jaccardString(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val sa = new java.util.HashSet[UTF8String]()
+    var aNull = false
+    var i = 0
+    val na = a.numElements()
+    while (i < na) {
+      if (a.isNullAt(i)) aNull = true else sa.add(a.getUTF8String(i))
+      i += 1
+    }
+    var bNull = false
+    val sb = new java.util.HashSet[UTF8String]()
+    i = 0
+    val nb = b.numElements()
+    while (i < nb) {
+      if (b.isNullAt(i)) bNull = true else sb.add(b.getUTF8String(i))
+      i += 1
+    }
+    var inter = 0
+    val it = sb.iterator()
+    while (it.hasNext) if (sa.contains(it.next())) inter += 1
+    var union = sa.size + sb.size - inter
+    if (aNull || bNull) union += 1
+    if (aNull && bNull) inter += 1
+    if (union == 0) null else java.lang.Double.valueOf(inter.toDouble / union)
+  }
+
   /** SRP bucket id: bit p of the result = sign of dot(vec, planes[p]).
     * `planes` is an array<array<double>> plan literal.
     */
@@ -400,6 +462,65 @@ case class CosineExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_jaccard(array<bigint|string>, array<same>) -> double`: exact
+  * set-Jaccard in one hash-set pass, value-identical to
+  * `CAST(size(array_intersect(a,b)) AS DOUBLE) /
+  *  CAST(size(array_union(a,b)) AS DOUBLE)` (ANSI off) but without
+  * materializing the intersect/union arrays per pair — the hot path of
+  * every near-dup verify join. [[graft.plans.JaccardRewrite]] rewrites
+  * the builtin composition into this expression automatically.
+  */
+case class JaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def overLongs: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) |
+           (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint> or two array<string> args, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  // NULL when the union is empty (two empty sets) — exactly the builtin
+  // Divide-by-zero NULL this expression must be value-identical to
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jaccard"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    if (overLongs)
+      HashImpls.jaccardLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      HashImpls.jaccardString(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (overLongs) "jaccardLong" else "jaccardString"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("jaccard")
+      s"""
+        java.lang.Double $boxed = graft.functions.HashImpls.$fn($a, $b);
+        ${ev.isNull} = $boxed == null;
+        ${ev.value} = ${ev.isNull} ? -1.0 : $boxed.doubleValue();"""
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardExpr {
+  /** Element-type gate used by the rewrite rule. */
+  def supports(l: DataType, r: DataType): Boolean = (l, r) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => true
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => true
+    case _ => false
+  }
+}
+
 /** `graft_srp_bucket(array<float|double>, array<array<double>>) -> int` */
 case class SrpBucketExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -486,6 +607,11 @@ object HashExprs {
       exprs => exprs match {
         case Seq(a, b) => CosineExpr(a, b)
         case _ => throw new IllegalArgumentException("graft_cosine(a, b)")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard",
+      exprs => exprs match {
+        case Seq(a, b) => JaccardExpr(a, b)
+        case _ => throw new IllegalArgumentException("graft_jaccard(a, b)")
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_srp_bucket",
       exprs => exprs match {

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.GraftSession
+import graft.ext.Dedup
+
+/** The JaccardRewrite optimizer rule: value parity with the builtin
+  * composition (including the ugly edges) and plan-level proof that the
+  * rewrite fires — for user SQL and for the production near-dup verify
+  * join.
+  */
+class PlanRulesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("graft_jaccard == builtin composition on every edge (incl. NULL for 0/0)") {
+    GraftSession.tuned(spark)
+    val rows = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),   // overlap: 2/4
+      (2L, Seq(1L, 2L), Seq(3L, 4L)),           // disjoint: 0/4
+      (3L, Seq.empty[Long], Seq.empty[Long]),   // empty: 0/0 = Divide NULL
+      (4L, Seq(1L, 1L, 2L), Seq(1L, 2L, 2L)),   // dup elements dedup: 2/2
+      (5L, Seq(7L), Seq(7L)))                   // identical: 1/1
+      .toDF("id", "a", "b")
+      .select(col("id"),
+        (size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b"))).cast("double")).as("builtin"),
+        expr("graft_jaccard(a, b)").as("native"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2),
+        s"id ${r.getLong(0)}: null mismatch builtin=${r.get(1)} native=${r.get(2)}")
+      if (!r.isNullAt(1))
+        assert(r.getDouble(1) == r.getDouble(2),
+          s"id ${r.getLong(0)}: builtin=${r.getDouble(1)} native=${r.getDouble(2)}")
+    }
+    assert(rows(2).isNullAt(2), "0/0 must be NULL, matching Divide-by-zero")
+  }
+
+  test("null elements count as one distinct set member (array_intersect/union parity)") {
+    GraftSession.tuned(spark)
+    val r = Seq((Seq[java.lang.Long](1L, null), Seq[java.lang.Long](null, 2L)))
+      .toDF("a", "b")
+      .select(
+        (size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b"))).cast("double")).as("builtin"),
+        expr("graft_jaccard(a, b)").as("native"))
+      .head()
+    assert(r.getDouble(0) == r.getDouble(1)) // {null} ∩ / {1,2,null} ∪ = 1/3
+    assert(r.getDouble(1) == 1.0 / 3.0)
+  }
+
+  test("the rewrite fires: builtin composition plans as graft_jaccard") {
+    GraftSession.tuned(spark)
+    // parquet-backed input: a literal relation would be constant-folded
+    // into a LocalRelation before extraOptimizations ever see Divide
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("a"),
+        split(col("lang"), " ").as("b"))
+    val df = docs.select((size(array_intersect(col("a"), col("b"))).cast("double") /
+      size(array_union(col("a"), col("b"))).cast("double")).as("j"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_jaccard"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("array_intersect"), s"builtin survived:\n$plan")
+  }
+
+  test("the production near-dup verify join runs on the native expression") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = Dedup.minhashNearDupPairs(docs, "text", "doc_id")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_jaccard"),
+      s"verify join not rewritten:\n${plan.take(2000)}")
+  }
+
+  test("mismatched argument pairs are NOT rewritten (semantic-equality guard)") {
+    GraftSession.tuned(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(split(col("text"), " ").as("a"), split(col("lang"), " ").as("b"),
+        split(col("source"), " ").as("c"))
+    val df = docs.select((size(array_intersect(col("a"), col("b"))).cast("double") /
+      size(array_union(col("a"), col("c"))).cast("double")).as("x"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("graft_jaccard"), s"unsound rewrite:\n$plan")
+    assert(plan.contains("array_intersect"), s"builtin should survive:\n$plan")
+  }
+}
