@@ -170,7 +170,19 @@ object HashImpls {
     var inter = 0
     val it = sb.iterator()
     while (it.hasNext) if (sa.contains(it.next())) inter += 1
-    var union = sa.size + sb.size - inter
+    jaccardFinish(sa.size, sb.size, inter, aNull, bNull)
+  }
+
+  /** Shared null-member/0-union arithmetic of the two jaccard
+    * overloads — the subtlest part of the builtin-parity contract,
+    * kept in ONE place: a null element counts as one distinct set
+    * member on each side, and an empty union yields NULL (the ANSI-off
+    * Divide-by-zero result).
+    */
+  private def jaccardFinish(saSize: Int, sbSize: Int, interRaw: Int,
+      aNull: Boolean, bNull: Boolean): java.lang.Double = {
+    var inter = interRaw
+    var union = saSize + sbSize - interRaw
     if (aNull || bNull) union += 1
     if (aNull && bNull) inter += 1
     if (union == 0) null else java.lang.Double.valueOf(inter.toDouble / union)
@@ -197,10 +209,7 @@ object HashImpls {
     var inter = 0
     val it = sb.iterator()
     while (it.hasNext) if (sa.contains(it.next())) inter += 1
-    var union = sa.size + sb.size - inter
-    if (aNull || bNull) union += 1
-    if (aNull && bNull) inter += 1
-    if (union == 0) null else java.lang.Double.valueOf(inter.toDouble / union)
+    jaccardFinish(sa.size, sb.size, inter, aNull, bNull)
   }
 
   /** SRP bucket id: bit p of the result = sign of dot(vec, planes[p]).

@@ -263,19 +263,26 @@ object RelationalOps {
   def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
     GraftSession.tuned(s)
     Tables.registerAll(s, dir)
+    // price > avg stated as price × count > sum: exact decimal/integer
+    // arithmetic on both engines (an AVG would round — Spark decimal
+    // HALF_UP vs DuckDB double — and a half-cent boundary could flip)
     s.sql(
       """SELECT o_orderkey,
         |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
         |FROM orders
-        |WHERE CAST(o_totalprice AS DECIMAL(12,2)) >
-        |      (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) FROM orders)
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM orders) >
+        |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders)
         |ORDER BY o_orderkey""".stripMargin)
   }
 
-  /** C+: CORRELATED scalar subquery — each order compared to ITS
-    * customer's average. Catalyst decorrelates this into an aggregate +
-    * join (no per-row re-execution); the same rewrite DuckDB's
+  /** C+: CORRELATED scalar subqueries — each order compared to ITS
+    * customer's average. Catalyst decorrelates these into aggregates +
+    * joins (no per-row re-execution); the same rewrite DuckDB's
     * decorrelator applies, which is what makes the oracle comparable.
+    * "price > avg" is stated as "price × count > sum" so EVERY
+    * operation is exact decimal/integer arithmetic: an AVG would round
+    * (Spark: decimal HALF_UP; DuckDB: avg-of-decimal returns a double)
+    * and half-cent-boundary customers could flip rows between engines.
     */
   def correlatedSubquery(s: SparkSession, dir: String): DataFrame = {
     GraftSession.tuned(s)
@@ -284,8 +291,9 @@ object RelationalOps {
       """SELECT o.o_orderkey, o.o_custkey,
         |       CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
         |FROM orders o
-        |WHERE CAST(o.o_totalprice AS DECIMAL(12,2)) >
-        |      (SELECT CAST(AVG(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+        |WHERE CAST(o.o_totalprice AS DECIMAL(12,2)) *
+        |      (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey) >
+        |      (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(12,2)))
         |       FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin)
   }
@@ -782,23 +790,24 @@ object RelationalOps {
         """SELECT c_custkey, c_name FROM customer c
           |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
           |ORDER BY c_custkey""".stripMargin)),
-    GraftQuery("q_scalar_subquery", "scalar subquery in a predicate (above-average filter)",
+    GraftQuery("q_scalar_subquery", "scalar subquery in a predicate (above-average filter, exact arithmetic)",
       scalarSubquery,
       Some(
         """SELECT o_orderkey,
           |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
           |FROM orders
-          |WHERE CAST(o_totalprice AS DECIMAL(12,2)) >
-          |      (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) FROM orders)
+          |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM orders) >
+          |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders)
           |ORDER BY o_orderkey""".stripMargin)),
-    GraftQuery("q_correlated_subquery", "correlated scalar subquery (per-customer average), decorrelated by Catalyst",
+    GraftQuery("q_correlated_subquery", "correlated scalar subqueries (above own customer's average, exact arithmetic), decorrelated by Catalyst",
       correlatedSubquery,
       Some(
         """SELECT o.o_orderkey, o.o_custkey,
           |       CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
           |FROM orders o
-          |WHERE CAST(o.o_totalprice AS DECIMAL(12,2)) >
-          |      (SELECT CAST(AVG(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+          |WHERE CAST(o.o_totalprice AS DECIMAL(12,2)) *
+          |      (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey) >
+          |      (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(12,2)))
           |       FROM orders i WHERE i.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey""".stripMargin)),
     GraftQuery("q_lateral_topn", "LATERAL correlated subquery: top-2 orders per customer",

@@ -64,7 +64,9 @@ class MultimodalSpec extends SparkTestBase {
     // prune on the partition column (the PLANS.md 100 TB probe layout)
     val probe = spark.read.parquet(s"$tmp/lists").where(col("ivf_list").isin(0, 1, 2))
     val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("ivf_list"),
+    // every scan prints "PartitionFilters: [...]" — the filter must be
+    // INSIDE the brackets, not in a post-scan Filter node
+    assert("PartitionFilters: \\[[^\\]]*ivf_list".r.findFirstIn(plan).isDefined,
       s"probe read not partition-pruned:\n$plan")
     assert(probe.count() ==
       assigned.where(col("ivf_list").isin(0, 1, 2)).count())

@@ -50,6 +50,27 @@ class PlanRulesSpec extends SparkTestBase {
     assert(r.getDouble(1) == 1.0 / 3.0)
   }
 
+  test("null ARRAY input: rewritten builtin keeps legacy-size 1.0; raw function stays NULL") {
+    GraftSession.tuned(spark)
+    // with ANSI off Spark defaults legacy.sizeOfNull=true: size(NULL) = -1
+    // makes the builtin (-1)/(-1) = 1.0 on a null array — the rewrite
+    // must preserve that (If-wrapper), while graft_jaccard itself is
+    // null-intolerant
+    assume(spark.conf.get("spark.sql.legacy.sizeOfNull") == "true")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(3)
+      .select(
+        when(col("doc_id") === 0L, split(col("text"), " ")).as("a"),
+        split(col("text"), " ").as("b"))
+    val r = docs
+      .select(col("a"),
+        (size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b"))).cast("double")).as("builtin"),
+        expr("graft_jaccard(a, b)").as("native"))
+      .where(col("a").isNull).head()
+    assert(r.getDouble(1) == 1.0, "legacy-size builtin must stay 1.0 after rewrite")
+    assert(r.isNullAt(2), "the raw function is null-intolerant")
+  }
+
   test("the rewrite fires: builtin composition plans as graft_jaccard") {
     GraftSession.tuned(spark)
     // parquet-backed input: a literal relation would be constant-folded
@@ -70,6 +91,19 @@ class PlanRulesSpec extends SparkTestBase {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("graft_jaccard"),
       s"verify join not rewritten:\n${plan.take(2000)}")
+  }
+
+  test("ANSI-mode Divide is NOT rewritten (must keep raising DIVIDE_BY_ZERO)") {
+    GraftSession.tuned(spark)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(split(col("text"), " ").as("a"), split(col("lang"), " ").as("b"))
+      val df = docs.select((size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b"))).cast("double")).as("j"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("graft_jaccard"), s"unsound ANSI rewrite:\n$plan")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
   }
 
   test("mismatched argument pairs are NOT rewritten (semantic-equality guard)") {

@@ -61,7 +61,7 @@ class ScaleOpsSpec extends SparkTestBase {
     val read = spark.read.parquet(s"$tmp/orders_by_year")
       .where(col("o_year") === 1995)
     val scan = read.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("o_year"),
+    assert("PartitionFilters: \\[[^\\]]*o_year".r.findFirstIn(scan).isDefined,
       s"partition filter not pushed:\n$scan")
     assert(read.count() == withYear.where(col("o_year") === 1995).count())
   }
@@ -69,7 +69,7 @@ class ScaleOpsSpec extends SparkTestBase {
   test("q_partitioned_sink: read-back plan prunes, rows match a direct filter") {
     val out = ScaleOps.partitionedSinkQuery(spark, sfDir)
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("o_orderpriority"),
+    assert("PartitionFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(plan).isDefined,
       s"partition filter not pushed:\n$plan")
     val direct = orders.where(col("o_orderpriority") === "1-URGENT").count()
     assert(out.count() == direct)
