@@ -25,6 +25,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .withExtensions(new GraftExtensions()(_))
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+      // match GraftSession semantics: the JaccardRewrite guard only
+      // rewrites non-ANSI Divide (Spark 4 defaults ANSI on)
+      .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     try {
       import s.implicits._
@@ -57,6 +60,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
           .select(expr("graft_simhash64(toks)")).head().getLong(0)
       }
       assert(viaRegistry == row.getLong(0))
+
+      // injectOptimizerRule is a distinct registration route from
+      // GraftSession.tuned's extraOptimizations: prove JaccardRewrite
+      // fires in THIS session too (parquet-backed - a literal relation
+      // would constant-fold before the optimizer rule runs)
+      val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(split(col("text"), " ").as("a"), split(col("lang"), " ").as("b"))
+      val plan = docs.select(
+          (size(array_intersect(col("a"), col("b"))).cast("double") /
+            size(array_union(col("a"), col("b"))).cast("double")).as("j"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_jaccard"),
+        s"injectOptimizerRule path did not rewrite:\n$plan")
     } finally {
       // restore the shared test session for subsequent suites (the
       // SparkContext is shared, so do NOT stop it)
