@@ -374,6 +374,122 @@ object Dedup {
       .orderBy("id1")
   }
 
+  // ---- near-dup clustering (connected components) ----------------------
+
+  /** Connected components of an undirected edge list: returns one
+    * `(id, comp)` row per endpoint, where `comp` is the minimum id
+    * reachable from `id` — the canonical cluster label.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * every node adopts the minimum of its own label and its neighbors'
+    * labels, then labels chase one extra hop (`comp := comp(comp)`), so
+    * a diameter-D component converges in O(log D) rounds instead of D.
+    * Each round is two shuffles over the LABEL relation (one row per
+    * node that appears in a pair — for near-dup graphs a tiny fraction
+    * of the corpus; the corpus itself is never reshuffled) plus one
+    * O(1)-result convergence count. The driver loop holds only the
+    * round counter — the same structure GraphX/Pregel uses; it is the
+    * scale-correct shape for iterative graph algorithms on Spark.
+    */
+  def connectedComponents(edges: DataFrame, idCol1: String = "id1",
+      idCol2: String = "id2", maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col(idCol1).cast("long").as("src"), col(idCol2).cast("long").as("dst"))
+      .union(edges
+        .select(col(idCol2).cast("long").as("src"), col(idCol1).cast("long").as("dst")))
+    var labels = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
+      .persist()
+    var converged = labels.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      // neighbor step: candidate label = min over neighbors' labels
+      val viaNbr = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("comp").as("nc"))
+      val stepped = labels.join(viaNbr, "id")
+        .select(col("id"), least(col("comp"), col("nc")).as("comp"))
+      // pointer jump: comp := min(comp, comp(comp)) — halves chain depth
+      val parents = stepped
+        .select(col("id").as("p_id"), col("comp").as("p_comp"))
+      val next = stepped.join(parents, col("comp") === col("p_id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"))
+        .persist()
+      // labels only ever decrease, so any change shows as new < old
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .where(col("comp") < col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Near-dup clusters over the MinHash+LSH pair graph
+    * ([[minhashNearDupPairs]]): transitive closure of the pairwise
+    * edges, one row per clustered doc with its cluster label (= min
+    * member id), cluster size, and the canonical-survivor flag. Pairs
+    * alone under-report duplication (A~B, B~C may hold while A~C fails
+    * the threshold); dedup policies act on the CLUSTER, keeping one
+    * representative per component.
+    */
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("id1"), col("id2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** The dedup policy applied end to end: every non-canonical cluster
+    * member is dropped from the corpus via LEFT ANTI join (broadcast of
+    * the removal list, which is bounded by the clustered-doc count —
+    * never the corpus). Text column omitted from the output projection:
+    * the surviving corpus would carry it, the report doesn't need it.
+    */
+  def nearDupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val removed = connectedComponents(
+        minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id")
+          .select(col("id1"), col("id2")))
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    t(s, dir, "documents")
+      .join(broadcast(removed), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle fragment: brute-force near-dup edges + recursive-CTE
+    * connected components (DuckDB WITH RECURSIVE replays the transitive
+    * closure the Spark loop computes).
+    */
+  private val componentsCteSql: String =
+    """WITH RECURSIVE sets AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |    ELSE [] END) AS shingles
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |        FROM documents)
+      |), edges AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      |  WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+      |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+      |), sym AS (SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges),
+      |nodes AS (SELECT DISTINCT a AS id FROM sym),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+      |),
+      |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_dedup_exact", "exact dedup via content-hash groupBy",
       exactDedup,
@@ -481,5 +597,25 @@ object Dedup {
           |       len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
           |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
           |ORDER BY id1""".stripMargin)),
+    // Components oracle: DuckDB WITH RECURSIVE transitive closure over
+    // the same brute-force edge list that gates q_minhash_neardup, so
+    // the driver verifies the distributed label-propagation loop
+    // (including the transitive A~B~C chain with no direct A~C edge)
+    // against an independent fixpoint computation.
+    GraftQuery("q_dedup_clusters", "near-dup connected components: cluster label, size, canonical flag",
+      nearDupClusters,
+      Some(componentsCteSql +
+        """
+          |SELECT c.doc_id, c.cluster_id,
+          |       count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+          |       CAST(c.doc_id = c.cluster_id AS INT) AS is_canonical
+          |FROM comp c ORDER BY cluster_id, doc_id""".stripMargin)),
+    GraftQuery("q_dedup_apply", "corpus after near-dup dedup: keep one canonical doc per cluster",
+      nearDupSurvivors,
+      Some(componentsCteSql +
+        """
+          |SELECT doc_id, lang, source, n_chars FROM documents
+          |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+          |ORDER BY doc_id""".stripMargin)),
   )
 }
