@@ -393,13 +393,22 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, idCol1: String = "id1",
       idCol2: String = "id2", maxIter: Int = 25): DataFrame = {
+    // Iterative self-referencing plans grow exponentially (the jump
+    // join references `stepped` twice), so each round's labels must be
+    // materialized WITH LINEAGE CUT — persist() alone keeps the logical
+    // plan and OOMs the driver on plan strings within ~6 rounds. Use a
+    // reliable checkpoint when the caller configured a checkpoint dir
+    // (cluster production: fault-tolerant), else a local one.
+    def cut(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     val sym = edges
       .select(col(idCol1).cast("long").as("src"), col(idCol2).cast("long").as("dst"))
       .union(edges
         .select(col(idCol2).cast("long").as("src"), col(idCol1).cast("long").as("dst")))
-    var labels = sym.groupBy("src").agg(min("dst").as("mn"))
-      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
       .persist()
+    var labels = cut(sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp")))
     var converged = labels.isEmpty
     var it = 0
     while (!converged && it < maxIter) {
@@ -411,17 +420,16 @@ object Dedup {
       // pointer jump: comp := min(comp, comp(comp)) — halves chain depth
       val parents = stepped
         .select(col("id").as("p_id"), col("comp").as("p_comp"))
-      val next = stepped.join(parents, col("comp") === col("p_id"), "left")
+      val next = cut(stepped.join(parents, col("comp") === col("p_id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"))
-        .persist()
+          least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp")))
       // labels only ever decrease, so any change shows as new < old
       converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .where(col("comp") < col("prev")).isEmpty
-      labels.unpersist()
       labels = next
       it += 1
     }
+    sym.unpersist()
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }

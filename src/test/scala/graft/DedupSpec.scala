@@ -127,6 +127,44 @@ class DedupSpec extends SparkTestBase {
       s"HLL rsd=0.02 drifted: approx=$approx exact=$exact") // 5 sigma headroom
   }
 
+  test("connectedComponents: chain, star, disjoint pairs, empty") {
+    def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      Dedup.connectedComponents(pairs.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 64-node path: diameter 63, must converge well inside maxIter via
+    // pointer jumping; every node labels to 0
+    val chain = cc((0L until 63L).map(i => (i, i + 1)))
+    assert(chain.size == 64 && chain.values.forall(_ == 0L))
+    // star centered high: label = min leaf
+    val star = cc(Seq((100L, 7L), (100L, 9L), (100L, 8L)))
+    assert(star == Map(100L -> 7L, 7L -> 7L, 9L -> 7L, 8L -> 7L))
+    // two disjoint pairs stay separate
+    val two = cc(Seq((1L, 2L), (10L, 11L)))
+    assert(two == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    // empty edge list => empty labeling (and no non-convergence error)
+    assert(cc(Seq.empty).isEmpty)
+  }
+
+  test("nearDupClusters groups the fixture's transitive chain into one cluster") {
+    val pairs = Dedup.minhashQuery(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val clusters = Dedup.nearDupClusters(spark, sfDir)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    // every paired doc is clustered, labels are cluster minima
+    val clustered = clusters.toMap
+    assert(clustered.keySet == pairs.flatMap(p => Seq(p._1, p._2)))
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.map(_._1).min == label, s"label $label is not the min member")
+    }
+    // transitivity: any two pairs sharing a doc land in the same cluster
+    for ((a, b) <- pairs; (c, d) <- pairs if Set(a, b).intersect(Set(c, d)).nonEmpty)
+      assert(clustered(a) == clustered(c), s"pairs ($a,$b) and ($c,$d) split")
+    // survivors = corpus minus non-canonical members
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val removed = clusters.count { case (id, label) => id != label }
+    assert(Dedup.nearDupSurvivors(spark, sfDir).count() == total - removed)
+  }
+
   test("property: dedup by distinct is idempotent and bounded (100 seeded samples)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 100) {
