@@ -30,6 +30,7 @@ object Catalog {
       graft.operators.ScaleOps.queries ++
       graft.functions.TextOps.queries ++
       graft.ext.Dedup.queries ++
+      graft.ext.Cleaning.queries ++
       graft.ext.TrainingPrep.queries ++
       graft.ext.Similarity.queries ++
       graft.ext.Multimodal.queries ++

@@ -1,0 +1,208 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.engine.{GraftSession, Tables}
+import graft.functions.TextOps
+
+/** Training-corpus cleaning operators (north-star Tier B): PII
+  * redaction, eval-set contamination detection, and repetition-based
+  * quality signals (the Gopher-rule family).
+  *
+  * 100 TB design: redaction and repetition stats are row-local single
+  * scans (codegen'd regex/aggregation, zero shuffle). Contamination
+  * shuffles on the n-gram key only — and the production call hashes
+  * grams to 64-bit longs first ([[Dedup.hashedShingleSets]]) so the
+  * shuffle carries 8-byte keys, not strings; a real eval set is tiny,
+  * so Spark broadcasts it and even that shuffle disappears.
+  */
+object Cleaning {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(GraftSession.tuned(s), dir, n)
+
+  // ---- PII redaction ---------------------------------------------------
+
+  /** Redaction patterns (applied in this order: emails first so the
+    * address' digit runs can never half-match as IPs/phones).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val phoneRe = "\\b555-\\d{4}\\b"
+
+  /** Scrub emails / IPv4s / phone numbers from a text column; row-local
+    * chained `regexp_replace` (codegen, single scan — the shape that
+    * holds at any scale).
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "[EMAIL]"),
+        ipv4Re, "[IP]"),
+      phoneRe, "[PHONE]")
+
+  /** Registered demo: the fixture corpus carries no PII, so the query
+    * plants a deterministic contact trailer per doc (modulo rules vary
+    * the email/IP/phone mix, including docs with none) and then counts
+    * and scrubs it. The construction is part of the query so the DuckDB
+    * oracle replays it exactly.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val sid = id.cast("string")
+    val contact = concat(
+      when(id % 3 =!= 0, concat(lit(" user"), sid, lit("@example.com"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" alt"), sid, lit("@mail.test"))).otherwise(lit("")),
+      when(id % 2 === 0,
+        concat(lit(" from 10.0."), expr("CAST((doc_id DIV 256) % 256 AS STRING)"),
+          lit("."), (id % 256).cast("string"))).otherwise(lit("")),
+      when(id % 7 === 0,
+        concat(lit(" call 555-"), lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    t(s, dir, "documents")
+      .select(id, concat(col("text"), contact).as("full_text"))
+      .select(
+        id,
+        regexp_count(col("full_text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("full_text"), lit(ipv4Re)).cast("long").as("n_ips"),
+        regexp_count(col("full_text"), lit(phoneRe)).cast("long").as("n_phones"),
+        redactPii(col("full_text")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  // ---- eval-set contamination -----------------------------------------
+
+  /** Docs sharing at least one word n-gram with any eval-set document —
+    * benchmark-leakage detection. `evalPred` marks the eval docs; the
+    * report lists each contaminated NON-eval doc with how many distinct
+    * grams it shares and the smallest eval doc id it collides with.
+    *
+    * Set `hashed = true` (the scale path) to join on 64-bit gram hashes
+    * instead of gram strings — same output modulo 64-bit collisions
+    * (unit-asserted equal on the fixtures), 8-byte shuffle keys.
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      evalPred: Column, n: Int = 5, hashed: Boolean = false): DataFrame = {
+    val sets =
+      if (hashed)
+        Dedup.hashedShingleSets(docs, textCol, idCol, n)
+          .withColumnRenamed("shs", "shingles")
+      else Dedup.shingleSets(docs, textCol, n)
+        .select(col(idCol), col("shingles"))
+    val grams = sets.select(col(idCol), explode(col("shingles")).as("g"))
+    val ev = grams.where(evalPred)
+      .select(col(idCol).as("first_eval"), col("g"))
+    grams.where(!evalPred)
+      .join(ev, "g")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared"), min("first_eval").as("first_eval"))
+      .orderBy(idCol)
+  }
+
+  def contaminationReport(s: SparkSession, dir: String): DataFrame =
+    contamination(t(s, dir, "documents"), "doc_id", "text",
+      evalPred = col("doc_id") % 10 === 5)
+
+  // ---- repetition quality signals (Gopher-rule family) -----------------
+
+  /** Per-doc repetition stats over the normalized token stream:
+    * duplicate-token fraction, most-frequent-token fraction, and
+    * most-frequent-bigram fraction — the signals behind "drop docs that
+    * are mostly boilerplate repeats". Integer counts divided once at
+    * the end: exact, shuffle only on (doc_id[, gram]) aggregation keys.
+    */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), split(TextOps.normalizeText(col("text")), " ").as("toks"))
+    val words = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val wstats = words.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_cnt"))
+    // ALL bigrams (duplicates preserved — repetition is the signal;
+    // shingleSets would dedup them away)
+    val bigrams = toks
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(1, size(toks) - 1),
+          |                 i -> concat_ws(' ', toks[i-1], toks[i]))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("g"))
+    val bstats = bigrams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_bigrams"), max("c").as("top_bg"))
+    wstats.join(bstats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens").cast("double")).as("dup_token_frac"),
+        (col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_frac"),
+        coalesce(col("top_bg").cast("double") / col("n_bigrams").cast("double"),
+          lit(0.0)).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ---- registered queries ----------------------------------------------
+
+  private val normToksSql =
+    """string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')"""
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_pii_redact", "PII scrub: email/IPv4/phone counts + chained regexp_replace redaction",
+      piiRedact,
+      Some(
+        s"""WITH enriched AS (
+           |  SELECT doc_id,
+           |         text ||
+           |         CASE WHEN doc_id % 3 <> 0 THEN ' user' || doc_id || '@example.com' ELSE '' END ||
+           |         CASE WHEN doc_id % 5 = 0 THEN ' alt' || doc_id || '@mail.test' ELSE '' END ||
+           |         CASE WHEN doc_id % 2 = 0 THEN ' from 10.0.' || ((doc_id // 256) % 256) || '.' || (doc_id % 256) ELSE '' END ||
+           |         CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+           |         AS full_text
+           |  FROM documents)
+           |SELECT doc_id,
+           |       CAST(len(regexp_extract_all(full_text, '$emailRe')) AS BIGINT) AS n_emails,
+           |       CAST(len(regexp_extract_all(full_text, '$ipv4Re')) AS BIGINT) AS n_ips,
+           |       CAST(len(regexp_extract_all(full_text, '$phoneRe')) AS BIGINT) AS n_phones,
+           |       regexp_replace(regexp_replace(regexp_replace(full_text,
+           |         '$emailRe', '[EMAIL]', 'g'), '$ipv4Re', '[IP]', 'g'), '$phoneRe', '[PHONE]', 'g') AS redacted
+           |FROM enriched ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_contamination", "eval-set n-gram contamination report (benchmark leakage detection)",
+      contaminationReport,
+      Some(
+        s"""WITH grams AS (
+           |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 5
+           |    THEN list_transform(range(1, len(t) - 3), i -> list_aggregate(t[i:i+4], 'string_agg', ' '))
+           |    ELSE [] END)) AS g
+           |  FROM (SELECT doc_id, $normToksSql AS t FROM documents)
+           |), ev AS (SELECT doc_id AS eid, g FROM grams WHERE doc_id % 10 = 5)
+           |SELECT d.doc_id, count(DISTINCT d.g) AS n_shared, min(ev.eid) AS first_eval
+           |FROM grams d JOIN ev ON ev.g = d.g
+           |WHERE d.doc_id % 10 <> 5
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+    GraftQuery("q_repetition_stats", "Gopher-style repetition signals: dup-token / top-token / top-bigram fractions",
+      repetitionStats,
+      Some(
+        s"""WITH toks AS (SELECT doc_id, $normToksSql AS t FROM documents),
+           |words AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+           |wc AS (SELECT doc_id, tok, count(*) AS c FROM words GROUP BY doc_id, tok),
+           |wstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct, max(c) AS top_cnt
+           |           FROM wc GROUP BY doc_id),
+           |bigrams AS (
+           |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+           |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+           |    ELSE [] END) AS g
+           |  FROM toks),
+           |bc AS (SELECT doc_id, g, count(*) AS c FROM bigrams GROUP BY doc_id, g),
+           |bstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bg FROM bc GROUP BY doc_id)
+           |SELECT w.doc_id, w.n_tokens,
+           |       CAST(w.n_tokens - w.n_distinct AS DOUBLE) / w.n_tokens AS dup_token_frac,
+           |       CAST(w.top_cnt AS DOUBLE) / w.n_tokens AS top_token_frac,
+           |       coalesce(CAST(b.top_bg AS DOUBLE) / b.n_bigrams, 0.0) AS top_bigram_frac
+           |FROM wstats w LEFT JOIN bstats b USING (doc_id)
+           |ORDER BY w.doc_id""".stripMargin)),
+  )
+}

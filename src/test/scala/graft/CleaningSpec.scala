@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Cleaning
+
+/** PII redaction, contamination detection, repetition signals. */
+class CleaningSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("redactPii scrubs emails, IPv4s, and phones; clean text unchanged") {
+    val rows = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "two a@b.co and c@d.io here",
+      "server 192.168.1.250 down",
+      "call 555-0199 or 555-1234",
+      "mixed u@v.net at 10.0.0.7 call 555-0000",
+      "no pii at all",
+      "version 1.2.3 is not an ip").toDF("t")
+      .select(Cleaning.redactPii(col("t"))).as[String].collect()
+    assert(rows(0) == "mail [EMAIL] now")
+    assert(rows(1) == "two [EMAIL] and [EMAIL] here")
+    assert(rows(2) == "server [IP] down")
+    assert(rows(3) == "call [PHONE] or [PHONE]")
+    assert(rows(4) == "mixed [EMAIL] at [IP] call [PHONE]")
+    assert(rows(5) == "no pii at all")
+    assert(rows(6) == "version 1.2.3 is not an ip", "3 octets must not match")
+  }
+
+  test("redaction is idempotent (a second pass changes nothing)") {
+    val once = Cleaning.piiRedact(spark, sfDir).select(col("redacted"))
+    val twice = once.select(Cleaning.redactPii(col("redacted")).as("redacted"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("contamination: hashed-gram path equals string-gram path on the fixture") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val byString = Cleaning.contamination(docs, "doc_id", "text",
+      col("doc_id") % 10 === 5, hashed = false).collect().toSeq
+    val byHash = Cleaning.contamination(docs, "doc_id", "text",
+      col("doc_id") % 10 === 5, hashed = true).collect().toSeq
+    assert(byString == byHash,
+      "64-bit gram hashing must not change the report at fixture scale")
+    assert(byString.nonEmpty, "fixture has planted eval near-dups; report can't be empty")
+  }
+
+  test("contamination never reports an eval doc and finds the planted leak") {
+    val report = Cleaning.contaminationReport(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(report.forall(_._1 % 10 != 5), "eval docs must not be in the report")
+    assert(report.forall(_._2 >= 1))
+    assert(report.forall(_._3 % 10 == 5), "first_eval must be an eval doc")
+  }
+
+  test("repetitionStats on crafted docs") {
+    val crafted = Seq(
+      (1L, "a a a a"),       // 4 tokens, 1 distinct, bigram "a a" x3
+      (2L, "w x y z"),       // no repetition
+      (3L, "solo"))          // single token: no bigrams
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    crafted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Cleaning.repetitionStats(spark, tmp)
+      .as[(Long, Long, Double, Double, Double)].collect().toList
+    assert(r == List(
+      (1L, 4L, 0.75, 1.0, 1.0),
+      (2L, 4L, 0.0, 0.25, 1.0 / 3.0),
+      (3L, 1L, 0.0, 1.0, 0.0)))
+  }
+}
