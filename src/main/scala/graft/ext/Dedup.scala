@@ -374,6 +374,78 @@ object Dedup {
       .orderBy("id1")
   }
 
+  // ---- incremental (batch-vs-corpus) near-dup check --------------------
+
+  /** Ingest-time dedup: which INCOMING docs are near-dups of the
+    * EXISTING corpus? Two-sided LSH — both sides get signatures and
+    * band hashes, candidates come from the (band_id, band_hash)
+    * equi-join of corpus bands against incoming bands (never the
+    * corpus against itself: an ingest batch is typically orders of
+    * magnitude smaller, so this join is bounded by the batch's bucket
+    * footprint), estimated-Jaccard prefilter, then exact verify.
+    * Returns one row per flagged incoming doc: how many corpus docs it
+    * collides with, the best (max) Jaccard, and the best-matching
+    * corpus doc (min id among the argmax — deterministic tie-break).
+    *
+    * Same bucket-cap recall trade as [[candidatePairs]], applied to the
+    * COMBINED bucket population of both sides.
+    */
+  def incrementalNearDups(corpus: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, shingleN: Int = 2, numHashes: Int = 16,
+      bands: Int = 8, threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def sides(docs: DataFrame) = {
+      val sets = hashedShingleSets(docs, textCol, idCol, shingleN)
+      val signed = sets.withColumn("sig", expr(s"graft_minhash_sig(shs, $numHashes)"))
+      (sets, lshBands(signed.drop("shs"), idCol, bands, rowsPerBand))
+    }
+    val (setsC, bandsC) = sides(corpus)
+    val (setsI, bandsI) = sides(incoming)
+    val l = bandsC.select(col("band_id"), col("band_hash"),
+      col(idCol).as("corpus_id"), col("sig").as("sig1"))
+    val r = bandsI.select(col("band_id"), col("band_hash"),
+      col(idCol).as("incoming_id"), col("sig").as("sig2"))
+    val oversized = l.select("band_id", "band_hash")
+      .unionAll(r.select("band_id", "band_hash"))
+      .groupBy("band_id", "band_hash").agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
+    val minEst = math.max(0.0, threshold - 0.2)
+    val cand = l.join(broadcast(oversized), Seq("band_id", "band_hash"), "left_anti")
+      .join(r.join(broadcast(oversized), Seq("band_id", "band_hash"), "left_anti"),
+        Seq("band_id", "band_hash"))
+      .where(expr(
+        s"""size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))
+           |  >= CAST(ceil($minEst * $numHashes) AS INT)""".stripMargin))
+      .select("corpus_id", "incoming_id")
+      .distinct()
+    cand
+      .join(setsC.withColumnRenamed(idCol, "corpus_id").withColumnRenamed("shs", "sh1"),
+        "corpus_id")
+      .join(setsI.withColumnRenamed(idCol, "incoming_id").withColumnRenamed("shs", "sh2"),
+        "incoming_id")
+      .select(col("incoming_id"), col("corpus_id"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .groupBy("incoming_id")
+      .agg(
+        count(lit(1)).as("n_matches"),
+        max(col("jaccard")).as("best_jaccard"),
+        max(struct(col("jaccard").as("j"), (-col("corpus_id")).as("nc"))).as("m"))
+      .select(col("incoming_id"), col("n_matches"), col("best_jaccard"),
+        (-col("m.nc")).cast("long").as("best_corpus_id"))
+      .orderBy("incoming_id")
+  }
+
+  /** Registered split: docs below 250 are the standing corpus, the rest
+    * are the incoming batch (deterministic; the fixture plants 13
+    * cross-split near-dups at every SF).
+    */
+  def incrementalQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    incrementalNearDups(
+      docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 250),
+      "text", "doc_id")
+  }
+
   // ---- near-dup clustering (connected components) ----------------------
 
   /** Connected components of an undirected edge list: returns one
@@ -605,6 +677,36 @@ object Dedup {
           |       len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
           |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
           |ORDER BY id1""".stripMargin)),
+    // Brute-force cross-split oracle: same data-gap argument as
+    // q_minhash_neardup (planted pairs at j >= 0.8, background < 0.35
+    // at every SF), so LSH output == the exact cross pair list.
+    GraftQuery("q_dedup_incremental", "ingest-time dedup: incoming batch LSH-joined against the standing corpus",
+      incrementalQuery,
+      Some(
+        """WITH sets AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+          |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+          |    ELSE [] END) AS shingles
+          |  FROM (SELECT doc_id,
+          |          string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+          |        FROM documents)
+          |), v AS (
+          |  SELECT b.doc_id AS incoming_id, a.doc_id AS corpus_id,
+          |         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          |         len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+          |  FROM sets a JOIN sets b ON a.doc_id < 250 AND b.doc_id >= 250
+          |  WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+          |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+          |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+          |), best AS (
+          |  SELECT incoming_id, corpus_id, jaccard,
+          |         max(jaccard) OVER (PARTITION BY incoming_id) AS mx,
+          |         count(*) OVER (PARTITION BY incoming_id) AS n_matches
+          |  FROM v)
+          |SELECT incoming_id, n_matches, mx AS best_jaccard,
+          |       min(corpus_id) AS best_corpus_id
+          |FROM best WHERE jaccard = mx
+          |GROUP BY incoming_id, n_matches, mx ORDER BY incoming_id""".stripMargin)),
     // Components oracle: DuckDB WITH RECURSIVE transitive closure over
     // the same brute-force edge list that gates q_minhash_neardup, so
     // the driver verifies the distributed label-propagation loop

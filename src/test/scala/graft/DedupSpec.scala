@@ -165,6 +165,29 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.nearDupSurvivors(spark, sfDir).count() == total - removed)
   }
 
+  test("incrementalNearDups == exact O(n²) cross brute force on the fixture") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sets = Dedup.shingleSets(docs, "text", 2).select(col("doc_id"), col("shingles"))
+    val a = sets.where(col("doc_id") < 250)
+      .select(col("doc_id").as("corpus_id"), col("shingles").as("sh1"))
+    val b = sets.where(col("doc_id") >= 250)
+      .select(col("doc_id").as("incoming_id"), col("shingles").as("sh2"))
+    val exact = a.crossJoin(b)
+      .select(col("incoming_id"), col("corpus_id"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double")).as("j"))
+      .where(col("j") >= 0.5)
+      .groupBy("incoming_id")
+      .agg(count(lit(1)).as("n_matches"), max("j").as("best_jaccard"))
+      .orderBy("incoming_id")
+      .as[(Long, Long, Double)].collect().toList
+    val got = Dedup.incrementalQuery(spark, sfDir)
+      .select("incoming_id", "n_matches", "best_jaccard")
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == exact, "LSH incremental dedup must equal exact cross brute force")
+    assert(got.nonEmpty, "fixture plants cross-split near-dups")
+  }
+
   test("property: dedup by distinct is idempotent and bounded (100 seeded samples)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 100) {
