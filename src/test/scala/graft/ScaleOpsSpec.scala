@@ -66,6 +66,37 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(read.count() == withYear.where(col("o_year") === 1995).count())
   }
 
+  test("runtime bloom filter: a selective dim filter injects bloom_filter_might_contain on the fact scan") {
+    // At 100 TB a selective dimension predicate should prune the fact
+    // side BEFORE the shuffle: Spark's InjectRuntimeFilter does that
+    // with a bloom filter once the size thresholds allow it. Local
+    // fixtures sit under the production thresholds, so lower them here;
+    // production keeps the defaults and gets this for free on real
+    // table sizes. (Both confs are runtime SQL confs.)
+    def set(k: String, v: String): Option[String] = {
+      val prev = spark.conf.getOption(k); spark.conf.set(k, v); prev
+    }
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1").map { case (k, v) => k -> set(k, v) }
+    try {
+      // the rule only injects when it pays off: the application side
+      // must already contain a shuffle the filter can prune ahead of
+      // (probablyHasShuffle) — a bare scan gets nothing
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("qty"))
+      val urgent = orders.where(col("o_orderpriority") === "1-URGENT")
+      val plan = li.join(urgent, li("l_orderkey") === urgent("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n${plan.take(1500)}")
+      assert(plan.contains("might_contain"),
+        s"application-side probe missing:\n${plan.take(1500)}")
+    } finally saved.foreach { case (k, prev) =>
+      prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("q_partitioned_sink: read-back plan prunes, rows match a direct filter") {
     val out = ScaleOps.partitionedSinkQuery(spark, sfDir)
     val plan = out.queryExecution.executedPlan.toString
