@@ -101,9 +101,15 @@ object Cleaning {
       .orderBy(idCol)
   }
 
+  /** Registered on the HASHED path: identical output to string grams
+    * unless two distinct 5-grams collide in 64 bits (~250k grams at
+    * sf0.1 → collision odds ~2e-9; the string path benched 15.3 s at
+    * sf0.1 vs ~1 s hashed — the round-1 HOF-string-shingle lesson).
+    * [[CleaningSpec]] asserts hashed == string on the fixture.
+    */
   def contaminationReport(s: SparkSession, dir: String): DataFrame =
     contamination(t(s, dir, "documents"), "doc_id", "text",
-      evalPred = col("doc_id") % 10 === 5)
+      evalPred = col("doc_id") % 10 === 5, hashed = true)
 
   // ---- repetition quality signals (Gopher-rule family) -----------------
 
