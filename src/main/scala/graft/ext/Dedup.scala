@@ -202,18 +202,20 @@ object Dedup {
   def minhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 2, numHashes: Int = 16, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, sorted: Boolean = true): DataFrame = {
     val sets = hashedShingleSets(docs, textCol, idCol, shingleN)
     val signed = sets.withColumn("sig", expr(s"graft_minhash_sig(shs, $numHashes)"))
     val cand = candidatePairs(
       lshBands(signed.drop("shs"), idCol, bands, numHashes / bands), idCol,
       numHashes, minEstJaccard = math.max(0.0, threshold - 0.2))
-    cand
+    val verified = cand
       .join(sets.withColumnRenamed(idCol, "id1").withColumnRenamed("shs", "sh1"), "id1")
       .join(sets.withColumnRenamed(idCol, "id2").withColumnRenamed("shs", "sh2"), "id2")
       .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .orderBy("id1", "id2")
+    // the sort exists for the driver gate's deterministic output;
+    // composing callers (clustering, dedup-apply) don't need it
+    if (sorted) verified.orderBy("id1", "id2") else verified
   }
 
   // ---- SimHash ---------------------------------------------------------
@@ -515,7 +517,8 @@ object Dedup {
     * representative per component.
     */
   def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id")
+    val edges = minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+        sorted = false)
       .select(col("id1"), col("id2"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     connectedComponents(edges)
@@ -533,7 +536,8 @@ object Dedup {
     */
   def nearDupSurvivors(s: SparkSession, dir: String): DataFrame = {
     val removed = connectedComponents(
-        minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id")
+        minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+            sorted = false)
           .select(col("id1"), col("id2")))
       .where(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
