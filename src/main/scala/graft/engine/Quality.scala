@@ -39,12 +39,21 @@ object Quality {
   }
 
   /** Fail the pipeline when the observed gate is violated. Call AFTER
-    * the action that materialized the observed DataFrame.
+    * the action that materialized the observed DataFrame (obs.get
+    * blocks until one has run).
+    *
+    * Over ZERO rows the sum-based metrics come back NULL (and a naive
+    * Long unbox turns NULL into 0 — a silent pass); an empty
+    * materialization almost always means an upstream bug ate the
+    * dataset, so it fails the gate by default. Pass
+    * `allowEmpty = true` for pipelines where empty is legitimate.
     */
-  def enforce(obs: Observation): Map[String, Any] = {
+  def enforce(obs: Observation, allowEmpty: Boolean = false): Map[String, Any] = {
     val m = obs.get
-    require(m("null_key_rows").asInstanceOf[Long] == 0L,
-      s"quality gate: ${m("null_key_rows")} rows with NULL key")
+    val nRows = m("n_rows").asInstanceOf[Long]
+    require(allowEmpty || nRows > 0L, "quality gate: materialized ZERO rows")
+    val nullKeys = Option(m("null_key_rows")).fold(0L)(_.asInstanceOf[Long])
+    require(nullKeys == 0L, s"quality gate: $nullKeys rows with NULL key")
     m
   }
 }

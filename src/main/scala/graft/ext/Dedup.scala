@@ -134,22 +134,35 @@ object Dedup {
     */
   def candidatePairs(bandsDf: DataFrame, idCol: String, numHashes: Int,
       minEstJaccard: Double, maxBucket: Int = 10000): DataFrame = {
-    val oversized = bandsDf.groupBy("band_id", "band_hash")
-      .agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n") > maxBucket)
-    val pruned = bandsDf.join(broadcast(oversized), Seq("band_id", "band_hash"), "left_anti")
-    val l = pruned.select(col("band_id"), col("band_hash"),
-      col(idCol).as("id1"), col("sig").as("sig1"))
-    val r = pruned.select(col("band_id"), col("band_hash"),
-      col(idCol).as("id2"), col("sig").as("sig2"))
+    val oversized = oversizedBuckets(bandsDf, maxBucket)
+    val l = prunedSide(bandsDf, oversized, idCol, "id1", "sig1")
+    val r = prunedSide(bandsDf, oversized, idCol, "id2", "sig2")
     l.join(r, Seq("band_id", "band_hash"))
       .where(col("id1") < col("id2"))
-      .where(expr(
-        s"""size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))
-           |  >= CAST(ceil($minEstJaccard * $numHashes) AS INT)""".stripMargin))
+      .where(estJaccardAtLeast(numHashes, minEstJaccard))
       .select("id1", "id2")
       .distinct()
   }
+
+  // shared band-join machinery (self-join candidatePairs + bipartite
+  // incrementalNearDups): ONE definition of the bucket cap and the
+  // estimated-Jaccard prefilter, so the two registered dedup paths
+  // cannot drift on recall semantics
+  private def oversizedBuckets(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
+
+  private def prunedSide(bands: DataFrame, oversized: DataFrame,
+      idCol: String, outId: String, outSig: String): DataFrame =
+    bands.join(broadcast(oversized), Seq("band_id", "band_hash"), "left_anti")
+      .select(col("band_id"), col("band_hash"),
+        col(idCol).as(outId), col("sig").as(outSig))
+
+  private def estJaccardAtLeast(numHashes: Int, minEstJaccard: Double): Column =
+    expr(
+      s"""size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))
+         |  >= CAST(ceil($minEstJaccard * $numHashes) AS INT)""".stripMargin)
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -403,21 +416,13 @@ object Dedup {
     }
     val (setsC, bandsC) = sides(corpus)
     val (setsI, bandsI) = sides(incoming)
-    val l = bandsC.select(col("band_id"), col("band_hash"),
-      col(idCol).as("corpus_id"), col("sig").as("sig1"))
-    val r = bandsI.select(col("band_id"), col("band_hash"),
-      col(idCol).as("incoming_id"), col("sig").as("sig2"))
-    val oversized = l.select("band_id", "band_hash")
-      .unionAll(r.select("band_id", "band_hash"))
-      .groupBy("band_id", "band_hash").agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n") > maxBucket)
-    val minEst = math.max(0.0, threshold - 0.2)
-    val cand = l.join(broadcast(oversized), Seq("band_id", "band_hash"), "left_anti")
-      .join(r.join(broadcast(oversized), Seq("band_id", "band_hash"), "left_anti"),
+    val oversized = oversizedBuckets(
+      bandsC.select("band_id", "band_hash").unionAll(bandsI.select("band_id", "band_hash")),
+      maxBucket)
+    val cand = prunedSide(bandsC, oversized, idCol, "corpus_id", "sig1")
+      .join(prunedSide(bandsI, oversized, idCol, "incoming_id", "sig2"),
         Seq("band_id", "band_hash"))
-      .where(expr(
-        s"""size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))
-           |  >= CAST(ceil($minEst * $numHashes) AS INT)""".stripMargin))
+      .where(estJaccardAtLeast(numHashes, math.max(0.0, threshold - 0.2)))
       .select("corpus_id", "incoming_id")
       .distinct()
     cand
@@ -472,7 +477,10 @@ object Dedup {
     // materialized WITH LINEAGE CUT — persist() alone keeps the logical
     // plan and OOMs the driver on plan strings within ~6 rounds. Use a
     // reliable checkpoint when the caller configured a checkpoint dir
-    // (cluster production: fault-tolerant), else a local one.
+    // (cluster production: fault-tolerant; ALSO set
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true there so
+    // superseded rounds' files are GC'd), else a local one. Superseded
+    // rounds are unpersisted here as soon as the next round is down.
     def cut(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
@@ -486,11 +494,14 @@ object Dedup {
     var converged = labels.isEmpty
     var it = 0
     while (!converged && it < maxIter) {
-      // neighbor step: candidate label = min over neighbors' labels
+      // neighbor step: candidate label = min over neighbors' labels.
+      // Persisted within the round: the jump join references it twice
+      // and exchange reuse is not guaranteed under AQE replanning.
       val viaNbr = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("comp").as("nc"))
       val stepped = labels.join(viaNbr, "id")
         .select(col("id"), least(col("comp"), col("nc")).as("comp"))
+        .persist()
       // pointer jump: comp := min(comp, comp(comp)) — halves chain depth
       val parents = stepped
         .select(col("id").as("p_id"), col("comp").as("p_comp"))
@@ -500,6 +511,8 @@ object Dedup {
       // labels only ever decrease, so any change shows as new < old
       converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .where(col("comp") < col("prev")).isEmpty
+      stepped.unpersist()
+      labels.unpersist() // release the superseded round's blocks
       labels = next
       it += 1
     }
@@ -507,6 +520,16 @@ object Dedup {
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
+
+  /** Shared edge-building + components pipeline for the registered
+    * clustering queries — ONE definition, so `q_dedup_clusters` and
+    * `q_dedup_apply` cannot diverge on edge semantics.
+    */
+  private def nearDupLabels(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+          sorted = false)
+        .select(col("id1"), col("id2")))
 
   /** Near-dup clusters over the MinHash+LSH pair graph
     * ([[minhashNearDupPairs]]): transitive closure of the pairwise
@@ -517,11 +540,8 @@ object Dedup {
     * representative per component.
     */
   def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
-        sorted = false)
-      .select(col("id1"), col("id2"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    connectedComponents(edges)
+    nearDupLabels(s, dir)
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
@@ -535,10 +555,7 @@ object Dedup {
     * the surviving corpus would carry it, the report doesn't need it.
     */
   def nearDupSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val removed = connectedComponents(
-        minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
-            sorted = false)
-          .select(col("id1"), col("id2")))
+    val removed = nearDupLabels(s, dir)
       .where(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
     t(s, dir, "documents")

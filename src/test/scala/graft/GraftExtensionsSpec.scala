@@ -65,7 +65,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // GraftSession.tuned's extraOptimizations: prove JaccardRewrite
       // fires in THIS session too (parquet-backed - a literal relation
       // would constant-fold before the optimizer rule runs)
-      val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val docs = s.read.parquet(s"${SparkTestBase.sfDir}/documents.parquet")
         .select(split(col("text"), " ").as("a"), split(col("lang"), " ").as("b"))
       val plan = docs.select(
           (size(array_intersect(col("a"), col("b"))).cast("double") /

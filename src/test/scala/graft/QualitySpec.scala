@@ -23,6 +23,17 @@ class QualitySpec extends SparkTestBase {
     assert(math.abs(approx - exact) / exact < 0.10, s"approx=$approx exact=$exact")
   }
 
+  test("enforce fails on a zero-row materialization unless allowed") {
+    val none = Seq.empty[(Long, String)].toDF("k", "v")
+    val obs = Observation()
+    Quality.observed(none, obs, "k").count()
+    val e = intercept[IllegalArgumentException](Quality.enforce(obs))
+    assert(e.getMessage.contains("ZERO rows"))
+    val obs2 = Observation()
+    Quality.observed(none, obs2, "k").count()
+    assert(Quality.enforce(obs2, allowEmpty = true)("n_rows") == 0L)
+  }
+
   test("enforce fails on NULL keys") {
     val bad = Seq((Some(1L), "a"), (None, "b")).toDF("k", "v")
     val obs = Observation()
