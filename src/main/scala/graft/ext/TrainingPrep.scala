@@ -205,7 +205,34 @@ object TrainingPrep {
   def packQuery(s: SparkSession, dir: String): DataFrame =
     sequencePack(t(s, dir, "documents"), budget = 4096)
 
+  /** Per-source-file provenance report via the `_metadata` hidden
+    * column: which file contributed which id range and how many docs.
+    * At 100 TB a corpus is tens of thousands of files from many crawls;
+    * row-level provenance (file, id span, count) is the audit trail for
+    * takedown/contamination rollbacks. Zero extra I/O — `_metadata` is
+    * populated by the scan itself.
+    */
+  def provenance(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("_metadata.file_name").as("file_name"))
+      .groupBy("file_name")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      .orderBy("file_name")
+
   val queries: Seq[GraftQuery] = Seq(
+    // The oracle runs over the driver's table VIEWS (no filename
+    // metadata there), but each fixture table is exactly one file, so
+    // the expected basename is the known constant — the gate still
+    // verifies Spark's _metadata plumbing yields that name plus the
+    // per-file counts/spans.
+    GraftQuery("q_provenance", "file-level provenance audit via the _metadata scan column",
+      provenance,
+      Some(
+        """SELECT 'documents.parquet' AS file_name,
+          |       count(*) AS n_docs, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+          |FROM documents
+          |GROUP BY 1 ORDER BY file_name""".stripMargin)),
     GraftQuery("q_sequence_pack", "token-budget batch packing by running total",
       packQuery,
       Some(

@@ -278,6 +278,22 @@ object EventOps {
     stream.join(profile, Seq("user_id"), "left_outer")
   }
 
+  /** Idempotent `foreachBatch` sink: every micro-batch lands in its own
+    * `batch_id=` partition via DYNAMIC partition overwrite, so a
+    * replayed batch (foreachBatch's at-least-once retry contract after
+    * a failure) overwrites its own partition instead of appending
+    * duplicates — exactly-once OUTPUT from at-least-once delivery, the
+    * standard recipe for non-transactional stores. Pass to
+    * `writeStream.foreachBatch(...)`.
+    */
+  def idempotentBatchWriter(out: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      batch.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out)
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_tumbling_window_agg", "tumbling 1h event-time windows (batch twin of streaming agg)",
       tumblingAgg,

@@ -72,6 +72,45 @@ class MultimodalSpec extends SparkTestBase {
       assigned.where(col("ivf_list").isin(0, 1, 2)).count())
   }
 
+  test("binaryFile source ingests raw payloads with metadata, glob-filtered") {
+    // the ingestion front door for real image/audio payloads: Spark's
+    // binaryFile source yields (path, modificationTime, length, content)
+    // — the schema Multimodal's decode stages consume
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 1, 2, 3)
+    val txt = "not a payload".getBytes("UTF-8")
+    java.nio.file.Files.write(dir.resolve("a.png"), png)
+    java.nio.file.Files.write(dir.resolve("b.png"), png ++ png)
+    java.nio.file.Files.write(dir.resolve("skip.txt"), txt)
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(dir.toString)
+    assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val rows = df.select("path", "length", "content").collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1),
+        r.getAs[Array[Byte]](2).length))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(("a.png", 8L, 8), ("b.png", 16L, 16)),
+      "glob filter must exclude skip.txt; length must match content")
+  }
+
+  test("nested-field pruning: selecting one struct field prunes the parquet ReadSchema") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nest").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        struct(col("lang").as("lang"), col("source").as("source"),
+          col("n_chars").as("n_chars")).as("meta"),
+        col("text"))
+      .write.mode("overwrite").parquet(s"$tmp/nested")
+    val picked = spark.read.parquet(s"$tmp/nested")
+      .select(col("doc_id"), col("meta.lang"))
+    val scan = picked.queryExecution.executedPlan.toString
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(scan).getOrElse("")
+    assert(read.contains("lang"), s"missing picked field in $read")
+    assert(!read.contains("text") && !read.contains("n_chars"),
+      s"scan reads unpicked columns — nested pruning lost: $read")
+  }
+
   test("IVF assignment: every vector lands in exactly one existing list") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val centroids = Similarity.sampleCentroids(emb, 8)

@@ -135,6 +135,30 @@ class StreamingSpec extends SparkTestBase {
       "no duplicate deliveries within one run (exactly-once file sink)")
   }
 
+  test("foreachBatch idempotent sink: a replayed batch does not duplicate output") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val writer = EventOps.idempotentBatchWriter(s"$tmp/out")
+    val stream = spark.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select("event_id", "user_id", "event_type")
+    val q = stream.writeStream
+      .foreachBatch(writer)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(spark.read.parquet(s"$tmp/out").count() == n)
+    // simulate foreachBatch's retry contract: batch 0 is delivered again
+    writer(spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "user_id", "event_type"), 0L)
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.count() == n, "replay must overwrite its partition, not append")
+    assert(back.select(countDistinct(col("event_id"))).head().getLong(0) == n)
+  }
+
   test("mapGroupsWithState per-user running totals == batch aggregation") {
     val q = EventOps.streamingUserStateCounts(spark, sfDir).writeStream
       .format("memory")
