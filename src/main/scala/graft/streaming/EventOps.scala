@@ -278,6 +278,37 @@ object EventOps {
     stream.join(profile, Seq("user_id"), "left_outer")
   }
 
+  /** Time-series resample with gap filling: per-user DAILY series over
+    * each user's own [first, last] activity span — missing days get
+    * n_events = 0 and the last seen event type carried FORWARD
+    * (`last(..., ignoreNulls)` over the date order). The day-grid
+    * explode is bounded by each key's span and the window shuffles once
+    * on user_id: linear, no global grid, no cross-key skew. The classic
+    * prep step for ML feature series / monitoring dashboards.
+    */
+  def gapFillDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        // deterministic "last event of the day": max by (ts, event_id)
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("day"), col("n_events"),
+        col("m.event_type").as("day_last_type"))
+    val days = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    days.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_last_type"), ignoreNulls = true).over(w).as("last_type"))
+      .orderBy("user_id", "day")
+  }
+
   /** Idempotent `foreachBatch` sink: every micro-batch lands in its own
     * `batch_id=` partition via DYNAMIC partition overwrite, so a
     * replayed batch (foreachBatch's at-least-once retry contract after
@@ -295,6 +326,21 @@ object EventOps {
         .parquet(out)
 
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_gap_fill", "per-key daily resample: zero-filled counts + forward-filled last event type",
+      gapFillDaily,
+      Some(
+        """WITH daily AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+          |         (max({'ts': ts, 'eid': event_id, 'et': event_type})).et AS day_last_type
+          |  FROM events GROUP BY 1, 2),
+          |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+          |days AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span)
+          |SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+          |       coalesce(daily.n_events, 0) AS n_events,
+          |       last_value(daily.day_last_type IGNORE NULLS) OVER
+          |         (PARTITION BY d.user_id ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type
+          |FROM days d LEFT JOIN daily ON daily.user_id = d.user_id AND daily.day = d.day
+          |ORDER BY d.user_id, day""".stripMargin)),
     GraftQuery("q_tumbling_window_agg", "tumbling 1h event-time windows (batch twin of streaming agg)",
       tumblingAgg,
       Some(

@@ -9,6 +9,7 @@ import graft.streaming.EventOps
   * code).
   */
 class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
 
   test("streaming tumbling counts == batch tumbling counts (memory sink, drain-all)") {
     val stream = EventOps.streamingTumblingCounts(spark, sfDir)
@@ -133,6 +134,29 @@ class StreamingSpec extends SparkTestBase {
     assert(back.count() == n)
     assert(back.select(countDistinct(col("event_id"))).head().getLong(0) == n,
       "no duplicate deliveries within one run (exactly-once file sink)")
+  }
+
+  test("gapFillDaily zero-fills missing days and carries the last type forward") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gap").toString
+    // ts as nanos-since-epoch long — the fixture contract Tables.load
+    // normalizes (events.parquet is TIMESTAMP(NANOS) read nanosAsLong)
+    def nanos(s: String): Long =
+      java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    Seq(
+      (1L, nanos("2024-03-01 10:00:00"), 7L, "signup", 1.0, "{}"),
+      (2L, nanos("2024-03-01 11:00:00"), 7L, "click", 1.0, "{}"),
+      // 3-day gap, then one more event
+      (3L, nanos("2024-03-05 09:00:00"), 7L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.gapFillDaily(spark, tmp)
+      .as[(Long, String, Long, String)].collect().toList
+    assert(got == List(
+      (7L, "2024-03-01", 2L, "click"),   // last-of-day by (ts, event_id)
+      (7L, "2024-03-02", 0L, "click"),   // gap: zero count, carried type
+      (7L, "2024-03-03", 0L, "click"),
+      (7L, "2024-03-04", 0L, "click"),
+      (7L, "2024-03-05", 1L, "purchase")))
   }
 
   test("foreachBatch idempotent sink: a replayed batch does not duplicate output") {
