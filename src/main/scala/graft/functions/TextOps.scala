@@ -202,7 +202,59 @@ object TextOps {
         substring(normalizeText(col("text")), 1, 32).as("norm_prefix"))
       .orderBy("doc_id")
 
+  /** TF-IDF top-k terms per doc. Two shuffles (doc-term counts, then
+    * term doc-frequencies), corpus size N joined in as a broadcast
+    * 1-row aggregate (no driver action, no plan literal to go stale),
+    * WindowGroupLimit prunes to k per doc map-side.
+    *
+    * Hash-safety: the output carries only integers and strings — the
+    * DOUBLE score (tf · ln((N+1)/(df+1))) orders the rank but is not
+    * emitted, because cross-engine transcendentals (JVM Math.log vs
+    * libm) can differ in the last ulp. A 1-ulp score wobble cannot flip
+    * a rank: different (tf, df) pairs sit far apart, and equal pairs
+    * tie-break on the term string.
+    */
+  def tfidfTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(split(normalizeText(col("text")), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * log((col("n_docs") + lit(1)).cast("double") /
+          (col("df") + lit(1)).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_tfidf_topk", "TF-IDF top-5 terms per doc (integer/string output; score orders, never emitted)",
+      (s, dir) => tfidfTopK(s, dir),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+          |         tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) AS score
+          |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+          |ranked AS (
+          |  SELECT doc_id, term, tf, df,
+          |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+          |  FROM scored)
+          |SELECT doc_id, rank, term, tf, df FROM ranked
+          |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
     GraftQuery("q_text_stats", "token/char counts incl. BPE-ish regex tokenizer",
       textStats,
       Some(
