@@ -448,6 +448,23 @@ object RelationalOps {
           .cast(DoubleType).as("p90"))
       .orderBy("o_orderpriority")
 
+  /** A+: approximate percentiles — the SKETCH companion of
+    * [[percentiles]] (exactly as [[graft.ext.Dedup.approxDistinct]]
+    * companions the exact count). At 100 TB `approx_percentile` is the
+    * quantile operator: bounded memory per partition, mergeable
+    * sketches, no per-group value sort. Sketch internals are
+    * engine-specific (Spark Greenwald-Khanna vs DuckDB t-digest) →
+    * rows-only in the gate; the unit suite bounds the rank error
+    * against the exact key.
+    */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_med"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("approx_p90"))
+      .orderBy("o_orderpriority")
+
   /** U+: INTERSECT ALL / EXCEPT ALL — bag semantics (multiplicity
     * min / difference), distinct from the set-semantics pair above.
     */
@@ -889,6 +906,8 @@ object RelationalOps {
           |       CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS med,
           |       CAST(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    GraftQuery("q_approx_percentile", "approx quantile sketch (engine-specific values -> rows-only; error unit-bounded vs q_percentile)",
+      approxPercentiles, None),
     GraftQuery("q_intersect_all", "INTERSECT ALL bag semantics",
       intersectAllKeys,
       Some(

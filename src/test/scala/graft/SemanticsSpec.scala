@@ -77,4 +77,20 @@ class SemanticsSpec extends SparkTestBase {
     val raw = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     assert(n == raw && n > 0)
   }
+
+  test("approx_percentile stays within rank-error bounds of the exact percentiles") {
+    import graft.operators.RelationalOps
+    def byGroup(df: org.apache.spark.sql.DataFrame): Map[String, (Double, Double)] =
+      df.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = byGroup(RelationalOps.percentiles(spark, sfDir))
+    val approx = byGroup(RelationalOps.approxPercentiles(spark, sfDir))
+    assert(approx.keySet == exact.keySet)
+    // GK accuracy 1000 => rank error <= 1/1000; on this distribution the
+    // value error at p50/p90 stays well inside 5%
+    for ((g, (med, p90)) <- exact) {
+      val (am, ap) = approx(g)
+      assert(math.abs(am - med) / med < 0.05, s"$g median: approx=$am exact=$med")
+      assert(math.abs(ap - p90) / p90 < 0.05, s"$g p90: approx=$ap exact=$p90")
+    }
+  }
 }
