@@ -141,4 +141,29 @@ object ScaleOps {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Small-file compaction of ONE parquet directory (a table, or the
+    * single partition directory a compaction scheduler hands each
+    * worker): rewrite to ceil(totalBytes / targetFileBytes) files.
+    * Streaming sinks and over-parallel writers accrete thousands of
+    * KB-sized files per partition; at 100 TB that turns every scan into
+    * a metadata storm (one task + one open per tiny file). Returns the
+    * file count written. Write-then-swap into place is the caller's
+    * transactional concern; this writes to a fresh `outDir`.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // repartition (round-robin shuffle), not coalesce: coalesce(n) caps
+    // the READ parallelism of the whole job, repartition keeps the scan
+    // wide and only funnels at the write
+    spark.read.parquet(inDir).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    nFiles
+  }
 }

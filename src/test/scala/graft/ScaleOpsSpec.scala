@@ -66,6 +66,23 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(read.count() == withYear.where(col("o_year") === 1995).count())
   }
 
+  test("compact rewrites a many-small-file directory to the target file count") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    events.repartition(32).write.parquet(s"$tmp/small")
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$tmp/small") == 32)
+    val written = ScaleOps.compact(spark, s"$tmp/small", s"$tmp/big",
+      targetFileBytes = 1L << 30)
+    assert(written == 1 && parquetFiles(s"$tmp/big") == 1)
+    assert(spark.read.parquet(s"$tmp/big").count() == events.count())
+    // a small target keeps multiple files: ceil(total/target)
+    val multi = ScaleOps.compact(spark, s"$tmp/small", s"$tmp/multi",
+      targetFileBytes = 64L << 10)
+    assert(multi > 1 && parquetFiles(s"$tmp/multi") == multi)
+  }
+
   test("runtime bloom filter: a selective dim filter injects bloom_filter_might_contain on the fact scan") {
     // At 100 TB a selective dimension predicate should prune the fact
     // side BEFORE the shuffle: Spark's InjectRuntimeFilter does that
