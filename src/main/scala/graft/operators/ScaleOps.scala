@@ -158,6 +158,13 @@ object ScaleOps {
     val totalBytes = fs.listStatus(path)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
+    // guard the documented one-directory contract: a partitionBy ROOT
+    // has only subdirectories here — sizing would see 0 bytes while the
+    // recursive read loads every partition, silently funneling the
+    // whole table into one file and folding partition columns away
+    require(totalBytes > 0L,
+      s"compact: no parquet files directly under $inDir — pass one leaf " +
+        "(partition) directory, not a partitioned table root")
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     // repartition (round-robin shuffle), not coalesce: coalesce(n) caps
     // the READ parallelism of the whole job, repartition keeps the scan

@@ -81,6 +81,12 @@ class ScaleOpsSpec extends SparkTestBase {
     val multi = ScaleOps.compact(spark, s"$tmp/small", s"$tmp/multi",
       targetFileBytes = 64L << 10)
     assert(multi > 1 && parquetFiles(s"$tmp/multi") == multi)
+    // a partitionBy ROOT (only subdirectories) must be rejected, not
+    // silently funneled into one file
+    events.limit(10).write.partitionBy("event_type").parquet(s"$tmp/parted")
+    val e = intercept[IllegalArgumentException](
+      ScaleOps.compact(spark, s"$tmp/parted", s"$tmp/never"))
+    assert(e.getMessage.contains("partitioned table root"))
   }
 
   test("runtime bloom filter: a selective dim filter injects bloom_filter_might_contain on the fact scan") {

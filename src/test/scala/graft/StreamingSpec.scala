@@ -139,9 +139,12 @@ class StreamingSpec extends SparkTestBase {
   test("gapFillDaily zero-fills missing days and carries the last type forward") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-gap").toString
     // ts as nanos-since-epoch long — the fixture contract Tables.load
-    // normalizes (events.parquet is TIMESTAMP(NANOS) read nanosAsLong)
+    // normalizes (events.parquet is TIMESTAMP(NANOS) read nanosAsLong).
+    // Parsed explicitly as UTC: Timestamp.valueOf would use the host
+    // timezone while the session pins UTC.
     def nanos(s: String): Long =
-      java.sql.Timestamp.valueOf(s).getTime * 1000000L
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
     Seq(
       (1L, nanos("2024-03-01 10:00:00"), 7L, "signup", 1.0, "{}"),
       (2L, nanos("2024-03-01 11:00:00"), 7L, "click", 1.0, "{}"),
@@ -175,12 +178,21 @@ class StreamingSpec extends SparkTestBase {
     try q.processAllAvailable() finally q.stop()
     val n = spark.read.parquet(s"$sfDir/events.parquet").count()
     assert(spark.read.parquet(s"$tmp/out").count() == n)
-    // simulate foreachBatch's retry contract: batch 0 is delivered again
+    // a later batch lands in its own partition...
+    val extra = Seq((-1L, 999L, "late")).toDF("event_id", "user_id", "event_type")
+    writer(extra, 1L)
+    assert(spark.read.parquet(s"$tmp/out").count() == n + 1)
+    // ...and replaying batch 0 (foreachBatch's retry contract) must
+    // neither append duplicates NOR clobber batch 1's partition — the
+    // distinction between dynamic partition overwrite and a static
+    // truncate-everything overwrite
     writer(spark.read.parquet(s"$sfDir/events.parquet")
       .select("event_id", "user_id", "event_type"), 0L)
     val back = spark.read.parquet(s"$tmp/out")
-    assert(back.count() == n, "replay must overwrite its partition, not append")
-    assert(back.select(countDistinct(col("event_id"))).head().getLong(0) == n)
+    assert(back.count() == n + 1, "replay must overwrite only its own partition")
+    assert(back.where(col("batch_id") === 1).count() == 1,
+      "sibling batch partition must survive a replay")
+    assert(back.select(countDistinct(col("event_id"))).head().getLong(0) == n + 1)
   }
 
   test("mapGroupsWithState per-user running totals == batch aggregation") {
