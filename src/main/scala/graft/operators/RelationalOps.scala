@@ -465,6 +465,44 @@ object RelationalOps {
         expr("approx_percentile(o_totalprice, 0.9, 1000)").as("approx_p90"))
       .orderBy("o_orderpriority")
 
+  /** F+: higher-order array functions — filter / exists / aggregate /
+    * zip_with over per-order quantity arrays. INTEGER arrays on
+    * purpose: HOF folds are sequential per row so integer math is
+    * exact and hash-stable cross-engine (double HOF sums would carry
+    * fold-order jitter). Arrays built with sort_array(collect_list)
+    * — collect_list order is shuffle-dependent, the sort pins it.
+    */
+  def hofFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("qs"))
+      .select(
+        col("l_orderkey"),
+        expr("size(filter(qs, x -> x > 25))").as("n_over25"),
+        expr("CAST(exists(qs, x -> x >= 50) AS INT)").as("has_max"),
+        expr("aggregate(qs, 0L, (a, x) -> a + x)").as("total_qty"),
+        expr("""aggregate(
+                  zip_with(qs, reverse(qs), (a, b) -> a + b),
+                  0L, (a, x) -> a + x)""").as("palindrome_sum"))
+      .orderBy("l_orderkey")
+
+  /** F+: fuzzy string matching via edit distance — successive-doc
+    * Levenshtein on normalized 40-char prefixes (the dedup-adjacent
+    * "how close are these titles" primitive; row-local O(n·m) per
+    * pair, codegen, no shuffle beyond the deterministic pairing join).
+    */
+  def editDistance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        substring(graft.functions.TextOps.normalizeText(col("text")), 1, 40).as("p"))
+    val a = docs.select(col("doc_id").as("id1"), col("p").as("p1"))
+    val b = docs.select(col("doc_id").as("id2"), col("p").as("p2"))
+    a.join(b, col("id2") === col("id1") + 1)
+      .select(col("id1"), col("id2"),
+        levenshtein(col("p1"), col("p2")).cast("long").as("edit_dist"))
+      .orderBy("id1")
+  }
+
   /** U+: INTERSECT ALL / EXCEPT ALL — bag semantics (multiplicity
     * min / difference), distinct from the set-semantics pair above.
     */
@@ -908,6 +946,29 @@ object RelationalOps {
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     GraftQuery("q_approx_percentile", "approx quantile sketch (engine-specific values -> rows-only; error unit-bounded vs q_percentile)",
       approxPercentiles, None),
+    GraftQuery("q_hof_funcs", "higher-order array functions: filter/exists/aggregate/zip_with (exact int math)",
+      hofFuncs,
+      Some(
+        """SELECT l_orderkey,
+          |       CAST(len(list_filter(qs, x -> x > 25)) AS INT) AS n_over25,
+          |       CAST(len(list_filter(qs, x -> x >= 50)) > 0 AS INT) AS has_max,
+          |       CAST(list_sum(qs) AS BIGINT) AS total_qty,
+          |       CAST(list_sum(list_transform(range(1, len(qs) + 1),
+          |                     i -> qs[i] + qs[len(qs) + 1 - i])) AS BIGINT) AS palindrome_sum
+          |FROM (SELECT l_orderkey, list(CAST(l_quantity AS INT) ORDER BY CAST(l_quantity AS INT)) AS qs
+          |      FROM lineitem GROUP BY l_orderkey)
+          |ORDER BY l_orderkey""".stripMargin)),
+    GraftQuery("q_edit_distance", "Levenshtein fuzzy matching of successive docs (40-char normalized prefixes)",
+      editDistance,
+      Some(
+        """WITH p AS (
+          |  SELECT doc_id,
+          |         substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 40) AS p
+          |  FROM documents)
+          |SELECT a.doc_id AS id1, b.doc_id AS id2,
+          |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+          |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
+          |ORDER BY id1""".stripMargin)),
     GraftQuery("q_intersect_all", "INTERSECT ALL bag semantics",
       intersectAllKeys,
       Some(
