@@ -503,6 +503,49 @@ object RelationalOps {
       .orderBy("id1")
   }
 
+  /** A+: statistical aggregates (mean / variance / stddev) computed
+    * from EXACT integer moments: n, Σx, Σx² accumulate as longs
+    * (order-independent), then one division and one sqrt. IEEE pins
+    * the four basic ops and sqrt to exact rounding, so the derived
+    * doubles are
+    * bit-identical cross-engine — unlike built-in stddev over doubles,
+    * whose partition-order-dependent summation drifts in the last ulps
+    * between a 32-partition Spark run and single-threaded DuckDB.
+    */
+  def statsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
+        sum(col("q") * col("q")).as("sumsq_q"))
+      .select(
+        col("l_returnflag"), col("n"), col("sum_q"),
+        (col("sum_q").cast("double") / col("n").cast("double")).as("mean_q"),
+        sqrt(((col("n") * col("sumsq_q") - col("sum_q") * col("sum_q"))
+          .cast("double")) /
+          ((col("n") * (col("n") - 1)).cast("double"))).as("stddev_q"))
+      .orderBy("l_returnflag")
+
+  /** J+: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — NULL
+    * keys match each other instead of vanishing, the semantics lenient
+    * ETL needs when join keys come from failed casts.
+    */
+  def nullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      // orders with a digit-9-bearing key get a NULL bucket — a
+      // deterministic NULL population on both sides
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 9 === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey") % 97).as("bucket"))
+    val dim = s.range(0, 97).select(col("id").as("bucket"))
+      .unionAll(s.range(1).select(lit(null).cast("long").as("bucket")))
+      .withColumn("bucket_name",
+        coalesce(concat(lit("b"), col("bucket")), lit("unparsed")))
+    orders.join(dim, orders("bucket") <=> dim("bucket"))
+      .select(col("o_orderkey"), col("bucket_name"))
+      .orderBy("o_orderkey")
+  }
+
   /** U+: INTERSECT ALL / EXCEPT ALL — bag semantics (multiplicity
     * min / difference), distinct from the set-semantics pair above.
     */
@@ -946,6 +989,31 @@ object RelationalOps {
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     GraftQuery("q_approx_percentile", "approx quantile sketch (engine-specific values -> rows-only; error unit-bounded vs q_percentile)",
       approxPercentiles, None),
+    GraftQuery("q_stats_agg", "mean/stddev from exact integer moments (bit-identical cross-engine)",
+      statsAgg,
+      Some(
+        """SELECT l_returnflag,
+          |       count(*) AS n,
+          |       CAST(sum(q) AS BIGINT) AS sum_q,
+          |       CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*) AS mean_q,
+          |       sqrt(CAST(count(*) * CAST(sum(q*q) AS BIGINT) - CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT) AS DOUBLE)
+          |            / (count(*) * (count(*) - 1))) AS stddev_q
+          |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    GraftQuery("q_null_safe_join", "null-safe equality join: NULL keys match (IS NOT DISTINCT FROM)",
+      nullSafeJoin,
+      Some(
+        """WITH o AS (
+          |  SELECT o_orderkey,
+          |         CASE WHEN o_orderkey % 9 = 0 THEN NULL ELSE o_orderkey % 97 END AS bucket
+          |  FROM orders),
+          |dim AS (
+          |  SELECT CAST(unnest(range(0, 97)) AS BIGINT) AS bucket
+          |  UNION ALL SELECT NULL)
+          |SELECT o.o_orderkey,
+          |       coalesce('b' || dim.bucket, 'unparsed') AS bucket_name
+          |FROM o JOIN dim ON o.bucket IS NOT DISTINCT FROM dim.bucket
+          |ORDER BY o.o_orderkey""".stripMargin)),
     GraftQuery("q_hof_funcs", "higher-order array functions: filter/exists/aggregate/zip_with (exact int math)",
       hofFuncs,
       Some(
