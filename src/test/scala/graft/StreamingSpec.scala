@@ -136,6 +136,40 @@ class StreamingSpec extends SparkTestBase {
       "no duplicate deliveries within one run (exactly-once file sink)")
   }
 
+  test("checkpoint restart resumes exactly-once: only new files are processed") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val in = s"$tmp/in"; new java.io.File(in).mkdirs()
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val schema = events.schema
+    events.limit(100).coalesce(1).write.parquet(s"$tmp/f1")
+    def firstPart(d: String) =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(firstPart(s"$tmp/f1").toPath,
+      java.nio.file.Paths.get(in, "batch1.parquet"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .select("event_id", "user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(s"$tmp/out").count() == 100)
+    // stream is STOPPED; 50 more rows arrive; a NEW query restarts from
+    // the same checkpoint and must process only the new file
+    events.limit(150).exceptAll(events.limit(100)).coalesce(1)
+      .write.parquet(s"$tmp/f2")
+    java.nio.file.Files.copy(firstPart(s"$tmp/f2").toPath,
+      java.nio.file.Paths.get(in, "batch2.parquet"))
+    runOnce()
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.count() == 150, "restart must add only the new file's rows")
+    assert(back.select(countDistinct(col("event_id"))).head().getLong(0) == 150,
+      "no event processed twice across the restart")
+  }
+
   test("gapFillDaily zero-fills missing days and carries the last type forward") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-gap").toString
     // ts as nanos-since-epoch long — the fixture contract Tables.load
