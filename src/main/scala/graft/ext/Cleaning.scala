@@ -92,12 +92,20 @@ object Cleaning {
       else Dedup.shingleSets(docs, textCol, n)
         .select(col(idCol), col("shingles"))
     val grams = sets.select(col(idCol), explode(col("shingles")).as("g"))
+    // Collapse the eval side to ONE row per gram before the join: a gram
+    // present in many eval docs would otherwise fan the join out per
+    // (doc, gram, eval-doc) — quadratic in eval multiplicity at scale.
+    // Per-doc shingle sets are distinct (array_distinct /
+    // graft_shingle_hashes dedupe), so after the unique-gram join a plain
+    // count(*) IS the distinct shared-gram count, and min(first_eval)
+    // over per-gram minima equals the global min eval collider.
     val ev = grams.where(evalPred)
-      .select(col(idCol).as("first_eval"), col("g"))
+      .groupBy(col("g"))
+      .agg(min(col(idCol)).as("first_eval"))
     grams.where(!evalPred)
       .join(ev, "g")
       .groupBy(col(idCol))
-      .agg(countDistinct(col("g")).as("n_shared"), min("first_eval").as("first_eval"))
+      .agg(count(lit(1)).as("n_shared"), min("first_eval").as("first_eval"))
       .orderBy(idCol)
   }
 

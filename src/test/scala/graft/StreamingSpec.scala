@@ -139,7 +139,10 @@ class StreamingSpec extends SparkTestBase {
   test("checkpoint restart resumes exactly-once: only new files are processed") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-restart").toString
     val in = s"$tmp/in"; new java.io.File(in).mkdirs()
+    // orderBy before limit: bare limit() row order is not pinned, and the
+    // two splits must be a deterministic prefix/suffix of the same 150
     val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .orderBy("event_id")
     val schema = events.schema
     events.limit(100).coalesce(1).write.parquet(s"$tmp/f1")
     def firstPart(d: String) =
