@@ -546,6 +546,82 @@ object RelationalOps {
       .orderBy("o_orderkey")
   }
 
+  /** F+: map-typed columns — map_from_entries / element_at /
+    * map_filter / transform_values / map_keys. The map is built from
+    * sort_array'd (linenumber, quantity) entries so its internal order
+    * is pinned (Spark maps preserve insertion order; collect_list alone
+    * is shuffle-dependent). The testdata repeats linenumbers within an
+    * order, and map_from_entries THROWS on duplicate keys — quantities
+    * are summed per (order, line) first (the general pre-aggregate-
+    * your-keys pattern any map build needs). All outputs are scalars —
+    * map/array columns don't survive the driver's canonicalization.
+    */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("int").as("ln"),
+        col("l_quantity").cast("int").as("q"))
+      .groupBy("l_orderkey", "ln")
+      .agg(sum("q").cast("int").as("v"))
+      .groupBy(col("l_orderkey"))
+      .agg(map_from_entries(sort_array(collect_list(struct(
+        col("ln").as("k"), col("v"))))).as("m"))
+      .select(
+        col("l_orderkey"),
+        size(col("m")).as("n_lines"),
+        element_at(col("m"), 1).as("qty_line1"),
+        expr("size(map_filter(m, (k, v) -> v > 25))").as("n_big"),
+        expr("""aggregate(map_values(transform_values(m, (k, v) -> k * v)),
+                          0L, (a, x) -> a + x)""").as("weighted_qty"),
+        expr("concat_ws(',', transform(map_keys(m), k -> CAST(k AS STRING)))")
+          .as("line_keys"))
+      .orderBy("l_orderkey")
+
+  /** F+: bitwise functions — AND/OR/XOR, shifts, popcount. Integer
+    * domain: exact on both engines by construction.
+    */
+  def bitwiseFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255)).as("and_255"),
+        col("o_orderkey").bitwiseOR(lit(16)).as("or_16"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("xor_cust"),
+        shiftleft(col("o_orderkey"), 2).as("shl2"),
+        shiftright(col("o_orderkey"), 3).as("shr3"),
+        bit_count(col("o_orderkey")).as("popcount"))
+      .orderBy("o_orderkey")
+
+  /** A+: Pearson correlation + population covariance from EXACT integer
+    * moments (the [[statsAgg]] technique extended to cross-moments).
+    * Built-in corr()/covar_pop() stream doubles and drift in the last
+    * ulps with partition order; here n, Σx, Σy, Σx², Σy², Σxy accumulate
+    * as longs (all < 2⁵³ at these scales — each cast to double is
+    * exact), then the final expressions use only IEEE-pinned ops in the
+    * SAME tree shape as the oracle (sqrt(a)·sqrt(b), not sqrt(a·b) —
+    * correct rounding is per-operation, not per-formula).
+    */
+  def corrCovar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        col("l_linenumber").cast("long").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("covar_pop"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("corr_xy"))
+      .orderBy("l_returnflag")
+
   /** U+: INTERSECT ALL / EXCEPT ALL — bag semantics (multiplicity
     * min / difference), distinct from the set-semantics pair above.
     */
@@ -1037,6 +1113,42 @@ object RelationalOps {
           |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
           |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
           |ORDER BY id1""".stripMargin)),
+    GraftQuery("q_map_funcs", "map-typed columns: map_from_entries/element_at/map_filter/transform_values",
+      mapFuncs,
+      Some(
+        """SELECT l_orderkey,
+          |       CAST(count(*) AS INT) AS n_lines,
+          |       CAST(max(CASE WHEN ln = 1 THEN v END) AS INT) AS qty_line1,
+          |       CAST(count(*) FILTER (WHERE v > 25) AS INT) AS n_big,
+          |       CAST(sum(ln * v) AS BIGINT) AS weighted_qty,
+          |       string_agg(CAST(ln AS VARCHAR), ',' ORDER BY ln) AS line_keys
+          |FROM (SELECT l_orderkey, CAST(l_linenumber AS INT) AS ln,
+          |             CAST(CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS INT) AS v
+          |      FROM lineitem GROUP BY l_orderkey, CAST(l_linenumber AS INT))
+          |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+    GraftQuery("q_bitwise", "bitwise AND/OR/XOR, shifts, popcount (exact integer domain)",
+      bitwiseFuncs,
+      Some(
+        """SELECT o_orderkey,
+          |       o_orderkey & 255 AS and_255,
+          |       o_orderkey | 16 AS or_16,
+          |       xor(o_orderkey, o_custkey) AS xor_cust,
+          |       o_orderkey << 2 AS shl2,
+          |       o_orderkey >> 3 AS shr3,
+          |       CAST(bit_count(o_orderkey) AS INT) AS popcount
+          |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    GraftQuery("q_corr_covar", "Pearson corr + covar_pop from exact integer moments (bit-identical cross-engine)",
+      corrCovar,
+      Some(
+        """SELECT l_returnflag, count(*) AS n,
+          |       CAST(count(*) * CAST(sum(x*y) AS BIGINT) - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS DOUBLE)
+          |         / CAST(count(*) * count(*) AS DOUBLE) AS covar_pop,
+          |       CAST(count(*) * CAST(sum(x*y) AS BIGINT) - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS DOUBLE)
+          |         / (sqrt(CAST(count(*) * CAST(sum(x*x) AS BIGINT) - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS DOUBLE))
+          |            * sqrt(CAST(count(*) * CAST(sum(y*y) AS BIGINT) - CAST(sum(y) AS BIGINT) * CAST(sum(y) AS BIGINT) AS DOUBLE))) AS corr_xy
+          |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+          |             CAST(l_linenumber AS BIGINT) AS y FROM lineitem)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     GraftQuery("q_intersect_all", "INTERSECT ALL bag semantics",
       intersectAllKeys,
       Some(
