@@ -142,6 +142,22 @@ object ScaleOps {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Sorted sink: range-partition on `sortCol`, sort within each
+    * partition, write. Every output file then covers a narrow,
+    * non-overlapping `sortCol` range, so its parquet footer min/max
+    * lets a selective reader skip whole files/row-groups — the
+    * Z-order-lite layout a 100 TB table wants on its hottest filter
+    * column. (An unsorted write gives every file ≈ the full value
+    * range: footers prune nothing.) `nFiles` sizes the layout;
+    * repartitionByRange samples ranges, so data skew in `sortCol`
+    * still yields balanced files.
+    */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+      nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Small-file compaction of ONE parquet directory (a table, or the
     * single partition directory a compaction scheduler hands each
     * worker): rewrite to ceil(totalBytes / targetFileBytes) files.

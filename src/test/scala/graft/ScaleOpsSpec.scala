@@ -66,6 +66,32 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(read.count() == withYear.where(col("o_year") === 1995).count())
   }
 
+  test("sorted write yields disjoint per-file key ranges (min/max skipping precondition)") {
+    val tmp = Files.createTempDirectory("graft-sorted").toString
+    ScaleOps.writeSorted(orders, s"$tmp/sorted", "o_orderkey", nFiles = 8)
+    // per-file [min, max] of the sort column, from the data itself —
+    // the same bounds the parquet footer records for the skip decision
+    val ranges = spark.read.parquet(s"$tmp/sorted")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length == 8, s"expected 8 files, got ${ranges.length}")
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"file ranges overlap: hi=$hi1 > next lo=$lo2")
+    }
+    // contrast: an UNSORTED round-robin write spreads the full key range
+    // over every file — footer min/max can prune nothing
+    orders.repartition(8).write.parquet(s"$tmp/unsorted")
+    val spans = spark.read.parquet(s"$tmp/unsorted")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => r.getLong(2) - r.getLong(1))
+    val total = orders.agg(max("o_orderkey") - min("o_orderkey"))
+      .head().getLong(0)
+    assert(spans.forall(_ > total / 2),
+      "unsorted files should each span most of the key range")
+  }
+
   test("compact rewrites a many-small-file directory to the target file count") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val events = spark.read.parquet(s"$sfDir/events.parquet")
