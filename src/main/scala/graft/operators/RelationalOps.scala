@@ -592,16 +592,26 @@ object RelationalOps {
         bit_count(col("o_orderkey")).as("popcount"))
       .orderBy("o_orderkey")
 
-  /** A+: Pearson correlation + population covariance from EXACT integer
+  /** A+: Pearson correlation + population covariance from integer
     * moments (the [[statsAgg]] technique extended to cross-moments).
     * Built-in corr()/covar_pop() stream doubles and drift in the last
     * ulps with partition order; here n, Σx, Σy, Σx², Σy², Σxy accumulate
-    * as longs (all < 2⁵³ at these scales — each cast to double is
-    * exact), then the final expressions use only IEEE-pinned ops in the
-    * SAME tree shape as the oracle (sqrt(a)·sqrt(b), not sqrt(a·b) —
-    * correct rounding is per-operation, not per-formula).
+    * as longs (order-independent, exact while each SUM fits 2⁶³ —
+    * quadrillions of rows for these domains), and each sum is cast to
+    * double BEFORE any product: long·long cross-terms like n·Σx² wrap
+    * past 2⁶³ around sf50, whereas double products can't overflow, and
+    * long→double conversion is the same correctly-rounded operation on
+    * both engines. The final expressions then use only IEEE-pinned ops
+    * in the SAME tree shape as the oracle (sqrt(a)·sqrt(b), not
+    * sqrt(a·b) — correct rounding is per-operation, not per-formula),
+    * so outputs are bit-identical cross-engine at ANY scale, and exact
+    * below 2⁵³.
     */
-  def corrCovar(s: SparkSession, dir: String): DataFrame =
+  def corrCovar(s: SparkSession, dir: String): DataFrame = {
+    val (n, sx, sy) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, syy, sxy) = (col("sxx").cast("double"),
+      col("syy").cast("double"), col("sxy").cast("double"))
     t(s, dir, "lineitem")
       .select(col("l_returnflag"),
         col("l_quantity").cast("long").as("x"),
@@ -614,13 +624,12 @@ object RelationalOps {
         sum(col("x") * col("y")).as("sxy"))
       .select(
         col("l_returnflag"), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("n")).cast("double")).as("covar_pop"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        ((n * sxy - sx * sy) / (n * n)).as("covar_pop"),
+        ((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
           .as("corr_xy"))
       .orderBy("l_returnflag")
+  }
 
   /** U+: INTERSECT ALL / EXCEPT ALL — bag semantics (multiplicity
     * min / difference), distinct from the set-semantics pair above.
@@ -1140,15 +1149,22 @@ object RelationalOps {
     GraftQuery("q_corr_covar", "Pearson corr + covar_pop from exact integer moments (bit-identical cross-engine)",
       corrCovar,
       Some(
-        """SELECT l_returnflag, count(*) AS n,
-          |       CAST(count(*) * CAST(sum(x*y) AS BIGINT) - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS DOUBLE)
-          |         / CAST(count(*) * count(*) AS DOUBLE) AS covar_pop,
-          |       CAST(count(*) * CAST(sum(x*y) AS BIGINT) - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS DOUBLE)
-          |         / (sqrt(CAST(count(*) * CAST(sum(x*x) AS BIGINT) - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS DOUBLE))
-          |            * sqrt(CAST(count(*) * CAST(sum(y*y) AS BIGINT) - CAST(sum(y) AS BIGINT) * CAST(sum(y) AS BIGINT) AS DOUBLE))) AS corr_xy
-          |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
-          |             CAST(l_linenumber AS BIGINT) AS y FROM lineitem)
-          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+        """WITH m AS (
+          |  SELECT l_returnflag,
+          |         CAST(count(*) AS DOUBLE) AS n,
+          |         CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+          |         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+          |         CAST(CAST(sum(x*x) AS BIGINT) AS DOUBLE) AS sxx,
+          |         CAST(CAST(sum(y*y) AS BIGINT) AS DOUBLE) AS syy,
+          |         CAST(CAST(sum(x*y) AS BIGINT) AS DOUBLE) AS sxy
+          |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+          |               CAST(l_linenumber AS BIGINT) AS y FROM lineitem)
+          |  GROUP BY l_returnflag)
+          |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+          |       (n * sxy - sx * sy) / (n * n) AS covar_pop,
+          |       (n * sxy - sx * sy)
+          |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+          |FROM m ORDER BY l_returnflag""".stripMargin)),
     GraftQuery("q_intersect_all", "INTERSECT ALL bag semantics",
       intersectAllKeys,
       Some(
