@@ -631,6 +631,32 @@ object RelationalOps {
       .orderBy("l_returnflag")
   }
 
+  /** F+: str_to_map — parse "k=v;k=v" config strings into a map and
+    * look keys up. The config string is assembled deterministically
+    * from event columns, so the oracle can reconstruct the lookups
+    * without a map type (DuckDB has no str_to_map).
+    */
+  def strToMap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        concat(lit("type="), col("event_type"),
+          lit(";uid="), col("user_id").cast("string")).as("cfg"))
+      .select(col("event_id"),
+        expr("str_to_map(cfg, ';', '=')['type']").as("cfg_type"),
+        expr("CAST(str_to_map(cfg, ';', '=')['uid'] AS BIGINT)").as("cfg_uid"))
+      .orderBy("event_id")
+
+  /** F+: posexplode — positional explode of the first five normalized
+    * tokens per document (the UDTF surface: one input row → (pos, val)
+    * rows with the ordinal kept).
+    */
+  def posExplodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        split(graft.functions.TextOps.normalizeText(col("text")), " ").as("toks"))
+      .selectExpr("doc_id", "posexplode(slice(toks, 1, 5)) AS (pos, tok)")
+      .orderBy("doc_id", "pos")
+
   /** U+: INTERSECT ALL / EXCEPT ALL — bag semantics (multiplicity
     * min / difference), distinct from the set-semantics pair above.
     */
@@ -1165,6 +1191,21 @@ object RelationalOps {
           |       (n * sxy - sx * sy)
           |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
           |FROM m ORDER BY l_returnflag""".stripMargin)),
+    GraftQuery("q_str_to_map", "str_to_map config-string parse + key lookups",
+      strToMap,
+      Some(
+        """SELECT event_id, event_type AS cfg_type, user_id AS cfg_uid
+          |FROM events ORDER BY event_id""".stripMargin)),
+    GraftQuery("q_posexplode", "posexplode: positional UDTF over first 5 normalized tokens",
+      posExplodeTokens,
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id,
+          |         str_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+          |  FROM documents)
+          |SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
+          |FROM d, unnest(range(1, least(len(toks), 5) + 1)) AS t(i)
+          |ORDER BY doc_id, pos""".stripMargin)),
     GraftQuery("q_intersect_all", "INTERSECT ALL bag semantics",
       intersectAllKeys,
       Some(

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -325,7 +326,44 @@ object EventOps {
         .partitionBy("batch_id")
         .parquet(out)
 
+  /** Sessionization: assign each event a per-user session sequence
+    * number — new session when >30 min elapses since the user's
+    * previous event. The lag-gap-flag + running-sum composition is THE
+    * standard labeling pattern (session_window aggregates; this labels
+    * every event so downstream joins can carry the session key). Gaps
+    * compared in exact epoch micros (no timestamp truncation
+    * subtleties); windows partition on user_id — high cardinality, no
+    * single-task hazard. Ties broken by event_id: a total order, so
+    * lag and the running sum are deterministic.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("session_seq"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_sessionize", "per-user session labeling: 30-min-gap flag + running sum over (user, time) window",
+      sessionize,
+      Some(
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+          |w AS (SELECT user_id, event_id, ts_us,
+          |             lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+          |      FROM e)
+          |SELECT user_id, event_id,
+          |       CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+          |            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+          |FROM w ORDER BY user_id, event_id""".stripMargin)),
     GraftQuery("q_gap_fill", "per-key daily resample: zero-filled counts + forward-filled last event type",
       gapFillDaily,
       Some(
