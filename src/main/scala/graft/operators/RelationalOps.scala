@@ -631,6 +631,36 @@ object RelationalOps {
       .orderBy("l_returnflag")
   }
 
+  /** A+: population skewness + excess kurtosis from raw integer
+    * moments, same regime as [[corrCovar]]: Σx..Σx⁴ accumulate as
+    * longs (order-independent), each sum converts to double once
+    * (identical correctly-rounded conversion on both engines), and the
+    * central-moment formulas below use only IEEE-pinned ops in the
+    * exact tree shape the oracle mirrors. Built-in skewness()/
+    * kurtosis() stream doubles and drift with partition order.
+    */
+  def skewKurt(s: SparkSession, dir: String): DataFrame = {
+    val n = col("n").cast("double")
+    val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+    val s3 = col("s3").cast("double"); val s4 = col("s4").cast("double")
+    val mu = s1 / n
+    val m2 = s2 / n - mu * mu
+    val m3 = s3 / n - lit(3.0) * mu * (s2 / n) + lit(2.0) * mu * mu * mu
+    val m4 = s4 / n - lit(4.0) * mu * (s3 / n) +
+      lit(6.0) * mu * mu * (s2 / n) - lit(3.0) * mu * mu * mu * mu
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      .select(col("l_returnflag"), col("n"),
+        (m3 / (sqrt(m2) * m2)).as("skew_pop"),
+        (m4 / (m2 * m2) - lit(3.0)).as("kurt_excess"))
+      .orderBy("l_returnflag")
+  }
+
   /** F+: str_to_map — parse "k=v;k=v" config strings into a map and
     * look keys up. The config string is assembled deterministically
     * from event columns, so the oracle can reconstruct the lookups
@@ -1191,6 +1221,28 @@ object RelationalOps {
           |       (n * sxy - sx * sy)
           |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
           |FROM m ORDER BY l_returnflag""".stripMargin)),
+    GraftQuery("q_skew_kurt", "population skewness + excess kurtosis from exact integer moments",
+      skewKurt,
+      Some(
+        """WITH m AS (
+          |  SELECT l_returnflag,
+          |         CAST(count(*) AS DOUBLE) AS n,
+          |         CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS s1,
+          |         CAST(CAST(sum(x*x) AS BIGINT) AS DOUBLE) AS s2,
+          |         CAST(CAST(sum(x*x*x) AS BIGINT) AS DOUBLE) AS s3,
+          |         CAST(CAST(sum(x*x*x*x) AS BIGINT) AS DOUBLE) AS s4
+          |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem)
+          |  GROUP BY l_returnflag),
+          |c AS (SELECT l_returnflag, n, s1 / n AS mu, s2, s3, s4 FROM m),
+          |cm AS (SELECT l_returnflag, n,
+          |              s2 / n - mu * mu AS m2,
+          |              s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu AS m3,
+          |              s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n) - 3.0 * mu * mu * mu * mu AS m4
+          |       FROM c)
+          |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+          |       m3 / (sqrt(m2) * m2) AS skew_pop,
+          |       m4 / (m2 * m2) - 3.0 AS kurt_excess
+          |FROM cm ORDER BY l_returnflag""".stripMargin)),
     GraftQuery("q_str_to_map", "str_to_map config-string parse + key lookups",
       strToMap,
       Some(
