@@ -62,6 +62,44 @@ object TrainingPrep {
       .select(col("doc_id"), col(langCol), col("h").as("sample_key"))
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test assignment: an md5-derived bucket in
+    * [0,100) maps each doc to 80/10/10. Pure function of doc_id — no
+    * shuffle, no state, stable across reruns and table growth (a doc's
+    * split never changes when others arrive: the property random()
+    * splits lack). The md5-hex recipe is the cross-engine-exact one
+    * (conv(hex) on Spark == '0x'::BIGINT on DuckDB).
+    */
+  def hashSplit(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 25, 8), 16, 10) AS BIGINT)") % 100)
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  /** Balanced cross-source mix: downsample every source to ≈ the
+    * smallest source's share with a THRESHOLD PREDICATE, not a
+    * per-source rank — `hash32 · cnt < minCnt · 2³²` keeps ≈ minCnt/cnt
+    * of each source using exact BIGINT arithmetic (valid while
+    * cnt < 2³¹). The rank formulation would window-partition by source
+    * — a handful of giant single-task sorts at 100 TB; this is one scan
+    * plus a broadcast of the per-source counts. Deterministic: the same
+    * doc always survives, so the oracle replays it row-for-row.
+    */
+  def balancedMix(docs: DataFrame): DataFrame = {
+    val hashed = docs.withColumn("h32",
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 25, 8), 16, 10) AS BIGINT)"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+    val minCnt = counts.agg(min("cnt").as("min_cnt"))
+    hashed.join(broadcast(counts), "source")
+      .crossJoin(broadcast(minCnt))
+      .where(col("h32") * col("cnt") < col("min_cnt") * lit(4294967296L))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Training-shard writer: range-partition the corpus by its shuffle
     * key into `numShards` shards, each internally sorted — the output
     * stage of a data pipeline. Shard key ranges are DISJOINT
@@ -281,6 +319,27 @@ object TrainingPrep {
            |FROM idx
            |WHERE list_aggregate(tk[i * 24 + 1 : i * 24 + 32], 'string_agg', ' ') <> ''
            |ORDER BY doc_id, chunk_idx""".stripMargin)),
+    GraftQuery("q_hash_split", "deterministic 80/10/10 train/val/test assignment by md5 bucket",
+      (s, dir) => hashSplit(t(s, dir, "documents")),
+      Some(
+        """SELECT doc_id,
+          |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          |FROM (SELECT doc_id,
+          |             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 100 AS b
+          |      FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_balanced_mix", "balanced cross-source downsample via integer threshold predicate (no windows)",
+      (s, dir) => balancedMix(t(s, dir, "documents")),
+      Some(
+        """WITH h AS (SELECT doc_id, source,
+          |                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT AS h32
+          |           FROM documents),
+          |c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+          |mc AS (SELECT CAST(min(cnt) AS BIGINT) AS min_cnt FROM c)
+          |SELECT h.doc_id, h.source
+          |FROM h JOIN c USING (source) CROSS JOIN mc
+          |WHERE h.h32 * c.cnt < mc.min_cnt * 4294967296
+          |ORDER BY h.doc_id""".stripMargin)),
     GraftQuery("q_deterministic_shuffle", "reproducible corpus shuffle by md5(doc_id)",
       shuffleQuery,
       Some(
