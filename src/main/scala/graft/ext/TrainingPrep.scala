@@ -62,17 +62,23 @@ object TrainingPrep {
       .select(col("doc_id"), col(langCol), col("h").as("sample_key"))
       .orderBy("doc_id")
 
+  /** The cross-engine-exact md5→uint32 recipe (Spark `conv(hex)` ==
+    * DuckDB `('0x'||hex)::BIGINT`), shared by [[hashSplit]] and
+    * [[balancedMix]] so the substring window can never drift between
+    * them.
+    */
+  private def h32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 25, 8), 16, 10).cast("long")
+
   /** Deterministic train/val/test assignment: an md5-derived bucket in
     * [0,100) maps each doc to 80/10/10. Pure function of doc_id — no
     * shuffle, no state, stable across reruns and table growth (a doc's
     * split never changes when others arrive: the property random()
-    * splits lack). The md5-hex recipe is the cross-engine-exact one
-    * (conv(hex) on Spark == '0x'::BIGINT on DuckDB).
+    * splits lack).
     */
   def hashSplit(docs: DataFrame): DataFrame =
     docs
-      .withColumn("bucket",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 25, 8), 16, 10) AS BIGINT)") % 100)
+      .withColumn("bucket", h32(col("doc_id")) % 100)
       .select(col("doc_id"),
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
@@ -84,13 +90,14 @@ object TrainingPrep {
     * per-source rank — `hash32 · cnt < minCnt · 2³²` keeps ≈ minCnt/cnt
     * of each source using exact BIGINT arithmetic (valid while
     * cnt < 2³¹). The rank formulation would window-partition by source
-    * — a handful of giant single-task sorts at 100 TB; this is one scan
-    * plus a broadcast of the per-source counts. Deterministic: the same
-    * doc always survives, so the oracle replays it row-for-row.
+    * — a handful of giant single-task sorts at 100 TB; this reads the
+    * table twice (full rows once, the source column once for counts —
+    * a cheap columnar scan) and broadcasts the tiny count table.
+    * Deterministic: the same doc always survives, so the oracle
+    * replays it row-for-row.
     */
   def balancedMix(docs: DataFrame): DataFrame = {
-    val hashed = docs.withColumn("h32",
-      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 25, 8), 16, 10) AS BIGINT)"))
+    val hashed = docs.withColumn("h32", h32(col("doc_id")))
     val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
     val minCnt = counts.agg(min("cnt").as("min_cnt"))
     hashed.join(broadcast(counts), "source")
@@ -329,12 +336,23 @@ object TrainingPrep {
           |      FROM documents)
           |ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_balanced_mix", "balanced cross-source downsample via integer threshold predicate (no windows)",
-      (s, dir) => balancedMix(t(s, dir, "documents")),
+      // the fixture's sources are perfectly uniform (striped doc_id %
+      // 20), which would make the threshold vacuously true (cnt ==
+      // minCnt everywhere) — the deterministic pre-filter below drops
+      // every other src0 STRIPE and every fourth src1 stripe so the
+      // predicate's cnt/minCnt arithmetic genuinely downsamples the
+      // other 18 sources
+      (s, dir) => balancedMix(t(s, dir, "documents")
+        .where(!(col("source") === "src0" && expr("doc_id div 20") % 2 === 0) &&
+               !(col("source") === "src1" && expr("doc_id div 20") % 4 === 0))),
       Some(
-        """WITH h AS (SELECT doc_id, source,
-          |                  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT AS h32
-          |           FROM documents),
-          |c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        """WITH d AS (SELECT * FROM documents
+          |           WHERE NOT (source = 'src0' AND (doc_id // 20) % 2 = 0)
+          |             AND NOT (source = 'src1' AND (doc_id // 20) % 4 = 0)),
+          |h AS (SELECT doc_id, source,
+          |             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT AS h32
+          |      FROM d),
+          |c AS (SELECT source, count(*) AS cnt FROM d GROUP BY source),
           |mc AS (SELECT CAST(min(cnt) AS BIGINT) AS min_cnt FROM c)
           |SELECT h.doc_id, h.source
           |FROM h JOIN c USING (source) CROSS JOIN mc

@@ -668,9 +668,14 @@ object RelationalOps {
     */
   def strToMap(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
+      // coalesce each component: concat null-propagates, so one NULL
+      // column would nuke the whole cfg string (and diverge from an
+      // oracle projecting the raw columns). "uid=" parses to '', which
+      // the lenient BIGINT cast turns back into NULL.
       .select(col("event_id"),
-        concat(lit("type="), col("event_type"),
-          lit(";uid="), col("user_id").cast("string")).as("cfg"))
+        concat(lit("type="), coalesce(col("event_type"), lit("")),
+          lit(";uid="), coalesce(col("user_id").cast("string"), lit("")))
+          .as("cfg"))
       .select(col("event_id"),
         expr("str_to_map(cfg, ';', '=')['type']").as("cfg_type"),
         expr("CAST(str_to_map(cfg, ';', '=')['uid'] AS BIGINT)").as("cfg_uid"))
@@ -1245,8 +1250,10 @@ object RelationalOps {
           |FROM cm ORDER BY l_returnflag""".stripMargin)),
     GraftQuery("q_str_to_map", "str_to_map config-string parse + key lookups",
       strToMap,
+      // coalesce mirrors the Spark side's null-safe cfg build: a NULL
+      // event_type round-trips as '' and a NULL user_id stays NULL
       Some(
-        """SELECT event_id, event_type AS cfg_type, user_id AS cfg_uid
+        """SELECT event_id, coalesce(event_type, '') AS cfg_type, user_id AS cfg_uid
           |FROM events ORDER BY event_id""".stripMargin)),
     GraftQuery("q_posexplode", "posexplode: positional UDTF over first 5 normalized tokens",
       posExplodeTokens,

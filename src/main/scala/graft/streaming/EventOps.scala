@@ -337,8 +337,11 @@ object EventOps {
     * lag and the running sum are deterministic.
     */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
+    // asc_nulls_first is Spark's default but DuckDB's is NULLS LAST —
+    // pin it explicitly here and in the oracle so a NULL ts can never
+    // shift a user's lag neighbors between engines
     val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_us"), col("event_id"))
+      .orderBy(col("ts_us").asc_nulls_first, col("event_id").asc_nulls_first)
     t(s, dir, "events")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
       .withColumn("prev_us", lag("ts_us", 1).over(w))
@@ -357,11 +360,11 @@ object EventOps {
       Some(
         """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
           |w AS (SELECT user_id, event_id, ts_us,
-          |             lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+          |             lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST) AS prev_us
           |      FROM e)
           |SELECT user_id, event_id,
           |       CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
-          |            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |            OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST
           |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
           |FROM w ORDER BY user_id, event_id""".stripMargin)),
     GraftQuery("q_gap_fill", "per-key daily resample: zero-filled counts + forward-filled last event type",
