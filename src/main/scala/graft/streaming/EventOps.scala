@@ -354,7 +354,77 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Session-grain rollup of [[sessionize]]: events → labeled sessions
+    * → one row per (user, session) with size and exact-micros duration.
+    * The two windows and the final aggregation all hash on user_id, so
+    * the label pass and the rollup reuse one shuffle.
+    */
+  def sessionStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc_nulls_first, col("event_id").asc_nulls_first)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        (max("ts_us") - min("ts_us")).as("duration_us"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Trailing 30-minute moving aggregate per user: a RANGE frame over
+    * exact epoch micros (Spark range frames need a single numeric sort
+    * key — micros, not timestamps). Value sums as exact cents
+    * (trunc(value·100) mirrors on both engines; double frame-sums
+    * would drift with DuckDB's segment-tree add order). Scale: one
+    * shuffle on user_id, frame eviction is incremental per row.
+    */
+  def movingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-1800L * 1000000L, 0L)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("value") * 100).cast("long").as("cents"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("cnt_30m"),
+        sum("cents").over(w).as("cents_30m"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_session_stats", "session-grain rollup: per (user, session) event count + exact duration",
+      sessionStats,
+      Some(
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+          |w AS (SELECT user_id, event_id, ts_us,
+          |             lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST) AS prev_us
+          |      FROM e),
+          |lab AS (SELECT user_id, ts_us,
+          |               CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+          |                    OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST
+          |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+          |        FROM w)
+          |SELECT user_id, session_seq, count(*) AS n_events,
+          |       max(ts_us) - min(ts_us) AS duration_us
+          |FROM lab GROUP BY user_id, session_seq
+          |ORDER BY user_id, session_seq""".stripMargin)),
+    GraftQuery("q_moving_window", "trailing 30-min RANGE-frame aggregate per user (exact micros + cents)",
+      movingWindow,
+      Some(
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          |                  CAST(trunc(value * 100) AS BIGINT) AS cents FROM events)
+          |SELECT user_id, event_id,
+          |       count(*) OVER fr AS cnt_30m,
+          |       CAST(sum(cents) OVER fr AS BIGINT) AS cents_30m
+          |FROM e
+          |WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us
+          |              RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, event_id""".stripMargin)),
     GraftQuery("q_sessionize", "per-user session labeling: 30-min-gap flag + running sum over (user, time) window",
       sessionize,
       Some(
