@@ -336,10 +336,13 @@ object EventOps {
     * single-task hazard. Ties broken by event_id: a total order, so
     * lag and the running sum are deterministic.
     */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
-    // asc_nulls_first is Spark's default but DuckDB's is NULLS LAST —
-    // pin it explicitly here and in the oracle so a NULL ts can never
-    // shift a user's lag neighbors between engines
+  /** Shared labeling pass for [[sessionize]]/[[sessionStats]]: every
+    * event gains (ts_us, session_seq). asc_nulls_first is Spark's
+    * default but DuckDB's is NULLS LAST — pinned explicitly here and
+    * in both oracles so a NULL ts can never shift a user's lag
+    * neighbors between engines.
+    */
+  private def labeledSessions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_us").asc_nulls_first, col("event_id").asc_nulls_first)
     t(s, dir, "events")
@@ -350,31 +353,24 @@ object EventOps {
           col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
       .withColumn("session_seq", sum("new_sess").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    labeledSessions(s, dir)
       .select(col("user_id"), col("event_id"), col("session_seq"))
       .orderBy("user_id", "event_id")
-  }
 
   /** Session-grain rollup of [[sessionize]]: events → labeled sessions
     * → one row per (user, session) with size and exact-micros duration.
     * The two windows and the final aggregation all hash on user_id, so
     * the label pass and the rollup reuse one shuffle.
     */
-  def sessionStats(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_us").asc_nulls_first, col("event_id").asc_nulls_first)
-    t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
-      .withColumn("prev_us", lag("ts_us", 1).over(w))
-      .withColumn("new_sess",
-        when(col("prev_us").isNull ||
-          col("ts_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
-      .withColumn("session_seq", sum("new_sess").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  def sessionStats(s: SparkSession, dir: String): DataFrame =
+    labeledSessions(s, dir)
       .groupBy("user_id", "session_seq")
       .agg(count(lit(1)).as("n_events"),
         (max("ts_us") - min("ts_us")).as("duration_us"))
       .orderBy("user_id", "session_seq")
-  }
 
   /** Trailing 30-minute moving aggregate per user: a RANGE frame over
     * exact epoch micros (Spark range frames need a single numeric sort
