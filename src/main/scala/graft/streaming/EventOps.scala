@@ -392,7 +392,32 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Deterministic per-user mode: built-in `mode()` picks an ARBITRARY
+    * value on ties in both engines, so the argmax is pinned as
+    * max(struct(count, value)) — highest count, then lexicographically
+    * greatest type. Two hash aggregations on the same leading key, no
+    * sort, no window.
+    */
+  def modeType(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(max(struct(col("c"), col("event_type"))).as("m"))
+      .select(col("user_id"),
+        col("m.event_type").as("mode_type"), col("m.c").as("mode_cnt"))
+      .orderBy("user_id")
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_mode", "deterministic mode: struct-max argmax with pinned tie-break",
+      modeType,
+      Some(
+        """WITH c AS (SELECT user_id, event_type, count(*) AS c
+          |           FROM events GROUP BY user_id, event_type)
+          |SELECT user_id,
+          |       (max({'c': c, 'event_type': event_type})).event_type AS mode_type,
+          |       (max({'c': c, 'event_type': event_type})).c AS mode_cnt
+          |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)),
     GraftQuery("q_session_stats", "session-grain rollup: per (user, session) event count + exact duration",
       sessionStats,
       Some(
