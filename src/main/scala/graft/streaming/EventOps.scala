@@ -11,6 +11,9 @@ import graft.engine.{GraftSession, Tables}
 /** Typed state for [[EventOps.streamingUserStateCounts]]. */
 final case class UserState(n: Long, sum: Double)
 
+/** Open-session state for [[EventOps.streamingSessionize]]. */
+final case class SessState(startUs: Long, lastUs: Long, n: Long)
+
 /** Event-time windowed aggregation (SURVEY.md §2.10). The reference has
   * no streaming — its nearest analogs are Airflow polling sensors
   * (etl_aws_vini.py:459-468) — so this family is Tier B: batch-mode
@@ -237,6 +240,68 @@ object EventOps {
         (user, next.n, next.sum)
       }
       .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** Streaming sessionizer with EVENT-TIME TIMEOUT — the streaming twin
+    * of [[sessionStats]] and the one stateful primitive the NoTimeout
+    * demos can't show: a session closes EITHER when a later event for
+    * its user arrives past the 30-min gap (emitted in-trigger) OR when
+    * the WATERMARK passes last-event + 30 min and the timeout callback
+    * fires with no further data. Without the timeout path, a user who
+    * stops sending events holds state forever — the eviction an
+    * unbounded stream cannot live without. Emits one row per CLOSED
+    * session; the still-open session per user stays in state.
+    * Input: a parquet directory of (user_id LONG, event_id LONG,
+    * ts TIMESTAMP) rows.
+    */
+  def streamingSessionize(spark: SparkSession, inDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    GraftSession.tuned(spark)
+    val gapUs = 1800L * 1000000L
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("ts", TimestampType))))
+      .parquet(inDir)
+      .withWatermark("ts", "0 seconds")
+      // the WATERMARKED ts column must survive into the stateful op
+      // (projecting it away fails the event-time-timeout check), so it
+      // rides along next to the micros value the logic uses
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, _, state) if state.hasTimedOut =>
+          val st = state.get
+          state.remove()
+          Iterator((user, st.n, st.lastUs - st.startUs))
+        case (user, events, state) =>
+          // per-trigger arrivals are unordered; sort in memory (one
+          // user's single-trigger slice, not the stream)
+          val sorted = events.map(_._3).toArray.sorted
+          var closed = List.empty[(Long, Long, Long)]
+          var cur = state.getOption
+          sorted.foreach { ts =>
+            cur match {
+              case Some(sess) if ts - sess.lastUs <= gapUs =>
+                cur = Some(sess.copy(lastUs = ts, n = sess.n + 1))
+              case Some(sess) =>
+                closed ::= ((user, sess.n, sess.lastUs - sess.startUs))
+                cur = Some(SessState(ts, ts, 1L))
+              case None =>
+                cur = Some(SessState(ts, ts, 1L))
+            }
+          }
+          cur.foreach { sess =>
+            state.update(sess)
+            state.setTimeoutTimestamp(sess.lastUs / 1000L + 1800L * 1000L)
+          }
+          closed.reverseIterator
+      }
+      .toDF("user_id", "n_events", "duration_us")
   }
 
   /** Streaming exact dedup on a natural key with BOUNDED state:

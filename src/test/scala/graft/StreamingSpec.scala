@@ -173,6 +173,51 @@ class StreamingSpec extends SparkTestBase {
       "no event processed twice across the restart")
   }
 
+  test("event-time-timeout sessionizer: closed sessions equal the batch session rollup") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val in = s"$tmp/in"; new java.io.File(in).mkdirs()
+    def firstPart(d: String) =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).head
+    def deliver(df: org.apache.spark.sql.DataFrame, stage: String): Unit = {
+      df.coalesce(1).write.parquet(s"$tmp/$stage")
+      java.nio.file.Files.copy(firstPart(s"$tmp/$stage").toPath,
+        java.nio.file.Paths.get(in, s"$stage.parquet"))
+      ()
+    }
+    val events = graft.engine.Tables
+      .load(graft.engine.GraftSession.tuned(spark), sfDir, "events")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"), col("ts"))
+    val subset = events.where(col("user_id") < 5)
+    deliver(subset, "f1")
+    val q = EventOps.streamingSessionize(spark, in).writeStream
+      .format("memory").queryName("graft_sess_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a far-future sentinel for a DIFFERENT user pushes the watermark
+      // past every real session's last-event+30min, so the remaining
+      // open sessions close via the TIMEOUT path, not a new event
+      val sentinel = events.orderBy(col("ts").desc).limit(1)
+        .select(lit(999L).as("user_id"), lit(999999L).as("event_id"),
+          (col("ts") + expr("INTERVAL 10 DAYS")).as("ts"))
+      deliver(sentinel, "f2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("graft_sess_stream")
+      .where(col("user_id") < 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val batch = EventOps.sessionStats(spark, sfDir)
+      .where(col("user_id") < 5)
+      .select(col("user_id"), col("n_events"), col("duration_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(streamed.nonEmpty, "timeout path must have closed sessions")
+    assert(streamed == batch,
+      "every batch session must be emitted exactly once by the stream")
+  }
+
   test("gapFillDaily zero-fills missing days and carries the last type forward") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-gap").toString
     // ts as nanos-since-epoch long — the fixture contract Tables.load
