@@ -52,4 +52,31 @@ class TypedApiSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(maxPerCust == expected)
   }
+
+  test("cogroup pairs both sides' groups, including keys present on only one side") {
+    // per custkey: (#orders, #customer rows) — cogroup sees each side's
+    // full iterator even when the other is empty, unlike any join.
+    // Orders restricted to even custkeys so odd-key customers prove the
+    // empty-side case (every fixture customer otherwise has orders)
+    val evenOrders = orders.filter(_.o_custkey % 2 == 0)
+    val cg = customers.groupByKey(_.c_custkey)
+      .cogroup(evenOrders.groupByKey(_.o_custkey)) {
+        (k: Long, cs: Iterator[Customer], os: Iterator[Order]) =>
+          Iterator((k, cs.size.toLong, os.size.toLong))
+      }
+      .collect().map { case (k, nc, no) => k -> ((nc, no)) }.toMap
+    val expected = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("k")).groupBy("k").count()
+      .withColumnRenamed("count", "nc")
+      .join(spark.read.parquet(s"$sfDir/orders.parquet")
+          .where(col("o_custkey") % 2 === 0)
+          .select(col("o_custkey").as("k")).groupBy("k").count()
+          .withColumnRenamed("count", "no"),
+        Seq("k"), "full_outer")
+      .na.fill(0L, Seq("nc", "no"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(cg == expected)
+    assert(cg.values.exists(_._2 == 0L),
+      "fixture has customers with zero orders - the side joins cannot model")
+  }
 }
