@@ -194,6 +194,21 @@ object TextOps {
         sha2(col("text"), 256).as("sha256_hex"))
       .orderBy("doc_id")
 
+  /** F+: regexp_extract_all — ALL matches, not the first (the cleaning
+    * primitive behind "pull every number/url/id out of a doc"). Array
+    * output is flattened to scalars (joined string + count) for the
+    * driver's canonicalization.
+    */
+  def extractAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        concat_ws(",", regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .as("all_numbers"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .as("n_numbers"))
+      .orderBy("doc_id")
+
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(
@@ -342,6 +357,13 @@ object TextOps {
           |  FROM documents)
           |WHERE term <> ''
           |GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin)),
+    GraftQuery("q_extract_all", "regexp_extract_all: every match, flattened to joined string + count",
+      extractAll,
+      Some(
+        """SELECT doc_id,
+          |       coalesce(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '') AS all_numbers,
+          |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers
+          |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_encodings", "hex/base64/md5/sha256 content encodings",
       encodings,
       Some(
