@@ -199,15 +199,20 @@ object TextOps {
     * output is flattened to scalars (joined string + count) for the
     * driver's canonicalization.
     */
-  def extractAll(s: SparkSession, dir: String): DataFrame =
+  def extractAll(s: SparkSession, dir: String): DataFrame = {
+    // NULL text must read as "no matches" on BOTH engines: unguarded,
+    // Spark's size(NULL) is -1 under legacy sizeOfNull (ANSI off)
+    // while DuckDB's len(NULL) is NULL
+    val txt = coalesce(col("text"), lit(""))
     t(s, dir, "documents")
       .select(
         col("doc_id"),
-        concat_ws(",", regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        concat_ws(",", regexp_extract_all(txt, lit("[0-9]+"), lit(0)))
           .as("all_numbers"),
-        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        size(regexp_extract_all(txt, lit("[0-9]+"), lit(0)))
           .as("n_numbers"))
       .orderBy("doc_id")
+  }
 
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -361,8 +366,8 @@ object TextOps {
       extractAll,
       Some(
         """SELECT doc_id,
-          |       coalesce(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '') AS all_numbers,
-          |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers
+          |       coalesce(array_to_string(regexp_extract_all(coalesce(text, ''), '[0-9]+'), ','), '') AS all_numbers,
+          |       CAST(len(regexp_extract_all(coalesce(text, ''), '[0-9]+')) AS INT) AS n_numbers
           |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_encodings", "hex/base64/md5/sha256 content encodings",
       encodings,

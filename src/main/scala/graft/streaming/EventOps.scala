@@ -465,23 +465,28 @@ object EventOps {
     */
   def modeType(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .groupBy("user_id", "event_type")
+      // NULL types fold to '' BEFORE the argmax: on a tied count Spark
+      // orders a null struct field SMALLEST but DuckDB orders it
+      // LARGEST, so an unguarded NULL could win on one engine and lose
+      // on the other
+      .select(col("user_id"), coalesce(col("event_type"), lit("")).as("et"))
+      .groupBy("user_id", "et")
       .agg(count(lit(1)).as("c"))
       .groupBy("user_id")
-      .agg(max(struct(col("c"), col("event_type"))).as("m"))
+      .agg(max(struct(col("c"), col("et"))).as("m"))
       .select(col("user_id"),
-        col("m.event_type").as("mode_type"), col("m.c").as("mode_cnt"))
+        col("m.et").as("mode_type"), col("m.c").as("mode_cnt"))
       .orderBy("user_id")
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_mode", "deterministic mode: struct-max argmax with pinned tie-break",
       modeType,
       Some(
-        """WITH c AS (SELECT user_id, event_type, count(*) AS c
-          |           FROM events GROUP BY user_id, event_type)
+        """WITH c AS (SELECT user_id, coalesce(event_type, '') AS et, count(*) AS c
+          |           FROM events GROUP BY user_id, coalesce(event_type, ''))
           |SELECT user_id,
-          |       (max({'c': c, 'event_type': event_type})).event_type AS mode_type,
-          |       (max({'c': c, 'event_type': event_type})).c AS mode_cnt
+          |       (max({'c': c, 'et': et})).et AS mode_type,
+          |       (max({'c': c, 'et': et})).c AS mode_cnt
           |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)),
     GraftQuery("q_session_stats", "session-grain rollup: per (user, session) event count + exact duration",
       sessionStats,

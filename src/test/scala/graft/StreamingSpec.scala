@@ -11,6 +11,24 @@ import graft.streaming.EventOps
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Write `df` as one parquet file and place it into the watched
+    * source directory `in` ATOMICALLY (stage under the scratch root,
+    * then ATOMIC_MOVE): a live FileStreamSource that lists a file
+    * mid-copy reads a truncated footer and kills the query.
+    */
+  private def deliver(df: org.apache.spark.sql.DataFrame, tmp: String,
+      in: String, stage: String): Unit = {
+    df.coalesce(1).write.parquet(s"$tmp/$stage")
+    val part = new java.io.File(s"$tmp/$stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val staged = java.nio.file.Paths.get(tmp, s"$stage.parquet.tmp")
+    java.nio.file.Files.copy(part.toPath, staged)
+    java.nio.file.Files.move(staged,
+      java.nio.file.Paths.get(in, s"$stage.parquet"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
   test("streaming tumbling counts == batch tumbling counts (memory sink, drain-all)") {
     val stream = EventOps.streamingTumblingCounts(spark, sfDir)
     val q = stream.writeStream
@@ -144,11 +162,7 @@ class StreamingSpec extends SparkTestBase {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
       .orderBy("event_id")
     val schema = events.schema
-    events.limit(100).coalesce(1).write.parquet(s"$tmp/f1")
-    def firstPart(d: String) =
-      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).head
-    java.nio.file.Files.copy(firstPart(s"$tmp/f1").toPath,
-      java.nio.file.Paths.get(in, "batch1.parquet"))
+    deliver(events.limit(100), tmp, in, "batch1")
     def runOnce(): Unit = {
       val q = spark.readStream.schema(schema).parquet(in)
         .select("event_id", "user_id", "event_type")
@@ -162,10 +176,7 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$tmp/out").count() == 100)
     // stream is STOPPED; 50 more rows arrive; a NEW query restarts from
     // the same checkpoint and must process only the new file
-    events.limit(150).exceptAll(events.limit(100)).coalesce(1)
-      .write.parquet(s"$tmp/f2")
-    java.nio.file.Files.copy(firstPart(s"$tmp/f2").toPath,
-      java.nio.file.Paths.get(in, "batch2.parquet"))
+    deliver(events.limit(150).exceptAll(events.limit(100)), tmp, in, "batch2")
     runOnce()
     val back = spark.read.parquet(s"$tmp/out")
     assert(back.count() == 150, "restart must add only the new file's rows")
@@ -176,20 +187,12 @@ class StreamingSpec extends SparkTestBase {
   test("event-time-timeout sessionizer: closed sessions equal the batch session rollup") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
     val in = s"$tmp/in"; new java.io.File(in).mkdirs()
-    def firstPart(d: String) =
-      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).head
-    def deliver(df: org.apache.spark.sql.DataFrame, stage: String): Unit = {
-      df.coalesce(1).write.parquet(s"$tmp/$stage")
-      java.nio.file.Files.copy(firstPart(s"$tmp/$stage").toPath,
-        java.nio.file.Paths.get(in, s"$stage.parquet"))
-      ()
-    }
     val events = graft.engine.Tables
       .load(graft.engine.GraftSession.tuned(spark), sfDir, "events")
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"), col("ts"))
     val subset = events.where(col("user_id") < 5)
-    deliver(subset, "f1")
+    deliver(subset, tmp, in, "f1")
     val q = EventOps.streamingSessionize(spark, in).writeStream
       .format("memory").queryName("graft_sess_stream")
       .outputMode("append").start()
@@ -201,7 +204,7 @@ class StreamingSpec extends SparkTestBase {
       val sentinel = events.orderBy(col("ts").desc).limit(1)
         .select(lit(999L).as("user_id"), lit(999999L).as("event_id"),
           (col("ts") + expr("INTERVAL 10 DAYS")).as("ts"))
-      deliver(sentinel, "f2")
+      deliver(sentinel, tmp, in, "f2")
       q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.table("graft_sess_stream")
