@@ -159,6 +159,48 @@ object Cleaning {
       .orderBy("doc_id")
   }
 
+  // ---- length-outlier QC flags -----------------------------------------
+
+  /** Per-language z-score outlier flags on document length — the QC
+    * gate "drop docs whose length is anomalous for their language".
+    *
+    * Numerics: per-lang stats come from EXACT integer moments
+    * (count, Σx, Σx² as longs — Σx² stays under 2⁶³ past sf1000 for
+    * realistic doc lengths), converted to double ONCE with the same
+    * formula on both engines, so mean/std/z are bit-identical and the
+    * boolean threshold can never flip cross-engine.
+    *
+    * Scale: the stats table is one row per language → broadcast hash
+    * join back onto the corpus. One partial+final aggregate plus a
+    * map-side join — deliberately NOT a window over `lang`, whose
+    * handful of distinct values would funnel a 100 TB corpus into a
+    * handful of single-task sort buffers.
+    */
+  def outlierDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val meanE = col("s1").cast("double") / col("n").cast("double")
+    // variance clamped at 0: FP cancellation can leave Σx²/n − mean²
+    // a hair negative and sqrt(negative) diverges between engines
+    val stats = docs.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .select(
+        col("lang"), meanE.as("mean"),
+        sqrt(greatest(
+          col("s2").cast("double") / col("n").cast("double") - meanE * meanE,
+          lit(0d))).as("std"))
+    docs.join(broadcast(stats), Seq("lang"))
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        when(col("std") === 0d, lit(0d))
+          .otherwise((col("n_chars").cast("double") - col("mean")) / col("std"))
+          .as("z"))
+      .withColumn("is_outlier", abs(col("z")) > 2d)
+      .orderBy("doc_id")
+  }
+
   // ---- registered queries ----------------------------------------------
 
   private val normToksSql =
@@ -197,6 +239,26 @@ object Cleaning {
            |FROM grams d JOIN ev ON ev.g = d.g
            |WHERE d.doc_id % 10 <> 5
            |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+    GraftQuery("q_outlier_docs", "per-language z-score length outliers from exact integer moments",
+      outlierDocs,
+      Some(
+        """WITH stats AS (
+          |  SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s1,
+          |         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+          |  FROM documents GROUP BY lang),
+          |m AS (
+          |  SELECT lang, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+          |         sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+          |              (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)),
+          |              0.0)) AS std
+          |  FROM stats),
+          |zz AS (
+          |  SELECT d.doc_id, d.lang, d.n_chars,
+          |         CASE WHEN std = 0 THEN 0.0
+          |              ELSE (CAST(d.n_chars AS DOUBLE) - mean) / std END AS z
+          |  FROM documents d JOIN m USING (lang))
+          |SELECT doc_id, lang, n_chars, z, abs(z) > 2.0 AS is_outlier
+          |FROM zz ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_repetition_stats", "Gopher-style repetition signals: dup-token / top-token / top-bigram fractions",
       repetitionStats,
       Some(

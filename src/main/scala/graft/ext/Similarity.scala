@@ -336,6 +336,45 @@ object Similarity {
         expr("graft_cosine(embedding, embedding)").as("self_cos"))
       .orderBy("vec_id")
 
+  /** Per-vector symmetric int8 quantization — the 4× memory/IO lever
+    * for embedding storage and ANN at 100 TB (float32 → int8 plus one
+    * double `scale` per vector; dequantize as `q · scale`). Row-local
+    * single scan, zero shuffle. Rounding is `floor(x·127/absmax + 0.5)`
+    * — pure IEEE-double arithmetic, identical on every engine, unlike
+    * library `round()` whose half-away/half-even choice varies.
+    * All-zero vectors quantize to zeros with scale 0 (no 0/0).
+    */
+  def quantize(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("absmax",
+        expr("CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)"))
+      .withColumn("qvec",
+        when(col("absmax") === 0d,
+          expr("transform(embedding, x -> CAST(0 AS TINYINT))"))
+          .otherwise(expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / absmax + 0.5D) AS TINYINT))")))
+      .select(col("vec_id"), (col("absmax") / lit(127.0d)).as("scale"),
+        col("qvec"))
+
+  /** Registered digest of [[quantize]]: array columns defeat the
+    * driver's canonicalization, so the query pins the quantized vector
+    * through order-sensitive integer digests (min/max/sum plus a
+    * position-weighted sum — a permutation-detecting checksum) and the
+    * exact double scale.
+    */
+  def quantizeEmbedQuery(s: SparkSession, dir: String): DataFrame =
+    quantize(t(s, dir, "embeddings"))
+      .select(
+        col("vec_id"), col("scale"),
+        expr("CAST(array_min(qvec) AS INT)").as("q_min"),
+        expr("CAST(array_max(qvec) AS INT)").as("q_max"),
+        expr("aggregate(qvec, 0L, (acc, x) -> acc + CAST(x AS BIGINT))")
+          .as("q_sum"),
+        expr("""aggregate(zip_with(qvec, sequence(1, size(qvec)),
+                 (q, i) -> CAST(q AS BIGINT) * CAST(i AS BIGINT)),
+                 0L, (acc, v) -> acc + v)""").as("q_possum"))
+      .orderBy("vec_id")
+
   /** Brute-force exact cosine top-k in DuckDB — the oracle both ANN
     * variants must reproduce (same double fold as graft_cosine).
     */
@@ -394,6 +433,26 @@ object Similarity {
           |     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
           |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
           |SELECT id1, id2 FROM pairs WHERE cos_sim >= 0.95 ORDER BY id1, id2""".stripMargin)),
+    GraftQuery("q_quantize_embed", "per-vector int8 quantization: scale + order-sensitive integer digests",
+      quantizeEmbedQuery,
+      Some(
+        """WITH e AS (
+          |  SELECT vec_id, embedding,
+          |         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS absmax
+          |  FROM embeddings),
+          |q AS (
+          |  SELECT vec_id, absmax,
+          |         CASE WHEN absmax = 0 THEN list_transform(embedding, x -> 0)
+          |              ELSE list_transform(embedding,
+          |                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / absmax + 0.5) AS INTEGER)) END AS qvec
+          |  FROM e)
+          |SELECT vec_id, absmax / 127.0 AS scale,
+          |       CAST(list_min(qvec) AS INTEGER) AS q_min,
+          |       CAST(list_max(qvec) AS INTEGER) AS q_max,
+          |       CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+          |       CAST(list_sum(list_transform(range(1, len(qvec) + 1),
+          |                     i -> CAST(qvec[i] AS BIGINT) * i)) AS BIGINT) AS q_possum
+          |FROM q ORDER BY vec_id""".stripMargin)),
     GraftQuery("q_array_funcs", "scalar array-function sweep over embeddings",
       arrayFuncsQuery,
       Some(

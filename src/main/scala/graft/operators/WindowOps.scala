@@ -99,6 +99,39 @@ object WindowOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** SCD Type-2 dimension history from a change-event stream — the
+    * warehouse transform that turns "user's attribute over time" into
+    * [valid_from, valid_to) rows with an open `is_current` interval
+    * (the reference's pipeline feeds a Redshift-style warehouse where
+    * this shape is the standard history table). Consecutive duplicate
+    * attribute values collapse first (type-2 versions only on change),
+    * then `lead()` over the surviving change rows closes each interval.
+    *
+    * Scale: both windows hash-partition on `user_id` — high cardinality,
+    * so every core gets work — and share one shuffle+sort (same
+    * partitioning AND ordering ⇒ Spark plans a single Exchange+Sort
+    * feeding both Window operators). Timestamps travel as exact epoch
+    * micros; NULL attribute values fold to '' BEFORE the lag-compare so
+    * both engines agree on change boundaries.
+    */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val e = t(s, dir, "events")
+      .select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        coalesce(col("event_type"), lit("")).as("attr"))
+    e.withColumn("prev", lag(col("attr"), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("attr"))
+      .select(
+        col("user_id"), col("event_id"), col("attr"),
+        col("ts_us").as("valid_from_us"),
+        lead(col("ts_us"), 1).over(w).as("valid_to_us"),
+        lead(col("ts_us"), 1).over(w).isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
   /** Rank-statistics family over one window: rank, dense_rank,
     * percent_rank, cume_dist, ntile(4). The custkey tiebreaker makes the
     * ordering total, so every engine agrees on all five.
@@ -190,6 +223,21 @@ object WindowOps {
           |FROM customer
           |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
           |ORDER BY c_mktsegment, rnk""".stripMargin)),
+    GraftQuery("q_scd2", "SCD Type-2 history: collapse unchanged runs, lead()-closed validity intervals",
+      scd2,
+      Some(
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          |                  coalesce(event_type, '') AS attr FROM events),
+          |w AS (SELECT user_id, event_id, ts_us, attr,
+          |             lag(attr) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST) AS prev
+          |      FROM e),
+          |ch AS (SELECT user_id, event_id, ts_us, attr FROM w WHERE prev IS NULL OR prev <> attr)
+          |SELECT user_id, event_id, attr, ts_us AS valid_from_us,
+          |       lead(ts_us) OVER wd AS valid_to_us,
+          |       (lead(ts_us) OVER wd IS NULL) AS is_current
+          |FROM ch
+          |WINDOW wd AS (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST)
+          |ORDER BY user_id, valid_from_us, event_id""".stripMargin)),
     GraftQuery("q_lag_lead", "lag/lead over ordered per-key window",
       lagLead,
       Some(

@@ -67,4 +67,22 @@ class CleaningSpec extends SparkTestBase {
       (2L, 4L, 0.0, 0.25, 1.0 / 3.0),
       (3L, 1L, 0.0, 1.0, 0.0)))
   }
+
+  test("outlierDocs: per-language z-scores standardize; flag matches threshold") {
+    val rows = Cleaning.outlierDocs(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == nDocs, "one flag row per document")
+    rows.foreach(r =>
+      assert(r.getBoolean(4) == (math.abs(r.getDouble(3)) > 2.0)))
+    // z-scores standardize within each language: mean 0, variance 1
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val zs = rs.map(_.getDouble(3))
+      if (zs.exists(_ != 0.0)) {
+        val m = zs.sum / zs.length
+        val v = zs.map(z => (z - m) * (z - m)).sum / zs.length
+        assert(math.abs(m) < 1e-6, s"$lang z mean $m")
+        assert(math.abs(v - 1.0) < 1e-6, s"$lang z variance $v")
+      }
+    }
+  }
 }

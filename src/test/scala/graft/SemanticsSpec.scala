@@ -93,4 +93,23 @@ class SemanticsSpec extends SparkTestBase {
       assert(math.abs(ap - p90) / p90 < 0.05, s"$g p90: approx=$ap exact=$p90")
     }
   }
+
+  test("SCD2: contiguous intervals, one open row per user, change-only versions") {
+    val out = operators.WindowOps.scd2(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (user, rs0) =>
+      val rs = rs0.sortBy(r => (r.getLong(3), r.getLong(1)))
+      assert(rs.count(_.getBoolean(5)) == 1, s"user $user open rows")
+      assert(rs.last.getBoolean(5), s"user $user: open row must be last")
+      assert(rs.last.isNullAt(4), s"user $user: open row has null valid_to")
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(4) && a.getLong(4) == b.getLong(3),
+            s"user $user: intervals must be contiguous")
+          assert(a.getString(2) != b.getString(2),
+            s"user $user: consecutive versions must differ")
+        case _ => // single-version user
+      }
+    }
+  }
 }

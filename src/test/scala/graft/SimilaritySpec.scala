@@ -83,4 +83,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.planesFor(500) == 4)       // min clamp
     assert(Similarity.planesFor(1_000_000_000L) >= 20) // scales with N
   }
+
+  test("int8 quantize: dequantization error <= scale/2, zero-vector safe") {
+    val joined = Similarity.quantize(emb).join(emb, "vec_id")
+      .select(col("vec_id"), col("scale"), col("qvec"), col("embedding"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val scale = r.getDouble(1)
+      val qv = r.getSeq[Byte](2)
+      val ev = r.getSeq[Float](3)
+      assert(qv.length == ev.length)
+      qv.zip(ev).foreach { case (q, x) =>
+        assert(q >= -127 && q <= 127)
+        assert(math.abs(q * scale - x) <= scale / 2 + 1e-12,
+          s"vec ${r.getLong(0)}: q=$q scale=$scale x=$x")
+      }
+    }
+    val zq = Similarity.quantize(
+      Seq((99L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")).collect().head
+    assert(zq.getDouble(1) == 0.0)
+    assert(zq.getSeq[Byte](2).forall(_ == 0))
+  }
 }
