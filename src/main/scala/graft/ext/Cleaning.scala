@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.GraftQuery
 import graft.engine.{GraftSession, Tables}
@@ -201,6 +202,29 @@ object Cleaning {
       .orderBy("doc_id")
   }
 
+  /** Winsorization: clip document length at per-language p05/p95 —
+    * the outlier-CLIPPING companion of [[outlierDocs]]'s flagging
+    * (QC pipelines flag, then either drop or clip). Exact
+    * linear-interpolation percentiles per group (DECIMAL(18,6)-rounded
+    * so Spark and DuckDB interpolate to the same double), broadcast
+    * back, clamp with least/greatest. Same scale shape as
+    * [[outlierDocs]]: tiny per-lang table → map-side join, no window.
+    */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pct = docs.groupBy("lang").agg(
+      expr("percentile(n_chars, 0.05)").cast(DecimalType(18, 6))
+        .cast(DoubleType).as("p05"),
+      expr("percentile(n_chars, 0.95)").cast(DecimalType(18, 6))
+        .cast(DoubleType).as("p95"))
+    docs.join(broadcast(pct), Seq("lang"))
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"), col("p05"), col("p95"),
+        least(greatest(col("n_chars").cast(DoubleType), col("p05")),
+          col("p95")).as("clipped"))
+      .orderBy("doc_id")
+  }
+
   // ---- registered queries ----------------------------------------------
 
   private val normToksSql =
@@ -239,6 +263,18 @@ object Cleaning {
            |FROM grams d JOIN ev ON ev.g = d.g
            |WHERE d.doc_id % 10 <> 5
            |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+    GraftQuery("q_winsorize", "per-language p05/p95 winsorization (clip, not drop) of doc length",
+      winsorize,
+      Some(
+        """WITH p AS (
+          |  SELECT lang,
+          |         CAST(CAST(quantile_cont(n_chars, 0.05) AS DECIMAL(18,6)) AS DOUBLE) AS p05,
+          |         CAST(CAST(quantile_cont(n_chars, 0.95) AS DECIMAL(18,6)) AS DOUBLE) AS p95
+          |  FROM documents GROUP BY lang)
+          |SELECT doc_id, lang, n_chars, p05, p95,
+          |       least(greatest(CAST(n_chars AS DOUBLE), p05), p95) AS clipped
+          |FROM documents JOIN p USING (lang)
+          |ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_outlier_docs", "per-language z-score length outliers from exact integer moments",
       outlierDocs,
       Some(

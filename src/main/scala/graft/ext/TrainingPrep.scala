@@ -107,6 +107,22 @@ object TrainingPrep {
       .orderBy("doc_id")
   }
 
+  /** Quality-weighted deterministic subsample: keep each doc with
+    * probability ∝ min(n_chars, cap)/cap — the curriculum/quality
+    * sampling primitive ("prefer substantial documents, cap the
+    * advantage"). The keep test is the shared md5→uint32 threshold in
+    * ALL-INTEGER arithmetic ((h mod 10⁶)·cap < min(n_chars,cap)·10⁶, no
+    * doubles to drift cross-engine), key-stable (a doc's fate depends
+    * only on its own id+weight, never the rest of the corpus), map-only,
+    * zero shuffle.
+    */
+  def weightedSample(docs: DataFrame, cap: Long = 1000L): DataFrame =
+    docs
+      .withColumn("h", h32(col("doc_id")) % 1000000L)
+      .where(col("h") * lit(cap) < least(col("n_chars"), lit(cap)) * lit(1000000L))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
   /** Training-shard writer: range-partition the corpus by its shuffle
     * key into `numShards` shards, each internally sorted — the output
     * stage of a data pipeline. Shard key ranges are DISJOINT
@@ -334,6 +350,15 @@ object TrainingPrep {
           |FROM (SELECT doc_id,
           |             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 100 AS b
           |      FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_weighted_sample", "quality-weighted deterministic subsample (integer md5 threshold, map-only)",
+      (s, dir) => weightedSample(t(s, dir, "documents")),
+      Some(
+        """SELECT doc_id, lang, n_chars FROM (
+          |  SELECT doc_id, lang, n_chars,
+          |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 1000000 AS h
+          |  FROM documents)
+          |WHERE h * 1000 < least(n_chars, 1000) * 1000000
           |ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_balanced_mix", "balanced cross-source downsample via integer threshold predicate (no windows)",
       // the fixture's sources are perfectly uniform (striped doc_id %

@@ -68,6 +68,21 @@ class CleaningSpec extends SparkTestBase {
       (3L, 1L, 0.0, 1.0, 0.0)))
   }
 
+  test("winsorize: clipped stays inside [p05, p95]; interior values untouched") {
+    val rows = Cleaning.winsorize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, p05, p95, clipped) =
+        (r.getLong(2).toDouble, r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p05 <= p95)
+      assert(clipped >= p05 && clipped <= p95)
+      if (n >= p05 && n <= p95) assert(clipped == n)
+      else assert(clipped == p05 || clipped == p95)
+    }
+    // clipping must actually fire somewhere (5% in each tail by construction)
+    assert(rows.exists(r => r.getLong(2).toDouble != r.getDouble(5)))
+  }
+
   test("outlierDocs: per-language z-scores standardize; flag matches threshold") {
     val rows = Cleaning.outlierDocs(spark, sfDir).collect()
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()

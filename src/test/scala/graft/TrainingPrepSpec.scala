@@ -119,4 +119,23 @@ class TrainingPrepSpec extends SparkTestBase {
     val first = runOnce()
     assert(runOnce() == first, "null-id batch assignment not run-stable")
   }
+
+  test("weighted sample: key-stable, and keep rate rises with doc length") {
+    val s1 = TrainingPrep.weightedSample(docs).collect().map(_.getLong(0))
+    val s2 = TrainingPrep.weightedSample(docs).collect().map(_.getLong(0))
+    assert(s1.sameElements(s2), "weighted sample must be deterministic")
+    assert(s1.nonEmpty && s1.length < docs.count())
+    // docs at/above the cap should survive at a visibly higher rate than
+    // the shortest third (probability = min(n_chars, cap)/cap)
+    val byLen = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val kept = s1.toSet
+    def rate(xs: Array[(Long, Long)]): Double =
+      if (xs.isEmpty) 0.0 else xs.count(x => kept(x._1)).toDouble / xs.length
+    val sorted = byLen.sortBy(_._2)
+    val (short, long) = (sorted.take(sorted.length / 3),
+      sorted.takeRight(sorted.length / 3))
+    assert(rate(long) > rate(short),
+      s"long-doc keep rate ${rate(long)} should exceed short-doc ${rate(short)}")
+  }
 }
