@@ -327,6 +327,23 @@ object HashImpls {
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
+
+  /** Spread the low 31 bits of `v` onto the even bit positions of a
+    * long (classic Morton magic-mask ladder). Input is masked to 31
+    * bits so the interleaved result never reaches the sign bit.
+    */
+  def spread31(v: Long): Long = {
+    var x = v & 0x7FFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** 2-D Morton (Z-order) code: x on even bits, y on odd bits. */
+  def zorder(x: Long, y: Long): Long = spread31(x) | (spread31(y) << 1)
 }
 
 private object ArrayOfString {
@@ -581,6 +598,41 @@ case class DownsampleExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_zorder(x, y) -> bigint`: 2-D Morton (Z-order) code — x's low
+  * 31 bits on even output bits, y's on odd. Sorting by the code gives a
+  * space-filling-curve layout where per-file parquet min/max stats are
+  * narrow on BOTH dimensions (single-column sort leaves the second
+  * column full-span in every file) — the multi-column data-skipping
+  * recipe behind [[graft.operators.ScaleOps.writeZOrdered]]. Inputs are
+  * expected non-negative (bucket ids / day numbers); higher bits are
+  * masked off.
+  */
+case class ZOrderExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case IntegerType | LongType => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two int|bigint args")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zorder"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.zorder(a.asInstanceOf[Number].longValue(),
+      b.asInstanceOf[Number].longValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashImpls.zorder((long)$a, (long)$b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrderExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashExprs {
   /** Idempotent session registration of the graft_* temp functions. */
   def register(spark: SparkSession): Unit = {
@@ -626,6 +678,11 @@ object HashExprs {
       exprs => exprs match {
         case Seq(v, p) => SrpBucketExpr(v, p)
         case _ => throw new IllegalArgumentException("graft_srp_bucket(vec, planes)")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_zorder",
+      exprs => exprs match {
+        case Seq(a, b) => ZOrderExpr(a, b)
+        case _ => throw new IllegalArgumentException("graft_zorder(x, y)")
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_downsample",
       exprs => exprs match {

@@ -96,6 +96,41 @@ object ScaleOps {
         col("o_totalprice").as("total_price"), col("o_orderpriority"))
       .orderBy("o_orderkey")
 
+  /** Cross-engine-exact Morton codes over (custkey bucket, order-day
+    * bucket): the sort key [[writeZOrdered]] lays files out by. The
+    * registered query pins `graft_zorder`'s bit interleave against
+    * DuckDB's explicit shift-and-sum arithmetic, row for row.
+    */
+  def zorderQuery(s: SparkSession, dir: String): DataFrame = {
+    val spark = graft.engine.GraftSession.tuned(s)
+    graft.engine.Tables.load(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        (col("o_custkey") % 1024).as("x"),
+        (datediff(col("o_orderdate"),
+          lit("1992-01-01").cast(org.apache.spark.sql.types.DateType))
+          .cast("long") % 1024).as("y"))
+      .withColumn("zval", expr("graft_zorder(x, y)"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Z-ordered sink: range-partition + sort on the 2-D Morton code of
+    * (`c1`, `c2`), so every output file covers a narrow range of BOTH
+    * columns and parquet footer min/max prunes on either predicate —
+    * what [[writeSorted]] does for one column, extended to two.
+    * (A single-column sort leaves the second column full-span in every
+    * file: footers prune nothing for filters on it.) Inputs are
+    * bucketed into [0, 2^21) by the caller-supplied expressions.
+    */
+  def writeZOrdered(df: DataFrame, path: String, c1: Column, c2: Column,
+      nFiles: Int): Unit =
+    df.withColumn("__zx", c1).withColumn("__zy", c2)
+      .withColumn("__z", expr("graft_zorder(__zx, __zy)"))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__zx", "__zy")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   val queries: Seq[graft.GraftQuery] = Seq(
     graft.GraftQuery("q_salted_join", "skew-salted left join == plain join (semantics-preserving rewrite)",
       saltedJoinQuery,
@@ -109,6 +144,18 @@ object ScaleOps {
         """SELECT o_orderkey, o_custkey, o_totalprice AS total_price, o_orderpriority
           |FROM orders WHERE o_orderpriority = '1-URGENT'
           |ORDER BY o_orderkey""".stripMargin)),
+    graft.GraftQuery("q_zorder", "native graft_zorder Morton codes == DuckDB shift-and-sum bit arithmetic",
+      zorderQuery,
+      Some(
+        """WITH b AS (
+          |  SELECT o_orderkey,
+          |         o_custkey % 1024 AS x,
+          |         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 1024 AS y
+          |  FROM orders)
+          |SELECT o_orderkey, x, y,
+          |       CAST(list_sum(list_transform(range(0, 31), i -> ((x >> i) & 1) << (2*i))) +
+          |            list_sum(list_transform(range(0, 31), i -> ((y >> i) & 1) << (2*i + 1))) AS BIGINT) AS zval
+          |FROM b ORDER BY o_orderkey""".stripMargin)),
   )
 
   /** Write both sides bucketed on the join key so a later join is

@@ -108,4 +108,25 @@ class HashExprsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out == Map(1L -> 1, 2L -> 2, 3L -> 3))
   }
+
+  test("graft_zorder: known codes, locality, and bit-exact vs a reference loop") {
+    import graft.functions.HashImpls
+    assert(HashImpls.zorder(5L, 3L) == 27L)     // 101 even + 11 odd = 11011
+    assert(HashImpls.zorder(0L, 0L) == 0L)
+    assert(HashImpls.zorder(0x7FFFFFFFL, 0x7FFFFFFFL) == 0x3FFFFFFFFFFFFFFFL)
+    assert(HashImpls.zorder(0x7FFFFFFFL, 0x7FFFFFFFL) > 0, "must never hit the sign bit")
+    // bit-exact vs a naive per-bit reference
+    def naive(x: Long, y: Long): Long =
+      (0 until 31).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val (x, y) = (rnd.nextInt(1 << 21).toLong, rnd.nextInt(1 << 21).toLong)
+      assert(HashImpls.zorder(x, y) == naive(x, y))
+    }
+    // the SQL surface agrees with the JVM impl (codegen path)
+    val sql = Seq((5L, 3L), (1024L, 17L)).toDF("x", "y")
+      .select(expr("graft_zorder(x, y)").as("z")).collect().map(_.getLong(0))
+    assert(sql.sameElements(Array(27L, HashImpls.zorder(1024L, 17L))))
+  }
 }

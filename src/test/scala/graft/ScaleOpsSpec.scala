@@ -92,6 +92,36 @@ class ScaleOpsSpec extends SparkTestBase {
       "unsorted files should each span most of the key range")
   }
 
+  test("z-ordered write narrows per-file ranges on BOTH dimensions") {
+    val tmp = Files.createTempDirectory("graft-zorder").toString
+    val nFiles = 16
+    ScaleOps.writeZOrdered(orders, s"$tmp/zordered",
+      col("o_custkey") % 1024, col("o_orderkey") % 1024, nFiles)
+    def meanSpanFrac(dir: String, c: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .withColumn("b", col(c) % 1024)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("b") - min("b")).as("span"))
+        .collect().map(_.getLong(1).toDouble)
+      spans.sum / spans.length / 1023.0
+    }
+    // single-column sorted baseline: first dim narrow, second full-span
+    orders.withColumn("b1", col("o_custkey") % 1024)
+      .repartitionByRange(nFiles, col("b1")).sortWithinPartitions("b1")
+      .drop("b1").write.parquet(s"$tmp/singlesort")
+    val z1 = meanSpanFrac(s"$tmp/zordered", "o_custkey")
+    val z2 = meanSpanFrac(s"$tmp/zordered", "o_orderkey")
+    val s2 = meanSpanFrac(s"$tmp/singlesort", "o_orderkey")
+    // 16 files on a 2-D Morton curve ≈ 4×4 tiles: each dimension's
+    // per-file span should be a strict fraction of the domain, while the
+    // single-column sort leaves dim-2 at (almost) full span everywhere
+    assert(z1 < 0.6 && z2 < 0.6,
+      s"z-order spans should be narrow on both dims: $z1 / $z2")
+    assert(s2 > 0.9, s"single-sort dim-2 span should be ~full: $s2")
+    assert(z2 < s2 / 2,
+      s"z-order must at least halve dim-2 file spans: $z2 vs $s2")
+  }
+
   test("compact rewrites a many-small-file directory to the target file count") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val events = spark.read.parquet(s"$sfDir/events.parquet")
