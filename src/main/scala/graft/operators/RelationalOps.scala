@@ -257,6 +257,26 @@ object RelationalOps {
       .orderBy("c_custkey")
   }
 
+  /** J+: FULL OUTER join with unmatched rows on BOTH sides — a
+    * negative-balance customer slice against per-customer order counts,
+    * so some customers have no orders (left-only) and most order rows
+    * have no surviving customer (right-only). The coalesced key is
+    * unique per row, making the ORDER BY total. Scale: a plain
+    * shuffle-on-key SortMergeJoin; FULL OUTER just keeps both null
+    * sides, no extra pass.
+    */
+  def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").where(col("c_acctbal") < 0)
+      .select(col("c_custkey"), col("c_name"))
+    val o = t(s, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_orders"))
+      .orderBy("custkey")
+  }
+
   /** J+: scalar subquery — orders priced above the global average
     * (the average computed in decimal for cross-engine exactness).
     */
@@ -1034,6 +1054,14 @@ object RelationalOps {
         """SELECT c_custkey, c_name FROM customer c
           |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
           |ORDER BY c_custkey""".stripMargin)),
+    GraftQuery("q_full_outer_join", "FULL OUTER join keeping unmatched rows on both sides",
+      fullOuterJoin,
+      Some(
+        """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0),
+          |o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+          |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders
+          |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+          |ORDER BY custkey""".stripMargin)),
     GraftQuery("q_scalar_subquery", "scalar subquery in a predicate (above-average filter, exact arithmetic)",
       scalarSubquery,
       Some(
