@@ -105,4 +105,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(zq.getDouble(1) == 0.0)
     assert(zq.getSeq[Byte](2).forall(_ == 0))
   }
+
+  test("int8 quantization preserves cosine ranking: recall@10 >= 0.8 vs float") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val q = vecs.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = vecs.map { case (id, v) =>
+      id -> cos(v.map(_.toDouble), q.map(_.toDouble)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val quant = Similarity.quantize(emb).collect()
+      .map(r => (r.getLong(0),
+        r.getDouble(1), r.getSeq[Byte](2).map(_.toDouble).toArray))
+    val qq = quant.find(_._1 == 0L).get
+    val approx = quant.map { case (id, scale, qv) =>
+      // scales cancel inside cosine; dequantization only matters via rounding
+      id -> cos(qv, qq._3) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val recall = exact.intersect(approx).size / 10.0
+    assert(recall >= 0.8, s"int8 recall@10 = $recall")
+  }
 }
