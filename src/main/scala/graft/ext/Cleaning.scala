@@ -225,6 +225,30 @@ object Cleaning {
       .orderBy("doc_id")
   }
 
+  /** Median absolute deviation per language — the ROBUST companion of
+    * [[outlierDocs]]' z-score (mean/std are dragged by the very
+    * outliers they're meant to find; median/MAD aren't). Two exact
+    * percentile aggregations, each DECIMAL-rounded to the double both
+    * engines interpolate to; the per-lang tables are tiny so the
+    * deviation pass is a broadcast join, and nothing windows over the
+    * low-cardinality lang key.
+    */
+  def madStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val med = docs.groupBy("lang").agg(
+      expr("percentile(n_chars, 0.5)").cast(DecimalType(18, 6))
+        .cast(DoubleType).as("med"))
+    val mad = docs.join(broadcast(med), Seq("lang"))
+      .withColumn("adev", abs(col("n_chars").cast(DoubleType) - col("med")))
+      .groupBy("lang").agg(
+        expr("percentile(adev, 0.5)").cast(DecimalType(18, 6))
+          .cast(DoubleType).as("mad"))
+    val n = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    med.join(mad, Seq("lang")).join(n, Seq("lang"))
+      .select(col("lang"), col("n"), col("med"), col("mad"))
+      .orderBy("lang")
+  }
+
   // ---- registered queries ----------------------------------------------
 
   private val normToksSql =
@@ -263,6 +287,22 @@ object Cleaning {
            |FROM grams d JOIN ev ON ev.g = d.g
            |WHERE d.doc_id % 10 <> 5
            |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+    GraftQuery("q_mad", "per-language median absolute deviation (robust outlier scale)",
+      madStats,
+      Some(
+        """WITH med AS (
+          |  SELECT lang, CAST(CAST(quantile_cont(n_chars, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS med
+          |  FROM documents GROUP BY lang),
+          |dev AS (
+          |  SELECT d.lang, abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev
+          |  FROM documents d JOIN med m USING (lang)),
+          |mad AS (
+          |  SELECT lang, CAST(CAST(quantile_cont(adev, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS mad
+          |  FROM dev GROUP BY lang),
+          |n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+          |SELECT lang, n, med, mad
+          |FROM med JOIN mad USING (lang) JOIN n USING (lang)
+          |ORDER BY lang""".stripMargin)),
     GraftQuery("q_winsorize", "per-language p05/p95 winsorization (clip, not drop) of doc length",
       winsorize,
       Some(

@@ -99,6 +99,27 @@ object WindowOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Ratio-to-report: each order's share of its customer's total spend —
+    * an unordered full-partition window aggregate (no sort inside the
+    * frame, just one shuffle on the high-cardinality o_custkey). Shares
+    * divide DECIMAL(18,2)-exact sums once, as doubles, at the end.
+    */
+  def ratioToReport(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast(dec12).as("price"),
+        sum(col("o_totalprice").cast(dec12)).over(w).cast(dec18).as("cust_total"))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("price").cast(DoubleType).as("price"),
+        col("cust_total").cast(DoubleType).as("cust_total"),
+        (col("price").cast(DoubleType) / col("cust_total").cast(DoubleType))
+          .as("share"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** SCD Type-2 dimension history from a change-event stream — the
     * warehouse transform that turns "user's attribute over time" into
     * [valid_from, valid_to) rows with an open `is_current` interval
@@ -223,6 +244,20 @@ object WindowOps {
           |FROM customer
           |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
           |ORDER BY c_mktsegment, rnk""".stripMargin)),
+    GraftQuery("q_ratio_to_report", "share-of-total window analytic (unordered full-partition frame)",
+      ratioToReport,
+      Some(
+        """WITH b AS (
+          |  SELECT o_custkey, o_orderkey,
+          |         CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+          |         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+          |              OVER (PARTITION BY o_custkey) AS DECIMAL(18,2)) AS cust_total
+          |  FROM orders)
+          |SELECT o_custkey, o_orderkey,
+          |       CAST(price AS DOUBLE) AS price,
+          |       CAST(cust_total AS DOUBLE) AS cust_total,
+          |       CAST(price AS DOUBLE) / CAST(cust_total AS DOUBLE) AS share
+          |FROM b ORDER BY o_custkey, o_orderkey""".stripMargin)),
     GraftQuery("q_scd2", "SCD Type-2 history: collapse unchanged runs, lead()-closed validity intervals",
       scd2,
       Some(

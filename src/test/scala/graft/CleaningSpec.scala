@@ -68,6 +68,25 @@ class CleaningSpec extends SparkTestBase {
       (3L, 1L, 0.0, 1.0, 0.0)))
   }
 
+  test("madStats: exact values on a crafted corpus; robust to one extreme") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    Seq((1L, "en", 10L), (2L, "en", 12L), (3L, "en", 14L),
+      (4L, "en", 16L), (5L, "en", 18L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Cleaning.madStats(spark, tmp).collect().head
+    assert(r.getString(0) == "en" && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 14.0 && r.getDouble(3) == 2.0)
+    // add one extreme outlier: MAD barely moves, unlike std (which the
+    // z-score gate uses and the outlier itself drags)
+    Seq((1L, "en", 10L), (2L, "en", 12L), (3L, "en", 14L),
+      (4L, "en", 16L), (5L, "en", 18L), (6L, "en", 10000L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r2 = Cleaning.madStats(spark, tmp).collect().head
+    assert(r2.getDouble(3) <= 4.0, s"MAD should stay small: ${r2.getDouble(3)}")
+  }
+
   test("winsorize: clipped stays inside [p05, p95]; interior values untouched") {
     val rows = Cleaning.winsorize(spark, sfDir).collect()
     assert(rows.nonEmpty)

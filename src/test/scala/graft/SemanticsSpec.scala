@@ -94,6 +94,14 @@ class SemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("ratio-to-report: shares sum to 1 per customer") {
+    val sums = operators.WindowOps.ratioToReport(spark, sfDir)
+      .groupBy("o_custkey").agg(sum("share").as("s"))
+      .collect().map(_.getDouble(1))
+    assert(sums.nonEmpty)
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-9, s"share sum $s"))
+  }
+
   test("SCD2: contiguous intervals, one open row per user, change-only versions") {
     val out = operators.WindowOps.scd2(spark, sfDir).collect()
     assert(out.nonEmpty)
