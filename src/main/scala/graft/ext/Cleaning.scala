@@ -165,10 +165,14 @@ object Cleaning {
   /** Per-language z-score outlier flags on document length — the QC
     * gate "drop docs whose length is anomalous for their language".
     *
-    * Numerics: per-lang stats come from EXACT integer moments
-    * (count, Σx, Σx² as longs — Σx² stays under 2⁶³ past sf1000 for
-    * realistic doc lengths), converted to double ONCE with the same
-    * formula on both engines, so mean/std/z are bit-identical and the
+    * Numerics: per-lang stats come from EXACT integer moments —
+    * count, Σx, Σx² accumulated as DECIMAL(38,0), not long: a long Σx²
+    * would wrap SILENTLY past 2⁶³ (≈9M million-char docs in one
+    * language — reachable in a 100 TB corpus) and the variance clamp
+    * would then flatten every z to 0 with no error, while the DuckDB
+    * oracle's HUGEINT sum kept going. The exact decimal converts to
+    * double ONCE with the same formula on both engines (nearest-double
+    * of the same integer), so mean/std/z are bit-identical and the
     * boolean threshold can never flip cross-engine.
     *
     * Scale: the stats table is one row per language → broadcast hash
@@ -185,8 +189,9 @@ object Cleaning {
     val stats = docs.groupBy("lang")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("n_chars")).as("s1"),
-        sum(col("n_chars") * col("n_chars")).as("s2"))
+        sum(col("n_chars").cast(DecimalType(38, 0))).as("s1"),
+        sum((col("n_chars") * col("n_chars")).cast(DecimalType(38, 0)))
+          .as("s2"))
       .select(
         col("lang"), meanE.as("mean"),
         sqrt(greatest(
@@ -235,16 +240,17 @@ object Cleaning {
     */
   def madStats(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // count rides the median aggregation: two scans total, not three
     val med = docs.groupBy("lang").agg(
       expr("percentile(n_chars, 0.5)").cast(DecimalType(18, 6))
-        .cast(DoubleType).as("med"))
-    val mad = docs.join(broadcast(med), Seq("lang"))
+        .cast(DoubleType).as("med"),
+      count(lit(1)).as("n"))
+    val mad = docs.join(broadcast(med.select("lang", "med")), Seq("lang"))
       .withColumn("adev", abs(col("n_chars").cast(DoubleType) - col("med")))
       .groupBy("lang").agg(
         expr("percentile(adev, 0.5)").cast(DecimalType(18, 6))
           .cast(DoubleType).as("mad"))
-    val n = docs.groupBy("lang").agg(count(lit(1)).as("n"))
-    med.join(mad, Seq("lang")).join(n, Seq("lang"))
+    med.join(mad, Seq("lang"))
       .select(col("lang"), col("n"), col("med"), col("mad"))
       .orderBy("lang")
   }
@@ -291,17 +297,17 @@ object Cleaning {
       madStats,
       Some(
         """WITH med AS (
-          |  SELECT lang, CAST(CAST(quantile_cont(n_chars, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS med
+          |  SELECT lang, CAST(CAST(quantile_cont(n_chars, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS med,
+          |         count(*) AS n
           |  FROM documents GROUP BY lang),
           |dev AS (
           |  SELECT d.lang, abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev
           |  FROM documents d JOIN med m USING (lang)),
           |mad AS (
           |  SELECT lang, CAST(CAST(quantile_cont(adev, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS mad
-          |  FROM dev GROUP BY lang),
-          |n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+          |  FROM dev GROUP BY lang)
           |SELECT lang, n, med, mad
-          |FROM med JOIN mad USING (lang) JOIN n USING (lang)
+          |FROM med JOIN mad USING (lang)
           |ORDER BY lang""".stripMargin)),
     GraftQuery("q_winsorize", "per-language p05/p95 winsorization (clip, not drop) of doc length",
       winsorize,
@@ -319,8 +325,8 @@ object Cleaning {
       outlierDocs,
       Some(
         """WITH stats AS (
-          |  SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s1,
-          |         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+          |  SELECT lang, count(*) AS n, sum(n_chars) AS s1,
+          |         sum(n_chars * n_chars) AS s2
           |  FROM documents GROUP BY lang),
           |m AS (
           |  SELECT lang, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,

@@ -116,12 +116,16 @@ object TrainingPrep {
     * only on its own id+weight, never the rest of the corpus), map-only,
     * zero shuffle.
     */
-  def weightedSample(docs: DataFrame, cap: Long = 1000L): DataFrame =
+  def weightedSample(docs: DataFrame, cap: Long = 1000L): DataFrame = {
+    // h < 10⁶, so h·cap stays inside Long for cap up to ~9.2e12; the
+    // require keeps a caller's typo from silently wrapping the predicate
+    require(cap > 0 && cap <= 1000000000L, s"cap out of range: $cap")
     docs
       .withColumn("h", h32(col("doc_id")) % 1000000L)
       .where(col("h") * lit(cap) < least(col("n_chars"), lit(cap)) * lit(1000000L))
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
+  }
 
   /** Training-shard writer: range-partition the corpus by its shuffle
     * key into `numShards` shards, each internally sorted — the output

@@ -123,13 +123,17 @@ object ScaleOps {
     * bucketed into [0, 2^21) by the caller-supplied expressions.
     */
   def writeZOrdered(df: DataFrame, path: String, c1: Column, c2: Column,
-      nFiles: Int): Unit =
+      nFiles: Int): Unit = {
+    // graft_zorder is a session temp function; register (idempotent) so
+    // the writer works on a plain SparkSession like every other sink here
+    graft.functions.HashExprs.register(df.sparkSession)
     df.withColumn("__zx", c1).withColumn("__zy", c2)
       .withColumn("__z", expr("graft_zorder(__zx, __zy)"))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z", "__zx", "__zy")
       .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   val queries: Seq[graft.GraftQuery] = Seq(
     graft.GraftQuery("q_salted_join", "skew-salted left join == plain join (semantics-preserving rewrite)",

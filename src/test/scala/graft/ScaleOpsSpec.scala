@@ -95,18 +95,23 @@ class ScaleOpsSpec extends SparkTestBase {
   test("z-ordered write narrows per-file ranges on BOTH dimensions") {
     val tmp = Files.createTempDirectory("graft-zorder").toString
     val nFiles = 16
+    // domain 128, not 1024: sf0.001 has only 150 customers, so a 1024
+    // bucket domain would make the dim-1 span assertion vacuously true
+    // for ANY layout (custkey % 1024 never exceeds 149); % 128 is fully
+    // populated by both keys at every fixture SF
+    val dom = 128
     ScaleOps.writeZOrdered(orders, s"$tmp/zordered",
-      col("o_custkey") % 1024, col("o_orderkey") % 1024, nFiles)
+      col("o_custkey") % dom, col("o_orderkey") % dom, nFiles)
     def meanSpanFrac(dir: String, c: String): Double = {
       val spans = spark.read.parquet(dir)
-        .withColumn("b", col(c) % 1024)
+        .withColumn("b", col(c) % dom)
         .groupBy(input_file_name().as("f"))
         .agg((max("b") - min("b")).as("span"))
         .collect().map(_.getLong(1).toDouble)
-      spans.sum / spans.length / 1023.0
+      spans.sum / spans.length / (dom - 1).toDouble
     }
     // single-column sorted baseline: first dim narrow, second full-span
-    orders.withColumn("b1", col("o_custkey") % 1024)
+    orders.withColumn("b1", col("o_custkey") % dom)
       .repartitionByRange(nFiles, col("b1")).sortWithinPartitions("b1")
       .drop("b1").write.parquet(s"$tmp/singlesort")
     val z1 = meanSpanFrac(s"$tmp/zordered", "o_custkey")

@@ -138,4 +138,23 @@ class TrainingPrepSpec extends SparkTestBase {
     assert(rate(long) > rate(short),
       s"long-doc keep rate ${rate(long)} should exceed short-doc ${rate(short)}")
   }
+
+  test("weighted sample cap saturation: at-or-above-cap docs always survive") {
+    import spark.implicits._
+    // the fixture corpus never reaches the default cap, so exercise the
+    // saturation branch with crafted lengths straddling it
+    val crafted = (1L to 400L).toSeq.map { i =>
+      (i, "en", if (i % 2 == 0) 1000L + i else 10L) // evens saturate cap
+    }.toDF("doc_id", "lang", "n_chars")
+    val kept = TrainingPrep.weightedSample(crafted, cap = 1000L)
+      .collect().map(_.getLong(0)).toSet
+    val evens = (1L to 400L).filter(_ % 2 == 0)
+    assert(evens.forall(kept), "P(keep)=1 at saturation: every even doc survives")
+    val oddsKept = (1L to 400L).filter(i => i % 2 == 1 && kept(i)).size
+    // odd docs keep with p = 10/1000 = 1%: tolerate 0..5% on 200 draws
+    assert(oddsKept <= 10, s"short docs should rarely survive: $oddsKept/200")
+    intercept[IllegalArgumentException] {
+      TrainingPrep.weightedSample(crafted, cap = 0L)
+    }
+  }
 }
