@@ -181,8 +181,13 @@ object Cleaning {
     * handful of distinct values would funnel a 100 TB corpus into a
     * handful of single-task sort buffers.
     */
-  def outlierDocs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  def outlierDocs(s: SparkSession, dir: String): DataFrame =
+    outlierFlags(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** df-level core of [[outlierDocs]] (needs doc_id, lang, n_chars) —
+    * reused by [[TrainingPipeline]]'s quality gate.
+    */
+  def outlierFlags(docs: DataFrame): DataFrame = {
     val meanE = col("s1").cast("double") / col("n").cast("double")
     // variance clamped at 0: FP cancellation can leave Σx²/n − mean²
     // a hair negative and sqrt(negative) diverges between engines
@@ -204,7 +209,6 @@ object Cleaning {
           .otherwise((col("n_chars").cast("double") - col("mean")) / col("std"))
           .as("z"))
       .withColumn("is_outlier", abs(col("z")) > 2d)
-      .orderBy("doc_id")
   }
 
   /** Winsorization: clip document length at per-language p05/p95 —

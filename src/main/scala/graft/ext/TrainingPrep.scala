@@ -76,13 +76,18 @@ object TrainingPrep {
     * split never changes when others arrive: the property random()
     * splits lack).
     */
+  /** The 80/10/10 split assignment as a plain column (pure function of
+    * doc_id) — composable into any projection; [[hashSplit]] and
+    * [[TrainingPipeline]] both use it so the assignment cannot drift.
+    */
+  def splitCol: org.apache.spark.sql.Column = {
+    val bucket = h32(col("doc_id")) % 100
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
   def hashSplit(docs: DataFrame): DataFrame =
     docs
-      .withColumn("bucket", h32(col("doc_id")) % 100)
-      .select(col("doc_id"),
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), splitCol.as("split"))
       .orderBy("doc_id")
 
   /** Balanced cross-source mix: downsample every source to ≈ the
@@ -116,16 +121,23 @@ object TrainingPrep {
     * only on its own id+weight, never the rest of the corpus), map-only,
     * zero shuffle.
     */
-  def weightedSample(docs: DataFrame, cap: Long = 1000L): DataFrame = {
+  /** The weighted-keep predicate as a plain column (pure function of
+    * doc_id and n_chars) — shared by [[weightedSample]] and
+    * [[TrainingPipeline]].
+    */
+  def weightedKeep(cap: Long): org.apache.spark.sql.Column = {
     // h < 10⁶, so h·cap stays inside Long for cap up to ~9.2e12; the
     // require keeps a caller's typo from silently wrapping the predicate
     require(cap > 0 && cap <= 1000000000L, s"cap out of range: $cap")
+    (h32(col("doc_id")) % 1000000L) * lit(cap) <
+      least(col("n_chars"), lit(cap)) * lit(1000000L)
+  }
+
+  def weightedSample(docs: DataFrame, cap: Long = 1000L): DataFrame =
     docs
-      .withColumn("h", h32(col("doc_id")) % 1000000L)
-      .where(col("h") * lit(cap) < least(col("n_chars"), lit(cap)) * lit(1000000L))
+      .where(weightedKeep(cap))
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
-  }
 
   /** Training-shard writer: range-partition the corpus by its shuffle
     * key into `numShards` shards, each internally sorted — the output
