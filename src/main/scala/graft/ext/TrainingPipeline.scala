@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextOps
 
@@ -12,24 +13,32 @@ import graft.functions.TextOps
   * split → pack the train split → sharded write.
   *
   * Structure at 100 TB:
-  *  - Stages 1–5 build ONE lazy plan materialized by a single parquet
-  *    write of the cleaned corpus (the intermediate a lakehouse keeps
-  *    as an asset anyway). The only inherent extra passes are the ones
-  *    the algorithms need (the outlier-stats aggregation, near-dup
-  *    pair generation, the CC rounds, the pack's two-pass prefix sum).
-  *  - The report's intermediate counts are explicit jobs (one count per
-  *    stage). `Dataset.observe` can NOT thread through these stages:
-  *    exact-dedup and near-dup-removal reference their input twice
-  *    (self-joins), and a CollectMetrics node duplicated in one plan is
-  *    an analysis error. Output counts (train/val/test/batches) read
-  *    parquet metadata, not data.
-  *  - Splits re-read the materialized corpus, so the train/val/test
-  *    writes scan the CLEANED data (≤ input), not the raw corpus
-  *    three times.
+  *  - Stages 1–5 build ONE lazy plan; the exact-deduped corpus is
+  *    persisted (MEMORY_AND_DISK) because the LSH pair generation,
+  *    the removal anti-join, and the final write all reference it —
+  *    without the persist the redact+gate+dedup subtree would
+  *    recompute for each.
+  *  - The cleaned corpus is materialized by a single parquet write
+  *    (the intermediate a lakehouse keeps as an asset anyway); splits
+  *    re-read it, so the train/val/test writes scan CLEANED data.
+  *  - The report's intermediate counts are explicit jobs gated by
+  *    `Config.reportCounts` (−1 when off). `Dataset.observe` can NOT
+  *    thread through these stages: near-dup removal references its
+  *    input twice (a self-join), and a CollectMetrics node duplicated
+  *    in one plan is an analysis error. Output counts read parquet
+  *    metadata, not data.
+  *  - The removal lists are plain (un-hinted) anti-joins: the
+  *    |z|-outlier tail and the near-dup member list are both
+  *    data-dependent — a crawl corpus can be 30–50% near-duplicates —
+  *    so forcing a broadcast could OOM; AQE broadcasts them when they
+  *    turn out small.
   *  - Every stage is a pure function of content (md5/minhash of ids
   *    and text) — re-running the pipeline on the same input reproduces
   *    identical outputs, and task retries cannot flip a doc's fate
-  *    mid-job.
+  *    mid-job. Sampling and split assignment use DIFFERENTLY-SALTED
+  *    hashes: both derive from md5(doc_id), and since 100 divides 10⁶
+  *    an unsalted pair would make the surviving sample a prefix of the
+  *    split buckets (starving val/test at low keep rates).
   */
 object TrainingPipeline {
 
@@ -39,6 +48,10 @@ object TrainingPipeline {
     * @param sampleCap      [[TrainingPrep.weightedKeep]] length cap
     * @param packBudget     tokens per training batch
     * @param numShards      train-split shard files
+    * @param reportCounts   false skips the intermediate count jobs
+    *                       (fields report −1); output counts and the
+    *                       id-uniqueness gate always run (cheap — they
+    *                       read the materialized corpus, not the plan)
     */
   final case class Config(
       minTokens: Int = 5,
@@ -46,7 +59,8 @@ object TrainingPipeline {
       nearDupThreshold: Double = 0.5,
       sampleCap: Long = 1000L,
       packBudget: Int = 512,
-      numShards: Int = 4)
+      numShards: Int = 4,
+      reportCounts: Boolean = true)
 
   final case class Report(
       input: Long,
@@ -68,45 +82,63 @@ object TrainingPipeline {
     graft.functions.HashExprs.register(docs.sparkSession)
 
     // -- stages 1–2: redact + row-local and corpus-level quality gates --
-    val redacted = docs.withColumn("text", Cleaning.redactPii(col("text")))
+    // n_chars is recomputed AFTER redaction: the gates, the weighted
+    // sample, and every downstream consumer of the clean corpus must
+    // score the text actually shipped, not the pre-redaction length
+    val redacted = docs
+      .withColumn("text", Cleaning.redactPii(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
     val rowLocal = redacted.where(
       size(split(TextOps.normalizeText(col("text")), " ")) >= cfg.minTokens)
     // the per-language stats aggregation is the inherent second pass;
-    // the removal list it yields is tiny → broadcast anti-join
+    // the |z| tail is usually small but data-dependent → no broadcast hint
     val quality = rowLocal
-      .join(broadcast(
+      .join(
         Cleaning.outlierFlags(rowLocal.select("doc_id", "lang", "n_chars"))
           .where(abs(col("z")) > cfg.maxAbsZ)
-          .select(col("doc_id"))), Seq("doc_id"), "left_anti")
+          .select(col("doc_id")), Seq("doc_id"), "left_anti")
 
-    // -- stage 3: exact dedup on the normalized text hash (min id wins).
-    // A window over the high-cardinality hash key, not groupBy+semi-join:
-    // one shuffle and no self-join.
+    // -- stage 3: exact dedup on the 128-bit content fingerprint (min id
+    // wins). A window over the high-cardinality fingerprint — one
+    // shuffle, no self-join. md5, not a 64-bit hash: at multi-billion-doc
+    // scale 64-bit birthday collisions would silently delete distinct
+    // docs; 128-bit keeps that probability negligible.
     val w = Window.partitionBy("__th").orderBy("doc_id")
     val exact = quality
-      .withColumn("__th", xxhash64(TextOps.normalizeText(col("text"))))
+      .withColumn("__th", TextOps.fingerprint(col("text")))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__th", "__rn")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // -- stage 4: near-dup keep-one over the MinHash+LSH cluster graph --
-    // pair generation re-scans the (already reduced) corpus — inherent
-    // to LSH, bounded by the bucketed candidate space, never N².
+    // pair generation re-scans the (persisted) corpus — inherent to
+    // LSH, bounded by the bucketed candidate space, never N².
     val pairs = Dedup.minhashNearDupPairs(exact, "text", "doc_id",
       threshold = cfg.nearDupThreshold, sorted = false)
     val removed = Dedup.connectedComponents(pairs.select("id1", "id2"))
       .where(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
-    val nearDeduped = exact.join(broadcast(removed), Seq("doc_id"), "left_anti")
+    val nearDeduped = exact.join(removed, Seq("doc_id"), "left_anti")
 
     // -- stage 5: quality-weighted sample + materialize the clean corpus --
     val sampled = nearDeduped.where(TrainingPrep.weightedKeep(cfg.sampleCap))
     sampled.write.mode("overwrite").parquet(s"$outDir/clean")
 
-    // -- stages 6–8: split the materialized corpus, pack, shard ----------
+    // id-uniqueness gate on the materialized corpus (one cheap agg over
+    // cleaned data): a duplicated doc_id would fan out the pack join
+    // below and silently corrupt the train shards
     val spark = docs.sparkSession
-    val clean = spark.read.parquet(s"$outDir/clean")
-      .withColumn("split", TrainingPrep.splitCol)
+    val cleanRaw = spark.read.parquet(s"$outDir/clean")
+    val idCheck = cleanRaw
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("d"))
+      .head()
+    require(idCheck.getLong(0) == idCheck.getLong(1),
+      s"duplicate doc_id in corpus: ${idCheck.getLong(0)} rows, " +
+        s"${idCheck.getLong(1)} distinct ids")
+
+    // -- stages 6–8: split the materialized corpus, pack, shard ----------
+    val clean = cleanRaw.withColumn("split", TrainingPrep.splitCol)
     clean.where(col("split") === "val").drop("split")
       .write.mode("overwrite").parquet(s"$outDir/val")
     clean.where(col("split") === "test").drop("split")
@@ -123,13 +155,15 @@ object TrainingPipeline {
     val batches = spark.read.parquet(s"$outDir/train")
       .agg(countDistinct(col("batch_id"))).head().getLong(0)
 
-    Report(
-      input = docs.count(),
-      afterQuality = quality.count(),
-      afterExactDedup = exact.count(),
-      afterNearDup = nearDeduped.count(),
-      afterSample = spark.read.parquet(s"$outDir/clean").count(),
+    val report = Report(
+      input = if (cfg.reportCounts) docs.count() else -1L,
+      afterQuality = if (cfg.reportCounts) quality.count() else -1L,
+      afterExactDedup = if (cfg.reportCounts) exact.count() else -1L,
+      afterNearDup = if (cfg.reportCounts) nearDeduped.count() else -1L,
+      afterSample = idCheck.getLong(0),
       trainDocs = trainN, valDocs = valN, testDocs = testN,
       batches = batches)
+    exact.unpersist()
+    report
   }
 }

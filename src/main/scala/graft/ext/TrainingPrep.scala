@@ -129,8 +129,12 @@ object TrainingPrep {
     // h < 10⁶, so h·cap stays inside Long for cap up to ~9.2e12; the
     // require keeps a caller's typo from silently wrapping the predicate
     require(cap > 0 && cap <= 1000000000L, s"cap out of range: $cap")
-    (h32(col("doc_id")) % 1000000L) * lit(cap) <
-      least(col("n_chars"), lit(cap)) * lit(1000000L)
+    // 'w:' salt: [[splitCol]] buckets on the UNSALTED md5 and 100
+    // divides 10⁶, so an unsalted keep test would make the surviving
+    // sample a PREFIX of the split buckets — at low keep rates every
+    // survivor would land in 'train' and val/test would starve
+    (h32(concat(lit("w:"), col("doc_id").cast("string"))) % 1000000L) *
+      lit(cap) < least(col("n_chars"), lit(cap)) * lit(1000000L)
   }
 
   def weightedSample(docs: DataFrame, cap: Long = 1000L): DataFrame =
@@ -372,7 +376,7 @@ object TrainingPrep {
       Some(
         """SELECT doc_id, lang, n_chars FROM (
           |  SELECT doc_id, lang, n_chars,
-          |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 1000000 AS h
+          |         ('0x' || substring(md5('w:' || CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 1000000 AS h
           |  FROM documents)
           |WHERE h * 1000 < least(n_chars, 1000) * 1000000
           |ORDER BY doc_id""".stripMargin)),

@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.TrainingPipeline
 
-/** The end-to-end corpus pipeline: planted duplicates die, counts fall
-  * monotonically through the stages, splits partition the clean corpus
-  * exactly, and a re-run reproduces identical outputs.
+/** The end-to-end corpus pipeline: planted duplicates die at their
+  * specific stages, counts fall monotonically, splits partition the
+  * clean corpus exactly, and a re-run reproduces identical outputs.
   */
 class TrainingPipelineSpec extends SparkTestBase {
   import spark.implicits._
@@ -16,24 +16,34 @@ class TrainingPipelineSpec extends SparkTestBase {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
   test("pipeline: planted dups die, counts monotone, splits exact, deterministic") {
-    // plant an exact duplicate (same text, higher id — min-id keep-one
-    // must keep the original) and a trivial near-duplicate
+    // Plant three docs whose length exceeds the sample cap (P(keep)=1,
+    // so the weighted sampler can NEVER be the reason they vanish —
+    // absence from the clean corpus proves the dedup stages):
+    //   A (900001) = donor text + 400 unique filler tokens (survivor)
+    //   B (900002) = A + " tail token"  -> near-duplicate of A
+    //   C (900003) = exact copy of A    -> exact duplicate (min id wins)
+    // 400 fillers keep Jaccard(donor, A) well under the 0.5 threshold,
+    // so A never clusters with the donor itself.
     val base = docs.limit(200)
     val donor = base.orderBy("doc_id").limit(1).collect().head
-    val exactDup = Seq((900001L, donor.getAs[String]("text"),
-      donor.getAs[String]("lang"), donor.getAs[String]("source"),
-      donor.getAs[Long]("n_chars")))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val nearDup = Seq((900002L, donor.getAs[String]("text") + " tail token",
-      donor.getAs[String]("lang"), donor.getAs[String]("source"),
-      donor.getAs[Long]("n_chars") + 11L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val corpus = base.unionByName(exactDup).unionByName(nearDup)
+    val filler = (0 until 400).map(i => s"filler$i").mkString(" ")
+    val aText = donor.getAs[String]("text") + " " + filler
+    def planted(id: Long, text: String) =
+      Seq((id, text, donor.getAs[String]("lang"),
+        donor.getAs[String]("source"), text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = base
+      .unionByName(planted(900001L, aText))
+      .unionByName(planted(900002L, aText + " tail token"))
+      .unionByName(planted(900003L, aText))
 
+    // the planted docs are deliberate length outliers (cap-saturated),
+    // so the z gate is opened wide — this test pins the dedup stages
+    val cfg = TrainingPipeline.Config(maxAbsZ = 1e9)
     val out = Files.createTempDirectory("graft-pipeline").toString
-    val r = TrainingPipeline.run(corpus, out)
+    val r = TrainingPipeline.run(corpus, out, cfg)
 
-    assert(r.input == 202L)
+    assert(r.input == 203L)
     assert(r.afterQuality <= r.input)
     assert(r.afterExactDedup < r.afterQuality, "planted exact dup must die")
     assert(r.afterNearDup < r.afterExactDedup, "planted near dup must die")
@@ -42,10 +52,20 @@ class TrainingPipelineSpec extends SparkTestBase {
       "splits must partition the clean corpus exactly")
     assert(r.batches >= 1 && r.batches <= r.trainDocs)
 
-    // planted ids are gone; the donor doc survived dedup
+    // A survives (cap-saturated sample keeps it with certainty); B and
+    // C are gone — and since both are also cap-saturated, only the
+    // dedup stages can have removed them
     val cleanIds = spark.read.parquet(s"$out/clean")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(!cleanIds(900001L) && !cleanIds(900002L))
+    assert(cleanIds(900001L), "survivor A must reach the clean corpus")
+    assert(!cleanIds(900002L), "near-dup B must die in keep-one")
+    assert(!cleanIds(900003L), "exact-dup C must die in exact dedup")
+
+    // clean corpus n_chars matches the shipped text (recomputed
+    // post-redaction)
+    val mismatch = spark.read.parquet(s"$out/clean")
+      .where(col("n_chars") =!= length(col("text"))).count()
+    assert(mismatch == 0L, "n_chars must describe the shipped text")
 
     // train shards carry a batch assignment and no split leakage
     val trainIds = spark.read.parquet(s"$out/train")
@@ -57,17 +77,38 @@ class TrainingPipelineSpec extends SparkTestBase {
     // determinism: a second run over the same input reproduces the
     // report and the exact train membership
     val out2 = Files.createTempDirectory("graft-pipeline2").toString
-    val r2 = TrainingPipeline.run(corpus, out2)
+    val r2 = TrainingPipeline.run(corpus, out2, cfg)
     assert(r2 == r)
     val trainIds2 = spark.read.parquet(s"$out2/train")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(trainIds2 == trainIds)
   }
 
-  test("pipeline: empty corpus flows through without error") {
+  test("pipeline: duplicate doc_id in the corpus fails the uniqueness gate") {
+    // two DIFFERENT cap-saturated texts sharing one id: both certainly
+    // survive every stage (distinct content, P(keep)=1), so the clean
+    // corpus must contain the id twice and the gate must fire
+    def longDoc(id: Long, vocab: String) = {
+      val text = (0 until 400).map(i => s"$vocab$i").mkString(" ")
+      Seq((id, text, "en", "web", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    val corpus = docs.limit(20)
+      .unionByName(longDoc(900010L, "alpha"))
+      .unionByName(longDoc(900010L, "beta"))
+    val out = Files.createTempDirectory("graft-pipeline-dup").toString
+    val ex = intercept[IllegalArgumentException] {
+      TrainingPipeline.run(corpus, out, TrainingPipeline.Config(maxAbsZ = 1e9))
+    }
+    assert(ex.getMessage.contains("duplicate doc_id"))
+  }
+
+  test("pipeline: empty corpus flows through without error; reportCounts=false skips stage jobs") {
     val empty = docs.where(lit(false))
     val out = Files.createTempDirectory("graft-pipeline-empty").toString
-    val r = TrainingPipeline.run(empty, out)
-    assert(r.input == 0L && r.afterSample == 0L && r.batches == 0L)
+    val r = TrainingPipeline.run(empty, out,
+      TrainingPipeline.Config(reportCounts = false))
+    assert(r.input == -1L && r.afterQuality == -1L)
+    assert(r.afterSample == 0L && r.batches == 0L)
   }
 }
