@@ -61,6 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_srp_bucket"),
       info("graft_srp_bucket", "graft_srp_bucket(vec, planes) - sign-random-projection bucket id"),
       (exprs: Seq[Expression]) => SrpBucketExpr(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_zorder"),
+      info("graft_zorder", "graft_zorder(x, y) - 2-D Morton (Z-order) code"),
+      (exprs: Seq[Expression]) => ZOrderExpr(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("graft_downsample"),
       info("graft_downsample", "graft_downsample(binary, k) - every k-th byte (resize-kernel slot)"),
       (exprs: Seq[Expression]) => DownsampleExpr(exprs.head, intLit(exprs(1), "k"))))

@@ -53,6 +53,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head().getInt(0)
       assert(small == 2)
 
+      val z = Seq((5L, 3L)).toDF("x", "y")
+        .select(expr("graft_zorder(x, y)")).head().getLong(0)
+      assert(z == 27L)
+
       // same expression trees as the temp-function path => same values
       val viaRegistry = {
         graft.functions.HashExprs.register(s)
