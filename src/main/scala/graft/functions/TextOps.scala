@@ -90,6 +90,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sentence segmentation stats: terminator-run counting with an
+    * RE2-safe pattern (no lookbehind — DuckDB's RE2 lacks it, and the
+    * simple class+anchor subset below behaves identically in Java
+    * regex and RE2). Division is exact-int → double, once.
+    */
+  def sentenceStats(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val nSent = regexp_count(txt, lit("[.!?]+(\\s|$)"))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        nSent.as("n_sentences"),
+        (length(txt).cast("double") /
+          greatest(nSent, lit(1)).cast("double")).as("avg_sentence_chars"))
+      .orderBy("doc_id")
+  }
+
   def langId(s: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
     val scores = languageIdScores(txt).map { case (l, c) => c.as(s"score_$l") }
@@ -284,6 +301,14 @@ object TextOps {
            |       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
            |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
            |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_sentences", "sentence segmentation stats (RE2-safe terminator counting)",
+      sentenceStats,
+      Some(
+        """SELECT doc_id,
+          |       CAST(len(regexp_extract_all(text, '[.!?]+(\s|$)')) AS INTEGER) AS n_sentences,
+          |       CAST(length(text) AS DOUBLE) /
+          |       CAST(greatest(len(regexp_extract_all(text, '[.!?]+(\s|$)')), 1) AS DOUBLE) AS avg_sentence_chars
+          |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_lang_id", "marker-word language-ID heuristic + argmax",
       langId,
       Some(
