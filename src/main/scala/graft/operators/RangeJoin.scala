@@ -58,7 +58,59 @@ object RangeJoin {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Interval-OVERLAP join (both sides are intervals; match iff
+    * aStart ≤ bEnd ∧ bStart ≤ aEnd) — the second classic inequality
+    * join Spark would otherwise plan as a nested loop. Both sides
+    * explode to covered buckets and equi-join on (key, bucket); a pair
+    * overlapping across k shared buckets would appear k times, so the
+    * `bucket == max(startA, startB) bucket` predicate keeps exactly the
+    * pair's FIRST shared bucket — one output row per pair with no
+    * distinct/dedup shuffle. Shuffle volume stays linear in
+    * intervals × covered buckets.
+    */
+  def intervalOverlapJoin(left: DataFrame, ls: String, le: String,
+      right: DataFrame, rs: String, re: String, key: String,
+      bucketSeconds: Long): DataFrame = {
+    def bk(c: String) = floor(unix_timestamp(col(c)) / bucketSeconds)
+    val l = left.withColumn("__bucket", explode(sequence(bk(ls), bk(le))))
+    val r = right.withColumn("__bucket", explode(sequence(bk(rs), bk(re))))
+    l.join(r, Seq(key, "__bucket"))
+      .where(col(ls) <= col(re) && col(rs) <= col(le))
+      .where(col("__bucket") === greatest(bk(ls), bk(rs)))
+      .drop("__bucket")
+  }
+
+  /** q_interval_join: per user, purchase windows [ts, ts+30m] that
+    * overlap click windows [ts, ts+10m] — window-vs-window attribution
+    * (vs q_range_join's point-in-window).
+    */
+  def overlapQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(GraftSession.tuned(s), dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("p_end"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("c_end"))
+    intervalOverlapJoin(purchases, "p_start", "p_end",
+        clicks, "c_start", "c_end", "user_id", bucketSeconds = 1800L)
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_interval_join", "interval-overlap join: window-vs-window, one row per pair, no dedup shuffle",
+      overlapQuery,
+      Some(
+        """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+          |FROM events p JOIN events c
+          |  ON p.user_id = c.user_id
+          | AND p.event_type = 'purchase' AND c.event_type = 'click'
+          | AND p.ts <= c.ts + INTERVAL 10 MINUTE
+          | AND c.ts <= p.ts + INTERVAL 30 MINUTE
+          |ORDER BY purchase_id, click_id""".stripMargin)),
     GraftQuery("q_range_join", "bucketed interval join (points-in-windows, no cartesian)",
       rangeQuery,
       Some(

@@ -50,4 +50,30 @@ class RangeJoinSpec extends SparkTestBase {
       .select("click_id", "wid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bucketed == plain && bucketed.nonEmpty)
   }
+
+  test("interval-overlap join == brute force; each pair appears exactly once") {
+    // crafted so some overlaps span MANY shared buckets (the k-times
+    // hazard the first-shared-bucket predicate must collapse to one)
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val a = Seq(
+      (1L, 10L, t(0), t(300)),   // 5-hour window: shares many buckets
+      (1L, 11L, t(500), t(520)),
+      (2L, 12L, t(0), t(60)))
+      .toDF("user_id", "aid", "a_start", "a_end")
+    val b = Seq(
+      (1L, 20L, t(100), t(400)), // overlaps 10 across ~3 hours
+      (1L, 21L, t(510), t(530)), // overlaps 11
+      (1L, 22L, t(600), t(700)), // no overlap
+      (2L, 23L, t(61), t(100)))  // adjacent but disjoint (end < start)
+      .toDF("user_id", "bid", "b_start", "b_end")
+    val rows = RangeJoin.intervalOverlapJoin(a, "a_start", "a_end",
+        b, "b_start", "b_end", "user_id", bucketSeconds = 3600L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length, "no pair may appear twice")
+    val brute = a.join(b, Seq("user_id"))
+      .where(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.toSet == brute)
+    assert(brute == Set((10L, 20L), (11L, 21L)))
+  }
 }
