@@ -96,6 +96,34 @@ object ScaleOps {
         col("o_totalprice").as("total_price"), col("o_orderpriority"))
       .orderBy("o_orderkey")
 
+  /** Key-skew diagnostic: top-N heaviest keys with their corpus share
+    * and the skew factor (top count / mean count) — the pre-join report
+    * that decides whether a key needs salting ([[saltedLeftJoin]]) or
+    * AQE skew handling. One aggregation plus a driver-side top-N merge
+    * (TakeOrderedAndProject): no global sort, no second scan.
+    */
+  def keySkewReport(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(
+        col(key), col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("share"),
+        (col("cnt").cast("double") *
+          col("n_keys").cast("double") / col("total").cast("double"))
+          .as("skew_factor"))
+      .orderBy(col("cnt").desc, col(key))
+      .limit(topN)
+  }
+
+  /** q_skew_report over lineitem's supplier key. */
+  def skewReportQuery(s: SparkSession, dir: String): DataFrame = {
+    val spark = graft.engine.GraftSession.tuned(s)
+    keySkewReport(
+      graft.engine.Tables.load(spark, dir, "lineitem"), "l_suppkey")
+  }
+
   /** Cross-engine-exact Morton codes over (custkey bucket, order-day
     * bucket): the sort key [[writeZOrdered]] lays files out by. The
     * registered query pins `graft_zorder`'s bit interleave against
@@ -148,6 +176,15 @@ object ScaleOps {
         """SELECT o_orderkey, o_custkey, o_totalprice AS total_price, o_orderpriority
           |FROM orders WHERE o_orderpriority = '1-URGENT'
           |ORDER BY o_orderkey""".stripMargin)),
+    graft.GraftQuery("q_skew_report", "top-N key-skew diagnostic: share + skew factor per heavy key",
+      skewReportQuery,
+      Some(
+        """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+          |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+          |SELECT l_suppkey, cnt,
+          |       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+          |       CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS skew_factor
+          |FROM c, t ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin)),
     graft.GraftQuery("q_zorder", "native graft_zorder Morton codes == DuckDB shift-and-sum bit arithmetic",
       zorderQuery,
       Some(

@@ -127,6 +127,18 @@ class ScaleOpsSpec extends SparkTestBase {
       s"z-order must at least halve dim-2 file spans: $z2 vs $s2")
   }
 
+  test("keySkewReport: heavy key first, share exact, uniform data has skew 1") {
+    import spark.implicits._
+    val skewed = (Seq.fill(90)(7L) ++ (1L to 10L)).toDF("k")
+    val top = ScaleOps.keySkewReport(skewed, "k", topN = 3).collect()
+    assert(top.head.getLong(0) == 7L && top.head.getLong(1) == 91L)
+    assert(math.abs(top.head.getDouble(2) - 0.91) < 1e-12)     // share
+    assert(top.head.getDouble(3) == 9.1)                        // 91 * 10 / 100
+    val uniform = (1L to 50L).toDF("k")
+    ScaleOps.keySkewReport(uniform, "k", topN = 5).collect()
+      .foreach(r => assert(r.getDouble(3) == 1.0))
+  }
+
   test("compact rewrites a many-small-file directory to the target file count") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val events = spark.read.parquet(s"$sfDir/events.parquet")
