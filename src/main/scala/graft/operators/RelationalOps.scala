@@ -277,6 +277,36 @@ object RelationalOps {
       .orderBy("custkey")
   }
 
+  /** W+: CDC/upsert apply — merge a change batch (I/U/D ops keyed on
+    * the snapshot key) into a snapshot: the MERGE INTO a warehouse runs
+    * on every load, expressed as pure relational composition (no
+    * transactional format needed): `base ANTI-JOIN change-keys  UNION
+    * ALL  changes WHERE op != 'D'`. One shuffle each side of the
+    * anti-join; at 100 TB the change batch is small → AQE broadcasts
+    * it. The demo derives a deterministic change batch from the
+    * snapshot itself (key mod 7: 0→delete, 1→update price+100,
+    * 2→insert under key+10⁹) so the DuckDB oracle replays it exactly.
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast(dec12).cast(DoubleType).as("price"),
+      col("o_orderstatus"))
+    val dels = base.where(col("o_orderkey") % 7 === 0)
+      .select(lit("D").as("op"), col("o_orderkey"), col("o_custkey"),
+        col("price"), col("o_orderstatus"))
+    val upds = base.where(col("o_orderkey") % 7 === 1)
+      .select(lit("U").as("op"), col("o_orderkey"), col("o_custkey"),
+        (col("price") + 100d).as("price"), col("o_orderstatus"))
+    val ins = base.where(col("o_orderkey") % 7 === 2)
+      .select(lit("I").as("op"), (col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        col("o_custkey"), col("price"), col("o_orderstatus"))
+    val changes = dels.unionByName(upds).unionByName(ins)
+    base.join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(changes.where(col("op") =!= "D").drop("op"))
+      .orderBy("o_orderkey")
+  }
+
   /** J+: scalar subquery — orders priced above the global average
     * (the average computed in decimal for cross-engine exactness).
     */
@@ -1054,6 +1084,28 @@ object RelationalOps {
         """SELECT c_custkey, c_name FROM customer c
           |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
           |ORDER BY c_custkey""".stripMargin)),
+    GraftQuery("q_cdc_apply", "CDC/upsert apply: anti-join + union-all MERGE with I/U/D change batch",
+      cdcApply,
+      Some(
+        """WITH base AS (
+          |  SELECT o_orderkey, o_custkey,
+          |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+          |         o_orderstatus
+          |  FROM orders),
+          |changes AS (
+          |  SELECT 'D' AS op, o_orderkey, o_custkey, price, o_orderstatus
+          |  FROM base WHERE o_orderkey % 7 = 0
+          |  UNION ALL
+          |  SELECT 'U', o_orderkey, o_custkey, price + 100, o_orderstatus
+          |  FROM base WHERE o_orderkey % 7 = 1
+          |  UNION ALL
+          |  SELECT 'I', o_orderkey + 1000000000, o_custkey, price, o_orderstatus
+          |  FROM base WHERE o_orderkey % 7 = 2)
+          |SELECT o_orderkey, o_custkey, price, o_orderstatus FROM base
+          |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+          |UNION ALL
+          |SELECT o_orderkey, o_custkey, price, o_orderstatus FROM changes WHERE op <> 'D'
+          |ORDER BY o_orderkey""".stripMargin)),
     GraftQuery("q_full_outer_join", "FULL OUTER join keeping unmatched rows on both sides",
       fullOuterJoin,
       Some(

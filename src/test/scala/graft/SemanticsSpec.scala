@@ -94,6 +94,26 @@ class SemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("CDC apply: deletes gone, updates replaced, inserts present, rest untouched") {
+    val before = operators.RelationalOps
+      .cdcApply(spark, sfDir).collect()
+    val byKey = before.map(r => r.getLong(0) -> r).toMap
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    orders.foreach { case (k, price) =>
+      (k % 7) match {
+        case 0 => assert(!byKey.contains(k), s"key $k must be deleted")
+        case 1 => assert(byKey(k).getDouble(2) == price + 100d, s"key $k updated")
+        case 2 =>
+          assert(byKey(k).getDouble(2) == price)          // original untouched
+          assert(byKey.contains(k + 1000000000L), s"insert for $k present")
+        case _ => assert(byKey(k).getDouble(2) == price, s"key $k untouched")
+      }
+    }
+  }
+
   test("ratio-to-report: shares sum to 1 per customer") {
     val sums = operators.WindowOps.ratioToReport(spark, sfDir)
       .groupBy("o_custkey").agg(sum("share").as("s"))
