@@ -303,4 +303,42 @@ class StreamingSpec extends SparkTestBase {
         s"user $u sum: $s vs ${batch(u)._2}")
     }
   }
+
+  test("Misra-Gries heavy hitters == exact counts while under capacity") {
+    val q = EventOps.streamingTopTypes(spark, sfDir).writeStream
+      .format("memory").queryName("graft_mg_test")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_mg_test")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("user_id"), coalesce(col("event_type"), lit("")).as("et"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the fixture's type vocabulary fits in capacity 8 -> MG is exact
+    assert(streamed == exact)
+  }
+
+  test("Misra-Gries eviction: the heavy type survives within the error bound") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mg").toString
+    val in = java.nio.file.Files.createTempDirectory("graft-mg-in").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (Seq.fill(8)("a") ++ Seq("b", "c", "d")).zipWithIndex.map {
+      case (t, i) => (i.toLong, t0, 1L, t, 1.0, "{}")
+    }
+    deliver(rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      tmp, in, "events")
+    val q = EventOps.streamingTopTypes(spark, in, capacity = 2).writeStream
+      .format("memory").queryName("graft_mg_evict")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val m = spark.table("graft_mg_evict")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(m.size <= 2, s"state must stay within capacity: $m")
+    // n=11, capacity=2 -> any estimate is at most n/(m+1)=3 under truth,
+    // and a type with true count 8 > 3 MUST survive
+    assert(m.contains("a"), s"heavy type evicted: $m")
+    assert(m("a") >= 5L && m("a") <= 8L, s"estimate out of bounds: $m")
+  }
 }
