@@ -90,14 +90,16 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Sentence segmentation stats: terminator-run counting with an
-    * RE2-safe pattern (no lookbehind — DuckDB's RE2 lacks it, and the
-    * simple class+anchor subset below behaves identically in Java
-    * regex and RE2). Division is exact-int → double, once.
+  /** Sentence segmentation stats. The pattern avoids every Java/RE2
+    * semantic gap: no lookbehind (RE2 lacks it), an EXPLICIT whitespace
+    * class instead of `\s` (Java's includes U+000B, RE2's doesn't), and
+    * `\z` instead of `$` (Java's `$` also matches before a final line
+    * terminator; `\z` is end-of-input in both). Division is
+    * exact-int → double, once.
     */
   def sentenceStats(s: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
-    val nSent = regexp_count(txt, lit("[.!?]+(\\s|$)"))
+    val nSent = regexp_count(txt, lit("[.!?]+([ \\t\\n\\r\\f]|\\z)"))
     t(s, dir, "documents")
       .select(
         col("doc_id"),
@@ -305,9 +307,9 @@ object TextOps {
       sentenceStats,
       Some(
         """SELECT doc_id,
-          |       CAST(len(regexp_extract_all(text, '[.!?]+(\s|$)')) AS INTEGER) AS n_sentences,
+          |       CAST(len(regexp_extract_all(text, '[.!?]+([ \t\n\r\f]|\z)')) AS INTEGER) AS n_sentences,
           |       CAST(length(text) AS DOUBLE) /
-          |       CAST(greatest(len(regexp_extract_all(text, '[.!?]+(\s|$)')), 1) AS DOUBLE) AS avg_sentence_chars
+          |       CAST(greatest(len(regexp_extract_all(text, '[.!?]+([ \t\n\r\f]|\z)')), 1) AS DOUBLE) AS avg_sentence_chars
           |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_lang_id", "marker-word language-ID heuristic + argmax",
       langId,

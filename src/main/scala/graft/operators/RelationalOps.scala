@@ -292,16 +292,21 @@ object RelationalOps {
       col("o_orderkey"), col("o_custkey"),
       col("o_totalprice").cast(dec12).cast(DoubleType).as("price"),
       col("o_orderstatus"))
-    val dels = base.where(col("o_orderkey") % 7 === 0)
-      .select(lit("D").as("op"), col("o_orderkey"), col("o_custkey"),
-        col("price"), col("o_orderstatus"))
-    val upds = base.where(col("o_orderkey") % 7 === 1)
-      .select(lit("U").as("op"), col("o_orderkey"), col("o_custkey"),
-        (col("price") + 100d).as("price"), col("o_orderstatus"))
-    val ins = base.where(col("o_orderkey") % 7 === 2)
-      .select(lit("I").as("op"), (col("o_orderkey") + 1000000000L).as("o_orderkey"),
-        col("o_custkey"), col("price"), col("o_orderstatus"))
-    val changes = dels.unionByName(upds).unionByName(ins)
+    // ONE derivation pass, not three filtered scans: op assigned by
+    // key class, key/price adjusted per op in the same projection
+    val op = when(col("o_orderkey") % 7 === 0, "D")
+      .when(col("o_orderkey") % 7 === 1, "U")
+      .when(col("o_orderkey") % 7 === 2, "I")
+    val changes = base
+      .withColumn("op", op)
+      .where(col("op").isNotNull)
+      .select(col("op"),
+        when(col("op") === "I", col("o_orderkey") + 1000000000L)
+          .otherwise(col("o_orderkey")).as("o_orderkey"),
+        col("o_custkey"),
+        when(col("op") === "U", col("price") + 100d)
+          .otherwise(col("price")).as("price"),
+        col("o_orderstatus"))
     base.join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
       .unionByName(changes.where(col("op") =!= "D").drop("op"))
       .orderBy("o_orderkey")

@@ -113,7 +113,10 @@ object ScaleOps {
         (col("cnt").cast("double") *
           col("n_keys").cast("double") / col("total").cast("double"))
           .as("skew_factor"))
-      .orderBy(col("cnt").desc, col(key))
+      // nulls LAST on the tiebreak: Spark's asc default is nulls first,
+      // DuckDB's is nulls last — a NULL key tied at the top-N boundary
+      // would otherwise select different rows per engine
+      .orderBy(col("cnt").desc, col(key).asc_nulls_last)
       .limit(topN)
   }
 

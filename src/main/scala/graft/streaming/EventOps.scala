@@ -106,22 +106,28 @@ object EventOps {
         max(col("value")).as("max_value"))
       .orderBy("user_id")
 
+  /** Shared streaming source over the events fixture: footer schema
+    * probe (ts = nanos long, see Tables.load), directory + glob (the
+    * file stream source requires a DIRECTORY; testdata lays each table
+    * out as one file), nanos→micros timestamp conversion. Every
+    * streaming operator reads through this ONE definition.
+    */
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tuned(spark)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Structured Streaming twin of [[tumblingAgg]]: same logical window
     * aggregation as a streaming query with a watermark. Used by tests
     * with a memory sink; `Trigger.AvailableNow`-style synchronous drain.
     */
   def streamingTumblingCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftSession.tuned(spark)
-    // raw footer schema (ts = nanos long, see Tables.load), converted to
-    // a micros timestamp inside the stream
-    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
-      .schema(raw)
-      // the file stream source requires a DIRECTORY; testdata lays each
-      // table out as a single file, so stream the parent with a glob
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventStream(spark, sfDir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -164,13 +170,7 @@ object EventOps {
     * bounded by (watermark horizon × arrival rate), not stream length.
     */
   def streamingAttribution(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftSession.tuned(spark)
-    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src() = spark.readStream
-      .schema(raw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def src() = eventStream(spark, sfDir)
     val clicks = src().where(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -195,13 +195,7 @@ object EventOps {
     * the streaming test suite against the batch result.
     */
   def streamingSessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftSession.tuned(spark)
-    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
-      .schema(raw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventStream(spark, sfDir)
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -221,13 +215,7 @@ object EventOps {
   def streamingUserStateCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    GraftSession.tuned(spark) // nanosAsLong before the first parquet read
-    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
-      .schema(raw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventStream(spark, sfDir)
       .select(col("user_id").cast("long").as("user_id"),
         col("value").cast("double").as("value"))
       .as[(Long, Double)]
@@ -262,12 +250,7 @@ object EventOps {
       capacity: Int = 8): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    GraftSession.tuned(spark)
-    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
-      .schema(raw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    eventStream(spark, sfDir)
       .select(col("user_id").cast("long").as("user_id"),
         coalesce(col("event_type"), lit("")).as("et"))
       .as[(Long, String)]
@@ -356,13 +339,7 @@ object EventOps {
     * cannot). The streaming twin of the Dedup family's exact path.
     */
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftSession.tuned(spark)
-    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
-      .schema(raw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventStream(spark, sfDir)
       .withWatermark("ts", "2 hours")
       .select(col("user_id"), col("event_type"), col("ts"))
       .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -374,17 +351,11 @@ object EventOps {
     * small or bucket-joins when not — same planning as batch.
     */
   def streamingEnrichedEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftSession.tuned(spark)
-    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
     val profile = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("lifetime_events"))
-    val stream = spark.readStream
-      .schema(raw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventStream(spark, sfDir)
       .select(col("user_id"), col("event_type"), col("ts"))
     stream.join(profile, Seq("user_id"), "left_outer")
   }

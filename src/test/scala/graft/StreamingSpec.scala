@@ -309,8 +309,14 @@ class StreamingSpec extends SparkTestBase {
       .format("memory").queryName("graft_mg_test")
       .outputMode("update").start()
     try q.processAllAvailable() finally q.stop()
-    val streamed = spark.table("graft_mg_test")
-      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // single input file -> one micro-batch; update mode would re-emit a
+    // touched user's full map per batch, so guard the assumption before
+    // .toMap can silently keep a stale intermediate snapshot
+    val rows = spark.table("graft_mg_test").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).distinct.length
+      == rows.length, "expected exactly one micro-batch")
+    val streamed =
+      rows.map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     val exact = spark.read.parquet(s"$sfDir/events.parquet")
       .groupBy(col("user_id"), coalesce(col("event_type"), lit("")).as("et"))
       .agg(count(lit(1)).as("n"))
@@ -323,9 +329,11 @@ class StreamingSpec extends SparkTestBase {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-mg").toString
     val in = java.nio.file.Files.createTempDirectory("graft-mg-in").toString
-    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // ts as raw epoch NANOS long — the fixture layout eventStream's
+    // nanos→micros conversion expects
+    val t0 = 1704067200L * 1000000000L
     val rows = (Seq.fill(8)("a") ++ Seq("b", "c", "d")).zipWithIndex.map {
-      case (t, i) => (i.toLong, t0, 1L, t, 1.0, "{}")
+      case (t, i) => (i.toLong, t0 + i * 1000000000L, 1L, t, 1.0, "{}")
     }
     deliver(rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
       tmp, in, "events")
