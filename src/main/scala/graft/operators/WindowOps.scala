@@ -153,6 +153,29 @@ object WindowOps {
       .orderBy("user_id", "valid_from_us", "event_id")
   }
 
+  /** SCD2 point-in-time lookup — the standard USE of the history table
+    * [[scd2]] builds: each fact row joined to the dimension version
+    * valid at its timestamp, composed from the as-of machinery
+    * ([[AsOfJoin.asOfJoinLast]]: union + one window, ONE shuffle, no
+    * join operator at all). The oracle is the self-consistency
+    * invariant: a fact's as-of attribute must equal its own event's
+    * attribute — the collapsed dimension history reconstructs every
+    * fact's state exactly. (Deterministic because (user_id, ts) is
+    * unique in the fixture; simultaneous changes would make "the attr
+    * at ts" genuinely ambiguous.)
+    */
+  def scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val dim = scd2(s, dir)
+      .select(col("user_id"), col("valid_from_us").as("ts_us"), col("attr"))
+    val facts = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+    AsOfJoin.asOfJoinLast(facts, dim, "user_id", "ts_us", Seq("attr"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("asof_attr"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Rank-statistics family over one window: rank, dense_rank,
     * percent_rank, cume_dist, ntile(4). The custkey tiebreaker makes the
     * ordering total, so every engine agrees on all five.
@@ -273,6 +296,12 @@ object WindowOps {
           |FROM ch
           |WINDOW wd AS (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST)
           |ORDER BY user_id, valid_from_us, event_id""".stripMargin)),
+    GraftQuery("q_scd2_lookup", "point-in-time dimension lookup: as-of over SCD2 history reconstructs each fact's state",
+      scd2Lookup,
+      Some(
+        """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          |       coalesce(event_type, '') AS asof_attr
+          |FROM events ORDER BY user_id, event_id""".stripMargin)),
     GraftQuery("q_lag_lead", "lag/lead over ordered per-key window",
       lagLead,
       Some(
