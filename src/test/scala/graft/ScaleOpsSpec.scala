@@ -139,6 +139,33 @@ class ScaleOpsSpec extends SparkTestBase {
       .foreach(r => assert(r.getDouble(3) == 1.0))
   }
 
+  test("ANALYZE TABLE statistics reach the optimizer and flip a join to broadcast") {
+    spark.sql("DROP TABLE IF EXISTS graft_stats_dim")
+    customer.limit(50).write.saveAsTable("graft_stats_dim")
+    spark.sql("ANALYZE TABLE graft_stats_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+    // rowCount/column stats only flow into plan stats under the
+    // cost-based optimizer (spark.sql.cbo.enabled, default off) — the
+    // production setting a stats-maintained 100 TB warehouse runs with
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("graft_stats_dim")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(50)),
+        s"ANALYZE rowCount must reach the optimizer: ${stats.rowCount}")
+      assert(stats.attributeStats.nonEmpty, "column stats must be attached")
+      // a 50-row dim joined to orders must plan as a broadcast join
+      // purely from statistics (no hint)
+      val plan = orders.join(spark.table("graft_stats_dim"),
+          orders("o_custkey") === col("c_custkey"))
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"stats should drive a broadcast join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS graft_stats_dim")
+    }
+  }
+
   test("compact rewrites a many-small-file directory to the target file count") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val events = spark.read.parquet(s"$sfDir/events.parquet")
