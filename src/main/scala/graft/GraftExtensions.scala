@@ -61,6 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_srp_bucket"),
       info("graft_srp_bucket", "graft_srp_bucket(vec, planes) - sign-random-projection bucket id"),
       (exprs: Seq[Expression]) => SrpBucketExpr(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_luhn"),
+      info("graft_luhn", "graft_luhn(string) - Luhn checksum validation (13-19 digits, space/dash tolerated)"),
+      (exprs: Seq[Expression]) => LuhnExpr(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_zorder"),
       info("graft_zorder", "graft_zorder(x, y) - 2-D Morton (Z-order) code"),
       (exprs: Seq[Expression]) => ZOrderExpr(exprs.head, exprs(1))))

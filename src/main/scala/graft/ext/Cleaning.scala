@@ -259,6 +259,30 @@ object Cleaning {
       .orderBy("lang")
   }
 
+  // ---- Luhn card-number validation -------------------------------------
+
+  /** Card-number PII needs VALIDATION, not just a digit-run regex: a
+    * 16-digit order number is not a card, and redacting every digit run
+    * shreds the corpus. `graft_luhn` (native, codegen) checks the Luhn
+    * checksum in one pass per candidate. The registered query pins the
+    * expression's arithmetic end to end: per doc it derives a 15-digit
+    * prefix from doc_id, tries all ten check digits through graft_luhn,
+    * and emits the one that validates — which the oracle computes
+    * independently in closed form ((10 − Σ) mod 10 over the
+    * position-doubled digit sum). Exactly one candidate may pass.
+    */
+  def luhnCheckDigits(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("ds", concat(lit("4"),
+        lpad((col("doc_id") % 100000000L).cast("string"), 14, "0")))
+      .withColumn("valids", expr(
+        "filter(sequence(0, 9), c -> graft_luhn(concat(ds, CAST(c AS STRING))))"))
+      .select(
+        col("doc_id"),
+        expr("CAST(element_at(valids, 1) AS INT)").as("check_digit"),
+        size(col("valids")).as("n_valid"))
+      .orderBy("doc_id")
+
   // ---- registered queries ----------------------------------------------
 
   private val normToksSql =
@@ -297,6 +321,23 @@ object Cleaning {
            |FROM grams d JOIN ev ON ev.g = d.g
            |WHERE d.doc_id % 10 <> 5
            |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+    GraftQuery("q_luhn", "native graft_luhn checksum == closed-form check-digit arithmetic, per doc",
+      luhnCheckDigits,
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0') AS ds
+          |  FROM documents),
+          |s AS (
+          |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 16), i ->
+          |           CASE WHEN (17 - i) % 2 = 0
+          |             THEN CASE WHEN 2 * CAST(ds[i] AS INT) > 9
+          |                  THEN 2 * CAST(ds[i] AS INT) - 9
+          |                  ELSE 2 * CAST(ds[i] AS INT) END
+          |             ELSE CAST(ds[i] AS INT) END)) AS BIGINT) AS s15
+          |  FROM d)
+          |SELECT doc_id, CAST((10 - s15 % 10) % 10 AS INT) AS check_digit,
+          |       CAST(1 AS INT) AS n_valid
+          |FROM s ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_mad", "per-language median absolute deviation (robust outlier scale)",
       madStats,
       Some(

@@ -328,6 +328,31 @@ object HashImpls {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
+  /** Luhn checksum over a candidate card number: separators (space,
+    * dash) are ignored; any other non-digit, or a digit count outside
+    * [13, 19], fails. From the rightmost digit, every second digit
+    * doubles (minus 9 past 9); valid iff the sum is divisible by 10.
+    */
+  def luhnValid(s: UTF8String): Boolean = {
+    val str = s.toString
+    var sum = 0
+    var pos = 0 // position from the RIGHT among digits seen so far
+    var i = str.length - 1
+    while (i >= 0) {
+      val c = str.charAt(i)
+      if (c >= '0' && c <= '9') {
+        val v = c - '0'
+        val add = if (pos % 2 == 1) { val d = 2 * v; if (d > 9) d - 9 else d } else v
+        sum += add
+        pos += 1
+      } else if (c != ' ' && c != '-') {
+        return false
+      }
+      i -= 1
+    }
+    pos >= 13 && pos <= 19 && sum % 10 == 0
+  }
+
   /** Spread the low 31 bits of `v` onto the even bit positions of a
     * long (classic Morton magic-mask ladder). Input is masked to 31
     * bits so the interleaved result never reaches the sign bit.
@@ -633,6 +658,31 @@ case class ZOrderExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_luhn(string) -> boolean`: Luhn checksum validation of a
+  * candidate card number (space/dash separators tolerated, 13–19
+  * digits) — the verification step that separates real card numbers
+  * from arbitrary digit runs in PII detection, as one codegen'd pass
+  * per row.
+  */
+case class LuhnExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_luhn"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpls.luhnValid(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.luhnValid($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LuhnExpr =
+    copy(child = newChild)
+}
+
 object HashExprs {
   /** Idempotent session registration of the graft_* temp functions. */
   def register(spark: SparkSession): Unit = {
@@ -678,6 +728,11 @@ object HashExprs {
       exprs => exprs match {
         case Seq(v, p) => SrpBucketExpr(v, p)
         case _ => throw new IllegalArgumentException("graft_srp_bucket(vec, planes)")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_luhn",
+      exprs => exprs match {
+        case Seq(c) => LuhnExpr(c)
+        case _ => throw new IllegalArgumentException("graft_luhn(string)")
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_zorder",
       exprs => exprs match {

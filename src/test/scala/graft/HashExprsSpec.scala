@@ -129,4 +129,20 @@ class HashExprsSpec extends SparkTestBase {
       .select(expr("graft_zorder(x, y)").as("z")).collect().map(_.getLong(0))
     assert(sql.sameElements(Array(27L, HashImpls.zorder(1024L, 17L))))
   }
+
+  test("graft_luhn: known cards, separators, off-by-one, length and charset gates") {
+    val cases = Seq(
+      "4111111111111111" -> true,   // classic Visa test number
+      "4111111111111112" -> false,  // off-by-one check digit
+      "4111-1111 1111-1111" -> true, // separators tolerated
+      "79927398713" -> false,       // Luhn-valid but 11 digits < 13
+      "0000000000000" -> true,      // 13 zeros, sum 0
+      "4111111111x11111" -> false,  // stray letter
+      "" -> false)
+    val out = cases.map(_._1).toDF("s")
+      .select(expr("graft_luhn(s)").as("ok")).collect().map(_.getBoolean(0))
+    cases.zip(out).foreach { case ((s, want), got) =>
+      assert(got == want, s"graft_luhn('$s') = $got, want $want")
+    }
+  }
 }
