@@ -63,7 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => SrpBucketExpr(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("graft_luhn"),
       info("graft_luhn", "graft_luhn(string) - Luhn checksum validation (13-19 digits, space/dash tolerated)"),
-      (exprs: Seq[Expression]) => LuhnExpr(exprs.head)))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => LuhnExpr(c)
+        case _ => throw new IllegalArgumentException("graft_luhn(string)")
+      }))
     ext.injectFunction((FunctionIdentifier("graft_zorder"),
       info("graft_zorder", "graft_zorder(x, y) - 2-D Morton (Z-order) code"),
       (exprs: Seq[Expression]) => ZOrderExpr(exprs.head, exprs(1))))

@@ -334,12 +334,14 @@ object HashImpls {
     * doubles (minus 9 past 9); valid iff the sum is divisible by 10.
     */
   def luhnValid(s: UTF8String): Boolean = {
-    val str = s.toString
+    // byte-level iteration, zero allocation: the accepted alphabet is
+    // pure ASCII (digits/space/dash), and any multi-byte UTF-8 byte is
+    // >= 0x80 (negative as a JVM byte) so it correctly fails the gate
     var sum = 0
     var pos = 0 // position from the RIGHT among digits seen so far
-    var i = str.length - 1
+    var i = s.numBytes() - 1
     while (i >= 0) {
-      val c = str.charAt(i)
+      val c = s.getByte(i)
       if (c >= '0' && c <= '9') {
         val v = c - '0'
         val add = if (pos % 2 == 1) { val d = 2 * v; if (d > 9) d - 9 else d } else v
