@@ -117,4 +117,30 @@ class PlanRulesSpec extends SparkTestBase {
     assert(!plan.contains("graft_jaccard"), s"unsound rewrite:\n$plan")
     assert(plan.contains("array_intersect"), s"builtin should survive:\n$plan")
   }
+
+  // ---- physical plan-shape pins: the scale claims the Scaladocs make
+  // must survive optimizer/planner changes, so count the Exchanges
+
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("scd2's two windows share ONE shuffle (same partitioning and ordering)") {
+    val n = exchanges(graft.operators.WindowOps.scd2(spark, sfDir))
+    // one Exchange for the user_id window pair + one for the output sort
+    assert(n <= 2, s"scd2 must not re-shuffle between its windows: $n Exchanges")
+  }
+
+  test("as-of lookup plans with no join operator at all") {
+    val plan = graft.operators.WindowOps.scd2Lookup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must be union+window, not a join:\n${plan.take(800)}")
+  }
+
+  test("interval-overlap join never degrades to a nested-loop product") {
+    val plan = graft.operators.RangeJoin.overlapQuery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"overlap join must stay an equi-join:\n${plan.take(800)}")
+  }
 }
