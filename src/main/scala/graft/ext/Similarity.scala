@@ -375,6 +375,31 @@ object Similarity {
                  0L, (acc, v) -> acc + v)""").as("q_possum"))
       .orderBy("vec_id")
 
+  /** Per-label embedding centroids — the grouped VECTOR aggregate
+    * (class prototypes / cluster centers). posexplode flattens to
+    * (label, pos, v); the per-(label, pos) mean then reduces like any
+    * scalar aggregate. Determinism: double addition is order-sensitive
+    * and shuffle order is not stable, so each component's values are
+    * collected WITH their vec_id, sorted, and folded left-to-right —
+    * the same canonical-fold pairing the ANN oracles rely on (Spark
+    * `aggregate` == DuckDB `list_sum` over a list built with ORDER BY).
+    * The collect is bounded per (label, pos) group; production at
+    * 100 TB would drop the determinism tax and sum directly.
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("sort_array(collect_list(struct(vec_id, v)))").as("xs"))
+      .select(
+        col("label"), col("pos"), col("n"),
+        (expr("aggregate(xs, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x.v AS DOUBLE))")
+          / col("n").cast("double")).as("mean_v"))
+      .orderBy("label", "pos")
+
   /** Brute-force exact cosine top-k in DuckDB — the oracle both ANN
     * variants must reproduce (same double fold as graft_cosine).
     */
@@ -433,6 +458,19 @@ object Similarity {
           |     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
           |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
           |SELECT id1, id2 FROM pairs WHERE cos_sim >= 0.95 ORDER BY id1, id2""".stripMargin)),
+    GraftQuery("q_label_centroids", "per-label embedding centroids via canonical-order double fold",
+      labelCentroids,
+      Some(
+        """WITH flat AS (
+          |  SELECT label, vec_id, t.i - 1 AS pos, embedding[t.i] AS v
+          |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+          |g AS (
+          |  SELECT label, pos, count(*) AS n,
+          |         list_sum(list_transform(list(v ORDER BY vec_id), x -> CAST(x AS DOUBLE))) AS s
+          |  FROM flat GROUP BY label, pos)
+          |SELECT label, CAST(pos AS INTEGER) AS pos, n,
+          |       s / CAST(n AS DOUBLE) AS mean_v
+          |FROM g ORDER BY label, pos""".stripMargin)),
     GraftQuery("q_quantize_embed", "per-vector int8 quantization: scale + order-sensitive integer digests",
       quantizeEmbedQuery,
       Some(

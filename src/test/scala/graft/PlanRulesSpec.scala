@@ -136,6 +136,16 @@ class PlanRulesSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"as-of must be union+window, not a join:\n${plan.take(800)}")
   }
 
+  test("top-k window plans with WindowGroupLimit (rank filter pushed below the sort)") {
+    val plan = graft.operators.WindowOps.topkWindow(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // Spark 3.5+ prunes rows past the per-partition limit BEFORE the
+    // full window sort materializes — the optimization that makes
+    // row_number top-k viable on a 100 TB partition
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must push down as WindowGroupLimit:\n${plan.take(800)}")
+  }
+
   test("interval-overlap join never degrades to a nested-loop product") {
     val plan = graft.operators.RangeJoin.overlapQuery(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -106,6 +106,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(zq.getSeq[Byte](2).forall(_ == 0))
   }
 
+  test("label centroids: exact means on a crafted set; one row per (label, pos)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cent").toString
+    Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(3.0f, 6.0f), 0),
+      (3L, Array(10.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = Similarity.labelCentroids(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows == Map(
+      (0, 0) -> (2L, 2.0), (0, 1) -> (2L, 4.0),
+      (1, 0) -> (1L, 10.0), (1, 1) -> (1L, 0.0)))
+  }
+
   test("int8 quantization preserves cosine ranking: recall@10 >= 0.8 vs float") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
