@@ -83,6 +83,28 @@ object Dedup {
     t(s, dir, "lineitem")
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
 
+  /** EXACT distinct via bitmap aggregation — the third point on the
+    * distinct-counting triangle: [[exactDistinct]]'s count-distinct
+    * plans an Expand or a distinct shuffle of the raw keys;
+    * [[approxDistinct]]'s HLL is mergeable but approximate; bitmap
+    * aggregation is BOTH exact AND mergeable. Keys bucket into fixed
+    * 32k-bit bitmaps (`bitmap_bucket_number` / `bitmap_bit_position`),
+    * each group×bucket reduces to one ≤4 KB binary blob that OR-merges
+    * associatively in the partial aggregate, and `bitmap_count` pops
+    * the bits — per-group state is bounded by the KEY RANGE, not the
+    * row count, which is what "exact distinct at 100 TB" actually
+    * ships. Two same-key hash aggregations; AQE coalesces them.
+    */
+  def bitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        expr("bitmap_bucket_number(l_orderkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_orderkey))")
+        .as("bm"))
+      .groupBy("l_returnflag")
+      .agg(sum(expr("bitmap_count(bm)")).as("distinct_orders"))
+      .orderBy("l_returnflag")
+
   // ---- MinHash + LSH ---------------------------------------------------
 
   /** doc_id + distinct word-level n-gram shingles of the normalized text.
@@ -616,6 +638,11 @@ object Dedup {
     GraftQuery("q_distinct_exact", "exact distinct count (oracle-checked companion of q_approx_distinct)",
       exactDistinct,
       Some("SELECT count(DISTINCT l_orderkey) AS exact_orders FROM lineitem")),
+    GraftQuery("q_bitmap_distinct", "exact AND mergeable distinct via bitmap aggregation (bounded per-group state)",
+      bitmapDistinct,
+      Some(
+        """SELECT l_returnflag, count(DISTINCT l_orderkey) AS distinct_orders
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     // The oracle brute-forces ALL O(n²) pairs with exact bigram-shingle
     // Jaccard ≥ 0.5: equality asserts BOTH containment (no false pair
     // survives the exact-verify) AND full observed recall of the 8×2

@@ -188,6 +188,20 @@ class DedupSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture plants cross-split near-dups")
   }
 
+  test("bitmap distinct == count distinct, including keys spanning many buckets") {
+    // crafted keys straddle 32k-bit bitmap buckets (bucket = key/32768):
+    // duplicates within a bucket, distinct keys across distant buckets
+    val keys = Seq(1L, 1L, 2L, 40000L, 40000L, 131073L, 999999999L)
+      .map(("g", _)) ++ Seq(5L, 5L).map(("h", _))
+    val df = keys.toDF("grp", "k")
+    val got = df
+      .groupBy(col("grp"), expr("bitmap_bucket_number(k)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(k))").as("bm"))
+      .groupBy("grp").agg(sum(expr("bitmap_count(bm)")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("g" -> 5L, "h" -> 1L))
+  }
+
   test("property: dedup by distinct is idempotent and bounded (100 seeded samples)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 100) {
