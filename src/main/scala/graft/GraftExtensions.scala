@@ -35,7 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.JaccardRewrite)
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(array<string>) - 64-bit SimHash"),
-      (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a) => SimHash64Expr(a)
+        case _ => throw new IllegalArgumentException("graft_simhash64(arr)")
+      }))
     ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "graft_minhash_sig(array<string|bigint>[, k]) - MinHash signature"),
       (exprs: Seq[Expression]) => exprs match {
@@ -45,22 +48,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", "graft_shingle_hashes(array<string>, n) - distinct n-gram shingle hashes"),
-      (exprs: Seq[Expression]) => ShingleHashExpr(exprs.head, intLit(exprs(1), "n"))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, n) => ShingleHashExpr(a, intLit(n, "n"))
+        case _ => throw new IllegalArgumentException("graft_shingle_hashes(arr, n)")
+      }))
     ext.injectFunction((FunctionIdentifier("graft_shingle_hashes_all"),
       info("graft_shingle_hashes_all", "graft_shingle_hashes_all(array<string>, n) - positional n-gram shingle hashes"),
-      (exprs: Seq[Expression]) => ShingleHashExpr(exprs.head, intLit(exprs(1), "n"), dedupe = false)))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, n) => ShingleHashExpr(a, intLit(n, "n"), dedupe = false)
+        case _ => throw new IllegalArgumentException("graft_shingle_hashes_all(arr, n)")
+      }))
     ext.injectFunction((FunctionIdentifier("graft_winnow"),
       info("graft_winnow", "graft_winnow(array<bigint>, w) - winnowing fingerprint selection"),
-      (exprs: Seq[Expression]) => WinnowExpr(exprs.head, intLit(exprs(1), "w"))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, w) => WinnowExpr(a, intLit(w, "w"))
+        case _ => throw new IllegalArgumentException("graft_winnow(arr, w)")
+      }))
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of numeric arrays"),
-      (exprs: Seq[Expression]) => CosineExpr(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => CosineExpr(a, b)
+        case _ => throw new IllegalArgumentException("graft_cosine(a, b)")
+      }))
     ext.injectFunction((FunctionIdentifier("graft_jaccard"),
       info("graft_jaccard", "graft_jaccard(a, b) - exact set-Jaccard of two arrays"),
-      (exprs: Seq[Expression]) => JaccardExpr(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => JaccardExpr(a, b)
+        case _ => throw new IllegalArgumentException("graft_jaccard(a, b)")
+      }))
     ext.injectFunction((FunctionIdentifier("graft_srp_bucket"),
       info("graft_srp_bucket", "graft_srp_bucket(vec, planes) - sign-random-projection bucket id"),
-      (exprs: Seq[Expression]) => SrpBucketExpr(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(v, p) => SrpBucketExpr(v, p)
+        case _ => throw new IllegalArgumentException("graft_srp_bucket(vec, planes)")
+      }))
     ext.injectFunction((FunctionIdentifier("graft_luhn"),
       info("graft_luhn", "graft_luhn(string) - Luhn checksum validation (13-19 digits, space/dash tolerated)"),
       (exprs: Seq[Expression]) => exprs match {
@@ -69,9 +90,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((FunctionIdentifier("graft_zorder"),
       info("graft_zorder", "graft_zorder(x, y) - 2-D Morton (Z-order) code"),
-      (exprs: Seq[Expression]) => ZOrderExpr(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(x, y) => ZOrderExpr(x, y)
+        case _ => throw new IllegalArgumentException("graft_zorder(x, y)")
+      }))
     ext.injectFunction((FunctionIdentifier("graft_downsample"),
       info("graft_downsample", "graft_downsample(binary, k) - every k-th byte (resize-kernel slot)"),
-      (exprs: Seq[Expression]) => DownsampleExpr(exprs.head, intLit(exprs(1), "k"))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(b, k) => DownsampleExpr(b, intLit(k, "k"))
+        case _ => throw new IllegalArgumentException("graft_downsample(binary, k)")
+      }))
   }
 }

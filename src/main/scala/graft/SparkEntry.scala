@@ -15,15 +15,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     operators.RelationalOps.joinChain(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    * Routed through [[Catalog.byName]] (not a bare `.toMap`): a
+    * duplicate query name must FAIL loudly here — last-wins map
+    * semantics would silently drop one of the twins from the
+    * correctness gate and the bench.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Catalog.all.map(q => q.name -> q.build).toMap
+    Catalog.byName.map { case (n, q) => n -> q.build }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Catalog.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    Catalog.byName.flatMap { case (n, q) => q.oracle.map(n -> _) }
 
   /** Dev-loop query filter shared by Bench and Verify: parse
     * `SPARK_GRAFT_ONLY=q_a, q_b` (whitespace-tolerant); None ⇒ run all.

@@ -25,13 +25,17 @@ object Verify {
       // run's parquet must not sit there and compare green
       val target = new java.io.File(s"$outDir/$name")
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        // listFiles() returns null on IO/permission errors — guard, and
+        // keep the delete inside the per-query try so one bad directory
+        // can't abort the whole verification dump
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(); ()
       }
-      if (target.exists) rm(target)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        if (target.exists) rm(target)
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

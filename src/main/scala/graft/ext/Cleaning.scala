@@ -285,8 +285,7 @@ object Cleaning {
 
   // ---- registered queries ----------------------------------------------
 
-  private val normToksSql =
-    """string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')"""
+  private val normToksSql = TextOps.duckNormToksSql
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_pii_redact", "PII scrub: email/IPv4/phone counts + chained regexp_replace redaction",

@@ -55,14 +55,20 @@ object Multimodal {
   /** Build an asset table from documents: payload = UTF-8 bytes of the
     * text (stand-in for image/audio bytes), metadata struct alongside.
     */
-  def assets(docs: DataFrame): DataFrame =
+  def assets(docs: DataFrame): DataFrame = {
+    // NULL text folds to an EMPTY payload here, once: every downstream
+    // query (meta sizes, md5 features, frame slicing) then agrees with
+    // its oracle on NULL rows instead of diverging on concat_ws-skips-
+    // nulls vs string_agg-of-nulls semantics
+    val txt = coalesce(col("text"), lit(""))
     docs.select(
       col("doc_id").as("asset_id"),
-      encode(col("text"), "UTF-8").as("payload"),
+      encode(txt, "UTF-8").as("payload"),
       struct(
         lit("text/plain").as("kind"),
-        octet_length(col("text")).as("n_bytes"),
+        octet_length(txt).as("n_bytes"),
         lit("identity").as("codec")).as("meta"))
+  }
 
   /** FAKE DECODE — deterministic stand-in for a real media decoder.
     * Derives an 8-dim feature vector from payload bytes via xxhash64.
@@ -165,22 +171,22 @@ object Multimodal {
       metaQuery,
       Some(
         """SELECT doc_id AS asset_id, 'text/plain' AS kind,
-          |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-          |       CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes
+          |       CAST(octet_length(encode(coalesce(text, ''))) AS INTEGER) AS n_bytes,
+          |       CAST(octet_length(encode(coalesce(text, ''))) AS INTEGER) AS payload_bytes
           |FROM documents ORDER BY asset_id""".stripMargin)),
     GraftQuery("q_multimodal_features", "fake-decode feature extraction over binary payloads",
       featuresQuery,
       Some(
         """SELECT doc_id AS asset_id, 'text/plain' AS kind,
           |       list_aggregate(list_transform(range(0, 8),
-          |         i -> substring(md5(text || '|' || i), 1, 6)), 'string_agg', ',') AS features_csv
+          |         i -> substring(md5(coalesce(text, '') || '|' || i), 1, 6)), 'string_agg', ',') AS features_csv
           |FROM documents ORDER BY asset_id""".stripMargin)),
     GraftQuery("q_multimodal_resize", "payload downsample (resize-kernel slot)",
       resizeQuery,
       Some(
         """SELECT doc_id AS asset_id,
-          |       CAST(octet_length(encode(text)) AS INTEGER) AS orig_bytes,
-          |       CAST(ceil(octet_length(encode(text)) / 4.0) AS INTEGER) AS small_bytes
+          |       CAST(octet_length(encode(coalesce(text, ''))) AS INTEGER) AS orig_bytes,
+          |       CAST(ceil(octet_length(encode(coalesce(text, ''))) / 4.0) AS INTEGER) AS small_bytes
           |FROM documents ORDER BY asset_id""".stripMargin)),
     GraftQuery("q_multimodal_frames", "frame-sampling slices of binary payloads",
       framesQuery,
@@ -189,8 +195,8 @@ object Multimodal {
       // and the last frame is the remainder
       Some(
         """WITH fr AS (
-          |  SELECT doc_id, octet_length(encode(text)) AS n,
-          |         unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 2)) AS f
+          |  SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n,
+          |         unnest(range(0, CAST(ceil(octet_length(encode(coalesce(text, ''))) / 64.0) AS BIGINT), 2)) AS f
           |  FROM documents)
           |SELECT doc_id AS asset_id, CAST(f // 2 AS INT) AS frame_idx,
           |       CAST(least(64, n - f * 64) AS INT) AS frame_bytes

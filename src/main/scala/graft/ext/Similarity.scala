@@ -101,8 +101,16 @@ object Similarity {
     // fail fast — before the count()/head() jobs below do real work
     require(probeRadius >= 0 && probeRadius <= 3,
       s"probeRadius $probeRadius unsupported: masks are enumerated explicitly up to 3")
-    val p = numPlanes.getOrElse(planesFor(emb.count()))
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // ONE setup job, not two: count (for the plane heuristic) and dim
+    // ride the same aggregation scan; with explicit numPlanes only the
+    // cheap 1-row dim probe runs
+    val (p, dim) = numPlanes match {
+      case Some(np) =>
+        (np, emb.select(size(col("embedding"))).head().getInt(0))
+      case None =>
+        val r = emb.agg(count(lit(1)), max(size(col("embedding")))).head()
+        (planesFor(r.getLong(0)), r.getInt(1))
+    }
     val bucketed = withSrpBucket(emb, planeTable(p, dim))
     val masks: Seq[Int] = Seq(0) ++
       (if (probeRadius >= 1) (0 until p).map(1 << _) else Seq.empty) ++
@@ -134,8 +142,16 @@ object Similarity {
     */
   def nearDupPairs(emb: DataFrame, threshold: Double,
       numPlanes: Option[Int] = None): DataFrame = {
-    val p = numPlanes.getOrElse(planesFor(emb.count()))
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // ONE setup job, not two: count (for the plane heuristic) and dim
+    // ride the same aggregation scan; with explicit numPlanes only the
+    // cheap 1-row dim probe runs
+    val (p, dim) = numPlanes match {
+      case Some(np) =>
+        (np, emb.select(size(col("embedding"))).head().getInt(0))
+      case None =>
+        val r = emb.agg(count(lit(1)), max(size(col("embedding")))).head()
+        (planesFor(r.getLong(0)), r.getInt(1))
+    }
     val bucketed = withSrpBucket(emb, planeTable(p, dim))
       .select(col("bucket"), col("vec_id"), col("embedding"))
     val l = bucketed.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
@@ -257,7 +273,10 @@ object Similarity {
       dot / (math.sqrt(c.map(x => x * x).sum) * math.sqrt(qVec.map(x => x * x).sum))
     }
     val probes = centroids.sortBy { case (_, c) => -cos(c) }.take(nProbe).map(_._1)
-    val q = emb.where(col("vec_id") === queryVecId).select(col("embedding").as("qv"))
+    // the query vector was already fetched (O(dim)) for probe selection —
+    // reuse it as a plan literal instead of re-scanning the table for it
+    val q = emb.sparkSession.range(1)
+      .select(org.apache.spark.sql.functions.typedlit(qVec).as("qv"))
     assigned
       .where(col("ivf_list").isin(probes.toIndexedSeq: _*))
       .crossJoin(broadcast(q))

@@ -274,8 +274,7 @@ object TrainingPrep {
   def sampleQuery(s: SparkSession, dir: String): DataFrame =
     stratifiedSample(t(s, dir, "documents"), "lang")
 
-  private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private val normSql = TextOps.duckNormSql
 
   def histogramQuery(s: SparkSession, dir: String): DataFrame =
     histogram(t(s, dir, "documents"))

@@ -32,6 +32,15 @@ object TextOps {
   /** Stable 128-bit content fingerprint of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 
+  /** DuckDB mirrors of [[normalizeText]] — the canonical fragments every
+    * tokenizing oracle must embed (SparkEntrySpec pins that no oracle
+    * carries a drifted copy, so a normalization change cannot silently
+    * desynchronize one oracle from the Spark side).
+    */
+  val duckNormSql: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  val duckNormToksSql: String = s"string_split($duckNormSql, ' ')"
+
   // language-ID marker-word regexes; scored per language, argmax with a
   // fixed tie preference (zh > en > de > es > fr)
   private val langMarkers: Seq[(String, String)] = Seq(
@@ -79,7 +88,9 @@ object TextOps {
   // ---- registered queries --------------------------------------------
 
   def textStats(s: SparkSession, dir: String): DataFrame = {
-    val txt = col("text")
+    // NULL text folds to '' (legacy size(NULL) = -1 under ansi-off would
+    // diverge from the oracles' NULL); same guard as extractAll
+    val txt = coalesce(col("text"), lit(""))
     t(s, dir, "documents")
       .select(
         col("doc_id"),
@@ -98,7 +109,7 @@ object TextOps {
     * exact-int → double, once.
     */
   def sentenceStats(s: SparkSession, dir: String): DataFrame = {
-    val txt = col("text")
+    val txt = coalesce(col("text"), lit(""))
     val nSent = regexp_count(txt, lit("[.!?]+([ \\t\\n\\r\\f]|\\z)"))
     t(s, dir, "documents")
       .select(
@@ -110,7 +121,7 @@ object TextOps {
   }
 
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val txt = col("text")
+    val txt = coalesce(col("text"), lit(""))
     val scores = languageIdScores(txt).map { case (l, c) => c.as(s"score_$l") }
     t(s, dir, "documents")
       .select(
@@ -120,7 +131,7 @@ object TextOps {
   }
 
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val txt = col("text")
+    val txt = coalesce(col("text"), lit(""))
     val nTokens = size(whitespaceTokens(txt))
     val nChars = length(txt)
     val stopHits = regexp_count(txt, lit(langMarkers.head._2))
@@ -302,7 +313,7 @@ object TextOps {
            |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
            |       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
            |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
-           |FROM documents ORDER BY doc_id""".stripMargin)),
+           |FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents) ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_sentences", "sentence segmentation stats (RE2-safe terminator counting)",
       sentenceStats,
       Some(
@@ -310,7 +321,7 @@ object TextOps {
           |       CAST(len(regexp_extract_all(text, '[.!?]+([ \t\n\r\f]|\z)')) AS INTEGER) AS n_sentences,
           |       CAST(length(text) AS DOUBLE) /
           |       CAST(greatest(len(regexp_extract_all(text, '[.!?]+([ \t\n\r\f]|\z)')), 1) AS DOUBLE) AS avg_sentence_chars
-          |FROM documents ORDER BY doc_id""".stripMargin)),
+          |FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents) ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_lang_id", "marker-word language-ID heuristic + argmax",
       langId,
       Some(
@@ -327,7 +338,7 @@ object TextOps {
           |             AND len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')) >= len(regexp_extract_all(text, '\b(le|la|les|des|est|et)\b')) THEN 'de'
           |            WHEN len(regexp_extract_all(text, '\b(el|la|los|de|que|y)\b')) >= len(regexp_extract_all(text, '\b(le|la|les|des|est|et)\b')) THEN 'es'
           |            ELSE 'fr' END AS predicted_lang
-          |FROM documents ORDER BY doc_id""".stripMargin)),
+          |FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents) ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_quality_score", "length/punct/stopword quality scoring",
       qualityScore,
       Some(
@@ -338,7 +349,7 @@ object TextOps {
           |       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
           |       (len(string_split(text, ' ')) BETWEEN 10 AND 2000
           |        AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) < 0.2) AS passes_quality
-          |FROM documents ORDER BY doc_id""".stripMargin)),
+          |FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents) ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_winnow_fingerprint", "MOSS winnowing rolling-hash fingerprints (XXH64 is engine-specific -> rows-only; selection proven by q_winnow_md5_twin)",
       winnowFingerprint, None),
     GraftQuery("q_winnow_md5_twin", "graft_winnow over md5 3-gram hashes == DuckDB SQL winnowing reformulation",

@@ -17,6 +17,18 @@ class SparkEntrySpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).limit(1).count() == 1)
   }
 
+  test("every tokenizing oracle embeds the canonical normalize fragment (no drift)") {
+    // 16 oracles replicate TextOps.normalizeText in DuckDB SQL; a copy
+    // that drifts from the canonical fragment would silently test
+    // different semantics than the Spark side
+    val canon =
+      "regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')"
+    val drifted = Catalog.all.filter(q => q.oracle.exists(o =>
+      o.contains("lower(text)") && !o.contains(canon)))
+    assert(drifted.isEmpty,
+      s"oracles with a drifted normalization copy: ${drifted.map(_.name)}")
+  }
+
   test("oracle SQL is single-statement and DuckDB-dialect safe (no spark-only idioms)") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(!sql.contains(";"), s"$k: multi-statement oracle")
