@@ -196,17 +196,25 @@ object TextOps {
     * inverted indexes: explode normalized tokens, total term frequency
     * and document frequency per term, top 20 by tf. Integer outputs so
     * the oracle is exact (the idf multiply is a trivial scalar on top).
-    * Scale shape: explode + one partial/final aggregate on the term key.
+    * Scale shape: explode + TWO stacked partial/final aggregates, both on
+    * high-cardinality keys. `count(*) + countDistinct(doc_id)` in ONE agg
+    * would plan an Expand (every exploded token row duplicated once per
+    * aggregate mode — 2× the shuffle input of the hottest stage); the
+    * two-level formulation — per-(term, doc) counts, then per-term
+    * sum/count — gets both answers with clean map-side combines and no
+    * row duplication.
     */
   def termStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
         explode(split(normalizeText(col("text")), " ")).as("term"))
       .where(col("term") =!= "")
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf_doc"))
       .groupBy("term")
       .agg(
-        count(lit(1)).as("tf"),
-        countDistinct(col("doc_id")).as("df"))
+        sum(col("tf_doc")).as("tf"),
+        count(lit(1)).as("df"))
       .orderBy(col("tf").desc, col("term"))
       .limit(20)
 

@@ -176,21 +176,96 @@ object WindowOps {
       .orderBy("user_id", "event_id")
   }
 
-  /** Rank-statistics family over one window: rank, dense_rank,
-    * percent_rank, cume_dist, ntile(4). The custkey tiebreaker makes the
-    * ordering total, so every engine agrees on all five.
+  /** Rank-statistics family: rank, dense_rank, percent_rank, cume_dist,
+    * ntile(4) per market segment, ordered by (c_acctbal DESC, c_custkey).
+    *
+    * A naive `Window.partitionBy(c_mktsegment)` funnels the whole table
+    * into 5 single-task sort buffers — the low-cardinality-partition
+    * scale-killer [[rangeWindow]]'s doc warns about. Instead the exact
+    * same answers come out of a TWO-PASS ranking (the
+    * ext/TrainingPrep.sequencePack prefix-sum pattern applied to ranks):
+    *
+    *   1. bucket each row by a deterministic balance range — a pure,
+    *      order-preserving function of c_acctbal, so bucket order ==
+    *      DESC balance order and ties never straddle buckets — and
+    *      aggregate per-(segment, bucket) row counts (one map-side-
+    *      combined shuffle, O(segments × buckets) rows to the driver);
+    *   2. turn counts into cumulative per-bucket rank offsets and
+    *      per-segment totals (driver, O(segments × buckets)), broadcast
+    *      both as literal maps, and run row_number() in a window
+    *      partitioned by (segment, bucket) — each bucket sorts its
+    *      ~n/buckets slice independently in parallel.
+    *
+    * The (c_acctbal DESC, c_custkey) ordering is TOTAL (custkey is
+    * unique), so rank == dense_rank == row_number == bucket offset +
+    * local row_number, percent_rank = (rnk−1)/(n−1), cume_dist = rnk/n,
+    * and ntile(4) is the standard balanced-bucket formula over (rnk, n)
+    * — all exact, no approximation. Bucket count tracks
+    * spark.sql.shuffle.partitions, so per-task slice size stays ~n/P at
+    * any scale. Plan shape (no Window partitioned by the bare 5-value
+    * segment key) is pinned in PlanRulesSpec.
     */
   def rankStats(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
-    t(s, dir, "customer")
+    val spark = GraftSession.tuned(s)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val cust = t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        col("c_acctbal").cast(DoubleType).as("bal"))
+
+    // Pass 1: per-(segment, balance-range bucket) row counts. The bucket
+    // id is monotone non-increasing in balance (floor((hi−bal)/width)),
+    // so ascending bucket == descending balance, and equal balances land
+    // in the same bucket (the custkey tiebreak stays bucket-local).
+    val bounds = cust.agg(min(col("bal")), max(col("bal"))).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0.0, 0.0)
+      else (bounds.getDouble(0), bounds.getDouble(1))
+    val width = math.max((hi - lo) / parts, java.lang.Double.MIN_NORMAL)
+    val bkt = least(
+      floor((lit(hi) - col("bal")) / lit(width)).cast(IntegerType),
+      lit(parts - 1))
+
+    val counts = cust
+      .groupBy(col("c_mktsegment").as("seg"), bkt.as("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect() // O(segments × buckets) rows — driver-safe at any scale
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy { case (seg, b, _) => (seg, b) }
+    val offsets = scala.collection.mutable.Map.empty[String, Long]
+    val totals = scala.collection.mutable.Map.empty[String, Long]
+    counts.foreach { case (seg, b, cnt) =>
+      val before = totals.getOrElse(seg, 0L)
+      offsets(s"$seg:$b") = before
+      totals(seg) = before + cnt
+    }
+
+    // Pass 2: local row_number per (segment, bucket) + broadcast offset.
+    val w = Window.partitionBy(col("c_mktsegment"), col("bkt"))
+      .orderBy(col("bal").desc, col("c_custkey"))
+    val n = element_at(typedLit(totals.toMap), col("c_mktsegment"))
+    val rnk = (row_number().over(w).cast(LongType) +
+      element_at(typedLit(offsets.toMap),
+        concat_ws(":", col("c_mktsegment"), col("bkt")))).cast(IntegerType)
+    // ntile(k): first n%k buckets hold n/k+1 rows, the rest n/k.
+    val k = 4
+    val q = (n / k).cast(IntegerType)
+    val r = (n % k).cast(IntegerType)
+    val quartile = when(col("rnk") <= r * (q + 1),
+        (col("rnk") - 1) / (q + 1) + 1)
+      .otherwise(r + (col("rnk") - r * (q + 1) - 1) / q + 1)
+      .cast(IntegerType)
+    cust
+      .withColumn("bkt", bkt)
+      .withColumn("rnk", rnk)
       .select(
         col("c_mktsegment"), col("c_custkey"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
-        percent_rank().over(w).as("prnk"),
-        cume_dist().over(w).as("cdist"),
-        ntile(4).over(w).as("quartile"))
+        col("rnk"),
+        col("rnk").as("drnk"), // total order: dense_rank == rank
+        when(n === 1, lit(0.0))
+          .otherwise((col("rnk") - 1).cast(DoubleType) /
+            (n - 1).cast(DoubleType)).as("prnk"),
+        (col("rnk").cast(DoubleType) / n.cast(DoubleType)).as("cdist"),
+        quartile.as("quartile"))
       .orderBy("c_mktsegment", "rnk")
   }
 

@@ -146,6 +146,44 @@ class PlanRulesSpec extends SparkTestBase {
       s"rank<=k must push down as WindowGroupLimit:\n${plan.take(800)}")
   }
 
+  test("rank stats never windows on the bare 5-value segment key (two-pass ranking)") {
+    val plan = graft.operators.WindowOps.rankStats(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // every windowspecdefinition must carry >= 2 partition columns
+    // (segment AND balance-range bucket) before its first ordered column
+    // — a single-column spec is the 5-task sort-buffer scale-killer
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected a window in the plan:\n${plan.take(800)}")
+    specs.foreach { spec =>
+      val partCols = spec.split(",")
+        .takeWhile(c => !c.contains("ASC") && !c.contains("DESC"))
+      assert(partCols.length >= 2,
+        s"window partitioned by the bare low-cardinality key: ($spec)")
+    }
+  }
+
+  test("term stats plans without Expand (two-level agg, not count+countDistinct)") {
+    val plan = graft.functions.TextOps.termStats(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"count+countDistinct Expand resurfaced:\n${plan.take(800)}")
+  }
+
+  test("lateral top-n plans with WindowGroupLimit") {
+    val plan = graft.operators.RelationalOps.lateralTopN(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"correlated LIMIT must prune map-side:\n${plan.take(800)}")
+  }
+
+  test("tfidf top-k plans with WindowGroupLimit") {
+    val plan = graft.functions.TextOps.tfidfTopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must prune map-side:\n${plan.take(800)}")
+  }
+
   test("interval-overlap join never degrades to a nested-loop product") {
     val plan = graft.operators.RangeJoin.overlapQuery(spark, sfDir)
       .queryExecution.executedPlan.toString
