@@ -195,7 +195,11 @@ object Cleaning {
       .agg(
         count(lit(1)).as("n"),
         sum(col("n_chars").cast(DecimalType(38, 0))).as("s1"),
-        sum((col("n_chars") * col("n_chars")).cast(DecimalType(38, 0)))
+        // cast the OPERANDS, not the product: a LONG square wraps
+        // silently (ANSI off) for any doc over ~3.0e9 chars, while the
+        // DECIMAL(38,0) multiply is exact to 10^38
+        sum(col("n_chars").cast(DecimalType(38, 0)) *
+            col("n_chars").cast(DecimalType(38, 0)))
           .as("s2"))
       .select(
         col("lang"), meanE.as("mean"),

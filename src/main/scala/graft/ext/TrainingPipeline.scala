@@ -116,6 +116,9 @@ object TrainingPipeline {
       .drop("__th", "__rn")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // stages 4-8 under try/finally: the persist above must not outlive
+    // this call when a gate (e.g. the doc_id-uniqueness require) throws
+    try {
     // -- stage 4: near-dup keep-one over the MinHash+LSH cluster graph --
     // pair generation re-scans the (persisted) corpus — inherent to
     // LSH, bounded by the bucketed candidate space, never N².
@@ -160,7 +163,7 @@ object TrainingPipeline {
     val batches = spark.read.parquet(s"$outDir/train")
       .agg(countDistinct(col("batch_id"))).head().getLong(0)
 
-    val report = Report(
+    Report(
       input = if (cfg.reportCounts) docs.count() else -1L,
       afterQuality = if (cfg.reportCounts) quality.count() else -1L,
       afterExactDedup = if (cfg.reportCounts) exact.count() else -1L,
@@ -168,7 +171,6 @@ object TrainingPipeline {
       afterSample = idCheck.getLong(0),
       trainDocs = trainN, valDocs = valN, testDocs = testN,
       batches = batches)
-    exact.unpersist()
-    report
+    } finally exact.unpersist()
   }
 }

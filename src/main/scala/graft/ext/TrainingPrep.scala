@@ -379,6 +379,21 @@ object TrainingPrep {
           |  FROM documents)
           |WHERE h * 1000 < least(n_chars, 1000) * 1000000
           |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_weighted_sample_capped",
+      // cap=200 sits INSIDE the fixture's n_chars range (47–558, median
+      // ~310): the majority of docs saturate (least() picks the cap →
+      // keep-probability exactly 1, every such doc survives) while the
+      // short tail still samples proportionally — so the saturation
+      // branch of weightedKeep is oracle-gated, not just unit-tested
+      "weighted subsample with a SATURATING cap (docs at/above cap always survive)",
+      (s, dir) => weightedSample(t(s, dir, "documents"), cap = 200L),
+      Some(
+        """SELECT doc_id, lang, n_chars FROM (
+          |  SELECT doc_id, lang, n_chars,
+          |         ('0x' || substring(md5('w:' || CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 1000000 AS h
+          |  FROM documents)
+          |WHERE h * 200 < least(n_chars, 200) * 1000000
+          |ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_balanced_mix", "balanced cross-source downsample via integer threshold predicate (no windows)",
       // the fixture's sources are perfectly uniform (striped doc_id %
       // 20), which would make the threshold vacuously true (cnt ==

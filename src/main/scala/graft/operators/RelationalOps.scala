@@ -520,6 +520,35 @@ object RelationalOps {
         expr("approx_percentile(o_totalprice, 0.9, 1000)").as("approx_p90"))
       .orderBy("o_orderpriority")
 
+  /** Gate-visible CONTAINMENT TWIN of [[approxPercentiles]]: each
+    * engine checks ITS OWN sketch value against exact ±1%-rank
+    * percentile bounds and emits the boolean — the sketch guarantee
+    * itself becomes the oracle-compared value, so the gate proves both
+    * sketches land where a quantile sketch must, without comparing
+    * engine-specific sketch internals. The ±1% window is 10× Spark's
+    * configured Greenwald-Khanna bound (accuracy=1000 → ±0.1% ranks)
+    * and comfortably covers DuckDB's t-digest (≈±0.25% worst-case at
+    * the median with default compression), while a broken sketch —
+    * wrong quantile, unmerged partials — misses by whole percentiles.
+    */
+  def approxPercentileTwin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("amed"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"),
+        expr("percentile(o_totalprice, 0.49)").as("lo_med"),
+        expr("percentile(o_totalprice, 0.51)").as("hi_med"),
+        expr("percentile(o_totalprice, 0.89)").as("lo_p90"),
+        expr("percentile(o_totalprice, 0.91)").as("hi_p90"))
+      .select(
+        col("o_orderpriority"),
+        (col("amed") >= col("lo_med") && col("amed") <= col("hi_med"))
+          .as("med_in_bounds"),
+        (col("ap90") >= col("lo_p90") && col("ap90") <= col("hi_p90"))
+          .as("p90_in_bounds"))
+      .orderBy("o_orderpriority")
+
   /** F+: higher-order array functions — filter / exists / aggregate /
     * zip_with over per-order quantity arrays. INTEGER arrays on
     * purpose: HOF folds are sequential per row so integer math is
@@ -1220,6 +1249,16 @@ object RelationalOps {
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     GraftQuery("q_approx_percentile", "approx quantile sketch (engine-specific values -> rows-only; error unit-bounded vs q_percentile)",
       approxPercentiles, None),
+    GraftQuery("q_approx_percentile_twin",
+      "sketch-guarantee containment check: each engine's approx quantile lands inside exact +-1%-rank bounds",
+      approxPercentileTwin,
+      Some(
+        """SELECT o_orderpriority,
+          |       approx_quantile(o_totalprice, 0.5) >= quantile_cont(o_totalprice, 0.49)
+          |       AND approx_quantile(o_totalprice, 0.5) <= quantile_cont(o_totalprice, 0.51) AS med_in_bounds,
+          |       approx_quantile(o_totalprice, 0.9) >= quantile_cont(o_totalprice, 0.89)
+          |       AND approx_quantile(o_totalprice, 0.9) <= quantile_cont(o_totalprice, 0.91) AS p90_in_bounds
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     GraftQuery("q_stats_agg", "mean/stddev from exact integer moments (bit-identical cross-engine)",
       statsAgg,
       Some(
