@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decade-scale fixture generator for the sf1 spot gate: replicates the
+  * sf0.1 fixtures 10× into a scratch dir so the heaviest registered
+  * queries can be MEASURED one decade up instead of argued from plan
+  * shape (driver testdata tops out at sf0.1).
+  *
+  * Fact tables replicate with disjoint key ranges (every replica's keys
+  * shift by `span = max(key)+1`, so FK joins stay exactly 1:1 with the
+  * base — the join fan-in per key is unchanged, only the key count
+  * grows 10×). Dimensions (nation/region/supplier) copy as-is, like a
+  * real warehouse where facts grow and dims don't.
+  *
+  * Documents additionally get a per-replica Caesar rotation of the
+  * lowercase alphabet (`translate(text, a..z, rotated)`): token
+  * boundaries, lengths and per-doc shingle COUNTS are preserved, but
+  * cross-replica shingle SETS are disjoint — so near-dup structure
+  * (planted dup pairs, cluster sizes, LSH bucket occupancy) replicates
+  * linearly instead of collapsing into artificial 10-member
+  * cross-replica clusters.
+  *
+  * Usage: runMain graft.tools.ScaleGen [srcDir] [dstDir] [replicas]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/sf1"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rd(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
+    def wr(df: DataFrame, n: String): Unit = {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$n.parquet")
+      println(s"[scalegen] $n: ${spark.read.parquet(s"$dst/$n.parquet").count()} rows")
+    }
+    def span(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1
+
+    Seq("nation", "region", "supplier").foreach(n => wr(rd(n), n))
+
+    val cust = rd("customer"); val ords = rd("orders"); val li = rd("lineitem")
+    val custSpan = span(cust, "c_custkey")
+    val ordSpan = span(ords, "o_orderkey")
+
+    def replicate(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until reps).map(i => shift(df, i)).reduce(_ union _)
+
+    wr(replicate(cust)((d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * custSpan))), "customer")
+    wr(replicate(ords)((d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * ordSpan))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * custSpan))), "orders")
+    wr(replicate(li)((d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * ordSpan))), "lineitem")
+
+    val docs = rd("documents")
+    val docSpan = span(docs, "doc_id")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    wr(replicate(docs)((d, i) => {
+      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      d.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
+        .withColumn("text", translate(col("text"), alpha, rot))
+    }), "documents")
+
+    spark.stop()
+  }
+}
