@@ -51,8 +51,11 @@ object Bench {
     println(line)
     // the driver captures a BOUNDED log tail (BENCH_r03.json lost 52 of
     // 136 queries to truncation) — also land the full line in a file so
-    // the committed artifact always carries every query
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // the committed artifact always carries every query. The default
+    // name embeds the SF-dir basename so a spot-gate run at another
+    // scale can't clobber the sf0.1 record
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_FULL_${new java.io.File(sfDir).getName}.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>

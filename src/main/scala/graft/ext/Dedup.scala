@@ -553,17 +553,30 @@ object Dedup {
     * share ONE LSH + components computation per Verify/Bench run
     * instead of recomputing the identical label set. Keyed on the
     * session too: a cached DataFrame is unusable from any other
-    * session, and tests spin up several.
+    * session, and tests spin up several; entries of STOPPED sessions
+    * are evicted on every call so the memo can't pin dead sessions for
+    * the JVM lifetime. Assumes `dir`'s documents are immutable within
+    * a session — true for the driver fixtures every registered query
+    * reads (rewrite the table mid-session and you must use a new
+    * session or call the un-memoized builders directly). The compute
+    * runs OUTSIDE the map lock (get/putIfAbsent, not computeIfAbsent):
+    * a concurrent first call may duplicate the idempotent computation,
+    * but never blocks unrelated callers for the multi-second job.
     */
   private val labelsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def nearDupLabels(s: SparkSession, dir: String): DataFrame =
-    labelsMemo.computeIfAbsent((s, dir), _ =>
-      connectedComponents(
+  private def nearDupLabels(s: SparkSession, dir: String): DataFrame = {
+    labelsMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    val key = (s, dir)
+    Option(labelsMemo.get(key)).getOrElse {
+      val computed = connectedComponents(
         minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
             sorted = false)
-          .select(col("id1"), col("id2"))))
+          .select(col("id1"), col("id2")))
+      Option(labelsMemo.putIfAbsent(key, computed)).getOrElse(computed)
+    }
+  }
 
   /** Near-dup clusters over the MinHash+LSH pair graph
     * ([[minhashNearDupPairs]]): transitive closure of the pairwise

@@ -204,13 +204,35 @@ object WindowOps {
     * spark.sql.shuffle.partitions, so per-task slice size stays ~n/P at
     * any scale. Plan shape (no Window partitioned by the bare 5-value
     * segment key) is pinned in PlanRulesSpec.
+    *
+    * Like [[graft.ext.TrainingPrep.sequencePack]], pass 1 runs two
+    * eager O(k)-result driver jobs (bounds + counts) at CONSTRUCTION
+    * time, and the source is scanned twice more than the lazy window
+    * formulation — both scans prune to the two pass-1 columns; that is
+    * the inherent, bounded price of the two-pass shape.
     */
   def rankStats(s: SparkSession, dir: String): DataFrame = {
     val spark = GraftSession.tuned(s)
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val cust = t(s, dir, "customer")
+    rankStatsOf(t(s, dir, "customer"),
+      spark.sessionState.conf.numShufflePartitions)
+  }
+
+  /** df-level core of [[rankStats]] (needs c_mktsegment, c_custkey,
+    * c_acctbal) — separable so the NULL-parity spec can drive it with
+    * synthetic rows the fixture doesn't contain.
+    */
+  def rankStatsOf(customer: DataFrame, parts: Int): DataFrame = {
+    val cust = customer
       .select(col("c_mktsegment"), col("c_custkey"),
         col("c_acctbal").cast(DoubleType).as("bal"))
+
+    // NULL parity with the window formulation this replaces: a NULL
+    // balance buckets to the EXTRA bucket `parts` — after every real
+    // bucket, i.e. the NULLS LAST position `ORDER BY bal DESC` gives it
+    // on both engines — and a NULL segment becomes its own group via a
+    // sentinel key string (concat_ws would silently drop the NULL and
+    // collide with a real segment; ` ` appears in no fixture value).
+    val segKey = coalesce(col("c_mktsegment"), lit(" "))
 
     // Pass 1: per-(segment, balance-range bucket) row counts. The bucket
     // id is monotone non-increasing in balance (floor((hi−bal)/width)),
@@ -221,12 +243,14 @@ object WindowOps {
       if (bounds.isNullAt(0)) (0.0, 0.0)
       else (bounds.getDouble(0), bounds.getDouble(1))
     val width = math.max((hi - lo) / parts, java.lang.Double.MIN_NORMAL)
-    val bkt = least(
-      floor((lit(hi) - col("bal")) / lit(width)).cast(IntegerType),
-      lit(parts - 1))
+    val bkt = coalesce(
+      least(
+        floor((lit(hi) - col("bal")) / lit(width)).cast(IntegerType),
+        lit(parts - 1)),
+      lit(parts))
 
     val counts = cust
-      .groupBy(col("c_mktsegment").as("seg"), bkt.as("bkt"))
+      .groupBy(segKey.as("seg"), bkt.as("bkt"))
       .agg(count(lit(1)).as("cnt"))
       .collect() // O(segments × buckets) rows — driver-safe at any scale
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
@@ -242,10 +266,11 @@ object WindowOps {
     // Pass 2: local row_number per (segment, bucket) + broadcast offset.
     val w = Window.partitionBy(col("c_mktsegment"), col("bkt"))
       .orderBy(col("bal").desc, col("c_custkey"))
-    val n = element_at(typedLit(totals.toMap), col("c_mktsegment"))
+    val n = element_at(typedLit(totals.toMap), segKey)
     val rnk = (row_number().over(w).cast(LongType) +
       element_at(typedLit(offsets.toMap),
-        concat_ws(":", col("c_mktsegment"), col("bkt")))).cast(IntegerType)
+        concat(segKey, lit(":"), col("bkt").cast(StringType))))
+      .cast(IntegerType)
     // ntile(k): first n%k buckets hold n/k+1 rows, the rest n/k.
     val k = 4
     val q = (n / k).cast(IntegerType)

@@ -46,7 +46,13 @@ object ScaleGen {
     def span(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1
 
-    Seq("nation", "region", "supplier").foreach(n => wr(rd(n), n))
+    // rotations are distinct only for 1..26 replicas (i=26 would repeat
+    // the identity and plant byte-identical cross-replica duplicates)
+    require(reps >= 1 && reps <= 26, s"replicas must be in 1..26: $reps")
+
+    // dims copy as-is: facts grow, dims don't (lineitem keeps its
+    // p_partkey/s_suppkey ranges, so the copied dims stay FK-complete)
+    Seq("nation", "region", "supplier", "part").foreach(n => wr(rd(n), n))
 
     val cust = rd("customer"); val ords = rd("orders"); val li = rd("lineitem")
     val custSpan = span(cust, "c_custkey")
@@ -63,13 +69,33 @@ object ScaleGen {
     wr(replicate(li)((d, i) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(i * ordSpan))), "lineitem")
 
+    val ev = rd("events")
+    val evSpan = span(ev, "event_id")
+    val userSpan = span(ev, "user_id")
+    wr(replicate(ev)((d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * evSpan))
+        .withColumn("user_id", col("user_id") + lit(i * userSpan))), "events")
+
+    val emb = rd("embeddings")
+    val vecSpan = span(emb, "vec_id")
+    wr(replicate(emb)((d, i) =>
+      d.withColumn("vec_id", col("vec_id") + lit(i * vecSpan))), "embeddings")
+
+    // Both cases (a-z AND A-Z) rotate so query-time lowercasing can't
+    // re-collide replicas; digits rotate too (cycle 10, so pure-digit
+    // shingles still collide between replicas i and i+10 — a known
+    // residual, negligible against the letter rotation on word text).
     val docs = rd("documents")
     val docSpan = span(docs, "doc_id")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
     wr(replicate(docs)((d, i) => {
-      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      val rotL = alpha.drop(i % 26) + alpha.take(i % 26)
+      val rotD = digits.drop(i % 10) + digits.take(i % 10)
       d.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
-        .withColumn("text", translate(col("text"), alpha, rot))
+        .withColumn("text", translate(col("text"),
+          alpha + alpha.toUpperCase + digits,
+          rotL + rotL.toUpperCase + rotD))
     }), "documents")
 
     spark.stop()

@@ -163,6 +163,30 @@ class PlanRulesSpec extends SparkTestBase {
     }
   }
 
+  test("two-pass rank stats matches the naive window on NULL balances and NULL segments") {
+    GraftSession.tuned(spark)
+    // rows the fixture never contains: a NULL balance (sorts last under
+    // DESC) and a whole NULL segment group
+    val cust = Seq(
+      (Some("A"), 1L, Some(10.0)), (Some("A"), 2L, Some(30.0)),
+      (Some("A"), 3L, None), (Some("A"), 4L, Some(20.0)),
+      (Some("B"), 5L, Some(5.0)), (None, 6L, Some(7.0)),
+      (None, 7L, None), (None, 8L, Some(9.0)))
+      .toDF("c_mktsegment", "c_custkey", "c_acctbal")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").cast("double").desc, col("c_custkey"))
+    val naive = cust.select(
+      col("c_mktsegment"), col("c_custkey"),
+      rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+      percent_rank().over(w).as("prnk"), cume_dist().over(w).as("cdist"),
+      ntile(4).over(w).as("quartile"))
+    val twoPass = graft.operators.WindowOps.rankStatsOf(cust, 3)
+    assert(twoPass.except(naive).isEmpty && naive.except(twoPass).isEmpty,
+      s"two-pass != naive:\n${twoPass.orderBy("c_custkey").collect().mkString("\n")}\n--\n" +
+        naive.orderBy("c_custkey").collect().mkString("\n"))
+  }
+
   test("term stats plans without Expand (two-level agg, not count+countDistinct)") {
     val plan = graft.functions.TextOps.termStats(spark, sfDir)
       .queryExecution.executedPlan.toString
