@@ -41,7 +41,14 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, reps)
+    spark.stop()
+  }
 
+  /** Session-preserving core of [[main]] (specs drive it on the shared
+    * test session, which must survive the call).
+    */
+  def run(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
     def rd(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
     def wr(df: DataFrame, n: String): Unit = {
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$n.parquet")
@@ -101,7 +108,5 @@ object ScaleGen {
           alpha + alpha.toUpperCase + digits,
           rotL + rotL.toUpperCase + rotD))
     }), "documents")
-
-    spark.stop()
   }
 }

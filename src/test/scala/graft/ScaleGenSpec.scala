@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tools.ScaleGen
+
+/** The decade-fixture generator must preserve the invariants the sf1
+  * spot gate's conclusions rest on: per-replica FK integrity (join
+  * fan-in per key unchanged), exact replica multiplicity, and
+  * cross-replica text disjointness (near-dup structure replicates
+  * instead of collapsing into artificial cross-replica clusters).
+  */
+class ScaleGenSpec extends SparkTestBase {
+
+  private lazy val dst = {
+    val d = java.nio.file.Files.createTempDirectory("graft-scalegen").toString
+    ScaleGen.run(spark, sfDir, d, 3)
+    d
+  }
+  private def out(n: String) = spark.read.parquet(s"$dst/$n.parquet")
+  private def src(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
+
+  test("facts and corpus replicate exactly reps times; dims copy once") {
+    for (t <- Seq("customer", "orders", "lineitem", "documents", "events", "embeddings"))
+      assert(out(t).count() == 3 * src(t).count(), s"table $t")
+    for (t <- Seq("nation", "region", "supplier", "part"))
+      assert(out(t).count() == src(t).count(), s"dim $t")
+  }
+
+  test("FK integrity survives key shifting: no dangling o_custkey or l_orderkey") {
+    val danglingCust = out("orders")
+      .join(out("customer"),
+        col("o_custkey") === col("c_custkey"), "left_anti").count()
+    val danglingOrd = out("lineitem")
+      .join(out("orders"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    assert(danglingCust == 0 && danglingOrd == 0)
+    // and fan-in per key is unchanged: every customer key's order count
+    // matches some base customer's (replication adds keys, not fan-in)
+    val baseMax = src("orders").groupBy("o_custkey").count()
+      .agg(max("count")).head().getLong(0)
+    val repMax = out("orders").groupBy("o_custkey").count()
+      .agg(max("count")).head().getLong(0)
+    assert(repMax == baseMax, s"fan-in changed: $baseMax -> $repMax")
+  }
+
+  test("replica texts are pairwise distinct but length-preserving (rotation, not mutation)") {
+    val docSpan = src("documents").agg(max("doc_id")).head().getLong(0) + 1
+    val base = out("documents").where(col("doc_id") < docSpan)
+      .select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    val rep1 = out("documents")
+      .where(col("doc_id") >= docSpan && col("doc_id") < 2 * docSpan)
+      .select((col("doc_id") - docSpan).as("b_id"),
+        col("text").as("r_text"))
+    val joined = base.join(rep1, "b_id")
+    val sameText = joined.where(col("b_text") === col("r_text")).count()
+    val lenDrift = joined
+      .where(length(col("b_text")) =!= length(col("r_text"))).count()
+    assert(sameText == 0, s"$sameText docs byte-identical across replicas")
+    assert(lenDrift == 0, s"$lenDrift docs changed length under rotation")
+  }
+
+  test("reps outside 1..26 are rejected (27 would repeat the identity rotation)") {
+    intercept[IllegalArgumentException] {
+      ScaleGen.run(spark, sfDir, dst + "-bad", 27)
+    }
+  }
+}
