@@ -7,6 +7,13 @@ import org.apache.spark.sql.SparkSession
   * its message and EXCLUDED from the total — a crash can never read as a
   * speedup. `SPARK_GRAFT_ONLY=q_a,q_b` restricts to a subset (local
   * iteration only; the driver runs the full set).
+  *
+  * Cost-attribution caveat: queries that share a session-memoized
+  * computation (the near-dup trio — see Dedup.nearDupPairsShared /
+  * nearDupLabels) charge the shared work to whichever of them runs
+  * FIRST in map-iteration order; the others read the cache. Per-key
+  * numbers for those keys are attribution, not standalone cost —
+  * compare the TRIO's sum across rounds, or the run total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

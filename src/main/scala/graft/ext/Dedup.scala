@@ -492,6 +492,13 @@ object Dedup {
     * round counter — the same structure GraphX/Pregel uses; it is the
     * scale-correct shape for iterative graph algorithms on Spark.
     */
+  /** ONE definition of the lineage-cut policy (reliable checkpoint when
+    * the caller configured a dir — cluster production — else local).
+    */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   def connectedComponents(edges: DataFrame, idCol1: String = "id1",
       idCol2: String = "id2", maxIter: Int = 25): DataFrame = {
     // Iterative self-referencing plans grow exponentially (the jump
@@ -503,9 +510,6 @@ object Dedup {
     // spark.cleaner.referenceTracking.cleanCheckpoints=true there so
     // superseded rounds' files are GC'd), else a local one. Superseded
     // rounds are unpersisted here as soon as the next round is down.
-    def cut(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
     val sym = edges
       .select(col(idCol1).cast("long").as("src"), col(idCol2).cast("long").as("dst"))
       .union(edges
@@ -589,17 +593,21 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Default-parameter near-dup pairs over the documents table,
-    * UNSORTED, lineage-cut and materialized ONCE per (session, dir) —
-    * the LSH+verify pipeline is the dominant cost shared by the
-    * registered pair query AND the clustering/apply label computation,
-    * so all three keys pay it a single time per run.
+    * UNSORTED, memoized per (session, dir) under a LAZY persist — the
+    * LSH+verify pipeline is the dominant cost shared by the registered
+    * pair query AND the clustering/apply label computation, so all
+    * three keys pay it a single time per run. persist (not checkpoint)
+    * on purpose: build stays lazy, so plan-only consumers
+    * (ExplainAudit, plan-pin specs) still see the full audit-able
+    * pipeline instead of a degenerate checkpoint-RDD scan, and nothing
+    * executes until the first action. The cached relation is the tiny
+    * thresholded pair list, held until the session ends.
     */
   private def nearDupPairsShared(s: SparkSession, dir: String): DataFrame =
     memoized(pairsMemo, s, dir) {
-      val p = minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+      minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
         sorted = false)
-      if (p.sparkSession.sparkContext.getCheckpointDir.isDefined) p.checkpoint()
-      else p.localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   private def nearDupLabels(s: SparkSession, dir: String): DataFrame =

@@ -61,8 +61,10 @@ class ScaleGenSpec extends SparkTestBase {
   }
 
   test("reps outside 1..26 are rejected (27 would repeat the identity rotation)") {
-    intercept[IllegalArgumentException] {
-      ScaleGen.run(spark, sfDir, dst + "-bad", 27)
-    }
+    // an independent path: the validation must fire before any Spark
+    // work, so this test must not touch the lazily-generated `dst`
+    val bad = java.nio.file.Files.createTempDirectory("graft-scalegen-bad").toString
+    intercept[IllegalArgumentException] { ScaleGen.run(spark, sfDir, bad, 27) }
+    intercept[IllegalArgumentException] { ScaleGen.run(spark, sfDir, bad, 0) }
   }
 }
