@@ -237,8 +237,21 @@ object Dedup {
   def minhashNearDupPairs(
       docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 2, numHashes: Int = 16, bands: Int = 8,
-      threshold: Double = 0.5, sorted: Boolean = true): DataFrame = {
-    val sets = hashedShingleSets(docs, textCol, idCol, shingleN)
+      threshold: Double = 0.5, sorted: Boolean = true,
+      cacheSets: Boolean = false): DataFrame = {
+    // the shingle-hash sets feed THREE subtrees (signatures + both
+    // verify-join sides) and the per-doc hashing dominates the pipeline
+    // (measured: the sf1 pair job halves when cached). cacheSets trades
+    // executor storage (≈ one corpus-sized materialization, spilling to
+    // disk) for skipping two recomputes; callers that opt in own the
+    // session-lifetime cache (the memoized shared path does — its memo
+    // contract IS session-lifetime). Default off: one-shot callers like
+    // TrainingPipeline have no way to unpersist an internal cache, and
+    // at 100 TB storage-constrained clusters prefer the recompute.
+    val base = hashedShingleSets(docs, textCol, idCol, shingleN)
+    val sets =
+      if (cacheSets) base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base
     val signed = sets.withColumn("sig", expr(s"graft_minhash_sig(shs, $numHashes)"))
     val cand = candidatePairs(
       lshBands(signed.drop("shs"), idCol, bands, numHashes / bands), idCol,
@@ -606,7 +619,7 @@ object Dedup {
   private def nearDupPairsShared(s: SparkSession, dir: String): DataFrame =
     memoized(pairsMemo, s, dir) {
       minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
-        sorted = false)
+        sorted = false, cacheSets = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
