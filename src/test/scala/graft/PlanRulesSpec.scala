@@ -187,6 +187,36 @@ class PlanRulesSpec extends SparkTestBase {
         naive.orderBy("c_custkey").collect().mkString("\n"))
   }
 
+  test("two-pass rank stats == naive window across seeded random inputs and bucket counts") {
+    GraftSession.tuned(spark)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      // duplicate balances (small value pool) force tie handling through
+      // the custkey tiebreak; sprinkled NULL balances and segments hit
+      // the sentinel paths; parts spans degenerate (1) to over-provisioned
+      val n = 30 + rnd.nextInt(120)
+      val rows = (1 to n).map { k =>
+        val seg = if (rnd.nextInt(10) == 0) None else Some(s"S${rnd.nextInt(3)}")
+        val bal = if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(6) * 10.0)
+        (seg, k.toLong, bal)
+      }
+      val cust = rows.toDF("c_mktsegment", "c_custkey", "c_acctbal")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").cast("double").desc, col("c_custkey"))
+      val naive = cust.select(
+        col("c_mktsegment"), col("c_custkey"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"), cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+      for (parts <- Seq(1, 3, 16)) {
+        val twoPass = graft.operators.WindowOps.rankStatsOf(cust, parts)
+        assert(twoPass.except(naive).isEmpty && naive.except(twoPass).isEmpty,
+          s"trial $trial parts $parts: two-pass != naive (n=$n)")
+      }
+    }
+  }
+
   test("term stats plans without Expand (two-level agg, not count+countDistinct)") {
     val plan = graft.functions.TextOps.termStats(spark, sfDir)
       .queryExecution.executedPlan.toString
