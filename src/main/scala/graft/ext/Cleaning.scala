@@ -85,13 +85,22 @@ object Cleaning {
     * (unit-asserted equal on the fixtures), 8-byte shuffle keys.
     */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
-      evalPred: Column, n: Int = 5, hashed: Boolean = false): DataFrame = {
-    val sets =
+      evalPred: Column, n: Int = 5, hashed: Boolean = false,
+      cacheSets: Boolean = false): DataFrame = {
+    val sets0 =
       if (hashed)
         Dedup.hashedShingleSets(docs, textCol, idCol, n)
           .withColumnRenamed("shs", "shingles")
       else Dedup.shingleSets(docs, textCol, n)
         .select(col(idCol), col("shingles"))
+    // the shingle sets feed both the eval and the corpus side of the
+    // gram join — cacheSets skips the second per-doc hashing pass at
+    // the price of one corpus-sized materialization (opt-in; same
+    // ownership contract as Dedup.minhashNearDupPairs.cacheSets)
+    val sets =
+      if (cacheSets)
+        sets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sets0
     val grams = sets.select(col(idCol), explode(col("shingles")).as("g"))
     // Collapse the eval side to ONE row per gram before the join: a gram
     // present in many eval docs would otherwise fan the join out per
@@ -118,7 +127,7 @@ object Cleaning {
     */
   def contaminationReport(s: SparkSession, dir: String): DataFrame =
     contamination(t(s, dir, "documents"), "doc_id", "text",
-      evalPred = col("doc_id") % 10 === 5, hashed = true)
+      evalPred = col("doc_id") % 10 === 5, hashed = true, cacheSets = true)
 
   // ---- repetition quality signals (Gopher-rule family) -----------------
 

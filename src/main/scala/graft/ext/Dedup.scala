@@ -295,11 +295,12 @@ object Dedup {
     * trade: pairs found ONLY through a dropped chunk are missed.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+      maxHamming: Int = 3, maxBucket: Int = 10000,
+      cacheHashes: Boolean = false): DataFrame =
     hammingBlockedPairs(
       withSimhash(docs, textCol).select(col(idCol), col("simhash")),
       idCol, "simhash", totalBits = 64, maxHamming = maxHamming,
-      maxBucket = maxBucket)
+      maxBucket = maxBucket, cacheHashed = cacheHashes)
 
   /** Generic pigeonhole-blocked Hamming pairing over any integer hash
     * column: the `totalBits`-bit hash is blocked on `maxHamming + 1`
@@ -311,7 +312,18 @@ object Dedup {
     * anti-join (documented recall trade for degenerate hash values).
     */
   def hammingBlockedPairs(hashed: DataFrame, idCol: String, hashCol: String,
-      totalBits: Int, maxHamming: Int, maxBucket: Int): DataFrame = {
+      totalBits: Int, maxHamming: Int, maxBucket: Int,
+      cacheHashed: Boolean = false): DataFrame = {
+    // the hashed relation feeds the bucket-size aggregate AND both pair
+    // sides — three subtrees recomputing the (expensive, per-token)
+    // hash. cacheHashed persists the TINY (id, hash) relation —
+    // ~16 bytes/doc, cheap at any corpus scale — for the action;
+    // opt-in for the same ownership reasons as
+    // [[minhashNearDupPairs]]'s cacheSets.
+    val hashedIn =
+      if (cacheHashed)
+        hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else hashed
     val chunks = maxHamming + 1
     // floor-width chunks are sound even when chunks don't divide
     // totalBits: the few uncovered high bits can only ABSORB differences,
@@ -325,7 +337,7 @@ object Dedup {
     // to 1 and would zero the mask, collapsing every hash into one
     // bucket — use all-ones explicitly
     val mask = if (bits >= 64) -1L else (1L << bits) - 1
-    val chunked = hashed.select(
+    val chunked = hashedIn.select(
       col(idCol), col(hashCol),
       expr(s"explode(transform(sequence(0, ${chunks - 1}), b -> struct(b AS chunk_id, (shiftright($hashCol, b * $bits) & $mask) AS chunk)))").as("c"))
       .select(col(idCol), col(hashCol), col("c.chunk_id"), col("c.chunk"))
@@ -380,7 +392,8 @@ object Dedup {
     nearDupPairsShared(s, dir).orderBy("id1", "id2")
 
   def simhashQuery(s: SparkSession, dir: String): DataFrame =
-    simhashPairs(t(s, dir, "documents"), "text", "doc_id")
+    simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+      cacheHashes = true)
 
   /** md5-SimHash blocking twin: same pigeonhole pipeline as
     * [[simhashQuery]] but over the engine-portable [[md5Simhash32]], so
