@@ -138,8 +138,13 @@ object Cleaning {
     * the end: exact, shuffle only on (doc_id[, gram]) aggregation keys.
     */
   def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    // the normalized token arrays feed BOTH explodes (words, bigrams) —
+    // persist skips the second normalize+split pass over the corpus.
+    // Session-bounded cache with a stable logical plan (CacheManager
+    // reuses the entry across rebuilds of this registered query).
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), split(TextOps.normalizeText(col("text")), " ").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val words = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
     val wstats = words.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(

@@ -455,10 +455,19 @@ object Dedup {
     */
   def incrementalNearDups(corpus: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, shingleN: Int = 2, numHashes: Int = 16,
-      bands: Int = 8, threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+      bands: Int = 8, threshold: Double = 0.5, maxBucket: Int = 10000,
+      cacheSets: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // each side's shingle sets feed banding (twice: the oversized-bucket
+    // aggregate and the candidate join) AND the verify join — cacheSets
+    // persists them per side, skipping two per-doc hashing passes
+    // (opt-in; same ownership contract as minhashNearDupPairs.cacheSets)
     def sides(docs: DataFrame) = {
-      val sets = hashedShingleSets(docs, textCol, idCol, shingleN)
+      val raw = hashedShingleSets(docs, textCol, idCol, shingleN)
+      val sets =
+        if (cacheSets)
+          raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else raw
       val signed = sets.withColumn("sig", expr(s"graft_minhash_sig(shs, $numHashes)"))
       (sets, lshBands(signed.drop("shs"), idCol, bands, rowsPerBand))
     }
@@ -498,7 +507,7 @@ object Dedup {
     val docs = t(s, dir, "documents")
     incrementalNearDups(
       docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 250),
-      "text", "doc_id")
+      "text", "doc_id", cacheSets = true)
   }
 
   // ---- near-dup clustering (connected components) ----------------------
