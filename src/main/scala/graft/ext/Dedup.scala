@@ -428,8 +428,12 @@ object Dedup {
     * successor (deterministic pairing; DuckDB list functions replicate).
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // the (HOF string-built) shingle sets feed both join sides —
+    // persist skips the second construction pass. Session-bounded,
+    // stable-plan cache (CacheManager reuses across rebuilds).
     val sets = shingleSets(t(s, dir, "documents"), "text", 2)
       .select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sets.select(col("doc_id").as("id1"), col("shingles").as("sh1"))
     val b = sets.select(col("doc_id").as("id2"), col("shingles").as("sh2"))
     a.join(b, col("id2") === col("id1") + 1)

