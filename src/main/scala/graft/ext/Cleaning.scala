@@ -96,11 +96,8 @@ object Cleaning {
     // the shingle sets feed both the eval and the corpus side of the
     // gram join — cacheSets skips the second per-doc hashing pass at
     // the price of one corpus-sized materialization (opt-in; same
-    // ownership contract as Dedup.minhashNearDupPairs.cacheSets)
-    val sets =
-      if (cacheSets)
-        sets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else sets0
+    // ownership contract as Dedup.minhashPairsCore)
+    val sets = Dedup.maybePersist(sets0, cacheSets)
     val grams = sets.select(col(idCol), explode(col("shingles")).as("g"))
     // Collapse the eval side to ONE row per gram before the join: a gram
     // present in many eval docs would otherwise fan the join out per

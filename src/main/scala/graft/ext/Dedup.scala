@@ -239,19 +239,32 @@ object Dedup {
       shingleN: Int = 2, numHashes: Int = 16, bands: Int = 8,
       threshold: Double = 0.5, sorted: Boolean = true,
       cacheSets: Boolean = false): DataFrame = {
-    // the shingle-hash sets feed THREE subtrees (signatures + both
-    // verify-join sides) and the per-doc hashing dominates the pipeline
-    // (measured: the sf1 pair job halves when cached). cacheSets trades
-    // executor storage (≈ one corpus-sized materialization, spilling to
-    // disk) for skipping two recomputes; callers that opt in own the
-    // session-lifetime cache (the memoized shared path does — its memo
-    // contract IS session-lifetime). Default off: one-shot callers like
-    // TrainingPipeline have no way to unpersist an internal cache, and
-    // at 100 TB storage-constrained clusters prefer the recompute.
-    val base = hashedShingleSets(docs, textCol, idCol, shingleN)
-    val sets =
-      if (cacheSets) base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else base
+    val (_, verified) = minhashPairsCore(docs, textCol, idCol, shingleN,
+      numHashes, bands, threshold, cacheSets)
+    // the sort exists for the driver gate's deterministic output;
+    // composing callers (clustering, dedup-apply) don't need it
+    if (sorted) verified.orderBy("id1", "id2") else verified
+  }
+
+  /** Pipeline core returning BOTH the (possibly cached) shingle sets and
+    * the verified pairs, so a caller that opts into cacheSets can
+    * release the sets cache once the pairs are materialized.
+    *
+    * cacheSets: the shingle-hash sets feed THREE subtrees (signatures +
+    * both verify-join sides) and the per-doc hashing dominates the
+    * pipeline (measured: the sf1 pair job halves when cached) — the
+    * flag trades executor storage (≈ one corpus-sized materialization,
+    * spilling to disk) for skipping two recomputes. Callers that opt in
+    * OWN the cache; default off because one-shot callers like
+    * TrainingPipeline have no way to unpersist an internal cache, and
+    * at 100 TB storage-constrained clusters prefer the recompute.
+    */
+  private def minhashPairsCore(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double, cacheSets: Boolean): (DataFrame, DataFrame) = {
+    val sets = maybePersist(
+      hashedShingleSets(docs, textCol, idCol, shingleN), cacheSets)
     val signed = sets.withColumn("sig", expr(s"graft_minhash_sig(shs, $numHashes)"))
     val cand = candidatePairs(
       lshBands(signed.drop("shs"), idCol, bands, numHashes / bands), idCol,
@@ -261,10 +274,16 @@ object Dedup {
       .join(sets.withColumnRenamed(idCol, "id2").withColumnRenamed("shs", "sh2"), "id2")
       .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    // the sort exists for the driver gate's deterministic output;
-    // composing callers (clustering, dedup-apply) don't need it
-    if (sorted) verified.orderBy("id1", "id2") else verified
+    (sets, verified)
   }
+
+  /** ONE definition of the opt-in cache policy every pipeline shares:
+    * persist to MEMORY_AND_DISK when the caller owns the cache, else
+    * pass through untouched.
+    */
+  private[ext] def maybePersist(df: DataFrame, cache: Boolean): DataFrame =
+    if (cache) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
 
   // ---- SimHash ---------------------------------------------------------
 
@@ -296,11 +315,11 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = 10000,
-      cacheHashes: Boolean = false): DataFrame =
+      cacheHashed: Boolean = false): DataFrame =
     hammingBlockedPairs(
       withSimhash(docs, textCol).select(col(idCol), col("simhash")),
       idCol, "simhash", totalBits = 64, maxHamming = maxHamming,
-      maxBucket = maxBucket, cacheHashed = cacheHashes)
+      maxBucket = maxBucket, cacheHashed = cacheHashed)
 
   /** Generic pigeonhole-blocked Hamming pairing over any integer hash
     * column: the `totalBits`-bit hash is blocked on `maxHamming + 1`
@@ -318,12 +337,8 @@ object Dedup {
     // sides — three subtrees recomputing the (expensive, per-token)
     // hash. cacheHashed persists the TINY (id, hash) relation —
     // ~16 bytes/doc, cheap at any corpus scale — for the action;
-    // opt-in for the same ownership reasons as
-    // [[minhashNearDupPairs]]'s cacheSets.
-    val hashedIn =
-      if (cacheHashed)
-        hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else hashed
+    // opt-in for the same ownership reasons as [[minhashPairsCore]].
+    val hashedIn = maybePersist(hashed, cacheHashed)
     val chunks = maxHamming + 1
     // floor-width chunks are sound even when chunks don't divide
     // totalBits: the few uncovered high bits can only ABSORB differences,
@@ -393,7 +408,7 @@ object Dedup {
 
   def simhashQuery(s: SparkSession, dir: String): DataFrame =
     simhashPairs(t(s, dir, "documents"), "text", "doc_id",
-      cacheHashes = true)
+      cacheHashed = true)
 
   /** md5-SimHash blocking twin: same pigeonhole pipeline as
     * [[simhashQuery]] but over the engine-portable [[md5Simhash32]], so
@@ -428,9 +443,14 @@ object Dedup {
     * successor (deterministic pairing; DuckDB list functions replicate).
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // the (HOF string-built) shingle sets feed both join sides —
-    // persist skips the second construction pass. Session-bounded,
-    // stable-plan cache (CacheManager reuses across rebuilds).
+    // STRING shingle sets, by measurement: the hashed-set variant
+    // (graft_shingle_hashes + long-array jaccard) benched SLOWER here —
+    // 7.5 vs 6.6 s at sf1 under identical warmup — because this query
+    // does ONE jaccard per doc (no per-shingle re-hashing for the
+    // round-1 minhash lesson to apply) and builtin string
+    // array_intersect is already codegen'd. The sets feed both join
+    // sides; the persist skips the second construction pass.
+    // Session-bounded, stable-plan cache.
     val sets = shingleSets(t(s, dir, "documents"), "text", 2)
       .select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -465,13 +485,10 @@ object Dedup {
     // each side's shingle sets feed banding (twice: the oversized-bucket
     // aggregate and the candidate join) AND the verify join — cacheSets
     // persists them per side, skipping two per-doc hashing passes
-    // (opt-in; same ownership contract as minhashNearDupPairs.cacheSets)
+    // (opt-in; same ownership contract as [[minhashPairsCore]])
     def sides(docs: DataFrame) = {
-      val raw = hashedShingleSets(docs, textCol, idCol, shingleN)
-      val sets =
-        if (cacheSets)
-          raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else raw
+      val sets = maybePersist(
+        hashedShingleSets(docs, textCol, idCol, shingleN), cacheSets)
       val signed = sets.withColumn("sig", expr(s"graft_minhash_sig(shs, $numHashes)"))
       (sets, lshBands(signed.drop("shs"), idCol, bands, rowsPerBand))
     }
@@ -630,6 +647,10 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val labelsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // the shared path's inner shingle-set cache, held only until the pairs
+  // themselves are materialized (see nearDupLabels)
+  private val sharedSetsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Default-parameter near-dup pairs over the documents table,
     * UNSORTED, memoized per (session, dir) under a LAZY persist — the
@@ -644,15 +665,22 @@ object Dedup {
     */
   private def nearDupPairsShared(s: SparkSession, dir: String): DataFrame =
     memoized(pairsMemo, s, dir) {
-      minhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
-        sorted = false, cacheSets = true)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (sets, verified) = minhashPairsCore(t(s, dir, "documents"),
+        "text", "doc_id", shingleN = 2, numHashes = 16, bands = 8,
+        threshold = 0.5, cacheSets = true)
+      sharedSetsCache.put((s, dir), sets)
+      verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   private def nearDupLabels(s: SparkSession, dir: String): DataFrame =
     memoized(labelsMemo, s, dir) {
-      connectedComponents(
+      val labels = connectedComponents(
         nearDupPairsShared(s, dir).select(col("id1"), col("id2")))
+      // CC ran ⇒ the shared pairs are fully materialized in their own
+      // cache ⇒ the inner corpus-sized shingle-set cache is dead weight
+      // for the rest of the session — release it
+      Option(sharedSetsCache.remove((s, dir))).foreach(_.unpersist())
+      labels
     }
 
   /** Near-dup clusters over the MinHash+LSH pair graph
