@@ -60,13 +60,19 @@ object Bench {
     // 136 queries to truncation) — also land the full line in a file so
     // the committed artifact always carries every query. The default
     // name embeds the SF-dir basename so a spot-gate run at another
-    // scale can't clobber the sf0.1 record
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"BENCH_FULL_${new java.io.File(sfDir).getName}.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // scale can't clobber the sf0.1 record, and SPARK_GRAFT_ONLY subset
+    // runs skip the default write entirely (a 1-query iteration must
+    // not overwrite the full-run record; set SPARK_GRAFT_BENCH_OUT to
+    // capture a subset on purpose)
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(
+      if (only.isEmpty) Some(s"BENCH_FULL_${new java.io.File(sfDir).getName}.json")
+      else None)
+    outFile.foreach { f =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $f: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

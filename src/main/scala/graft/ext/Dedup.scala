@@ -255,9 +255,18 @@ object Dedup {
     * pipeline (measured: the sf1 pair job halves when cached) — the
     * flag trades executor storage (≈ one corpus-sized materialization,
     * spilling to disk) for skipping two recomputes. Callers that opt in
-    * OWN the cache; default off because one-shot callers like
+    * OWN the cache; default off because df-level library callers like
     * TrainingPipeline have no way to unpersist an internal cache, and
     * at 100 TB storage-constrained clusters prefer the recompute.
+    * The REGISTERED queries that opt in (contaminationReport,
+    * incrementalQuery, simhashQuery) knowingly accept a session-
+    * lifetime cache: the driver runs Verify/Bench as bounded sessions,
+    * the cached relations are derived (hashes/sets, smaller than the
+    * corpus text), and CacheManager dedupes rebuilds of the same plan —
+    * the shared-pairs path goes further and releases its sets cache in
+    * nearDupLabels once the pairs themselves are materialized (a
+    * pairs-only session keeps it, by the same bounded-session
+    * argument).
     */
   private def minhashPairsCore(
       docs: DataFrame, textCol: String, idCol: String,

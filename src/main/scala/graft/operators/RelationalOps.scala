@@ -530,6 +530,14 @@ object RelationalOps {
     * and comfortably covers DuckDB's t-digest (≈±0.25% worst-case at
     * the median with default compression), while a broken sketch —
     * wrong quantile, unmerged partials — misses by whole percentiles.
+    *
+    * Bounds are DISCRETE percentiles (actual order statistics), not
+    * interpolated: GK returns a data ELEMENT, and on a small or
+    * sparsely-valued group an interpolated bound can sit strictly
+    * between elements, failing a perfectly correct sketch (2 rows at
+    * {0, 100}: interpolated [49, 51] contains neither). Element-valued
+    * bounds make the containment hold at any group size on both
+    * engines.
     */
   def approxPercentileTwin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -537,10 +545,10 @@ object RelationalOps {
       .agg(
         expr("approx_percentile(o_totalprice, 0.5, 1000)").as("amed"),
         expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"),
-        expr("percentile(o_totalprice, 0.49)").as("lo_med"),
-        expr("percentile(o_totalprice, 0.51)").as("hi_med"),
-        expr("percentile(o_totalprice, 0.89)").as("lo_p90"),
-        expr("percentile(o_totalprice, 0.91)").as("hi_p90"))
+        expr("percentile_disc(0.49) WITHIN GROUP (ORDER BY o_totalprice)").as("lo_med"),
+        expr("percentile_disc(0.51) WITHIN GROUP (ORDER BY o_totalprice)").as("hi_med"),
+        expr("percentile_disc(0.89) WITHIN GROUP (ORDER BY o_totalprice)").as("lo_p90"),
+        expr("percentile_disc(0.91) WITHIN GROUP (ORDER BY o_totalprice)").as("hi_p90"))
       .select(
         col("o_orderpriority"),
         (col("amed") >= col("lo_med") && col("amed") <= col("hi_med"))
@@ -1254,10 +1262,10 @@ object RelationalOps {
       approxPercentileTwin,
       Some(
         """SELECT o_orderpriority,
-          |       approx_quantile(o_totalprice, 0.5) >= quantile_cont(o_totalprice, 0.49)
-          |       AND approx_quantile(o_totalprice, 0.5) <= quantile_cont(o_totalprice, 0.51) AS med_in_bounds,
-          |       approx_quantile(o_totalprice, 0.9) >= quantile_cont(o_totalprice, 0.89)
-          |       AND approx_quantile(o_totalprice, 0.9) <= quantile_cont(o_totalprice, 0.91) AS p90_in_bounds
+          |       approx_quantile(o_totalprice, 0.5) >= quantile_disc(o_totalprice, 0.49)
+          |       AND approx_quantile(o_totalprice, 0.5) <= quantile_disc(o_totalprice, 0.51) AS med_in_bounds,
+          |       approx_quantile(o_totalprice, 0.9) >= quantile_disc(o_totalprice, 0.89)
+          |       AND approx_quantile(o_totalprice, 0.9) <= quantile_disc(o_totalprice, 0.91) AS p90_in_bounds
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     GraftQuery("q_stats_agg", "mean/stddev from exact integer moments (bit-identical cross-engine)",
       statsAgg,

@@ -231,8 +231,10 @@ object WindowOps {
     // bucket, i.e. the NULLS LAST position `ORDER BY bal DESC` gives it
     // on both engines — and a NULL segment becomes its own group via a
     // sentinel key string (concat_ws would silently drop the NULL and
-    // collide with a real segment; ` ` appears in no fixture value).
-    val segKey = coalesce(col("c_mktsegment"), lit(" "))
+    // collide with a real segment; NUL appears in no realistic value,
+    // and BOTH passes group on this same segKey, so even a pathological
+    // real-NUL segment merges consistently in counts AND window).
+    val segKey = coalesce(col("c_mktsegment"), lit("\u0000"))
 
     // Pass 1: per-(segment, balance-range bucket) row counts. The bucket
     // id is monotone non-increasing in balance (floor((hi−bal)/width)),
@@ -264,7 +266,11 @@ object WindowOps {
     }
 
     // Pass 2: local row_number per (segment, bucket) + broadcast offset.
-    val w = Window.partitionBy(col("c_mktsegment"), col("bkt"))
+    // Partitioned on segKey (not the raw column): pass 1 counted groups
+    // under segKey, so pass 2 must window under the IDENTICAL grouping
+    // or a NULL segment and a sentinel-valued segment would share one
+    // offset while ranking as two partitions.
+    val w = Window.partitionBy(segKey, col("bkt"))
       .orderBy(col("bal").desc, col("c_custkey"))
     val n = element_at(typedLit(totals.toMap), segKey)
     val rnk = (row_number().over(w).cast(LongType) +

@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * linearly instead of collapsing into artificial 10-member
   * cross-replica clusters.
   *
+  * Known type drift: the base fixture's events.ts is parquet
+  * TIMESTAMP(NANOS); replicas re-emit it as plain INT64 nanos (Spark
+  * has no native NANOS type). Sessions reading through
+  * GraftSession.tuned/Tables.load (nanosAsLong) see the identical
+  * long either way — the generated dirs target graft.Bench, NOT the
+  * DuckDB oracle, which would read BIGINT instead of TIMESTAMP here.
+  *
   * Usage: runMain graft.tools.ScaleGen [srcDir] [dstDir] [replicas]
   */
 object ScaleGen {
@@ -87,10 +94,21 @@ object ScaleGen {
       d.withColumn("event_id", col("event_id") + lit(i * evSpan))
         .withColumn("user_id", col("user_id") + lit(i * userSpan))), "events")
 
+    // vectors get a per-replica deterministic SIGN-FLIP mask (element j
+    // flips iff xxhash64(i, j) is odd): norms and coordinate
+    // distributions are preserved, but cross-replica cosine collapses
+    // to ~0 — without this, every vector would gain reps-1 byte-exact
+    // twins (cosine 1.0), inflating SRP bucket occupancy quadratically
+    // and displacing true top-k neighbors (the embedding analog of the
+    // documents' Caesar rotation). Replica 0 keeps the originals.
     val emb = rd("embeddings")
     val vecSpan = span(emb, "vec_id")
     wr(replicate(emb)((d, i) =>
-      d.withColumn("vec_id", col("vec_id") + lit(i * vecSpan))), "embeddings")
+      d.withColumn("vec_id", col("vec_id") + lit(i * vecSpan))
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else expr(s"transform(embedding, (x, j) -> CASE WHEN pmod(xxhash64($i, j), 2) = 1 THEN -x ELSE x END)"))),
+      "embeddings")
 
     // Both cases (a-z AND A-Z) rotate so query-time lowercasing can't
     // re-collide replicas; digits rotate too (cycle 10, so pure-digit
