@@ -141,7 +141,8 @@ object Similarity {
     * once per shared probe, 1-bit-apart pairs meet twice).
     */
   def nearDupPairs(emb: DataFrame, threshold: Double,
-      numPlanes: Option[Int] = None): DataFrame = {
+      numPlanes: Option[Int] = None,
+      cacheBuckets: Boolean = false): DataFrame = {
     // ONE setup job, not two: count (for the plane heuristic) and dim
     // ride the same aggregation scan; with explicit numPlanes only the
     // cheap 1-row dim probe runs
@@ -152,8 +153,16 @@ object Similarity {
         val r = emb.agg(count(lit(1)), max(size(col("embedding")))).head()
         (planesFor(r.getLong(0)), r.getInt(1))
     }
-    val bucketed = withSrpBucket(emb, planeTable(p, dim))
-      .select(col("bucket"), col("vec_id"), col("embedding"))
+    // the SRP-hashed relation feeds BOTH join sides. cacheBuckets can
+    // persist it for callers with expensive vectors, but the registered
+    // query leaves it OFF by measurement: at sf1 (20k × 64-dim) the A/B
+    // was 5.9 s uncached vs 6.0 s cached — the p-plane dot products are
+    // cheap next to the multiprobe join + distinct, so the persist only
+    // added a materialization (the tfidf/ReuseExchange lesson again).
+    val bucketed = graft.ext.Dedup.maybePersist(
+      withSrpBucket(emb, planeTable(p, dim))
+        .select(col("bucket"), col("vec_id"), col("embedding")),
+      cacheBuckets)
     val l = bucketed.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
     // right side explodes to its probe buckets (own + Hamming-1); join on
     // l.bucket == probe finds every pair whose buckets differ by <= 1 bit
@@ -315,7 +324,8 @@ object Similarity {
     * the same blocked pipeline with a non-empty result.
     */
   def nearDupQuery(s: SparkSession, dir: String): DataFrame =
-    nearDupPairs(t(s, dir, "embeddings"), threshold = 0.3)
+    nearDupPairs(t(s, dir, "embeddings"), threshold = 0.3,
+      cacheBuckets = false)
 
   /** Planted-duplicate containment twin for the SRP-blocked near-dup
     * pipeline. Plants one scale-duplicate per base vector (2·e under new
