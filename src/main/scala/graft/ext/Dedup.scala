@@ -470,6 +470,100 @@ object Dedup {
       .orderBy("id1")
   }
 
+  // ---- C4-style span-level corpus dedup --------------------------------
+
+  /** Non-overlapping `spanTokens`-token spans of each document — the
+    * span-granular unit for C4/RefinedWeb-style corpus-wide dedup
+    * (C4 removes any three-sentence span occurring more than once; the
+    * synthetic corpus has no sentence terminators, so the unit here is
+    * the token window). Row-local: split + slice + array_join, no
+    * shuffle. `eligible` marks spans long enough to dedup (short
+    * trailing fragments are exempt, mirroring C4's min-length guard) —
+    * a pure function of the span text, so it is constant per distinct
+    * span value.
+    */
+  def tokenSpans(docs: DataFrame, textCol: String,
+      spanTokens: Int, minTokens: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(coalesce(col(textCol), lit("")), " ").as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0L),
+          ceil(size(col("ts")).cast("double") / spanTokens).cast("long") - 1))
+          .as("span_idx"))
+      .select(col("doc_id"), col("span_idx"),
+        (size(col("ts")) - col("span_idx") * spanTokens >= minTokens)
+          .as("eligible"),
+        array_join(slice(col("ts"),
+          (col("span_idx") * spanTokens + 1).cast("int"), lit(spanTokens)), " ")
+          .as("span"))
+
+  /** Corpus-wide repeated-span report: which spans occur more than
+    * once, how often, and in how many documents. Two stacked
+    * partial/final aggregates — per-(span, doc) counts then per-span
+    * sum/count — instead of count + countDistinct in one agg, so no
+    * Expand node doubles the exploded rows (the q_term_stats lesson).
+    * At 100 TB: explode is row-local; both aggregates shuffle on the
+    * high-cardinality span key with map-side combine, so a boilerplate
+    * span repeated across the corpus arrives pre-aggregated (one row
+    * per upstream partition), never as a skewed raw-row partition.
+    */
+  def spanDedupStats(s: SparkSession, dir: String): DataFrame =
+    tokenSpans(t(s, dir, "documents"), "text", 8, 5)
+      .where(col("eligible"))
+      .groupBy(col("span"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("span"))
+      .agg(sum(col("n")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .where(col("n_occurrences") > 1)
+      .orderBy(col("n_occurrences").desc, col("span"))
+
+  /** The C4 policy applied: rewrite every document keeping only the
+    * corpus-wide FIRST occurrence (min (doc_id, span_idx)) of each
+    * eligible span; short spans are always kept. Emits per-doc span
+    * accounting and the md5 of the rebuilt text (the corpus rewrite
+    * would carry the text itself; the gate compares its digest).
+    *
+    * 100 TB shape: first-occurrence is an AGGREGATE (min of a
+    * (doc_id, span_idx) struct), not a per-span window — map-side
+    * partial min keeps a million-copy boilerplate span skew-safe where
+    * row_number over a span partition would funnel all copies into one
+    * task. The firsts relation (one row per distinct eligible span)
+    * sort-merge-joins back on the span key; AQE splits residual skew.
+    * Reassembly groups on high-cardinality doc_id with per-group state
+    * bounded by document size. The span relation feeds two subtrees
+    * (agg + join probe), so it is persisted — the split/slice/join
+    * upstream is row-local and expensive, the measured profile where
+    * persist pays (vs aggregate outputs, which ReuseExchange already
+    * shares). Session-bounded, stable-plan cache.
+    */
+  def spanDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val spans = tokenSpans(t(s, dir, "documents"), "text", 8, 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = spans
+      .where(col("eligible"))
+      .groupBy(col("span"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first_at"))
+    val marked = spans
+      .join(firsts, Seq("span"), "left")
+      .select(col("doc_id"), col("span_idx"), col("span"),
+        (col("first_at").isNull ||
+          col("first_at") === struct(col("doc_id"), col("span_idx")))
+          .as("keep"))
+    marked
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("keep").cast("long")).as("n_spans_kept"),
+        sort_array(collect_list(when(col("keep"),
+          struct(col("span_idx"), col("span"))))).as("ss"))
+      .select(
+        col("doc_id"), col("n_spans"), col("n_spans_kept"),
+        (col("n_spans") - col("n_spans_kept")).as("n_spans_dropped"),
+        md5(array_join(expr("transform(ss, x -> x.span)"), " "))
+          .as("new_text_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---- incremental (batch-vs-corpus) near-dup check --------------------
 
   /** Ingest-time dedup: which INCOMING docs are near-dups of the
@@ -729,6 +823,24 @@ object Dedup {
     * connected components (DuckDB WITH RECURSIVE replays the transitive
     * closure the Spark loop computes).
     */
+  /** Shared oracle fragment mirroring [[tokenSpans]] (8-token spans,
+    * 5-token eligibility floor) in DuckDB list functions.
+    */
+  private val spanCteSql: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts FROM documents),
+      |idx AS (
+      |  SELECT doc_id, ts,
+      |         unnest(range(CAST(ceil(len(ts) / 8.0) AS BIGINT))) AS span_idx
+      |  FROM toks),
+      |spans AS (
+      |  SELECT doc_id, span_idx,
+      |         len(ts) - span_idx * 8 >= 5 AS eligible,
+      |         array_to_string(list_slice(ts,
+      |           CAST(span_idx * 8 + 1 AS BIGINT),
+      |           CAST(span_idx * 8 + 8 AS BIGINT)), ' ') AS span
+      |  FROM idx)""".stripMargin
+
   private val componentsCteSql: String =
     """WITH RECURSIVE sets AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
@@ -864,6 +976,37 @@ object Dedup {
           |       len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
           |FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
           |ORDER BY id1""".stripMargin)),
+    GraftQuery("q_span_dedup_stats", "C4-style repeated-span report: corpus-wide counts of duplicated 8-token spans",
+      spanDedupStats,
+      Some(
+        s"""WITH $spanCteSql
+           |SELECT span, CAST(sum(n) AS BIGINT) AS n_occurrences, count(*) AS n_docs
+           |FROM (SELECT span, doc_id, count(*) AS n FROM spans WHERE eligible GROUP BY 1, 2)
+           |GROUP BY span HAVING CAST(sum(n) AS BIGINT) > 1
+           |ORDER BY n_occurrences DESC, span""".stripMargin)),
+    GraftQuery("q_span_dedup_apply", "C4 policy applied: docs rewritten keeping only corpus-wide first span occurrences",
+      spanDedupApply,
+      Some(
+        s"""WITH $spanCteSql,
+           |ranked AS (
+           |  SELECT doc_id, span_idx, span,
+           |         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+           |  FROM spans WHERE eligible),
+           |kept AS (
+           |  SELECT doc_id, span_idx, span FROM ranked WHERE rn = 1
+           |  UNION ALL
+           |  SELECT doc_id, span_idx, span FROM spans WHERE NOT eligible),
+           |rebuilt AS (
+           |  SELECT doc_id, count(*) AS n_spans_kept,
+           |         md5(array_to_string(list(span ORDER BY span_idx), ' ')) AS new_text_md5
+           |  FROM kept GROUP BY doc_id),
+           |totals AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+           |SELECT t.doc_id, t.n_spans,
+           |       coalesce(r.n_spans_kept, 0) AS n_spans_kept,
+           |       t.n_spans - coalesce(r.n_spans_kept, 0) AS n_spans_dropped,
+           |       coalesce(r.new_text_md5, md5('')) AS new_text_md5
+           |FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+           |ORDER BY doc_id""".stripMargin)),
     // Brute-force cross-split oracle: same data-gap argument as
     // q_minhash_neardup (planted pairs at j >= 0.8, background < 0.35
     // at every SF), so LSH output == the exact cross pair list.

@@ -202,6 +202,52 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map("g" -> 5L, "h" -> 1L))
   }
 
+  test("tokenSpans: spans tile the document; eligibility = span length >= minTokens") {
+    // 10 tokens at spanTokens=8 -> one full span + a 2-token tail
+    val docs = docsDf(Seq("a b c d e f g h i j", "k l m"))
+    val spans = Dedup.tokenSpans(docs, "text", 8, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(spans.toSeq == Seq(
+      (0L, 0L, true, "a b c d e f g h"),
+      (0L, 1L, false, "i j"),
+      (1L, 0L, false, "k l m")))
+    // tiling: rejoining spans in order reproduces the text
+    val rebuilt = spans.groupBy(_._1).map { case (id, ss) =>
+      id -> ss.sortBy(_._2).map(_._4).mkString(" ")
+    }
+    assert(rebuilt == Map(0L -> "a b c d e f g h i j", 1L -> "k l m"))
+  }
+
+  test("span dedup: stats and apply agree; untouched docs rebuild to the original md5") {
+    val stats = Dedup.spanDedupStats(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stats.nonEmpty, "fixture should contain repeated eligible spans")
+    assert(stats.forall(_._2 > 1), "stats must only report repeated spans")
+    assert(stats.forall { case (_, occ, docs) => docs <= occ },
+      "a span cannot hit more docs than occurrences")
+    val apply = Dedup.spanDedupApply(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // every doc is emitted, accounting adds up
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(apply.length.toLong == nDocs)
+    assert(apply.forall { case (_, n, kept, dropped, _) => n == kept + dropped && kept >= 1 })
+    // total drops == sum over repeated spans of (occurrences - 1):
+    // exactly one survivor per distinct eligible span
+    assert(apply.map(_._4).sum == stats.map(_._2 - 1).sum)
+    // a doc with zero drops rebuilds to its original text digest
+    val origMd5 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = apply.filter(_._4 == 0L)
+    assert(untouched.nonEmpty)
+    assert(untouched.forall { case (id, _, _, _, m) => origMd5(id) == m })
+    // a doc WITH drops must NOT rebuild to the original
+    val touched = apply.filter(_._4 > 0L)
+    assert(touched.nonEmpty, "fixture should contain docs losing spans")
+    assert(touched.forall { case (id, _, _, _, m) => origMd5(id) != m })
+  }
+
   test("property: dedup by distinct is idempotent and bounded (100 seeded samples)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 100) {
