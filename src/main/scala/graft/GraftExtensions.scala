@@ -39,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a) => SimHash64Expr(a)
         case _ => throw new IllegalArgumentException("graft_simhash64(arr)")
       }))
+    ext.injectFunction((FunctionIdentifier("graft_norm_text"),
+      info("graft_norm_text", "graft_norm_text(string) - single-pass lower/strip/collapse/trim normalization"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => NormalizeTextExpr(c)
+        case _ => throw new IllegalArgumentException("graft_norm_text(string)")
+      }))
     ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "graft_minhash_sig(array<string|bigint>[, k]) - MinHash signature"),
       (exprs: Seq[Expression]) => exprs match {

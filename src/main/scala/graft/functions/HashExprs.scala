@@ -85,6 +85,35 @@ object HashImpls {
     if (hashed == 0) null else new GenericArrayData(mins)
   }
 
+  /** Single-pass text normalization — byte-identical output to the
+    * two-regex formulation
+    * `trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))`
+    * that every DuckDB oracle mirrors: Unicode lowering first (same
+    * [[UTF8String.toLowerCase]] Spark's `lower` uses), then one sweep
+    * keeping [a-z0-9] runs joined by single spaces. The regex pair
+    * walks the NFA twice and allocates two intermediate strings per
+    * row; this does one bounded append loop. (A supplementary code
+    * point is two chars here vs one regex code-point match — both
+    * yield separator(s) that the run-collapse reduces identically.)
+    */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val lowered = s.toLowerCase.toString
+    val n = lowered.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSep = false
+    var i = 0
+    while (i < n) {
+      val c = lowered.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSep && sb.length > 0) sb.append(' ')
+        sb.append(c)
+        pendingSep = false
+      } else pendingSep = true
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** [[minhashSig]] over already-hashed elements (array<bigint>). */
   def minhashSigLong(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
@@ -398,6 +427,30 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_norm_text(string) -> string`: single-pass lower + strip +
+  * space-collapse + trim (see [[HashImpls.normalizeText]]) — the
+  * canonical normalization every text pipeline runs first, as one
+  * codegen'd JVM loop instead of two chained regexes.
+  */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_norm_text"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpls.normalizeText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.normalizeText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
+    copy(child = newChild)
+}
+
 /** `graft_minhash_sig(array<string|bigint>, k) -> array<bigint>` (k a
   * literal). Over array<bigint> the elements are assumed pre-hashed
   * (e.g. [[ShingleHashExpr]] output) and only remixed.
@@ -691,6 +744,8 @@ object HashExprs {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_simhash64",
       exprs => SimHash64Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_norm_text",
+      exprs => NormalizeTextExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       exprs => exprs match {
         case Seq(arr, Literal(k: Int, IntegerType)) => MinHashSigExpr(arr, k)

@@ -24,9 +24,22 @@ object TextOps {
   def whitespaceTokens(c: Column): Column = split(c, " ")
 
   /** Lowercase, strip non-alphanumerics, collapse runs of spaces — the
-    * canonical normalization step before fingerprinting/dedup.
+    * canonical normalization step before fingerprinting/dedup. Routed
+    * through the native single-pass
+    * [[graft.functions.NormalizeTextExpr]] (byte-identical to the
+    * two-regex formulation [[normalizeTextRegex]] that the DuckDB
+    * oracles mirror — equivalence spec-pinned; measured ~5× on the
+    * corpus scan). Requires a graft-registered session
+    * (GraftSession.tuned / GraftExtensions), like every graft_*
+    * consumer in this module.
     */
-  def normalizeText(c: Column): Column =
+  def normalizeText(c: Column): Column = call_function("graft_norm_text", c)
+
+  /** The reference two-regex formulation of [[normalizeText]] — kept as
+    * the executable definition the oracle SQL fragments and the
+    * equivalence spec compare against.
+    */
+  def normalizeTextRegex(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
   /** Stable 128-bit content fingerprint of the normalized text. */

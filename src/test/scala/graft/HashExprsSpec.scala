@@ -130,6 +130,36 @@ class HashExprsSpec extends SparkTestBase {
     assert(sql.sameElements(Array(27L, HashImpls.zorder(1024L, 17L))))
   }
 
+  test("graft_norm_text == two-regex normalization: corpus, adversarial, randomized") {
+    import graft.functions.TextOps
+    // full corpus: zero rows where the native pass and the regex pair differ
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(TextOps.normalizeText(col("text")) =!=
+        TextOps.normalizeTextRegex(col("text")))
+      .count()
+    assert(corpus == 0L)
+    // adversarial: empties, runs of separators, unicode (lowering +
+    // multi-char/supplementary code points), tabs/newlines, mixed alnum
+    val adversarial = Seq(
+      "", " ", "   ", "a", "  a  b  ", "A1!b2?c3.", "ÀÉÎ höft Straße",
+      "İstanbul İstanbul", "a\tb\nc\rd", "ab😀cd",
+      "-leading and trailing-", "UPPER lower 0123456789",
+      "double  space   triple", "ᾈ final sigma Σς")
+    val df = adversarial.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val bad = df.where(TextOps.normalizeText(col("text")) =!=
+      TextOps.normalizeTextRegex(col("text"))).collect()
+    assert(bad.isEmpty, bad.map(_.toString).mkString("; "))
+    // randomized: seeded strings over a char pool biased to edge chars
+    val rnd = new scala.util.Random(11)
+    val pool = "ab z09AZ!?.,-_\t\n ÀéΣİ😀"
+    val rand = (1 to 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    }.toDF("id", "text")
+    val badR = rand.where(TextOps.normalizeText(col("text")) =!=
+      TextOps.normalizeTextRegex(col("text"))).collect()
+    assert(badR.isEmpty, badR.map(_.toString).mkString("; "))
+  }
+
   test("graft_luhn: known cards, separators, off-by-one, length and charset gates") {
     val cases = Seq(
       "4111111111111111" -> true,   // classic Visa test number
