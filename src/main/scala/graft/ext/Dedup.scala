@@ -154,6 +154,13 @@ object Dedup {
     * capping the O(bucket²) self-join. Pairs found ONLY through a
     * dropped bucket are missed: a documented recall trade.
     */
+  // bandsDf feeds three subtrees (the oversized-bucket scan and both
+  // join sides), so persisting it looks attractive — measured and
+  // REJECTED at the 10x fixture (tools/CcProfile, position-controlled
+  // A/B): cold-run cost is identical (3.98 vs 3.99 s; the stage is
+  // session-warmup-dominated) and the sig+explode recompute it would
+  // save is cheap next to the bucket join itself. Same outcome as the
+  // SRP cacheBuckets knob.
   def candidatePairs(bandsDf: DataFrame, idCol: String, numHashes: Int,
       minEstJaccard: Double, maxBucket: Int = 10000): DataFrame = {
     val oversized = oversizedBuckets(bandsDf, maxBucket)
