@@ -298,6 +298,61 @@ object Cleaning {
         size(col("valids")).as("n_valid"))
       .orderBy("doc_id")
 
+  // ---- hashed linear quality classifier --------------------------------
+
+  /** Weight-bucket count for [[qualityClassifier]] — 2^10 keeps the
+    * broadcast table trivially small while exercising real hash
+    * collisions on this vocabulary.
+    */
+  val classifierBuckets = 1024
+
+  /** The classifier's (bucket, weight) model table. Weights are a
+    * deterministic integer fixture (Knuth multiplicative hash of the
+    * bucket id, mapped to [-500, 499] "milli-weights") standing in for
+    * trained parameters — this container has no model artifacts, and
+    * integer milli-weights keep every downstream sum EXACT and
+    * cross-engine comparable (a float weight table would put the
+    * fold-order of 50k additions on the compare path).
+    */
+  def classifierWeights(s: SparkSession): DataFrame =
+    s.range(classifierBuckets)
+      .select(col("id").as("bucket"),
+        ((col("id") * 2654435761L) % 1000 - 500).as("w_milli"))
+
+  /** fasttext-style hashed linear classifier INFERENCE — the quality-
+    * filter shape of the RefinedWeb/Dolma pipelines: normalized
+    * unigrams hash into [[classifierBuckets]] feature buckets
+    * (md5-derived, so the oracle replays it bit-exactly), a broadcast
+    * model table supplies bucket weights, and the per-doc decision is
+    * the sign of the mean bucket weight. Complements q_quality_score
+    * (hand-set heuristic rules): same decision surface, learned-model
+    * shape.
+    *
+    * 100 TB design: featurize is row-local (explode + hash), the model
+    * lookup is a BROADCAST hash join against a fixed O(buckets) table
+    * (a real 2M-bucket fasttext matrix is ~10 MB — still broadcast
+    * territory), and the only shuffle is the high-cardinality doc_id
+    * aggregation of (count, exact integer sum). Score division happens
+    * once per doc after the exact sums — IEEE-pinned, so the DOUBLE is
+    * bit-identical cross-engine.
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(TextOps.normalizeText(col("text")), " ")).as("tok"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("tok")), 25, 8), 16, 10).cast("long"),
+          lit(classifierBuckets.toLong)))
+      .join(broadcast(classifierWeights(s)), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w_milli").as("sum_milli"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("sum_milli").cast("double") /
+          (col("n_tokens") * 1000L).cast("double")).as("score"),
+        (col("sum_milli") > 0).cast("int").as("keep"))
+      .orderBy("doc_id")
+
   // ---- registered queries ----------------------------------------------
 
   private val normToksSql = TextOps.duckNormToksSql
@@ -352,6 +407,25 @@ object Cleaning {
           |SELECT doc_id, CAST((10 - s15 % 10) % 10 AS INT) AS check_digit,
           |       CAST(1 AS INT) AS n_valid
           |FROM s ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_quality_classifier", "fasttext-style hashed linear classifier inference (broadcast model table, exact integer scoring)",
+      qualityClassifier,
+      Some(
+        s"""WITH w AS (
+           |  SELECT CAST(t.i AS BIGINT) AS bucket,
+           |         (t.i * 2654435761) % 1000 - 500 AS w_milli
+           |  FROM range($classifierBuckets) t(i)),
+           |toks AS (
+           |  SELECT doc_id, unnest($normToksSql) AS tok FROM documents),
+           |b AS (
+           |  SELECT doc_id,
+           |         ('0x' || substring(md5(tok), 25, 8))::BIGINT % $classifierBuckets AS bucket
+           |  FROM toks)
+           |SELECT b.doc_id, count(*) AS n_tokens,
+           |       CAST(CAST(sum(w.w_milli) AS BIGINT) AS DOUBLE) /
+           |         CAST(count(*) * 1000 AS DOUBLE) AS score,
+           |       CAST(CAST(sum(w.w_milli) AS BIGINT) > 0 AS INT) AS keep
+           |FROM b JOIN w USING (bucket)
+           |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_mad", "per-language median absolute deviation (robust outlier scale)",
       madStats,
       Some(

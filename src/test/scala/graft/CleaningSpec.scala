@@ -102,6 +102,39 @@ class CleaningSpec extends SparkTestBase {
     assert(rows.exists(r => r.getLong(2).toDouble != r.getDouble(5)))
   }
 
+  test("qualityClassifier: invariants on the corpus + hand-computed reference scores") {
+    val out = Cleaning.qualityClassifier(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.length.toLong == nDocs, "every doc must be scored")
+    // weights live in [-0.500, 0.499]; so does their mean
+    assert(out.forall { case (_, n, s, _) => n >= 1 && s >= -0.5 && s < 0.5 })
+    assert(out.forall { case (_, _, s, k) => k == (if (s > 0) 1 else 0) })
+    assert(out.exists(_._4 == 1) && out.exists(_._4 == 0),
+      "fixture should land docs on both sides of the decision boundary")
+    // hand-computed reference: same md5-bucket + Knuth-milli-weight math
+    // in plain JVM code, no Spark involved
+    def bucket(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(24, 32), 16) % Cleaning.classifierBuckets
+    }
+    def wMilli(b: Long): Long = (b * 2654435761L) % 1000 - 500
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = out.map(r => r._1 -> r).toMap
+    for (id <- docs.keys.take(25)) {
+      val toks = docs(id).toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim.split(" ", -1)
+      val sum = toks.map(t => wMilli(bucket(t))).sum
+      val (_, n, s, k) = got(id)
+      assert(n == toks.length.toLong, s"doc $id token count")
+      assert(s == sum.toDouble / (toks.length * 1000L), s"doc $id score")
+      assert(k == (if (sum > 0) 1 else 0), s"doc $id label")
+    }
+  }
+
   test("outlierDocs: per-language z-scores standardize; flag matches threshold") {
     val rows = Cleaning.outlierDocs(spark, sfDir).collect()
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
