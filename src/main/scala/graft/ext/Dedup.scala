@@ -466,7 +466,11 @@ object Dedup {
     // round-1 minhash lesson to apply) and builtin string
     // array_intersect is already codegen'd. The sets feed both join
     // sides; the persist skips the second construction pass.
-    // Session-bounded, stable-plan cache.
+    // Session-bounded, stable-plan cache. Re-measured after the native
+    // graft_norm_text landed: still pays (6.1 vs 6.7 s at the 10x
+    // fixture) — the HOF string-shingle construction, not the
+    // normalize, is the expensive half here (contrast editDistance,
+    // whose persist became a wash and was removed).
     val sets = shingleSets(t(s, dir, "documents"), "text", 2)
       .select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -487,10 +491,18 @@ object Dedup {
     * shuffle. `eligible` marks spans long enough to dedup (short
     * trailing fragments are exempt, mirroring C4's min-length guard) —
     * a pure function of the span text, so it is constant per distinct
-    * span value.
+    * span value. That purity REQUIRES minTokens <= spanTokens: the
+    * check is remaining-token count, which equals the span's own
+    * length only below the spanTokens ceiling (a larger minTokens
+    * would mark full-width interior spans eligible while the same
+    * span text as a document tail is not — the guard rejects it).
     */
   def tokenSpans(docs: DataFrame, textCol: String,
-      spanTokens: Int, minTokens: Int): DataFrame =
+      spanTokens: Int, minTokens: Int): DataFrame = {
+    require(minTokens <= spanTokens,
+      s"minTokens ($minTokens) must be <= spanTokens ($spanTokens): " +
+        "eligibility is remaining-token count, which only equals span " +
+        "length below the spanTokens ceiling")
     docs
       .select(col("doc_id"), split(coalesce(col(textCol), lit("")), " ").as("ts"))
       .select(col("doc_id"), col("ts"),
@@ -503,6 +515,7 @@ object Dedup {
         array_join(slice(col("ts"),
           (col("span_idx") * spanTokens + 1).cast("int"), lit(spanTokens)), " ")
           .as("span"))
+  }
 
   /** Corpus-wide repeated-span report: which spans occur more than
     * once, how often, and in how many documents. Two stacked

@@ -584,16 +584,16 @@ object RelationalOps {
     * pair, codegen, no shuffle beyond the deterministic pairing join).
     */
   def editDistance(s: SparkSession, dir: String): DataFrame = {
-    // The 40-char prefix projection feeds BOTH self-join sides, and its
-    // upstream (normalizeText: two regex passes over the full document)
-    // is row-local and expensive — the measured profile where persist
-    // pays (the exchanges differ between the id1 and id1+1 join keys,
-    // so ReuseExchange cannot share the scan). Tiny relation: doc_id +
-    // 40 chars. Session-bounded, stable-plan cache.
+    // The prefix projection feeds both self-join sides and the differing
+    // join keys (id1 vs id1+1) block ReuseExchange, so the normalize
+    // runs twice. Persisting it measured 11.1 -> 6.6 s at the 10x
+    // fixture when normalizeText was two regex passes — but with the
+    // native graft_norm_text the recompute is cheap and the persist is
+    // a wash (3.0 vs 3.1 s same fixture), so it was removed: the
+    // doctrine is persist only for EXPENSIVE row-local upstreams.
     val docs = t(s, dir, "documents")
       .select(col("doc_id"),
         substring(graft.functions.TextOps.normalizeText(col("text")), 1, 40).as("p"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = docs.select(col("doc_id").as("id1"), col("p").as("p1"))
     val b = docs.select(col("doc_id").as("id2"), col("p").as("p2"))
     a.join(b, col("id2") === col("id1") + 1)

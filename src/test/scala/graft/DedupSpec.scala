@@ -217,6 +217,11 @@ class DedupSpec extends SparkTestBase {
       id -> ss.sortBy(_._2).map(_._4).mkString(" ")
     }
     assert(rebuilt == Map(0L -> "a b c d e f g h i j", 1L -> "k l m"))
+    // minTokens > spanTokens breaks eligibility's span-text purity and
+    // must be rejected up front
+    intercept[IllegalArgumentException] {
+      Dedup.tokenSpans(docs, "text", 8, 10)
+    }
   }
 
   test("span dedup: stats and apply agree; untouched docs rebuild to the original md5") {

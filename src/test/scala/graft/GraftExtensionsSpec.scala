@@ -48,6 +48,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .select(expr("graft_cosine(a, b)")).head().getDouble(0)
       assert(math.abs(cos - 1.0) < 1e-12)
 
+      val norm = Seq(Tuple1("  A1!b2?  C  ")).toDF("t")
+        .select(expr("graft_norm_text(t)")).head().getString(0)
+      assert(norm == "a1 b2 c")
+
       val small = Seq(Tuple1("abcdefgh")).toDF("t")
         .select(expr("octet_length(graft_downsample(encode(t, 'UTF-8'), 4))"))
         .head().getInt(0)
