@@ -353,6 +353,50 @@ object Cleaning {
         (col("sum_milli") > 0).cast("int").as("keep"))
       .orderBy("doc_id")
 
+  // ---- corpus-LM surprisal scoring -------------------------------------
+
+  /** CCNet-style language-model quality scoring: fit a unigram LM on
+    * the corpus itself, score each document by its mean token
+    * surprisal (rare-token-heavy docs score high, boilerplate scores
+    * low). Surprisal is BIT-QUANTIZED — per token,
+    * `floor(log2(total)) - floor(log2(count))` — so every per-doc sum
+    * is exact BIGINT arithmetic: summing raw double logs would put
+    * 50k-addition fold order on the compare path, while floor(log2) of
+    * an INTEGER is cross-engine safe (integers exactly representable;
+    * log2 can only straddle an integer boundary AT exact powers of
+    * two, where it is exact). The real CCNet uses a trained KenLM —
+    * the quantized self-LM keeps the pipeline GEOMETRY (corpus-wide
+    * model fit, then a per-token model join and per-doc reduction)
+    * with a deterministic, container-free model.
+    *
+    * 100 TB design: the LM fit is one map-side-combined groupBy(token)
+    * — vocabulary-sized output, orders smaller than the corpus. The
+    * scoring join is on the high-cardinality token key and AQE picks
+    * broadcast vs sort-merge from the ACTUAL vocab size (not forced:
+    * a web-scale vocab with typos outgrows broadcast). The 1-row
+    * total rides a broadcast cross join (the tfidf pattern), and the
+    * only other shuffle is the doc_id reduction.
+    */
+  def unigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(TextOps.normalizeText(col("text")), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totalBits = counts
+      .agg(floor(log2(sum(col("cnt")))).cast("long").as("tot_bits"))
+    toks
+      .join(counts, "tok")
+      .crossJoin(broadcast(totalBits))
+      .select(col("doc_id"),
+        (col("tot_bits") - floor(log2(col("cnt"))).cast("long")).as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_bits"))
+      .orderBy("doc_id")
+  }
+
   // ---- registered queries ----------------------------------------------
 
   private val normToksSql = TextOps.duckNormToksSql
@@ -407,6 +451,22 @@ object Cleaning {
           |SELECT doc_id, CAST((10 - s15 % 10) % 10 AS INT) AS check_digit,
           |       CAST(1 AS INT) AS n_valid
           |FROM s ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_unigram_surprisal", "CCNet-style corpus-LM quality score: bit-quantized unigram surprisal per doc (exact integer sums)",
+      unigramSurprisal,
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($normToksSql) AS tok FROM documents),
+           |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+           |tot AS (SELECT CAST(floor(log2(sum(cnt))) AS BIGINT) AS tot_bits FROM cnt),
+           |b AS (
+           |  SELECT t.doc_id,
+           |         tot.tot_bits - CAST(floor(log2(c.cnt)) AS BIGINT) AS bits
+           |  FROM toks t JOIN cnt c USING (tok) CROSS JOIN tot)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |       CAST(sum(bits) AS BIGINT) AS sum_bits,
+           |       CAST(CAST(sum(bits) AS BIGINT) AS DOUBLE) /
+           |         CAST(count(*) AS DOUBLE) AS mean_bits
+           |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_quality_classifier", "fasttext-style hashed linear classifier inference (broadcast model table, exact integer scoring)",
       qualityClassifier,
       Some(

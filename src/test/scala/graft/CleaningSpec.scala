@@ -135,6 +135,30 @@ class CleaningSpec extends SparkTestBase {
     }
   }
 
+  test("unigramSurprisal: invariants + full plain-JVM reference on the corpus") {
+    val out = Cleaning.unigramSurprisal(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // reference model fit + scoring in plain Scala, no Spark
+    def norm(t: String): Array[String] = t.toLowerCase
+      .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim.split(" ", -1)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = docs.values.toSeq.flatMap(norm).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val total = counts.values.sum
+    def bits(n: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val totBits = bits(total)
+    assert(out.length == docs.size, "every doc must be scored")
+    for ((id, n, sumBits, mean) <- out) {
+      val toks = norm(docs(id))
+      val expect = toks.map(t => totBits - bits(counts(t))).sum
+      assert(n == toks.length.toLong, s"doc $id token count")
+      assert(sumBits == expect, s"doc $id surprisal sum")
+      assert(sumBits >= 0 && mean == sumBits.toDouble / n, s"doc $id mean")
+    }
+  }
+
   test("outlierDocs: per-language z-scores standardize; flag matches threshold") {
     val rows = Cleaning.outlierDocs(spark, sfDir).collect()
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
