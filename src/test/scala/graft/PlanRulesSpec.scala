@@ -238,6 +238,35 @@ class PlanRulesSpec extends SparkTestBase {
       s"rank<=k must prune map-side:\n${plan.take(800)}")
   }
 
+  test("span-dedup stats plans without Expand; apply windows nothing and joins on the span key") {
+    val stats = graft.ext.Dedup.spanDedupStats(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!stats.contains("Expand"),
+      s"count+countDistinct Expand resurfaced in span stats:\n${stats.take(800)}")
+    val apply = graft.ext.Dedup.spanDedupApply(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // first-occurrence must stay an aggregate (skew-safe map-side
+    // combine), never a per-span row_number window
+    assert(!apply.contains("Window"),
+      s"span apply must not window per span:\n${apply.take(800)}")
+    assert(!apply.contains("CartesianProduct"))
+  }
+
+  test("quality classifier joins the model as a broadcast (never shuffles the corpus on bucket)") {
+    val plan = graft.ext.Cleaning.qualityClassifier(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model lookup must broadcast:\n${plan.take(800)}")
+  }
+
+  test("unigram surprisal: LM fit is a partial/final aggregate, no Expand, no cartesian") {
+    val plan = graft.ext.Cleaning.unigramSurprisal(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"Expand in surprisal plan:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"1-row total must broadcast, not cartesian:\n${plan.take(800)}")
+  }
+
   test("interval-overlap join never degrades to a nested-loop product") {
     val plan = graft.operators.RangeJoin.overlapQuery(spark, sfDir)
       .queryExecution.executedPlan.toString
