@@ -377,7 +377,15 @@ object Cleaning {
     * total rides a broadcast cross join (the tfidf pattern), and the
     * only other shuffle is the doc_id reduction.
     */
-  def unigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+  def unigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    surprisalScores(s, dir).orderBy("doc_id")
+
+  /** Unordered per-doc surprisal scores — shared by
+    * [[unigramSurprisal]] (which just pins the output order) and
+    * [[surprisalBuckets]] (which joins against broadcast thresholds,
+    * where a mid-plan sort would be dead weight).
+    */
+  private def surprisalScores(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(split(TextOps.normalizeText(col("text")), " ")).as("tok"))
@@ -394,6 +402,40 @@ object Cleaning {
       .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
         (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
           .as("mean_bits"))
+  }
+
+  /** CCNet's head/middle/tail corpus split: bucket every document by
+    * its LM score against the corpus's own tercile thresholds (CCNet
+    * §4.2 cuts on held-out-perplexity terciles; head = most fluent).
+    * Thresholds are exact linear-interpolation percentiles of the
+    * per-doc mean surprisal, DECIMAL(18,6)-rounded so both engines
+    * compare against the identical double (the [[winsorize]]
+    * discipline); mean_bits itself is an exact-integer ratio, so the
+    * `<=` cuts are deterministic cross-engine.
+    *
+    * 100 TB design: scores are one doc-keyed reduction (see
+    * [[unigramSurprisal]]); the threshold aggregate collapses to a
+    * 1-row broadcast, so bucketing is a map-side CASE — no window over
+    * the 3-value bucket key, no second shuffle of the corpus. At scale
+    * the exact `percentile` (which buffers the group's values) swaps
+    * for `approx_percentile` — a mergeable sketch with the same
+    * 1-row-broadcast geometry; exact is kept here because the oracle
+    * compares hash-exactly.
+    */
+  def surprisalBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scores = surprisalScores(s, dir)
+    val cuts = scores.agg(
+      expr("percentile(mean_bits, 0.3333)").cast(DecimalType(18, 6))
+        .cast(DoubleType).as("t33"),
+      expr("percentile(mean_bits, 0.6667)").cast(DecimalType(18, 6))
+        .cast(DoubleType).as("t66"))
+    scores.crossJoin(broadcast(cuts))
+      .select(
+        col("doc_id"), col("n_tokens"), col("mean_bits"),
+        col("t33"), col("t66"),
+        when(col("mean_bits") <= col("t33"), "head")
+          .when(col("mean_bits") <= col("t66"), "middle")
+          .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
   }
 
@@ -467,6 +509,31 @@ object Cleaning {
            |       CAST(CAST(sum(bits) AS BIGINT) AS DOUBLE) /
            |         CAST(count(*) AS DOUBLE) AS mean_bits
            |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_surprisal_buckets", "CCNet head/middle/tail corpus split: per-doc LM score vs exact tercile thresholds (broadcast 1-row cuts, no window)",
+      surprisalBuckets,
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($normToksSql) AS tok FROM documents),
+           |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+           |tot AS (SELECT CAST(floor(log2(sum(cnt))) AS BIGINT) AS tot_bits FROM cnt),
+           |b AS (
+           |  SELECT t.doc_id,
+           |         tot.tot_bits - CAST(floor(log2(c.cnt)) AS BIGINT) AS bits
+           |  FROM toks t JOIN cnt c USING (tok) CROSS JOIN tot),
+           |score AS (
+           |  SELECT doc_id, count(*) AS n_tokens,
+           |         CAST(CAST(sum(bits) AS BIGINT) AS DOUBLE) /
+           |           CAST(count(*) AS DOUBLE) AS mean_bits
+           |  FROM b GROUP BY doc_id),
+           |q AS (
+           |  SELECT CAST(CAST(quantile_cont(mean_bits, 0.3333) AS DECIMAL(18,6)) AS DOUBLE) AS t33,
+           |         CAST(CAST(quantile_cont(mean_bits, 0.6667) AS DECIMAL(18,6)) AS DOUBLE) AS t66
+           |  FROM score)
+           |SELECT doc_id, n_tokens, mean_bits, t33, t66,
+           |       CASE WHEN mean_bits <= t33 THEN 'head'
+           |            WHEN mean_bits <= t66 THEN 'middle'
+           |            ELSE 'tail' END AS bucket
+           |FROM score CROSS JOIN q ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_quality_classifier", "fasttext-style hashed linear classifier inference (broadcast model table, exact integer scoring)",
       qualityClassifier,
       Some(

@@ -310,6 +310,91 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Okapi BM25 top-k terms per document — the retrieval-grade scorer
+    * TF-IDF approximates: the same tf/df geometry plus document-length
+    * normalization (k1=1.2, b=0.75, Lucene's non-negative
+    * `ln(1 + (N-df+0.5)/(df+0.5))` idf). Like [[tfidfTopK]], the
+    * double score ORDERS (ties broken by term) but is never emitted —
+    * outputs stay integer/string so the oracle hashes exactly; dl and
+    * avgdl come from exact integer sums (avgdl divides once, in both
+    * engines, from the same two BIGINTs).
+    *
+    * 100 TB design: identical to tfidf — explode + two stacked
+    * partial/final aggregates on high-cardinality keys, the per-doc
+    * length rides a doc_id-keyed aggregate whose exchange ReuseExchange
+    * shares with the scoring join, the 1-row corpus stats broadcast,
+    * and the per-doc top-k is a WindowGroupLimit-pruned row_number.
+    */
+  def bm25TopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // constants appear as the SAME decimal literals in the oracle SQL:
+    // k1+1 is written 2.2, not computed (1.2 + 1.0 rounds to a
+    // DIFFERENT double than the literal 2.2 — a tie at the [2,4) ulp
+    // boundary), so both engines score with bit-identical arithmetic
+    val k1 = lit(1.2)
+    val k1p1 = lit(2.2)
+    val oneMinusB = lit(0.25)
+    val b = lit(0.75)
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(normalizeText(col("text")), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val corpus = dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl",
+        col("total_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .withColumn("idf",
+        log(lit(1.0) +
+          (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+            (col("df").cast(DoubleType) + lit(0.5))))
+      .withColumn("score",
+        col("idf") * (col("tf") * k1p1) /
+          (col("tf") + k1 *
+            (oneMinusB + b * col("dl").cast(DoubleType) / col("avgdl"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("tf"), col("df"), col("dl"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Tokenizer-vocabulary coverage: build the top-V corpus vocabulary
+    * (frequency-desc, term-asc tie-break — deterministic at the V
+    * boundary) and report each document's out-of-vocabulary rate —
+    * the coverage check run before committing a tokenizer/vocab to a
+    * training run (high-OOV docs are wrong-language or junk).
+    *
+    * 100 TB design: the vocab is a TakeOrderedAndProject over the
+    * map-side-combined term counts (top-V never sorts the full vocab),
+    * and at V rows it broadcasts to a map-side left join — the corpus
+    * shuffles once, on the doc_id reduction.
+    */
+  def vocabOov(s: SparkSession, dir: String, v: Int = 100): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(normalizeText(col("text")), " ")).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(v)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_tfidf_topk", "TF-IDF top-5 terms per doc (integer/string output; score orders, never emitted)",
       (s, dir) => tfidfTopK(s, dir),
@@ -330,6 +415,41 @@ object TextOps {
           |  FROM scored)
           |SELECT doc_id, rank, term, tf, df FROM ranked
           |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
+    GraftQuery("q_bm25_topk", "Okapi BM25 top-5 terms per doc (k1=1.2, b=0.75; score orders, never emitted)",
+      (s, dir) => bm25TopK(s, dir),
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($duckNormToksSql) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+           |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, dl.dl,
+           |         ln(1.0 + (CAST(corpus.n_docs AS DOUBLE) - dfreq.df + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+           |         (tf.tf * 2.2) /
+           |         (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+           |            (CAST(corpus.total_tokens AS DOUBLE) / CAST(corpus.n_docs AS DOUBLE)))) AS score
+           |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
+           |ranked AS (
+           |  SELECT doc_id, term, tf, df, dl,
+           |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+           |  FROM scored)
+           |SELECT doc_id, rank, term, tf, df, dl FROM ranked
+           |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
+    GraftQuery("q_vocab_oov", "top-V vocabulary coverage: per-doc out-of-vocabulary rate vs the corpus top-100 terms",
+      (s, dir) => vocabOov(s, dir),
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($duckNormToksSql) AS term FROM documents),
+           |cnt AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+           |vocab AS (SELECT term, 1 AS in_vocab FROM cnt ORDER BY cnt DESC, term ASC LIMIT 100)
+           |SELECT t.doc_id, count(*) AS n_tokens,
+           |       CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           |       CAST(CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) /
+           |         CAST(count(*) AS DOUBLE) AS oov_rate
+           |FROM toks t LEFT JOIN vocab v USING (term)
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
     GraftQuery("q_text_stats", "token/char counts incl. BPE-ish regex tokenizer",
       textStats,
       Some(

@@ -1,0 +1,104 @@
+package graft
+
+import graft.ext.Cleaning
+import graft.functions.TextOps
+
+/** BM25 ranking, vocabulary OOV coverage, and CCNet-style surprisal
+  * bucketing — each checked against a plain-JVM reference computed
+  * from the raw fixture (no Spark in the reference path).
+  */
+class TextScoringSpec extends SparkTestBase {
+
+  private def norm(t: String): Array[String] = t.toLowerCase
+    .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim.split(" ", -1)
+
+  private lazy val docs: Map[Long, Array[String]] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> norm(r.getString(1))).toMap
+
+  test("bm25TopK: full plain-JVM reference on the corpus (ranks, tf, df, dl)") {
+    val tf = docs.toSeq.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, xs) => (id, t, xs.length.toLong) }
+    }
+    val dfreq = tf.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val dl = tf.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._3).sum }
+    val nDocs = docs.size.toLong
+    val avgdl = dl.values.sum.toDouble / nDocs.toDouble
+    // arithmetic mirrors the registered expression ORDER exactly —
+    // same literals, same association — so doubles are bit-identical
+    def score(tfc: Long, df: Long, dlc: Long): Double = {
+      val idf = math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df.toDouble + 0.5))
+      idf * (tfc.toDouble * 2.2) /
+        (tfc.toDouble + 1.2 * (0.25 + 0.75 * dlc.toDouble / avgdl))
+    }
+    val expect = tf.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map { case (_, t, c) => (t, c, dfreq(t), dl(id)) }
+        .sortBy { case (t, c, df, d) => (-score(c, df, d), t) }
+        .take(5)
+    }
+    val got = TextOps.bm25TopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .groupBy(_._1)
+    assert(got.keySet == docs.keySet, "every doc gets a top-k")
+    for ((id, rows) <- got) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"doc $id ranks")
+      assert(sorted.map { case (_, _, t, c, df, d) => (t, c, df, d) }.toSeq ==
+        expect(id), s"doc $id top-5 terms")
+    }
+  }
+
+  test("vocabOov: top-100 vocabulary coverage matches plain-JVM reference") {
+    val counts = docs.values.toSeq.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(100).map(_._1).toSet
+    val got = TextOps.vocabOov(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == docs.size, "one coverage row per doc")
+    for ((id, n, oov, rate) <- got) {
+      val ts = docs(id)
+      val expOov = ts.count(t => !vocab.contains(t)).toLong
+      assert(n == ts.length.toLong, s"doc $id token count")
+      assert(oov == expOov, s"doc $id oov count")
+      assert(rate == expOov.toDouble / ts.length.toDouble, s"doc $id rate")
+    }
+  }
+
+  test("surprisalBuckets: thresholds are DECIMAL(18,6)-rounded exact terciles; buckets match the cuts") {
+    val out = Cleaning.surprisalBuckets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getString(5)))
+    assert(out.length == docs.size, "every doc bucketed")
+    val Array(t33, t66) = Array(out.head._3, out.head._4)
+    assert(out.forall(r => r._3 == t33 && r._4 == t66), "cuts are corpus-wide")
+    assert(t33 <= t66, "tercile order")
+    // plain-JVM reference thresholds: linear-interpolation percentile
+    // over the per-doc means, then the same DECIMAL(18,6) rounding
+    val means = out.map(_._2).sorted
+    def pct(p: Double): Double = {
+      val pos = p * (means.length - 1)
+      val lo = pos.toInt
+      val v =
+        if (lo == means.length - 1) means(lo)
+        else means(lo) + (means(lo + 1) - means(lo)) * (pos - lo)
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(t33 == pct(0.3333), s"t33 $t33 != ${pct(0.3333)}")
+    assert(t66 == pct(0.6667), s"t66 $t66 != ${pct(0.6667)}")
+    val byBucket = out.groupBy(_._5).view.mapValues(_.length).toMap
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    assert(byBucket.contains("head") && byBucket.contains("tail"),
+      "outer buckets populated")
+    // heavily tied score distributions can pinch the cuts together, in
+    // which case (and only then) middle is legitimately empty
+    assert(byBucket.contains("middle") || t33 == t66,
+      "middle empty despite distinct cuts")
+    out.foreach { case (id, m, _, _, b) =>
+      val exp = if (m <= t33) "head" else if (m <= t66) "middle" else "tail"
+      assert(b == exp, s"doc $id bucket")
+    }
+  }
+}
