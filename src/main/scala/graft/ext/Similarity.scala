@@ -327,6 +327,46 @@ object Similarity {
     nearDupPairs(t(s, dir, "embeddings"), threshold = 0.3,
       cacheBuckets = false)
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space into clusters,
+    * then within each cluster flag every vector that has a
+    * sufficiently-cosine-similar KEPT (lower-id) neighbor — greedy
+    * keep-first, one survivor per ε-ball. The cluster key here is the
+    * fixture's `label` column standing in for the k-means assignment
+    * (which [[ivfTopK]] demonstrates natively; a label key keeps this
+    * oracle-expressible — DuckDB cannot re-run Lloyd's). Threshold 0.2
+    * for the same reason [[nearDupQuery]] uses 0.3: the fixture's
+    * vectors are near-orthogonal, so a production 0.9+ cut is
+    * vacuously empty.
+    *
+    * 100 TB design: this is exactly why SemDeDup clusters first — the
+    * pairwise stage is O(Σ cᵢ²) over cluster sizes cᵢ (k chosen so
+    * cᵢ ≈ n/k), never corpus×corpus. One equi-join on the cluster key
+    * (skew-capped the same way the LSH buckets are), a vec_id-keyed
+    * count aggregate, and a broadcast-able join back onto the corpus.
+    * Only integers are emitted; the single double compare (cos ≥ τ)
+    * rides the deterministic-fold graft_cosine.
+    */
+  def semanticDedup(emb: DataFrame, tau: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val prior = e.select(col("label").as("p_label"),
+      col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    val dupCounts = e.join(prior,
+        col("label") === col("p_label") && col("p_id") < col("vec_id"))
+      .where(cosine("embedding", "p_emb") >= lit(tau))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_prior_dups"))
+    e.join(dupCounts, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("label"),
+        coalesce(col("n_prior_dups"), lit(0L)).as("n_prior_dups"),
+        (coalesce(col("n_prior_dups"), lit(0L)) > 0).cast("int").as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  def semanticDedupQuery(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(t(s, dir, "embeddings"), tau = 0.2)
+
   /** Planted-duplicate containment twin for the SRP-blocked near-dup
     * pipeline. Plants one scale-duplicate per base vector (2·e under new
     * id — same DIRECTION, so its SRP bucket is bit-identical: sign of
@@ -487,6 +527,22 @@ object Similarity {
           |     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
           |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
           |SELECT id1, id2 FROM pairs WHERE cos_sim >= 0.95 ORDER BY id1, id2""".stripMargin)),
+    GraftQuery("q_semantic_dedup", "SemDeDup: cluster-blocked greedy cosine dedup (label = cluster key; within-cluster pairwise only, never corpus x corpus)",
+      semanticDedupQuery,
+      Some(
+        """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+          |d AS (
+          |  SELECT a.vec_id, count(*) AS n_prior_dups
+          |  FROM e a JOIN e b ON a.label = b.label AND b.vec_id < a.vec_id
+          |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+          |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+          |        (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          |         sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.2
+          |  GROUP BY a.vec_id)
+          |SELECT e.vec_id, e.label,
+          |       coalesce(d.n_prior_dups, 0) AS n_prior_dups,
+          |       CAST(coalesce(d.n_prior_dups, 0) > 0 AS INT) AS is_dup
+          |FROM e LEFT JOIN d USING (vec_id) ORDER BY e.vec_id""".stripMargin)),
     GraftQuery("q_label_centroids", "per-label embedding centroids via canonical-order double fold",
       labelCentroids,
       Some(

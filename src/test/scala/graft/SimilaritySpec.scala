@@ -121,6 +121,34 @@ class SimilaritySpec extends SparkTestBase {
       (1, 0) -> (1L, 10.0), (1, 1) -> (1L, 0.0)))
   }
 
+  test("semanticDedup: flags match a plain-JVM within-label pairwise sweep") {
+    val tau = 0.2
+    val vecs = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = vecs.map { case (id, lbl, v) =>
+      id -> vecs.count { case (pid, plbl, pv) =>
+        plbl == lbl && pid < id && cos(v, pv) >= tau }.toLong
+    }.toMap
+    val got = Similarity.semanticDedup(emb, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(got.length == vecs.length, "one row per vector")
+    for ((id, n, flag) <- got) {
+      assert(n == expect(id), s"vec $id prior-dup count")
+      assert(flag == (if (expect(id) > 0) 1 else 0), s"vec $id flag")
+    }
+    // the greedy keep-first contract: within every label the
+    // lowest-id vector always survives
+    val kept = got.filter(_._3 == 0).map(_._1).toSet
+    vecs.groupBy(_._2).values.foreach { g =>
+      assert(kept.contains(g.map(_._1).min), "cluster's first vector kept")
+    }
+  }
+
   test("int8 quantization preserves cosine ranking: recall@10 >= 0.8 vs float") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
