@@ -166,6 +166,114 @@ object ScaleOps {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Data-skipping manifest — the min/max granule statistics every
+    * lakehouse table format (parquet footers, Delta/Iceberg manifests)
+    * prunes with. Granule = calendar month of `l_shipdate` (the
+    * date-partitioned layout [[writePartitioned]] produces); per
+    * granule the manifest records row count plus min/max of the sort
+    * key (as epoch micros — cross-engine-exact) and of
+    * `l_extendedprice` (a second stat column: multi-column manifests
+    * prune on any recorded column). `skippable` evaluates a Q6-style
+    * ship-date window [1997-03-01, 1997-09-30) against the STATS ALONE
+    * (max < lo OR min > hi) — exactly the footer check a scan planner
+    * runs before touching data.
+    *
+    * 100 TB design: the manifest is one map-side-combined aggregate,
+    * output rows = granule count (thousands, not billions); planners
+    * keep it broadcast-sized. The companion spec pins the soundness
+    * guarantee: no row matching the predicate lives in a skippable
+    * granule.
+    */
+  def minmaxIndex(s: SparkSession, dir: String): DataFrame = {
+    val spark = graft.engine.GraftSession.tuned(s)
+    // epoch-micros window bounds, written as the same numeric literals
+    // in the oracle (timestamp-literal parsing differences can't bite)
+    val lo = lit(857174400000000L) // 1997-03-01 00:00 UTC
+    val hi = lit(875577600000000L) // 1997-09-30 00:00 UTC
+    graft.engine.Tables.load(spark, dir, "lineitem")
+      .select(
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("granule"),
+        // parquet reads the column as TIMESTAMP_NTZ; the session is
+        // pinned UTC, so casting to instant-typed TIMESTAMP is identity
+        // and epoch micros match DuckDB's epoch_us on the naive value
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
+        col("l_extendedprice"))
+      .groupBy("granule")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("ship_us")).as("min_ship_us"),
+        max(col("ship_us")).as("max_ship_us"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .withColumn("skippable",
+        (col("max_ship_us") < lo || col("min_ship_us") > hi).cast("int"))
+      .orderBy("granule")
+  }
+
+  /** Distributed Bloom-filter build + membership sweep — the classic
+    * 100 TB semi-join reduction: build a compact filter over the small
+    * side's keys, broadcast it, drop non-matching big-side rows before
+    * the shuffle. m=8192 bits, kHashes=4, positions from md5(key:i)
+    * (md5 is the cross-engine hash family every oracle-checked pipeline
+    * here uses). The filter is materialized as its SET-BIT POSITION SET
+    * — semantically identical to the bitmap and directly
+    * oracle-comparable; a production build ORs fixed-size bitmaps via a
+    * mergeable aggregate (the [[graft.ext.Dedup]] bitmap-distinct
+    * machinery) instead of shuffling positions.
+    *
+    * One summary row pins the whole structure: exact bit count + an
+    * md5 digest of the sorted positions, the zero-false-negative
+    * guarantee swept over every present key (orders.o_custkey ⊆
+    * customer.c_custkey in this fixture), and the measured
+    * false-positive rate on a known-absent probe set (present keys
+    * shifted past the key domain). Collects nothing data-sized: every
+    * aggregate is bitmap- or 1-row-bounded.
+    */
+  def bloomFilter(s: SparkSession, dir: String): DataFrame = {
+    val spark = graft.engine.GraftSession.tuned(s)
+    val m = 8192L
+    val kHashes = 4
+    def positions(df: DataFrame, keyCol: String): DataFrame =
+      df.select(col(keyCol).cast("string").as("kstr"))
+        .select(col("kstr"),
+          explode(sequence(lit(0), lit(kHashes - 1))).as("i"))
+        .select(col("kstr"),
+          pmod(conv(substring(md5(concat(col("kstr"), lit(":"),
+            col("i").cast("string"))), 25, 8), 16, 10).cast("long"),
+            lit(m)).as("pos"))
+    val keys = graft.engine.Tables.load(spark, dir, "customer")
+      .select("c_custkey").distinct()
+    val bits = positions(keys, "c_custkey").select("pos").distinct()
+    val bitStats = bits.agg(
+      count(lit(1)).as("n_bits_set"),
+      md5(concat_ws(",", sort_array(collect_list(col("pos")))))
+        .as("bits_digest"))
+    val nKeys = keys.agg(count(lit(1)).as("n_keys"))
+    def membership(probes: DataFrame, label: String): DataFrame =
+      positions(probes, "probe")
+        .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+        .groupBy("kstr")
+        .agg(sum(when(col("hit").isNull, 1L).otherwise(0L)).as("misses"))
+        .agg(
+          count(lit(1)).as(s"n_${label}_probes"),
+          sum(when(col("misses") === 0L, 1L).otherwise(0L))
+            .as(s"n_${label}_in"))
+    val present = graft.engine.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("probe")).distinct()
+    val absent = present.select((col("probe") + 1000000L).as("probe"))
+    nKeys
+      .crossJoin(bitStats)
+      .crossJoin(membership(present, "present"))
+      .crossJoin(membership(absent, "absent"))
+      .select(
+        col("n_keys"), col("n_bits_set"), col("bits_digest"),
+        col("n_present_probes"), col("n_present_in"),
+        col("n_absent_probes"), col("n_absent_in"),
+        (col("n_absent_in").cast("double") /
+          col("n_absent_probes").cast("double")).as("fp_rate"))
+  }
+
   val queries: Seq[graft.GraftQuery] = Seq(
     graft.GraftQuery("q_salted_join", "skew-salted left join == plain join (semantics-preserving rewrite)",
       saltedJoinQuery,
@@ -200,6 +308,57 @@ object ScaleOps {
           |       CAST(list_sum(list_transform(range(0, 31), i -> ((x >> i) & 1) << (2*i))) +
           |            list_sum(list_transform(range(0, 31), i -> ((y >> i) & 1) << (2*i + 1))) AS BIGINT) AS zval
           |FROM b ORDER BY o_orderkey""".stripMargin)),
+    graft.GraftQuery("q_minmax_index", "data-skipping manifest: per-month min/max granule stats + stats-only Q6-window skip flags",
+      minmaxIndex,
+      Some(
+        """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS granule,
+          |       count(*) AS n_rows,
+          |       min(epoch_us(l_shipdate)) AS min_ship_us,
+          |       max(epoch_us(l_shipdate)) AS max_ship_us,
+          |       min(l_extendedprice) AS min_price,
+          |       max(l_extendedprice) AS max_price,
+          |       CAST(max(epoch_us(l_shipdate)) < 857174400000000 OR
+          |            min(epoch_us(l_shipdate)) > 875577600000000 AS INT) AS skippable
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    graft.GraftQuery("q_bloom_filter", "distributed Bloom build (m=8192, k=4, md5 positions): digest + zero-false-negative sweep + measured fp rate",
+      bloomFilter,
+      Some(
+        """WITH keys AS (SELECT DISTINCT c_custkey FROM customer),
+          |bits AS (
+          |  SELECT DISTINCT ('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 25, 8))::BIGINT % 8192 AS pos
+          |  FROM keys, range(4) t(i)),
+          |bstats AS (
+          |  SELECT count(*) AS n_bits_set,
+          |         md5(list_aggregate(list_sort(list(pos)), 'string_agg', ',')) AS bits_digest
+          |  FROM bits),
+          |nk AS (SELECT count(*) AS n_keys FROM keys),
+          |present AS (SELECT DISTINCT o_custkey AS probe FROM orders),
+          |absent AS (SELECT probe + 1000000 AS probe FROM present),
+          |pp AS (
+          |  SELECT p.probe,
+          |         sum(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) AS misses
+          |  FROM (SELECT probe, ('0x' || substring(md5(CAST(probe AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 25, 8))::BIGINT % 8192 AS pos
+          |        FROM present, range(4) t(i)) p
+          |  LEFT JOIN bits b USING (pos) GROUP BY p.probe),
+          |pstats AS (
+          |  SELECT count(*) AS n_present_probes,
+          |         CAST(sum(CASE WHEN misses = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_present_in
+          |  FROM pp),
+          |ap AS (
+          |  SELECT a.probe,
+          |         sum(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) AS misses
+          |  FROM (SELECT probe, ('0x' || substring(md5(CAST(probe AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 25, 8))::BIGINT % 8192 AS pos
+          |        FROM absent, range(4) t(i)) a
+          |  LEFT JOIN bits b USING (pos) GROUP BY a.probe),
+          |astats AS (
+          |  SELECT count(*) AS n_absent_probes,
+          |         CAST(sum(CASE WHEN misses = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_absent_in
+          |  FROM ap)
+          |SELECT n_keys, n_bits_set, bits_digest,
+          |       n_present_probes, n_present_in,
+          |       n_absent_probes, n_absent_in,
+          |       CAST(n_absent_in AS DOUBLE) / CAST(n_absent_probes AS DOUBLE) AS fp_rate
+          |FROM nk CROSS JOIN bstats CROSS JOIN pstats CROSS JOIN astats""".stripMargin)),
   )
 
   /** Write both sides bucketed on the join key so a later join is

@@ -241,4 +241,45 @@ class ScaleOpsSpec extends SparkTestBase {
     val direct = orders.where(col("o_orderpriority") === "1-URGENT").count()
     assert(out.count() == direct)
   }
+
+  test("minmax manifest: skipping is SOUND — no predicate-matching row in a skippable granule") {
+    val manifest = ScaleOps.minmaxIndex(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(6))).toMap
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("g"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(manifest.keySet == li.map(_._1).toSet, "one manifest row per granule")
+    val (lo, hi) = (857174400000000L, 875577600000000L)
+    li.foreach { case (g, us) =>
+      val (_, mn, mx, skip) = manifest(g)
+      assert(mn <= us && us <= mx, s"granule $g stats envelope its rows")
+      if (us >= lo && us <= hi)
+        assert(skip == 0, s"matching row in skippable granule $g")
+    }
+    // the demo window must actually exercise both branches
+    val flags = manifest.values.map(_._4).toSet
+    assert(flags == Set(0, 1), "window yields both skippable and must-read granules")
+    manifest.foreach { case (g, (n, mn, mx, _)) =>
+      assert(n == li.count(_._1 == g), s"granule $g row count")
+      assert(mn <= mx)
+    }
+  }
+
+  test("bloom filter: zero false negatives, plausible fp rate, deterministic digest") {
+    val rows = ScaleOps.bloomFilter(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (nKeys, nBits, digest) = (r.getLong(0), r.getLong(1), r.getString(2))
+    val (nPresent, presentIn) = (r.getLong(3), r.getLong(4))
+    val (nAbsent, absentIn, fp) = (r.getLong(5), r.getLong(6), r.getDouble(7))
+    assert(presentIn == nPresent, "Bloom filters never false-negative")
+    assert(nBits > 0 && nBits <= math.min(8192L, 4L * nKeys), "bit count bounded by k*n and m")
+    assert(fp == absentIn.toDouble / nAbsent.toDouble)
+    assert(fp < 0.5, s"fp rate $fp implausible for fill ${nBits / 8192.0}")
+    val again = ScaleOps.bloomFilter(spark, sfDir).collect().head
+    assert(again.getString(2) == digest && again.getLong(1) == nBits,
+      "rebuild is bit-identical")
+  }
 }
