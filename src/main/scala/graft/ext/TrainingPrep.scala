@@ -112,6 +112,46 @@ object TrainingPrep {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled mixture weights (T=2) for a multilingual
+    * training mix: per-language sampling share ∝ n^(1/T) = √n —
+    * the standard up-weighting of low-resource languages (mBERT/XLM-R
+    * exponent-α sampling with α = 0.5). The irrational √n is
+    * immediately quantized to exact micro-units
+    * (⌊√n·10⁶ + 0.5⌋, the floor(x+0.5) discipline), so the share
+    * denominator is an exact BIGINT sum — no double fold order on the
+    * compare path — and every downstream value derives from two exact
+    * integers. Emits per language: observed count, micro-weight,
+    * share, the target document count at corpus size, and the
+    * up/downsample factor the sampler would apply.
+    *
+    * 100 TB design: one map-side-combined count per language plus a
+    * language-count-sized (tiny) aggregate and broadcast — the same
+    * no-window shape as [[balancedMix]]; the factors then drive the
+    * integer-threshold keep predicate ([[weightedKeep]]'s machinery)
+    * in a map-only pass over the corpus.
+    */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val weighted = counts.withColumn("w_micro",
+      floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+    val totals = weighted.agg(
+      sum(col("w_micro")).as("w_total"),
+      sum(col("n_docs")).as("n_total"))
+    weighted.crossJoin(broadcast(totals))
+      .select(
+        col("lang"), col("n_docs"), col("w_micro"),
+        (col("w_micro").cast("double") / col("w_total").cast("double"))
+          .as("share"),
+        floor(col("w_micro").cast("double") / col("w_total").cast("double") *
+          col("n_total").cast("double") + lit(0.5)).cast("long")
+          .as("target_docs"),
+        (col("w_micro").cast("double") / col("w_total").cast("double") *
+          col("n_total").cast("double") / col("n_docs").cast("double"))
+          .as("sample_factor"))
+      .orderBy("lang")
+  }
+
   /** Quality-weighted deterministic subsample: keep each doc with
     * probability ∝ min(n_chars, cap)/cap — the curriculum/quality
     * sampling primitive ("prefer substantial documents, cap the
@@ -394,6 +434,22 @@ object TrainingPrep {
           |  FROM documents)
           |WHERE h * 200 < least(n_chars, 200) * 1000000
           |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_temperature_mix", "T=2 temperature-scaled multilingual mixture weights (sqrt counts quantized to exact micro-units)",
+      (s, dir) => temperatureMix(t(s, dir, "documents")),
+      Some(
+        """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+          |w AS (SELECT lang, n_docs,
+          |             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+          |      FROM c),
+          |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_total,
+          |             CAST(sum(n_docs) AS BIGINT) AS n_total FROM w)
+          |SELECT lang, n_docs, w_micro,
+          |       CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE) AS share,
+          |       CAST(floor(CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE) *
+          |            CAST(n_total AS DOUBLE) + 0.5) AS BIGINT) AS target_docs,
+          |       CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE) *
+          |         CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE) AS sample_factor
+          |FROM w CROSS JOIN t ORDER BY lang""".stripMargin)),
     GraftQuery("q_balanced_mix", "balanced cross-source downsample via integer threshold predicate (no windows)",
       // the fixture's sources are perfectly uniform (striped doc_id %
       // 20), which would make the threshold vacuously true (cnt ==

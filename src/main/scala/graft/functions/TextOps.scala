@@ -231,6 +231,78 @@ object TextOps {
       .orderBy(col("tf").desc, col("term"))
       .limit(20)
 
+  /** Count-min sketch over corpus term frequencies (Cormode &
+    * Muthukrishnan 2005), checked against exact counts: build a
+    * d=4 × w=1024 counter table from md5-derived positions, then
+    * estimate the top-20 terms' frequencies as the min over their d
+    * counters. The registered output carries exact tf AND the sketch
+    * estimate side by side — the CMS one-sided guarantee
+    * (est ≥ exact, overestimate bounded by collisions) becomes
+    * oracle-checkable arithmetic because both engines derive identical
+    * positions from md5.
+    *
+    * 100 TB design: counters are built from the VOCABULARY (the
+    * map-side-combined term counts), not the raw token stream — the
+    * d× explode touches vocab-sized data, and the counter table is
+    * d·w rows regardless of corpus size, mergeable across shards by
+    * plain addition (the whole point of CMS at scale). The estimate
+    * join is d rows per queried term against a broadcast counter
+    * table.
+    */
+  def countMinTopK(s: SparkSession, dir: String, depth: Int = 4,
+      width: Long = 1024L, k: Int = 20): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(normalizeText(col("text")), " ")).as("term"))
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    def posCol(term: Column, i: Column): Column =
+      pmod(conv(substring(md5(concat(term, lit(":"), i.cast("string"))),
+        25, 8), 16, 10).cast("long"), lit(width))
+    val counters = tf
+      .select(col("term"), col("tf"),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .withColumn("pos", posCol(col("term"), col("i")))
+      .groupBy("i", "pos")
+      .agg(sum(col("tf")).as("counter"))
+    val top = tf.orderBy(col("tf").desc, col("term").asc).limit(k)
+    top
+      .select(col("term"), col("tf"),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .withColumn("pos", posCol(col("term"), col("i")))
+      .join(broadcast(counters), Seq("i", "pos"))
+      .groupBy("term", "tf")
+      .agg(min(col("counter")).as("cms_est"))
+      .select(col("term"), col("tf"), col("cms_est"),
+        (col("cms_est") - col("tf")).as("overestimate"))
+      .orderBy(col("tf").desc, col("term").asc)
+  }
+
+  /** BPE training, iteration zero: corpus-wide adjacent-symbol-pair
+    * counts at the character level (Sennrich et al. 2016 — the
+    * highest-count pair becomes the first merge). Pairs are character
+    * bigrams within each whitespace word of the normalized text;
+    * emits the top-20 merge candidates. Completes the tokenizer
+    * tooling: [[textStats]] applies a tokenizer, [[vocabOov]] checks
+    * a vocabulary's coverage, this derives one.
+    *
+    * 100 TB design: a single scan (codegen'd transform over each
+    * token — no shuffle until the pair counts), one map-side-combined
+    * aggregate on the high-cardinality pair key, TakeOrderedAndProject
+    * for the top-k.
+    */
+  def bpePairStats(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(normalizeText(col("text")), " ")).as("tok"))
+      // guard len >= 2 in BOTH engines: Spark's sequence(1, 0) is the
+      // DESCENDING [1, 0], not empty like DuckDB's range(1, 0)
+      .where(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+
   /** Binary encodings + cryptographic digests: hex, base64, md5,
     * sha2-256 — content-addressing and transport encodings for
     * artifact/dedup stores.
@@ -450,6 +522,36 @@ object TextOps {
            |         CAST(count(*) AS DOUBLE) AS oov_rate
            |FROM toks t LEFT JOIN vocab v USING (term)
            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+    GraftQuery("q_countmin_topk", "count-min sketch (d=4, w=1024, md5 positions) estimates vs exact top-20 term counts",
+      (s, dir) => countMinTopK(s, dir),
+      Some(
+        s"""WITH toks AS (
+           |  SELECT unnest($duckNormToksSql) AS term FROM documents),
+           |tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+           |counters AS (
+           |  SELECT t.i, ('0x' || substring(md5(term || ':' || CAST(t.i AS VARCHAR)), 25, 8))::BIGINT % 1024 AS pos,
+           |         CAST(sum(tf) AS BIGINT) AS counter
+           |  FROM tf, range(4) t(i) GROUP BY 1, 2),
+           |top AS (SELECT term, tf FROM tf ORDER BY tf DESC, term ASC LIMIT 20),
+           |est AS (
+           |  SELECT top.term, top.tf, min(c.counter) AS cms_est
+           |  FROM top, range(4) t(i)
+           |  JOIN counters c ON c.i = t.i
+           |   AND c.pos = ('0x' || substring(md5(top.term || ':' || CAST(t.i AS VARCHAR)), 25, 8))::BIGINT % 1024
+           |  GROUP BY top.term, top.tf)
+           |SELECT term, tf, cms_est, cms_est - tf AS overestimate
+           |FROM est ORDER BY tf DESC, term ASC""".stripMargin)),
+    GraftQuery("q_bpe_pair_stats", "BPE iteration zero: top-20 adjacent character-pair merge candidates over the corpus",
+      (s, dir) => bpePairStats(s, dir),
+      Some(
+        s"""WITH toks AS (
+           |  SELECT unnest($duckNormToksSql) AS tok FROM documents),
+           |pairs AS (
+           |  SELECT unnest(list_transform(range(1, length(tok)),
+           |                i -> substring(tok, i, 2))) AS pair
+           |  FROM toks WHERE length(tok) >= 2)
+           |SELECT pair, count(*) AS cnt FROM pairs
+           |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin)),
     GraftQuery("q_text_stats", "token/char counts incl. BPE-ish regex tokenizer",
       textStats,
       Some(

@@ -67,6 +67,30 @@ class TextScoringSpec extends SparkTestBase {
     }
   }
 
+  test("countMinTopK: one-sided CMS guarantee; exact counts match a plain-JVM reference") {
+    val counts = docs.values.toSeq.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val expectTop = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    val got = TextOps.countMinTopK(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq == expectTop, "top-20 exact counts")
+    for ((term, tf, est, over) <- got) {
+      assert(est >= tf, s"$term: CMS must never underestimate")
+      assert(over == est - tf, s"$term overestimate arithmetic")
+    }
+  }
+
+  test("bpePairStats: top-20 character pairs match a plain-JVM reference") {
+    val pairs = docs.values.toSeq.flatten
+      .filter(_.length >= 2)
+      .flatMap(w => (0 until w.length - 1).map(i => w.substring(i, i + 2)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val expect = pairs.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val got = TextOps.bpePairStats(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
   test("surprisalBuckets: thresholds are DECIMAL(18,6)-rounded exact terciles; buckets match the cuts") {
     val out = Cleaning.surprisalBuckets(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),

@@ -157,4 +157,27 @@ class TrainingPrepSpec extends SparkTestBase {
       TrainingPrep.weightedSample(crafted, cap = 0L)
     }
   }
+
+  test("temperature mix: exact micro-weights, shares sum to 1, sqrt flattens the mix") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = TrainingPrep.temperatureMix(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_._1).toSet == counts.keySet, "one row per language")
+    out.foreach { case (lang, n, wMicro, _, _, _) =>
+      assert(n == counts(lang), s"$lang count")
+      assert(wMicro == math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong,
+        s"$lang micro-weight")
+    }
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-9, "shares sum to 1")
+    // temperature sampling flattens: the rarest language is up-weighted,
+    // the most common down-weighted, and target counts preserve order
+    val byN = out.sortBy(_._2)
+    assert(byN.head._6 > 1.0, "low-resource language upsampled")
+    assert(byN.last._6 < 1.0, "high-resource language downsampled")
+    assert(byN.map(_._5).toSeq == byN.map(_._5).sorted.toSeq,
+      "target counts monotone in observed counts")
+  }
 }
