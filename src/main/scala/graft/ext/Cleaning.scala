@@ -341,7 +341,7 @@ object Cleaning {
       .select(col("doc_id"),
         explode(split(TextOps.normalizeText(col("text")), " ")).as("tok"))
       .withColumn("bucket",
-        pmod(conv(substring(md5(col("tok")), 25, 8), 16, 10).cast("long"),
+        pmod(graft.functions.HashExprs.md5Uint32(col("tok")),
           lit(classifierBuckets.toLong)))
       .join(broadcast(classifierWeights(s)), "bucket")
       .groupBy("doc_id")

@@ -405,7 +405,7 @@ object Dedup {
     val toks = docs
       .select(col(idCol),
         explode(array_distinct(split(TextOps.normalizeText(col(textCol)), " "))).as("tok"))
-      .withColumn("th", conv(substring(md5(col("tok")), 25, 8), 16, 10).cast("long"))
+      .withColumn("th", graft.functions.HashExprs.md5Uint32(col("tok")))
     val voteCols = (0 until 32).map(b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"v$b"))

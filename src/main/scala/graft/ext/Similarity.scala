@@ -330,8 +330,15 @@ object Similarity {
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): partition the embedding space into clusters,
     * then within each cluster flag every vector that has a
-    * sufficiently-cosine-similar KEPT (lower-id) neighbor — greedy
-    * keep-first, one survivor per ε-ball. The cluster key here is the
+    * sufficiently-cosine-similar lower-id PREDECESSOR — kept or not.
+    * This is the one-join predecessor-filter variant, deliberately NOT
+    * the sequential greedy ε-ball scan: on a similarity chain
+    * a–b–c (a∼b, b∼c, a≁c) greedy keeps {a, c} while this drops both
+    * b and c — a conservative over-delete, the same bias every
+    * pair-based near-dup stage here has, in exchange for staying a
+    * single join + aggregate instead of an inherently iterative
+    * per-cluster scan. The spec pins the chain behavior explicitly.
+    * The cluster key here is the
     * fixture's `label` column standing in for the k-means assignment
     * (which [[ivfTopK]] demonstrates natively; a label key keeps this
     * oracle-expressible — DuckDB cannot re-run Lloyd's). Threshold 0.2

@@ -62,13 +62,13 @@ object TrainingPrep {
       .select(col("doc_id"), col(langCol), col("h").as("sample_key"))
       .orderBy("doc_id")
 
-  /** The cross-engine-exact md5→uint32 recipe (Spark `conv(hex)` ==
-    * DuckDB `('0x'||hex)::BIGINT`), shared by [[hashSplit]] and
-    * [[balancedMix]] so the substring window can never drift between
-    * them.
+  /** The cross-engine-exact md5→uint32 recipe, centralized in
+    * [[graft.functions.HashExprs.md5Uint32]] (shared with the Bloom
+    * filter and count-min sketch) so the substring window can never
+    * drift between consumers.
     */
   private def h32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c.cast("string")), 25, 8), 16, 10).cast("long")
+    graft.functions.HashExprs.md5Uint32(c)
 
   /** Deterministic train/val/test assignment: an md5-derived bucket in
     * [0,100) maps each doc to 80/10/10. Pure function of doc_id — no

@@ -739,6 +739,20 @@ case class LuhnExpr(child: Expression) extends UnaryExpression {
 }
 
 object HashExprs {
+  /** The cross-engine-exact md5→uint32 recipe — Spark
+    * `conv(substring(md5(x), 25, 8), 16, 10)` == DuckDB
+    * `('0x' || substring(md5(x), 25, 8))::BIGINT`. THE single
+    * Spark-side definition (TrainingPrep's split/mix predicates, the
+    * Bloom filter, and the count-min sketch all route through here) so
+    * the substring window and base can never drift between consumers —
+    * every one is paired with a hash-exact DuckDB oracle mirroring the
+    * same window.
+    */
+  def md5Uint32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(c.cast("string")), 25, 8), 16, 10).cast("long")
+  }
+
   /** Idempotent session registration of the graft_* temp functions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -255,8 +255,8 @@ object TextOps {
       .select(explode(split(normalizeText(col("text")), " ")).as("term"))
     val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
     def posCol(term: Column, i: Column): Column =
-      pmod(conv(substring(md5(concat(term, lit(":"), i.cast("string"))),
-        25, 8), 16, 10).cast("long"), lit(width))
+      pmod(HashExprs.md5Uint32(concat(term, lit(":"), i.cast("string"))),
+        lit(width))
     val counters = tf
       .select(col("term"), col("tf"),
         explode(sequence(lit(0), lit(depth - 1))).as("i"))
@@ -443,24 +443,29 @@ object TextOps {
     * the coverage check run before committing a tokenizer/vocab to a
     * training run (high-OOV docs are wrong-language or junk).
     *
-    * 100 TB design: the vocab is a TakeOrderedAndProject over the
-    * map-side-combined term counts (top-V never sorts the full vocab),
-    * and at V rows it broadcasts to a map-side left join — the corpus
-    * shuffles once, on the doc_id reduction.
+    * 100 TB design: BOTH subtrees (vocab build and coverage) consume
+    * the same (doc_id, term) partial/final aggregate, so ReuseExchange
+    * computes the corpus scan + explode once — the tfidf/bm25 sharing
+    * shape, weight-counted so the per-doc totals are unchanged. The
+    * vocab is a TakeOrderedAndProject over term sums (top-V never
+    * sorts the full vocab) and at V rows broadcasts to a map-side
+    * left join.
     */
   def vocabOov(s: SparkSession, dir: String, v: Int = 100): DataFrame = {
-    val toks = t(s, dir, "documents")
+    val tf = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(split(normalizeText(col("text")), " ")).as("term"))
-    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(v)
       .select(col("term"), lit(1).as("in_vocab"))
-    toks.join(broadcast(vocab), Seq("term"), "left")
+    tf.join(broadcast(vocab), Seq("term"), "left")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        sum(col("tf")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         (col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
           .as("oov_rate"))

@@ -214,9 +214,11 @@ object ScaleOps {
   /** Distributed Bloom-filter build + membership sweep — the classic
     * 100 TB semi-join reduction: build a compact filter over the small
     * side's keys, broadcast it, drop non-matching big-side rows before
-    * the shuffle. m=8192 bits, kHashes=4, positions from md5(key:i)
-    * (md5 is the cross-engine hash family every oracle-checked pipeline
-    * here uses). The filter is materialized as its SET-BIT POSITION SET
+    * the shuffle. Sized from the data — 8 bits per key, word-aligned,
+    * in pure integer arithmetic both engines repeat exactly (a fixed m
+    * saturates on bigger fixtures: fill → 1 and the measured fp rate
+    * degenerates to ~1); k=4 positions from md5(key:i) via the shared
+    * [[graft.functions.HashExprs.md5Uint32]] recipe. The filter is materialized as its SET-BIT POSITION SET
     * — semantically identical to the bitmap and directly
     * oracle-comparable; a production build ORs fixed-size bitmaps via a
     * mergeable aggregate (the [[graft.ext.Dedup]] bitmap-distinct
@@ -232,18 +234,24 @@ object ScaleOps {
     */
   def bloomFilter(s: SparkSession, dir: String): DataFrame = {
     val spark = graft.engine.GraftSession.tuned(s)
-    val m = 8192L
     val kHashes = 4
+    val keys = graft.engine.Tables.load(spark, dir, "customer")
+      .select("c_custkey").distinct()
+    // size the filter from the data: 8 bits/key (fp ≈ 2.4% at k=4),
+    // word-aligned, in PURE INTEGER arithmetic both engines repeat
+    // exactly — a fixed m saturates at larger fixtures (fill → 1,
+    // fp → 1) and the measured rate stops meaning anything
+    val mDf = keys.agg(count(lit(1)).as("nk"))
+      .select(expr("((nk * 8 + 63) div 64) * 64").cast("long").as("m"))
     def positions(df: DataFrame, keyCol: String): DataFrame =
       df.select(col(keyCol).cast("string").as("kstr"))
         .select(col("kstr"),
           explode(sequence(lit(0), lit(kHashes - 1))).as("i"))
+        .crossJoin(broadcast(mDf))
         .select(col("kstr"),
-          pmod(conv(substring(md5(concat(col("kstr"), lit(":"),
-            col("i").cast("string"))), 25, 8), 16, 10).cast("long"),
-            lit(m)).as("pos"))
-    val keys = graft.engine.Tables.load(spark, dir, "customer")
-      .select("c_custkey").distinct()
+          pmod(graft.functions.HashExprs.md5Uint32(
+            concat(col("kstr"), lit(":"), col("i").cast("string"))),
+            col("m")).as("pos"))
     val bits = positions(keys, "c_custkey").select("pos").distinct()
     val bitStats = bits.agg(
       count(lit(1)).as("n_bits_set"),
@@ -263,11 +271,12 @@ object ScaleOps {
       .select(col("o_custkey").as("probe")).distinct()
     val absent = present.select((col("probe") + 1000000L).as("probe"))
     nKeys
+      .crossJoin(broadcast(mDf))
       .crossJoin(bitStats)
       .crossJoin(membership(present, "present"))
       .crossJoin(membership(absent, "absent"))
       .select(
-        col("n_keys"), col("n_bits_set"), col("bits_digest"),
+        col("n_keys"), col("m"), col("n_bits_set"), col("bits_digest"),
         col("n_present_probes"), col("n_present_in"),
         col("n_absent_probes"), col("n_absent_in"),
         (col("n_absent_in").cast("double") /
@@ -320,25 +329,26 @@ object ScaleOps {
           |       CAST(max(epoch_us(l_shipdate)) < 857174400000000 OR
           |            min(epoch_us(l_shipdate)) > 875577600000000 AS INT) AS skippable
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
-    graft.GraftQuery("q_bloom_filter", "distributed Bloom build (m=8192, k=4, md5 positions): digest + zero-false-negative sweep + measured fp rate",
+    graft.GraftQuery("q_bloom_filter", "distributed Bloom build (8 bits/key, k=4, md5 positions): digest + zero-false-negative sweep + measured fp rate",
       bloomFilter,
       Some(
         """WITH keys AS (SELECT DISTINCT c_custkey FROM customer),
+          |nk AS (SELECT count(*) AS n_keys FROM keys),
+          |mm AS (SELECT CAST(((n_keys * 8 + 63) // 64) * 64 AS BIGINT) AS m FROM nk),
           |bits AS (
-          |  SELECT DISTINCT ('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 25, 8))::BIGINT % 8192 AS pos
-          |  FROM keys, range(4) t(i)),
+          |  SELECT DISTINCT ('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 25, 8))::BIGINT % mm.m AS pos
+          |  FROM keys, range(4) t(i), mm),
           |bstats AS (
           |  SELECT count(*) AS n_bits_set,
           |         md5(list_aggregate(list_sort(list(pos)), 'string_agg', ',')) AS bits_digest
           |  FROM bits),
-          |nk AS (SELECT count(*) AS n_keys FROM keys),
           |present AS (SELECT DISTINCT o_custkey AS probe FROM orders),
           |absent AS (SELECT probe + 1000000 AS probe FROM present),
           |pp AS (
           |  SELECT p.probe,
           |         sum(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) AS misses
-          |  FROM (SELECT probe, ('0x' || substring(md5(CAST(probe AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 25, 8))::BIGINT % 8192 AS pos
-          |        FROM present, range(4) t(i)) p
+          |  FROM (SELECT probe, ('0x' || substring(md5(CAST(probe AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 25, 8))::BIGINT % mm.m AS pos
+          |        FROM present, range(4) t(i), mm) p
           |  LEFT JOIN bits b USING (pos) GROUP BY p.probe),
           |pstats AS (
           |  SELECT count(*) AS n_present_probes,
@@ -347,18 +357,18 @@ object ScaleOps {
           |ap AS (
           |  SELECT a.probe,
           |         sum(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) AS misses
-          |  FROM (SELECT probe, ('0x' || substring(md5(CAST(probe AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 25, 8))::BIGINT % 8192 AS pos
-          |        FROM absent, range(4) t(i)) a
+          |  FROM (SELECT probe, ('0x' || substring(md5(CAST(probe AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 25, 8))::BIGINT % mm.m AS pos
+          |        FROM absent, range(4) t(i), mm) a
           |  LEFT JOIN bits b USING (pos) GROUP BY a.probe),
           |astats AS (
           |  SELECT count(*) AS n_absent_probes,
           |         CAST(sum(CASE WHEN misses = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_absent_in
           |  FROM ap)
-          |SELECT n_keys, n_bits_set, bits_digest,
+          |SELECT n_keys, m, n_bits_set, bits_digest,
           |       n_present_probes, n_present_in,
           |       n_absent_probes, n_absent_in,
           |       CAST(n_absent_in AS DOUBLE) / CAST(n_absent_probes AS DOUBLE) AS fp_rate
-          |FROM nk CROSS JOIN bstats CROSS JOIN pstats CROSS JOIN astats""".stripMargin)),
+          |FROM nk CROSS JOIN mm CROSS JOIN bstats CROSS JOIN pstats CROSS JOIN astats""".stripMargin)),
   )
 
   /** Write both sides bucketed on the join key so a later join is

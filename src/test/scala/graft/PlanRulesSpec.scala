@@ -231,6 +231,14 @@ class PlanRulesSpec extends SparkTestBase {
       s"correlated LIMIT must prune map-side:\n${plan.take(800)}")
   }
 
+  test("vocabOov reuses the (doc, term) aggregate exchange across both subtrees") {
+    val df = graft.functions.TextOps.vocabOov(spark, sfDir)
+    df.collect() // AQE performs exchange reuse at runtime
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"vocab and coverage subtrees must share one corpus scan:\n${plan.take(800)}")
+  }
+
   test("tfidf top-k plans with WindowGroupLimit") {
     val plan = graft.functions.TextOps.tfidfTopK(spark, sfDir)
       .queryExecution.executedPlan.toString

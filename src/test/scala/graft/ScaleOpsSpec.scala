@@ -271,15 +271,20 @@ class ScaleOpsSpec extends SparkTestBase {
     val rows = ScaleOps.bloomFilter(spark, sfDir).collect()
     assert(rows.length == 1)
     val r = rows.head
-    val (nKeys, nBits, digest) = (r.getLong(0), r.getLong(1), r.getString(2))
-    val (nPresent, presentIn) = (r.getLong(3), r.getLong(4))
-    val (nAbsent, absentIn, fp) = (r.getLong(5), r.getLong(6), r.getDouble(7))
+    val (nKeys, m, nBits, digest) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    val (nPresent, presentIn) = (r.getLong(4), r.getLong(5))
+    val (nAbsent, absentIn, fp) = (r.getLong(6), r.getLong(7), r.getDouble(8))
+    assert(m == (nKeys * 8 + 63) / 64 * 64, "8 bits/key, word-aligned")
     assert(presentIn == nPresent, "Bloom filters never false-negative")
-    assert(nBits > 0 && nBits <= math.min(8192L, 4L * nKeys), "bit count bounded by k*n and m")
+    assert(nBits > 0 && nBits <= math.min(m, 4L * nKeys),
+      "bit count bounded by k*n and m")
     assert(fp == absentIn.toDouble / nAbsent.toDouble)
-    assert(fp < 0.5, s"fp rate $fp implausible for fill ${nBits / 8192.0}")
+    // data-sized m keeps fill ~0.39 at EVERY fixture, so this bound
+    // holds regardless of which sfDir the suite points at
+    assert(fp < 0.5, s"fp rate $fp implausible for fill ${nBits.toDouble / m}")
     val again = ScaleOps.bloomFilter(spark, sfDir).collect().head
-    assert(again.getString(2) == digest && again.getLong(1) == nBits,
+    assert(again.getString(3) == digest && again.getLong(2) == nBits,
       "rebuild is bit-identical")
   }
 }

@@ -141,12 +141,23 @@ class SimilaritySpec extends SparkTestBase {
       assert(n == expect(id), s"vec $id prior-dup count")
       assert(flag == (if (expect(id) > 0) 1 else 0), s"vec $id flag")
     }
-    // the greedy keep-first contract: within every label the
-    // lowest-id vector always survives
-    val kept = got.filter(_._3 == 0).map(_._1).toSet
-    vecs.groupBy(_._2).values.foreach { g =>
-      assert(kept.contains(g.map(_._1).min), "cluster's first vector kept")
-    }
+  }
+
+  test("semanticDedup chain semantics: predecessor-filter drops the whole chain tail (documented over-delete vs greedy)") {
+    // one cluster, three unit vectors at angles 0, θ, 2θ with
+    // cos θ = 0.25: a∼b and b∼c (0.25 ≥ τ=0.2) but a≁c
+    // (cos 2θ = 2·0.25² − 1 = −0.875 < τ). Greedy ε-ball keeps {a, c};
+    // the implemented predecessor filter flags BOTH b and c.
+    val th = math.acos(0.25)
+    def unit(ang: Double) = Seq(math.cos(ang).toFloat, math.sin(ang).toFloat)
+    val df = Seq(
+      (0L, 7, unit(0)), (1L, 7, unit(th)), (2L, 7, unit(2 * th)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.semanticDedup(df, tau = 0.2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(got(0L) == (0L, 0), "chain head survives")
+    assert(got(1L) == (1L, 1), "b flagged via a")
+    assert(got(2L) == (1L, 1), "c flagged via b — the documented over-delete")
   }
 
   test("int8 quantization preserves cosine ranking: recall@10 >= 0.8 vs float") {
