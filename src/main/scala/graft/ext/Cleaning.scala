@@ -404,6 +404,106 @@ object Cleaning {
           .as("mean_bits"))
   }
 
+  /** Order-2 extension of [[unigramSurprisal]]: score each document by
+    * its mean CONDITIONAL bigram surprisal against the corpus's own
+    * bigram LM — P(w₂|w₁) estimated as c(w₁w₂)/c(w₁·), both counts
+    * over bigram positions, so every conditional is well-defined with
+    * no backoff (the model is fit on the text it scores, like the
+    * unigram self-LM). Bit-quantization (floor(log2 c₁) − floor(log2
+    * c₁₂) per position) keeps every per-doc sum exact BIGINT — see
+    * [[unigramSurprisal]] for why that is the cross-engine-safe form.
+    * Repetitive docs (reused bigrams) score low; docs with novel word
+    * transitions score high — a sharper fluency signal than unigram
+    * rarity. Documents shorter than 2 tokens have no bigram positions
+    * and are (honestly) absent from the output.
+    *
+    * 100 TB design: same geometry as the unigram LM one order up —
+    * the model fit is two map-side-combined aggregates (bigram- and
+    * prefix-vocabulary-sized), the scoring joins are on
+    * high-cardinality string keys where AQE picks the join strategy
+    * from actual model size, and the only other shuffle is the doc_id
+    * reduction. The bigram array build is row-local codegen.
+    */
+  def bigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val bg = t(s, dir, "documents")
+      .select(col("doc_id"),
+        split(TextOps.normalizeText(col("text")), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))"))
+        .as("g"))
+    val c12 = bg.groupBy("g").agg(count(lit(1)).as("c12"))
+    val c1 = bg
+      .select(substring_index(col("g"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg
+      .join(c12, "g")
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(c1, "w1")
+      .select(col("doc_id"),
+        (floor(log2(col("c1"))).cast("long") -
+          floor(log2(col("c12"))).cast("long")).as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** Declarative data-quality report — the expectation-suite shape
+    * (null checks, range checks, value-set membership, format regex,
+    * cross-column consistency, key uniqueness) evaluated corpus-wide
+    * in ONE pass for the row-local rules plus one keyed aggregate for
+    * uniqueness. Emits a per-rule row (checked count, violation
+    * count, pass flag) — the gate a pipeline evaluates before
+    * promoting a snapshot. The `n_chars <= 256` rule is deliberately
+    * tight enough to FAIL on the fixture so the report's failure path
+    * is exercised, not just its all-green path.
+    *
+    * 100 TB design: row-local rules are sums inside one
+    * map-side-combined aggregate over a pruned column set — one scan,
+    * no shuffle beyond the 1-row reduce; the wide-to-long pivot
+    * explodes a LITERAL array on that single row. Uniqueness is one
+    * groupBy on the key (the unavoidable shuffle) reduced to a 1-row
+    * overflow sum.
+    */
+  def dataQualityReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val rowRules = docs.agg(
+      count(lit(1)).as("n"),
+      viol(col("text").isNull).as("v_text_null"),
+      viol(!col("n_chars").between(1L, 100000L)).as("v_chars_range"),
+      viol(col("n_chars") > 256L).as("v_chars_budget"),
+      viol(!col("lang").isin("en", "de", "es", "fr", "zh")).as("v_lang_set"),
+      viol(!col("source").rlike("^src[0-9]+$")).as("v_source_format"),
+      viol(col("n_chars") =!= length(coalesce(col("text"), lit(""))))
+        .as("v_chars_consistent"))
+    val rowReport = rowRules.select(explode(array(
+      struct(lit("text_not_null").as("rule"), col("n").as("n_checked"),
+        col("v_text_null").as("n_violations")),
+      struct(lit("n_chars_in_range").as("rule"), col("n").as("n_checked"),
+        col("v_chars_range").as("n_violations")),
+      struct(lit("n_chars_within_budget").as("rule"), col("n").as("n_checked"),
+        col("v_chars_budget").as("n_violations")),
+      struct(lit("lang_in_allowed_set").as("rule"), col("n").as("n_checked"),
+        col("v_lang_set").as("n_violations")),
+      struct(lit("source_matches_format").as("rule"), col("n").as("n_checked"),
+        col("v_source_format").as("n_violations")),
+      struct(lit("n_chars_matches_text").as("rule"), col("n").as("n_checked"),
+        col("v_chars_consistent").as("n_violations")))).as("r"))
+      .select(col("r.rule"), col("r.n_checked"), col("r.n_violations"))
+    val unique = docs.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(col("c") - 1L).as("n_violations"))
+      .select(lit("doc_id_unique").as("rule"),
+        col("n_checked"), col("n_violations"))
+    rowReport.unionByName(unique)
+      .withColumn("pass", (col("n_violations") === 0L).cast("int"))
+      .orderBy("rule")
+  }
+
   /** CCNet's head/middle/tail corpus split: bucket every document by
     * its LM score against the corpus's own tercile thresholds (CCNet
     * §4.2 cuts on held-out-perplexity terciles; head = most fluent).
@@ -509,6 +609,56 @@ object Cleaning {
            |       CAST(CAST(sum(bits) AS BIGINT) AS DOUBLE) /
            |         CAST(count(*) AS DOUBLE) AS mean_bits
            |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_bigram_surprisal", "order-2 corpus-LM scoring: mean conditional bigram surprisal, bit-quantized exact sums",
+      bigramSurprisal,
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, $normToksSql AS t FROM documents),
+           |bg AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+           |                 i -> t[i] || ' ' || t[i+1])) AS g
+           |  FROM toks WHERE len(t) >= 2),
+           |c12 AS (SELECT g, count(*) AS c12 FROM bg GROUP BY 1),
+           |c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+           |b AS (
+           |  SELECT bg.doc_id,
+           |         CAST(floor(log2(c1.c1)) AS BIGINT) -
+           |         CAST(floor(log2(c12.c12)) AS BIGINT) AS bits
+           |  FROM bg JOIN c12 USING (g)
+           |  JOIN c1 ON c1.w1 = split_part(bg.g, ' ', 1))
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |       CAST(sum(bits) AS BIGINT) AS sum_bits,
+           |       CAST(CAST(sum(bits) AS BIGINT) AS DOUBLE) /
+           |         CAST(count(*) AS DOUBLE) AS mean_bits
+           |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_data_quality_report", "expectation-suite validation: per-rule checked/violation counts + pass flags (one scan + one keyed aggregate)",
+      dataQualityReport,
+      Some(
+        """WITH d AS (SELECT * FROM documents),
+          |rules AS (
+          |  SELECT 'text_not_null' AS rule, count(*) AS n_checked,
+          |         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM d
+          |  UNION ALL
+          |  SELECT 'n_chars_in_range', count(*),
+          |         CAST(sum(CASE WHEN n_chars NOT BETWEEN 1 AND 100000 THEN 1 ELSE 0 END) AS BIGINT) FROM d
+          |  UNION ALL
+          |  SELECT 'n_chars_within_budget', count(*),
+          |         CAST(sum(CASE WHEN n_chars > 256 THEN 1 ELSE 0 END) AS BIGINT) FROM d
+          |  UNION ALL
+          |  SELECT 'lang_in_allowed_set', count(*),
+          |         CAST(sum(CASE WHEN lang NOT IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) FROM d
+          |  UNION ALL
+          |  SELECT 'source_matches_format', count(*),
+          |         CAST(sum(CASE WHEN NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) FROM d
+          |  UNION ALL
+          |  SELECT 'n_chars_matches_text', count(*),
+          |         CAST(sum(CASE WHEN n_chars <> length(coalesce(text, '')) THEN 1 ELSE 0 END) AS BIGINT) FROM d
+          |  UNION ALL
+          |  SELECT 'doc_id_unique', count(*), CAST(sum(c - 1) AS BIGINT)
+          |  FROM (SELECT doc_id, count(*) AS c FROM d GROUP BY doc_id))
+          |SELECT rule, n_checked, n_violations,
+          |       CAST(n_violations = 0 AS INT) AS pass
+          |FROM rules ORDER BY rule""".stripMargin)),
     GraftQuery("q_surprisal_buckets", "CCNet head/middle/tail corpus split: per-doc LM score vs exact tercile thresholds (broadcast 1-row cuts, no window)",
       surprisalBuckets,
       Some(

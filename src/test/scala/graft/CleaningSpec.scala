@@ -159,6 +159,61 @@ class CleaningSpec extends SparkTestBase {
     }
   }
 
+  test("bigramSurprisal: invariants + full plain-JVM reference on the corpus") {
+    val out = Cleaning.bigramSurprisal(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def norm(t: String): Array[String] = t.toLowerCase
+      .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim.split(" ", -1)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> norm(r.getString(1))).toMap
+    val bigrams = docs.view.mapValues(ts =>
+      ts.sliding(2).filter(_.length == 2).map(p => p(0) + " " + p(1)).toSeq).toMap
+    val all = bigrams.values.toSeq.flatten
+    val c12 = all.groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    val c1 = all.groupBy(_.split(" ")(0)).map { case (w, xs) => w -> xs.length.toLong }
+    def bits(n: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    assert(out.length == docs.count(_._2.length >= 2), "every multi-token doc scored")
+    for ((id, n, sumBits, mean) <- out) {
+      val gs = bigrams(id)
+      val expect = gs.map(g => bits(c1(g.split(" ")(0))) - bits(c12(g))).sum
+      assert(n == gs.length.toLong, s"doc $id bigram count")
+      assert(sumBits == expect, s"doc $id conditional surprisal sum")
+      assert(sumBits >= 0 && mean == sumBits.toDouble / n, s"doc $id mean")
+    }
+  }
+
+  test("dataQualityReport: rule arithmetic matches a plain-JVM sweep; failure path exercised") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val expect = Map(
+      "text_not_null" -> docs.count(_._2 == null).toLong,
+      "n_chars_in_range" -> docs.count(d => d._5 < 1 || d._5 > 100000).toLong,
+      "n_chars_within_budget" -> docs.count(_._5 > 256).toLong,
+      "lang_in_allowed_set" ->
+        docs.count(d => !Set("en", "de", "es", "fr", "zh")(d._3)).toLong,
+      "source_matches_format" ->
+        docs.count(d => !d._4.matches("^src[0-9]+$")).toLong,
+      "n_chars_matches_text" ->
+        docs.count(d => d._5 != Option(d._2).getOrElse("").length).toLong,
+      "doc_id_unique" ->
+        (docs.length - docs.map(_._1).distinct.length).toLong)
+    val got = Cleaning.dataQualityReport(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(got.keySet == expect.keySet, "one row per rule")
+    for ((rule, v) <- expect) {
+      val (checked, violations, pass) = got(rule)
+      assert(violations == v, s"$rule violations")
+      assert(pass == (if (v == 0) 1 else 0), s"$rule pass flag")
+      assert(checked == (if (rule == "doc_id_unique")
+        docs.map(_._1).distinct.length.toLong else docs.length.toLong),
+        s"$rule checked count")
+    }
+    assert(got("n_chars_within_budget")._2 > 0,
+      "budget rule must exercise the failure path on this fixture")
+  }
+
   test("outlierDocs: per-language z-scores standardize; flag matches threshold") {
     val rows = Cleaning.outlierDocs(spark, sfDir).collect()
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
