@@ -368,7 +368,8 @@ object ScaleOps {
           |       n_present_probes, n_present_in,
           |       n_absent_probes, n_absent_in,
           |       CAST(n_absent_in AS DOUBLE) / CAST(n_absent_probes AS DOUBLE) AS fp_rate
-          |FROM nk CROSS JOIN mm CROSS JOIN bstats CROSS JOIN pstats CROSS JOIN astats""".stripMargin)),
+          |FROM nk CROSS JOIN mm CROSS JOIN bstats CROSS JOIN pstats CROSS JOIN astats
+          |ORDER BY n_keys""".stripMargin)),
   )
 
   /** Write both sides bucketed on the join key so a later join is
