@@ -494,7 +494,130 @@ object EventOps {
         col("m.et").as("mode_type"), col("m.c").as("mode_cnt"))
       .orderBy("user_id")
 
+  /** Strictly-ordered conversion funnel view → click → purchase: a
+    * user reaches step k only with an event strictly after their
+    * step-(k−1) time (earliest-completion semantics: each step binds
+    * to the MIN qualifying timestamp). Emits one row per step with
+    * reach counts and the step-over-step conversion rate — counts and
+    * exact-integer ratios only, no timestamps on the compare path
+    * (comparisons happen in exact epoch micros).
+    *
+    * 100 TB design: three user_id-keyed conditional aggregates chained
+    * by joins on the same high-cardinality key — one exchange family,
+    * no windows, no per-user event-list collection; the 3-row report
+    * reduces from user-grain in a final 1-row-per-step aggregate.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val s1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, "user_id").where(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, "user_id").where(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    // one declarative plan (no driver-side counts re-running upstream
+    // stages): three 1-row reach counts cross-joined, pivoted long via
+    // a literal array on the single assembled row
+    val n1 = s1.agg(count(lit(1)).as("n1"))
+    val n2 = s2.agg(count(lit(1)).as("n2"))
+    val n3 = s3.agg(count(lit(1)).as("n3"))
+    n1.crossJoin(n2).crossJoin(n3)
+      .select(explode(array(
+        struct(lit(1).as("step"), lit("view").as("event_type"),
+          col("n1").as("n_users"), lit(1.0).as("conv_rate")),
+        struct(lit(2).as("step"), lit("click").as("event_type"),
+          col("n2").as("n_users"),
+          when(col("n1") === 0L, 0.0)
+            .otherwise(col("n2").cast("double") / col("n1").cast("double"))
+            .as("conv_rate")),
+        struct(lit(3).as("step"), lit("purchase").as("event_type"),
+          col("n3").as("n_users"),
+          when(col("n2") === 0L, 0.0)
+            .otherwise(col("n3").cast("double") / col("n2").cast("double"))
+            .as("conv_rate")))).as("r"))
+      .select(col("r.step"), col("r.event_type"),
+        col("r.n_users"), col("r.conv_rate"))
+      .orderBy("step")
+  }
+
+  /** Weekly cohort retention: cohort = the week of a user's FIRST
+    * event; a cohort-week cell counts users with any activity k weeks
+    * later. The classic growth-analytics triangle, emitted as
+    * (cohort_week, week_offset, n_active, n_cohort, retention_rate).
+    * Weeks are exact integer day-arithmetic from a fixed epoch —
+    * nothing floating until the final ratio of two BIGINTs.
+    *
+    * 100 TB design: first-event cohorts are one user_id-keyed
+    * aggregate; activity dedups to (user, week) in a second; the join
+    * keys on user_id (high-cardinality) and the triangle reduce is
+    * cohort×offset-sized (tiny). No windows, no skew keys.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val weekCol = expr(
+      "datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7").cast("long")
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), weekCol.as("week"))
+    val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val cohortSize = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_cohort"))
+    val active = ev.distinct()
+    active.join(cohort, "user_id")
+      .select(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"), col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSize), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"),
+        col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention_rate"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_funnel", "strictly-ordered view->click->purchase funnel: earliest-completion reach counts + step conversion rates",
+      funnel,
+      Some(
+        """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+          |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+          |s2 AS (SELECT ev.user_id, min(ts_us) AS t2 FROM ev JOIN s1 USING (user_id)
+          |       WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+          |s3 AS (SELECT ev.user_id, min(ts_us) AS t3 FROM ev JOIN s2 USING (user_id)
+          |       WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1),
+          |n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+          |             (SELECT count(*) FROM s2) AS n2,
+          |             (SELECT count(*) FROM s3) AS n3)
+          |SELECT 1 AS step, 'view' AS event_type, n1 AS n_users, 1.0 AS conv_rate FROM n
+          |UNION ALL
+          |SELECT 2, 'click', n2,
+          |       CASE WHEN n1 = 0 THEN 0.0 ELSE CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM n
+          |UNION ALL
+          |SELECT 3, 'purchase', n3,
+          |       CASE WHEN n2 = 0 THEN 0.0 ELSE CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END FROM n
+          |ORDER BY step""".stripMargin)),
+    GraftQuery("q_retention_cohorts", "weekly cohort retention triangle: first-event cohorts x week offsets with exact counts",
+      retentionCohorts,
+      Some(
+        """WITH ev AS (
+          |  SELECT user_id,
+          |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS week
+          |  FROM events),
+          |cohort AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+          |cs AS (SELECT cohort_week, count(*) AS n_cohort FROM cohort GROUP BY 1),
+          |active AS (SELECT DISTINCT user_id, week FROM ev),
+          |cells AS (
+          |  SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+          |         count(*) AS n_active
+          |  FROM active a JOIN cohort c USING (user_id)
+          |  GROUP BY 1, 2)
+          |SELECT cells.cohort_week, cells.week_offset, cells.n_active, cs.n_cohort,
+          |       CAST(cells.n_active AS DOUBLE) / CAST(cs.n_cohort AS DOUBLE) AS retention_rate
+          |FROM cells JOIN cs USING (cohort_week)
+          |ORDER BY cohort_week, week_offset""".stripMargin)),
     GraftQuery("q_mode", "deterministic mode: struct-max argmax with pinned tie-break",
       modeType,
       Some(

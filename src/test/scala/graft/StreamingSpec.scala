@@ -349,4 +349,52 @@ class StreamingSpec extends SparkTestBase {
     assert(m.contains("a"), s"heavy type evicted: $m")
     assert(m("a") >= 5L && m("a") <= 8L, s"estimate out of bounds: $m")
   }
+
+  test("funnel: reach counts match a plain-JVM earliest-completion replay") {
+    val ev = graft.engine.Tables.load(spark, sfDir, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    def reach(events: Array[(Long, String, Long)]): Int = {
+      val t1 = events.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(t =>
+        events.filter(e => e._2 == "click" && e._3 > t).map(_._3).minOption)
+      val t3 = t2.flatMap(t =>
+        events.filter(e => e._2 == "purchase" && e._3 > t).map(_._3).minOption)
+      Seq(t1, t2, t3).count(_.isDefined)
+    }
+    val depth = ev.values.map(v => reach(v.toArray)).toSeq
+    val expect = Seq(1, 2, 3).map(k => depth.count(_ >= k).toLong)
+    val got = EventOps.funnel(spark, sfDir).collect()
+      .sortBy(_.getInt(0)).map(r => r.getLong(2)).toSeq
+    assert(got == expect, s"reach per step: got $got expected $expect")
+    val rates = EventOps.funnel(spark, sfDir).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(3))
+    assert(rates(0) == 1.0 && rates.forall(r => r >= 0.0 && r <= 1.0),
+      "conversion rates are probabilities")
+  }
+
+  test("retention cohorts: triangle matches a plain-JVM replay; week-0 retention is 1") {
+    val ev = graft.engine.Tables.load(spark, sfDir, "events")
+      .selectExpr("user_id",
+        "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7 AS LONG) AS week")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = ev.distinct
+      .map { case (u, w) => (cohort(u), w - cohort(u)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = EventOps.retentionCohorts(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+    assert(got.map(_._1).toSet == cells.keySet, "cell coverage")
+    for (((cw, off), (active, size, rate)) <- got) {
+      assert(active == cells((cw, off)), s"cell ($cw, $off) active")
+      assert(size == sizes(cw), s"cohort $cw size")
+      assert(rate == active.toDouble / size.toDouble)
+      if (off == 0L)
+        assert(active == size, "everyone is active in their cohort week")
+      assert(off >= 0L, "first event defines the cohort floor")
+    }
+  }
 }
