@@ -348,21 +348,71 @@ object Similarity {
     *
     * 100 TB design: this is exactly why SemDeDup clusters first — the
     * pairwise stage is O(Σ cᵢ²) over cluster sizes cᵢ (k chosen so
-    * cᵢ ≈ n/k), never corpus×corpus. One equi-join on the cluster key
-    * (skew-capped the same way the LSH buckets are), a vec_id-keyed
-    * count aggregate, and a broadcast-able join back onto the corpus.
+    * cᵢ ≈ n/k), never corpus×corpus. But k is a PARAMETER, and a real
+    * clustering is skewed (that is what clustering does), so "cᵢ ≈ n/k"
+    * is not enforceable: a hot cluster would funnel O(c²) pairs through
+    * one join key into one task. The skew cap: a cluster-size census
+    * (one tiny aggregate + a 1-row max) splits the corpus. Clusters of
+    * ≤ `maxCluster` members run the exact within-cluster pairwise join;
+    * oversized clusters are SUB-BLOCKED by SRP bucket — the
+    * [[nearDupPairs]] machinery — with the plane count sized so an
+    * expected sub-block is ~`maxCluster` (pair volume per join key is
+    * bounded by ~cap² however hot the cluster), and Hamming-1 multiprobe
+    * so near-identical vectors one sign-bit apart still meet. Inside an
+    * oversized cluster a pair whose buckets differ by ≥2 bits is
+    * missed: the same documented recall trade as the LSH bucket cap,
+    * and negligible at SemDeDup's production τ (≥0.9 ⇒ vectors agree on
+    * almost every hyperplane sign). The fixture clusters never reach
+    * the default cap, so the registered query stays oracle-exact; the
+    * capped path is spec-pinned on a planted hot cluster.
     * Only integers are emitted; the single double compare (cos ≥ τ)
     * rides the deterministic-fold graft_cosine.
     */
-  def semanticDedup(emb: DataFrame, tau: Double): DataFrame = {
+  def semanticDedup(emb: DataFrame, tau: Double,
+      maxCluster: Int = 10000): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"), col("embedding"))
-    val prior = e.select(col("label").as("p_label"),
-      col("vec_id").as("p_id"), col("embedding").as("p_emb"))
-    val dupCounts = e.join(prior,
-        col("label") === col("p_label") && col("p_id") < col("vec_id"))
-      .where(cosine("embedding", "p_emb") >= lit(tau))
-      .groupBy("vec_id")
-      .agg(count(lit(1)).as("n_prior_dups"))
+    // skew census: O(#clusters) aggregate reduced to one driver row
+    val sizes = e.groupBy("label").agg(count(lit(1)).as("cluster_n"))
+    val maxRow = sizes.agg(max(col("cluster_n"))).head()
+    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+
+    def pairCounts(part: DataFrame): DataFrame = {
+      val prior = part.select(col("label").as("p_label"),
+        col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+      part.join(prior,
+          col("label") === col("p_label") && col("p_id") < col("vec_id"))
+        .where(cosine("embedding", "p_emb") >= lit(tau))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_prior_dups"))
+    }
+
+    val dupCounts =
+      if (maxN <= maxCluster) pairCounts(e) // no hot cluster: exact plan
+      else {
+        val oversized = sizes.where(col("cluster_n") > maxCluster)
+          .select("label")
+        val small = e.join(broadcast(oversized), Seq("label"), "left_anti")
+        val hot = e.join(broadcast(oversized), Seq("label"), "left_semi")
+        // sub-block plane count: expected block ≈ maxCluster members of
+        // the HOTTEST cluster, so no (label, bucket) key can funnel more
+        // than ~cap² pairs in expectation
+        val p = planesFor(maxN, targetBucket = maxCluster)
+        val dim = e.select(size(col("embedding"))).head().getInt(0)
+        val hotB = withSrpBucket(hot, planeTable(p, dim))
+        val hl = hotB.select(col("label"), col("bucket"),
+          col("vec_id"), col("embedding"))
+        val hr = hotB.select(col("label"), col("vec_id").as("p_id"),
+          col("embedding").as("p_emb"),
+          explode(array((col("bucket") +: (0 until p).map(i =>
+            col("bucket").bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
+        val hotPairs = hl.join(hr, Seq("label", "bucket"))
+          .where(col("p_id") < col("vec_id"))
+          .where(cosine("embedding", "p_emb") >= lit(tau))
+          // multiprobe can meet a pair through more than one bucket
+          .select("vec_id", "p_id").distinct()
+        pairCounts(small).unionByName(
+          hotPairs.groupBy("vec_id").agg(count(lit(1)).as("n_prior_dups")))
+      }
     e.join(dupCounts, Seq("vec_id"), "left")
       .select(
         col("vec_id"), col("label"),
@@ -534,7 +584,7 @@ object Similarity {
           |     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
           |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
           |SELECT id1, id2 FROM pairs WHERE cos_sim >= 0.95 ORDER BY id1, id2""".stripMargin)),
-    GraftQuery("q_semantic_dedup", "SemDeDup: cluster-blocked greedy cosine dedup (label = cluster key; within-cluster pairwise only, never corpus x corpus)",
+    GraftQuery("q_semantic_dedup", "SemDeDup: cluster-blocked greedy cosine dedup (label = cluster key; within-cluster pairwise, oversized clusters SRP-sub-blocked)",
       semanticDedupQuery,
       Some(
         """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),

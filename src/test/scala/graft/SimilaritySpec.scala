@@ -160,6 +160,51 @@ class SimilaritySpec extends SparkTestBase {
     assert(got(2L) == (1L, 1), "c flagged via b — the documented over-delete")
   }
 
+  test("semanticDedup skew cap: a planted hot cluster sub-blocks via SRP and still flags every scale-duplicate") {
+    val dim = 16
+    val nBase = 120
+    // deterministic pseudo-random base vectors (the splitmix64 stream);
+    // precondition below proves no accidental base-base near-dup exists,
+    // so capped-vs-uncapped equality cannot be seed-flaky
+    val base = Similarity.planeTable(nBase, dim, seed = 0x5eedL)
+    def cosJ(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val maxBase = (for {
+      i <- base.indices; j <- (i + 1) until nBase
+    } yield cosJ(base(i), base(j))).max
+    assert(maxBase < 0.9, s"seed precondition violated: max base cosine $maxBase")
+    // hot cluster 1: 240 members (120 base + 120 scale-dups, same
+    // DIRECTION so SRP buckets are bit-identical); small cluster 2: one
+    // planted dup pair, must take the exact pairwise path
+    val hot = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, 1, v.map(_.toFloat).toArray),
+        ((i + 1000).toLong, 1, v.map(x => (2 * x).toFloat).toArray))
+    }
+    val smallC = Seq(
+      (5000L, 2, base.head.map(x => (3 * x).toFloat).toArray),
+      (5001L, 2, base.head.map(x => (5 * x).toFloat).toArray))
+    val df = (hot ++ smallC).toDF("vec_id", "label", "embedding")
+    val capped = Similarity.semanticDedup(df, tau = 0.95, maxCluster = 50)
+    val uncapped = Similarity.semanticDedup(df, tau = 0.95)
+    // the cap actually engaged: SRP sub-blocking in the capped plan only
+    assert(capped.queryExecution.executedPlan.toString.contains("graft_srp_bucket"),
+      "capped plan must sub-block the hot cluster via SRP")
+    assert(!uncapped.queryExecution.executedPlan.toString.contains("graft_srp_bucket"),
+      "under-cap clusters must keep the exact pairwise plan")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(rows(capped) == rows(uncapped),
+      "sub-blocked result must equal exact pairwise on direction-identical dups")
+    val flags = rows(capped).map(r => r._1 -> r._4).toMap
+    base.indices.foreach { i =>
+      assert(flags(i + 1000L) == 1, s"planted hot-cluster dup ${i + 1000} not flagged")
+    }
+    assert(flags(5001L) == 1, "small-cluster planted dup not flagged")
+    assert(flags(5000L) == 0 && flags(0L) == 0, "cluster heads must survive")
+  }
+
   test("int8 quantization preserves cosine ranking: recall@10 >= 0.8 vs float") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
