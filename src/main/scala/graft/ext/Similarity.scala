@@ -424,6 +424,33 @@ object Similarity {
   def semanticDedupQuery(s: SparkSession, dir: String): DataFrame =
     semanticDedup(t(s, dir, "embeddings"), tau = 0.2)
 
+  /** SemDeDup composed with its REAL clustering stage (Abbas et al.
+    * 2023 §2: k-means the embeddings, then dedup within clusters):
+    * [[kmeansCentroids]] learns k centroids, [[withIvfList]] assigns
+    * each vector to its nearest one (row-local argmax over the
+    * broadcast centroid literal — one scan, no shuffle), and the list
+    * id becomes the cluster key for [[semanticDedup]], skew cap
+    * included. The registered `q_semantic_dedup` keeps the fixture
+    * `label` key because the oracle engine cannot re-run Lloyd's; this
+    * composition is the production entry point and is spec-pinned on
+    * planted scale-duplicates (same direction ⇒ bit-identical cosine
+    * to every centroid ⇒ same cluster, exactly).
+    *
+    * 100 TB shape: k·iters tiny driver collects for centroids, one
+    * assignment scan, then the capped within-cluster stage — cluster
+    * COUNT grows with the corpus (k ≈ n/targetCluster), which is what
+    * keeps Σ cᵢ² linear in n at fixed cluster size.
+    */
+  def semanticDedupKmeans(emb: DataFrame, tau: Double, k: Int,
+      kmeansIters: Int = 3, maxCluster: Int = 10000): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val centroids = kmeansCentroids(e, k, kmeansIters)
+    semanticDedup(
+      withIvfList(e, centroids)
+        .select(col("vec_id"), col("ivf_list").as("label"), col("embedding")),
+      tau, maxCluster)
+  }
+
   /** Planted-duplicate containment twin for the SRP-blocked near-dup
     * pipeline. Plants one scale-duplicate per base vector (2·e under new
     * id — same DIRECTION, so its SRP bucket is bit-identical: sign of

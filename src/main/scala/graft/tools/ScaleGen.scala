@@ -103,8 +103,16 @@ object ScaleGen {
     // documents' Caesar rotation). Replica 0 keeps the originals.
     val emb = rd("embeddings")
     val vecSpan = span(emb, "vec_id")
+    // labels shift per replica too: cluster COUNT grows with the corpus
+    // at constant cluster size — the published SemDeDup shape (k chosen
+    // so clusters stay ~constant as n grows). Without this, sf1 held 10
+    // clusters that each grew 10x, and the within-cluster pairwise
+    // stage measured the fixed-k quadratic artifact instead of the
+    // algorithm (BENCH_LOCAL_r4: q_semantic_dedup 8.75x at 10x data).
+    val labelSpan = emb.agg(max(col("label"))).head().getInt(0) + 1
     wr(replicate(emb)((d, i) =>
       d.withColumn("vec_id", col("vec_id") + lit(i * vecSpan))
+        .withColumn("label", col("label") + lit(i * labelSpan))
         .withColumn("embedding",
           if (i == 0) col("embedding")
           else expr(s"transform(embedding, (x, j) -> CASE WHEN pmod(xxhash64($i, j), 2) = 1 THEN -x ELSE x END)"))),

@@ -60,6 +60,17 @@ class ScaleGenSpec extends SparkTestBase {
     assert(lenDrift == 0, s"$lenDrift docs changed length under rotation")
   }
 
+  test("embedding cluster COUNT grows with replicas at constant cluster size (SemDeDup shape)") {
+    val baseSizes = src("embeddings").groupBy("label").count()
+    val repSizes = out("embeddings").groupBy("label").count()
+    assert(repSizes.count() == 3 * baseSizes.count(),
+      "distinct labels must grow reps x")
+    val baseMax = baseSizes.agg(max("count")).head().getLong(0)
+    val repMax = repSizes.agg(max("count")).head().getLong(0)
+    assert(repMax == baseMax,
+      s"max cluster size changed: $baseMax -> $repMax (within-cluster pair volume must stay constant)")
+  }
+
   test("reps outside 1..26 are rejected (27 would repeat the identity rotation)") {
     // an independent path: the validation must fire before any Spark
     // work, so this test must not touch the lazily-generated `dst`

@@ -205,6 +205,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(flags(5000L) == 0 && flags(0L) == 0, "cluster heads must survive")
   }
 
+  test("semanticDedupKmeans: k-means cluster key flags planted scale-duplicates, nothing else") {
+    // scale-dup of vec_id < 50 at exactly 2x: a power-of-two scale is
+    // exact in float AND scales dot/norm exactly, so cosine to every
+    // centroid is bit-identical and the dup lands in its base's cluster
+    val baseE = emb.select("vec_id", "embedding").where(col("vec_id") < 200)
+    val planted = baseE.where(col("vec_id") < 50).select(
+      (col("vec_id") + 10000).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))")
+        .as("embedding"))
+    val got = Similarity.semanticDedupKmeans(
+        baseE.unionByName(planted), tau = 0.95, k = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got.size == 250, "one row per vector")
+    (0L until 50L).foreach { i =>
+      assert(got(i + 10000) == 1, s"planted dup ${i + 10000} not flagged") }
+    assert(got.count(_._2 == 1) == 50,
+      "only the planted dups may be flagged on a near-orthogonal corpus")
+  }
+
   test("int8 quantization preserves cosine ranking: recall@10 >= 0.8 vs float") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
