@@ -83,6 +83,24 @@ object Dedup {
     t(s, dir, "lineitem")
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
 
+  /** Sketch-guarantee twin for [[approxDistinct]] — the
+    * q_approx_percentile_twin pattern: HLL values are engine-specific
+    * bit-for-bit, but the ERROR BOUND is not, so each engine compares
+    * its own sketch to its own exact count and emits the boolean. The
+    * 5% gate is 2.5σ of the registered rsd=0.02 sketch; DuckDB's HLL
+    * sits well inside it too. Deliberately one combined aggregate
+    * (Expand and all): this is the correctness digest, not the
+    * production operator — [[approxDistinct]] stays Expand-free.
+    */
+  def approxDistinctTwin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact"))
+      .select(
+        (abs(col("approx").cast("double") / col("exact").cast("double")
+          - 1.0d) <= 0.05d).as("approx_within_5pct"))
+
   /** EXACT distinct via bitmap aggregation — the third point on the
     * distinct-counting triangle: [[exactDistinct]]'s count-distinct
     * plans an Expand or a distinct shuffle of the raw keys;
@@ -904,8 +922,16 @@ object Dedup {
           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
           |      FROM events)
           |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
-    GraftQuery("q_approx_distinct", "HLL++ approx distinct count (rows-only; error unit-bounded vs q_distinct_exact)",
+    GraftQuery("q_approx_distinct", "HLL++ approx distinct count (rows-only; error driver-gated by q_approx_distinct_twin)",
       approxDistinct, None),
+    GraftQuery("q_approx_distinct_twin",
+      "sketch-guarantee check: each engine's HLL distinct within 5% of its own exact count",
+      approxDistinctTwin,
+      Some(
+        """SELECT abs(CAST(approx_count_distinct(l_orderkey) AS DOUBLE) /
+          |           CAST(count(DISTINCT l_orderkey) AS DOUBLE) - 1.0) <= 0.05
+          |         AS approx_within_5pct
+          |FROM lineitem""".stripMargin)),
     GraftQuery("q_distinct_exact", "exact distinct count (oracle-checked companion of q_approx_distinct)",
       exactDistinct,
       Some("SELECT count(DISTINCT l_orderkey) AS exact_orders FROM lineitem")),
