@@ -229,8 +229,12 @@ object ScaleOps {
     * guarantee swept over every present key (orders.o_custkey ⊆
     * customer.c_custkey in this fixture), and the measured
     * false-positive rate on a known-absent probe set (present keys
-    * shifted past the key domain). Collects nothing data-sized: every
-    * aggregate is bitmap- or 1-row-bounded.
+    * shifted past the key domain by max(c_custkey)+1, COMPUTED from
+    * the data — a fixed literal shift would silently collide with
+    * real keys on a larger fixture and inflate the measured rate).
+    * Collects nothing data-sized: every aggregate is bitmap- or
+    * 1-row-bounded. The callable production build is [[buildBloom]];
+    * this digest is its oracle-comparable twin.
     */
   def bloomFilter(s: SparkSession, dir: String): DataFrame = {
     val spark = graft.engine.GraftSession.tuned(s)
@@ -269,7 +273,12 @@ object ScaleOps {
             .as(s"n_${label}_in"))
     val present = graft.engine.Tables.load(spark, dir, "orders")
       .select(col("o_custkey").as("probe")).distinct()
-    val absent = present.select((col("probe") + 1000000L).as("probe"))
+    // shift past the KEY DOMAIN (o_custkey ⊆ c_custkey), derived from
+    // the data so a bigger fixture cannot alias shifted probes onto
+    // real keys
+    val shiftDf = keys.agg((max(col("c_custkey")) + 1L).as("shift"))
+    val absent = present.crossJoin(broadcast(shiftDf))
+      .select((col("probe") + col("shift")).as("probe"))
     nKeys
       .crossJoin(broadcast(mDf))
       .crossJoin(bitStats)
@@ -282,6 +291,58 @@ object ScaleOps {
         (col("n_absent_in").cast("double") /
           col("n_absent_probes").cast("double")).as("fp_rate"))
   }
+
+  /** Production Bloom build — the mergeable fixed-size-bitmap aggregate
+    * that [[bloomFilter]]'s position-set digest stands in for on the
+    * correctness surface. Keys hash to `kHashes` positions via the same
+    * shared md5Uint32 recipe (m sized from the data at `bitsPerKey`
+    * bits/key, word-aligned); positions reduce per 64-bit WORD through
+    * a `bit_or` aggregate — map-side combined, associatively mergeable,
+    * bounded state, no position-set shuffle and no collect_list of
+    * O(m) anywhere. The collected result IS the filter: ceil(m/64)
+    * longs, the O(filter-size) driver materialization any broadcast
+    * semi-join needs before shipping the predicate ([[bloomMightContain]]).
+    * Equality with the digest's position-set semantics and the
+    * zero-false-negative sweep are spec-pinned in ScaleOpsSpec.
+    */
+  def buildBloom(keys: DataFrame, keyCol: String, bitsPerKey: Int = 8,
+      kHashes: Int = 4): (Long, Array[Long]) = {
+    val distinct = keys.select(col(keyCol).cast("string").as("kstr")).distinct()
+    val m = distinct.agg(count(lit(1)).as("nk"))
+      .select(expr(s"((nk * $bitsPerKey + 63) div 64) * 64").cast("long"))
+      .head().getLong(0)
+    val words = distinct
+      .select(col("kstr"), explode(sequence(lit(0), lit(kHashes - 1))).as("i"))
+      .select(pmod(graft.functions.HashExprs.md5Uint32(
+        concat(col("kstr"), lit(":"), col("i").cast("string"))), lit(m)).as("pos"))
+      .select(floor(col("pos") / 64).cast("int").as("widx"),
+        pmod(col("pos"), lit(64)).cast("int").as("bit"))
+      .groupBy("widx")
+      .agg(bit_or(call_function("shiftleft", lit(1L), col("bit"))).as("word"))
+      .collect()
+    val arr = Array.fill((m / 64).toInt)(0L)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    (m, arr)
+  }
+
+  /** Membership predicate over a [[buildBloom]] filter: true iff all
+    * `kHashes` positions are set. The words array travels as a plan
+    * literal (implicitly broadcast), so the probe is row-local — the
+    * pre-shuffle semi-join reduction this structure exists for.
+    * False positives possible (≈2.4% at 8 bits/key, k=4), false
+    * negatives never — spec-pinned.
+    */
+  def bloomMightContain(m: Long, words: Array[Long], kHashes: Int,
+      key: Column): Column =
+    (0 until kHashes).map { i =>
+      val pos = pmod(graft.functions.HashExprs.md5Uint32(
+        concat(key.cast("string"), lit(":"), lit(i.toString))), lit(m))
+      call_function("shiftrightunsigned",
+        try_element_at(typedlit(words.toSeq),
+          (floor(pos / 64) + 1).cast("int")),
+        pmod(pos, lit(64)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
 
   val queries: Seq[graft.GraftQuery] = Seq(
     graft.GraftQuery("q_salted_join", "skew-salted left join == plain join (semantics-preserving rewrite)",
@@ -343,7 +404,7 @@ object ScaleOps {
           |         md5(list_aggregate(list_sort(list(pos)), 'string_agg', ',')) AS bits_digest
           |  FROM bits),
           |present AS (SELECT DISTINCT o_custkey AS probe FROM orders),
-          |absent AS (SELECT probe + 1000000 AS probe FROM present),
+          |absent AS (SELECT probe + (SELECT max(c_custkey) + 1 FROM customer) AS probe FROM present),
           |pp AS (
           |  SELECT p.probe,
           |         sum(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) AS misses

@@ -287,4 +287,34 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(again.getString(3) == digest && again.getLong(2) == nBits,
       "rebuild is bit-identical")
   }
+
+  test("buildBloom: word-OR aggregate build == position-set semantics; membership never false-negatives") {
+    val (m, words) = ScaleOps.buildBloom(customer, "c_custkey")
+    assert(m % 64 == 0 && words.length == (m / 64).toInt,
+      "word-aligned filter, one long per word")
+    // the digest representation: distinct positions from the SAME shared
+    // hash recipe — the production words must carry exactly these bits
+    val posSet = customer
+      .select(col("c_custkey").cast("string").as("kstr")).distinct()
+      .select(col("kstr"), explode(sequence(lit(0), lit(3))).as("i"))
+      .select(pmod(graft.functions.HashExprs.md5Uint32(
+        concat(col("kstr"), lit(":"), col("i").cast("string"))), lit(m)).as("pos"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val wordBits = words.zipWithIndex.flatMap { case (w, wi) =>
+      (0 until 64).filter(b => ((w >>> b) & 1L) == 1L).map(b => wi * 64L + b)
+    }.toSet
+    assert(wordBits == posSet, "word OR-merge drifted from position-set semantics")
+    // zero false negatives through the broadcast membership predicate
+    val fn = customer
+      .where(!ScaleOps.bloomMightContain(m, words, 4, col("c_custkey"))).count()
+    assert(fn == 0, s"$fn false negatives")
+    // absent probes (shifted past the key domain) mostly rejected:
+    // expected fp ~2.4% at 8 bits/key; 0.15 leaves seed room at sf0.001
+    val n = customer.count()
+    val maxKey = customer.agg(max("c_custkey")).head().getLong(0)
+    val fpN = customer
+      .select((col("c_custkey") + lit(maxKey + 1)).as("p"))
+      .where(ScaleOps.bloomMightContain(m, words, 4, col("p"))).count()
+    assert(fpN.toDouble / n <= 0.15, s"fp rate ${fpN.toDouble / n}")
+  }
 }
