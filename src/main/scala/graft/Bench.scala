@@ -64,8 +64,23 @@ object Bench {
     // runs skip the default write entirely (a 1-query iteration must
     // not overwrite the full-run record; set SPARK_GRAFT_BENCH_OUT to
     // capture a subset on purpose)
+    // default artifact location: SPARK_GRAFT_REPO_ROOT if set, else the
+    // cwd ONLY when it is recognizably the repo root (build.sbt
+    // present) — a Bench launched from elsewhere must not silently drop
+    // the committed record into an arbitrary directory
+    val repoRoot = sys.env.get("SPARK_GRAFT_REPO_ROOT").orElse(
+      Some(".").filter(_ =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt"))))
     val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(
-      if (only.isEmpty) Some(s"BENCH_FULL_${new java.io.File(sfDir).getName}.json")
+      if (only.isEmpty) repoRoot match {
+        case Some(root) =>
+          Some(s"$root/BENCH_FULL_${new java.io.File(sfDir).getName}.json")
+        case None =>
+          System.err.println(
+            "[bench] cwd is not the repo root and SPARK_GRAFT_REPO_ROOT/" +
+              "SPARK_GRAFT_BENCH_OUT are unset - skipping the artifact write")
+          None
+      }
       else None)
     outFile.foreach { f =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(f),

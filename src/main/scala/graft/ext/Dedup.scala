@@ -792,6 +792,30 @@ object Dedup {
   // themselves are materialized (see nearDupLabels)
   private val sharedSetsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // serializes the near-dup compute-and-put against nearDupLabels'
+  // cache release: without it, a concurrent first call racing the
+  // release could re-insert a shingle-set cache entry AFTER removal,
+  // leaving it persisted for the session lifetime. Only near-dup
+  // callers contend here — and they all want the same computation;
+  // the generic memoized() path stays lock-free for everyone else.
+  private val sharedLock = new Object
+
+  /** Explicit release hook for long-lived library sessions: unpersists
+    * and drops every memoized near-dup relation (pairs, labels, and any
+    * in-flight shingle-set cache) for ALL sessions/dirs. The memos
+    * otherwise hold their persisted blocks until the owning session
+    * stops — correct for the fixture-driven harness, heavyweight for an
+    * application that processes many corpora through one session.
+    */
+  def clearSessionMemos(): Unit = sharedLock.synchronized {
+    Seq(pairsMemo, labelsMemo, sharedSetsCache).foreach { m =>
+      m.values().forEach { df =>
+        try df.unpersist()
+        catch { case _: Exception => () } // a stopped session's blocks are already gone
+      }
+      m.clear()
+    }
+  }
 
   /** Default-parameter near-dup pairs over the documents table,
     * UNSORTED, memoized per (session, dir) under a LAZY persist — the
@@ -805,12 +829,14 @@ object Dedup {
     * thresholded pair list, held until the session ends.
     */
   private def nearDupPairsShared(s: SparkSession, dir: String): DataFrame =
-    memoized(pairsMemo, s, dir) {
-      val (sets, verified) = minhashPairsCore(t(s, dir, "documents"),
-        "text", "doc_id", shingleN = 2, numHashes = 16, bands = 8,
-        threshold = 0.5, cacheSets = true)
-      sharedSetsCache.put((s, dir), sets)
-      verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sharedLock.synchronized {
+      memoized(pairsMemo, s, dir) {
+        val (sets, verified) = minhashPairsCore(t(s, dir, "documents"),
+          "text", "doc_id", shingleN = 2, numHashes = 16, bands = 8,
+          threshold = 0.5, cacheSets = true)
+        sharedSetsCache.put((s, dir), sets)
+        verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     }
 
   private def nearDupLabels(s: SparkSession, dir: String): DataFrame =
@@ -819,8 +845,13 @@ object Dedup {
         nearDupPairsShared(s, dir).select(col("id1"), col("id2")))
       // CC ran ⇒ the shared pairs are fully materialized in their own
       // cache ⇒ the inner corpus-sized shingle-set cache is dead weight
-      // for the rest of the session — release it
-      Option(sharedSetsCache.remove((s, dir))).foreach(_.unpersist())
+      // for the rest of the session — release it. Under sharedLock so
+      // the removal cannot interleave with a concurrent first call's
+      // compute-and-put (which would re-register the cache after the
+      // release and pin it until session end).
+      sharedLock.synchronized {
+        Option(sharedSetsCache.remove((s, dir))).foreach(_.unpersist())
+      }
       labels
     }
 

@@ -240,16 +240,23 @@ object WindowOps {
     // id is monotone non-increasing in balance (floor((hi−bal)/width)),
     // so ascending bucket == descending balance, and equal balances land
     // in the same bucket (the custkey tiebreak stays bucket-local).
-    val bounds = cust.agg(min(col("bal")), max(col("bal"))).head()
+    // NaN parity with the naive window: Spark orders NaN GREATER than
+    // every double, so under DESC a NaN balance ranks FIRST — it gets
+    // the dedicated bucket −1 (before every real bucket; all members tie
+    // and the custkey tiebreak decides, same as the window). NaN is also
+    // excluded from the bounds scan — min/max would otherwise poison to
+    // NaN and turn every bucket id NULL.
+    val balNoNan = when(isnan(col("bal")), lit(null)).otherwise(col("bal"))
+    val bounds = cust.agg(min(balNoNan), max(balNoNan)).head()
     val (lo, hi) =
       if (bounds.isNullAt(0)) (0.0, 0.0)
       else (bounds.getDouble(0), bounds.getDouble(1))
     val width = math.max((hi - lo) / parts, java.lang.Double.MIN_NORMAL)
-    val bkt = coalesce(
+    val bkt = when(isnan(col("bal")), lit(-1)).otherwise(coalesce(
       least(
         floor((lit(hi) - col("bal")) / lit(width)).cast(IntegerType),
         lit(parts - 1)),
-      lit(parts))
+      lit(parts)))
 
     val counts = cust
       .groupBy(segKey.as("seg"), bkt.as("bkt"))

@@ -171,7 +171,10 @@ class PlanRulesSpec extends SparkTestBase {
       (Some("A"), 1L, Some(10.0)), (Some("A"), 2L, Some(30.0)),
       (Some("A"), 3L, None), (Some("A"), 4L, Some(20.0)),
       (Some("B"), 5L, Some(5.0)), (None, 6L, Some(7.0)),
-      (None, 7L, None), (None, 8L, Some(9.0)))
+      (None, 7L, None), (None, 8L, Some(9.0)),
+      // NaN ranks FIRST under DESC (Spark orders NaN above every
+      // double) while NULL ranks last — both sentinels in one segment
+      (Some("A"), 9L, Some(Double.NaN)), (Some("B"), 10L, Some(Double.NaN)))
       .toDF("c_mktsegment", "c_custkey", "c_acctbal")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c_mktsegment"))
@@ -197,7 +200,11 @@ class PlanRulesSpec extends SparkTestBase {
       val n = 30 + rnd.nextInt(120)
       val rows = (1 to n).map { k =>
         val seg = if (rnd.nextInt(10) == 0) None else Some(s"S${rnd.nextInt(3)}")
-        val bal = if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(6) * 10.0)
+        val bal = rnd.nextInt(10) match {
+          case 0 => None
+          case 1 => Some(Double.NaN) // NaN-first path
+          case _ => Some(rnd.nextInt(6) * 10.0)
+        }
         (seg, k.toLong, bal)
       }
       val cust = rows.toDF("c_mktsegment", "c_custkey", "c_acctbal")
@@ -237,6 +244,17 @@ class PlanRulesSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange"),
       s"vocab and coverage subtrees must share one corpus scan:\n${plan.take(800)}")
+  }
+
+  test("funnel reuses the step aggregates' exchanges for the reach counts") {
+    // n1/n2/n3 re-reference the s1/s2/s3 aggregate subtrees; exchange
+    // reuse is what keeps the funnel at three exchanges instead of six
+    // (observation -> assertion, same discipline as vocabOov)
+    val df = graft.streaming.EventOps.funnel(spark, sfDir)
+    df.collect() // AQE performs exchange reuse at runtime
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"reach counts must share the step aggregates' exchanges:\n${plan.take(800)}")
   }
 
   test("tfidf top-k plans with WindowGroupLimit") {
