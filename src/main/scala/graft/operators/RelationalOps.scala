@@ -775,9 +775,13 @@ object RelationalOps {
         concat(lit("type="), coalesce(col("event_type"), lit("")),
           lit(";uid="), coalesce(col("user_id").cast("string"), lit("")))
           .as("cfg"))
+      // parse ONCE, look up twice: a projected map column instead of a
+      // str_to_map call per extracted key (codegen subexpression
+      // elimination is not guaranteed across Alias boundaries)
+      .select(col("event_id"), expr("str_to_map(cfg, ';', '=')").as("m"))
       .select(col("event_id"),
-        expr("str_to_map(cfg, ';', '=')['type']").as("cfg_type"),
-        expr("CAST(str_to_map(cfg, ';', '=')['uid'] AS BIGINT)").as("cfg_uid"))
+        col("m").getItem("type").as("cfg_type"),
+        col("m").getItem("uid").cast("bigint").as("cfg_uid"))
       .orderBy("event_id")
 
   /** F+: posexplode — positional explode of the first five normalized
