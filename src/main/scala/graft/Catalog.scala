@@ -33,6 +33,7 @@ object Catalog {
       graft.ext.Cleaning.queries ++
       graft.ext.TrainingPrep.queries ++
       graft.ext.Similarity.queries ++
+      graft.ext.GraphOps.queries ++
       graft.ext.Multimodal.queries ++
       graft.streaming.EventOps.queries
 

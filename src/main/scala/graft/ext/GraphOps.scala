@@ -1,0 +1,178 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.engine.{GraftSession, Tables}
+
+/** Graph-shaped corpus operators beyond connected components
+  * ([[Dedup.connectedComponents]]): link-graph construction from event
+  * streams and PageRank-style link weighting (Brin & Page 1998), the
+  * classic importance prior a training-data pipeline attaches to
+  * documents before sampling (reference has no graph operators;
+  * k8s/codes/variables.py:18-89 stops at relational transforms).
+  *
+  * The graph: per-user event TRANSITIONS. Each user's events, ordered
+  * by (ts, event_id), yield an edge prev_page → page over the `props.k`
+  * page id — the standard clickstream link graph. Edge weight = the
+  * transition count.
+  *
+  * Arithmetic is EXACT INTEGER throughout — ranks live in micro-units
+  * (SCALE = 1e6) with floor division, damping 0.85 as the rational
+  * 17/20 — so a BIGINT sum is the only aggregate and both engines
+  * reproduce every iteration bit-for-bit (the cross-engine discipline:
+  * no double accumulation on the compare path). Dangling-node mass is
+  * dropped, not redistributed — the simplification both sides share;
+  * iteration count is fixed (unrolled in the oracle SQL).
+  *
+  * 100 TB design: one high-cardinality lag window (user_id) builds the
+  * edges; each PageRank iteration is one join of ranks onto edges
+  * (src-keyed) plus one groupBy(dst) aggregate. Node-keyed aggregates
+  * are map-side combined — a hub page with a billion in-links reduces
+  * to one partial per task, so in-degree skew never funnels rows into
+  * a single reducer the way a per-node WINDOW would. The fixed-point
+  * loop unrolls into ONE lazy plan (3 iterations ⇒ depth ~10 —
+  * no lineage cut needed; the CC loop's checkpoint machinery exists
+  * for UNBOUNDED iteration counts). Edge/out-weight subtrees repeat
+  * per iteration; their exchanges dedup via ReuseExchange (measured
+  * policy: persisting post-aggregate relations only re-materializes
+  * what ReuseExchange already shares).
+  */
+object GraphOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(GraftSession.tuned(s), dir, n)
+
+  private val Scale = 1000000L
+
+  /** (src, dst, w) transition edges from the events table — the
+    * link-graph constructor shared by the registered keys.
+    */
+  def transitionEdges(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .where(col("k").isNotNull)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .where(col("src").isNotNull)
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Weighted PageRank in exact micro-units over the transition graph:
+    * r₀ = SCALE per node; rᵢ₊₁(v) = 0.15·SCALE +
+    * (17·Σ_{u→v} (rᵢ(u)·w(u,v) div outw(u))) div 20.
+    */
+  def pageRank(events: DataFrame, iters: Int = 3): DataFrame = {
+    // deliberately NOT persisted: a position-controlled A/B at sf0.1
+    // measured the unrolled plan at 3.4 s vs 6.0 s with edges+nodes
+    // under a lazy MEMORY_AND_DISK persist — the edge pipeline's
+    // exchanges already dedup via ReuseExchange where they matter, and
+    // the persist only added a blocking materialization (the same
+    // outcome as the tfidf and LSH-bands persist experiments). At
+    // unbounded iteration counts the CC loop's checkpoint-per-round
+    // machinery is the right tool instead.
+    val edges = transitionEdges(events)
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("ow"))
+    val ew = edges.join(outw, "src")
+    val nodes = events
+      .select(get_json_object(col("props"), "$.k").cast("int").as("node"))
+      .where(col("node").isNotNull).distinct()
+    var r = nodes.withColumn("r", lit(Scale))
+    for (_ <- 1 to iters) {
+      val contrib = ew
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("(r * w) div ow").as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("c"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(Scale * 3L / 20L) +
+            expr("(17 * coalesce(c, CAST(0 AS BIGINT))) div 20")).as("r"))
+    }
+    r.select(col("node"), col("r").as("rank_units")).orderBy("node")
+  }
+
+  def pageRankQuery(s: SparkSession, dir: String): DataFrame =
+    pageRank(t(s, dir, "events"), iters = 3)
+
+  /** Degree/strength profile of the transition graph — the link-graph
+    * QC companion (hub detection, weight concentration) and the cheap
+    * oracle-visible pin of [[transitionEdges]]' construction.
+    */
+  def graphDegrees(s: SparkSession, dir: String): DataFrame = {
+    val edges = transitionEdges(t(s, dir, "events"))
+    val out = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"), sum(col("w")).as("out_w"))
+    val in = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"), sum(col("w")).as("in_w"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"))
+      .orderBy("node")
+  }
+
+  // one PageRank iteration as SQL text, parameterized on the previous
+  // rank relation's name — the oracle unrolls exactly what the Spark
+  // loop unrolls
+  private def iterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT n.node,
+       |         150000 + (17 * COALESCE(s.c, 0)) // 20 AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node, CAST(sum((p.r * e.w) // o.ow) AS BIGINT) AS c
+       |    FROM edges e
+       |    JOIN $prev p ON e.src = p.node
+       |    JOIN outw o ON e.src = o.src
+       |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+
+  private val graphPrefixSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      |  FROM events
+      |  WHERE json_extract(props, '$.k') IS NOT NULL),
+      |trans AS (
+      |  SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+      |         k AS dst
+      |  FROM ev),
+      |edges AS (
+      |  SELECT src, dst, count(*) AS w FROM trans
+      |  WHERE src IS NOT NULL GROUP BY src, dst),
+      |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+      |nodes AS (SELECT DISTINCT k AS node FROM ev)""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_pagerank",
+      "weighted PageRank (3 unrolled iterations, exact integer micro-units, damping 17/20) over the per-user event-transition graph",
+      pageRankQuery,
+      Some(
+        s"""$graphPrefixSql,
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+           |${iterSql("r0", "r1")},
+           |${iterSql("r1", "r2")},
+           |${iterSql("r2", "r3")}
+           |SELECT node, CAST(r AS BIGINT) AS rank_units FROM r3 ORDER BY node""".stripMargin)),
+    GraftQuery("q_graph_degrees",
+      "transition-graph degree/strength profile (in/out degree and weight per node)",
+      graphDegrees,
+      Some(
+        s"""$graphPrefixSql,
+           |o AS (SELECT src AS node, count(*) AS out_deg, CAST(sum(w) AS BIGINT) AS out_w
+           |      FROM edges GROUP BY src),
+           |i AS (SELECT dst AS node, count(*) AS in_deg, CAST(sum(w) AS BIGINT) AS in_w
+           |      FROM edges GROUP BY dst)
+           |SELECT COALESCE(o.node, i.node) AS node,
+           |       COALESCE(out_deg, 0) AS out_deg, COALESCE(out_w, 0) AS out_w,
+           |       COALESCE(in_deg, 0) AS in_deg, COALESCE(in_w, 0) AS in_w
+           |FROM o FULL OUTER JOIN i ON o.node = i.node
+           |ORDER BY node""".stripMargin)),
+  )
+}

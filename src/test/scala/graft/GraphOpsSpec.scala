@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.GraphOps
+
+/** PageRank / link-graph invariants: the integer fixed-point iteration
+  * against a plain-JVM mirror on a crafted graph, edge construction
+  * semantics, and plan shape.
+  */
+class GraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 2 users, 7 events over pages 1/2/3: transitions u1: 1->2->3->1,
+  // u2: 1->2 — edges (1->2) w=2, (2->3) w=1, (3->1) w=1
+  private def craftedEvents = Seq(
+    (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3), (1L, 40L, 1),
+    (2L, 10L, 1), (2L, 25L, 2),
+    (3L, 11L, 7)) // isolated page: node with no edges at all
+    .map { case (u, t, k) =>
+      (u, new Timestamp(t * 1000L), u * 100 + t, s"""{"k": $k}""")
+    }
+    .toDF("user_id", "ts", "event_id", "props")
+
+  test("transition edges: per-user lag over (ts, event_id), counted") {
+    val edges = GraphOps.transitionEdges(craftedEvents)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(edges == Map((1, 2) -> 2L, (2, 3) -> 1L, (3, 1) -> 1L))
+  }
+
+  test("pageRank matches a plain-JVM integer mirror on the crafted graph") {
+    val edges = Map((1, 2) -> 2L, (2, 3) -> 1L, (3, 1) -> 1L)
+    val outw = edges.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    val nodes = Seq(1, 2, 3, 7)
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = nodes.map { v =>
+        v -> edges.collect { case ((u, d), w) if d == v =>
+          r(u) * w / outw(u) // Long division == Spark/DuckDB `div` on positives
+        }.sum
+      }.toMap
+      r = nodes.map(v => v -> (150000L + 17L * contrib(v) / 20L)).toMap
+    }
+    val got = GraphOps.pageRank(craftedEvents, iters = 3)
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(got == r, s"spark $got != jvm $r")
+    // sanity on the crafted shape: the isolated page holds only the
+    // teleport mass; every linked page accumulated more
+    assert(got(7) == 150000L)
+    assert(Seq(1, 2, 3).forall(n => got(n) > got(7)))
+  }
+
+  test("fixture pageRank: one row per page, deterministic rerun, no cartesian in the plan") {
+    val df = GraphOps.pageRankQuery(spark, sfDir)
+    val rows = df.collect()
+    val nPages = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .where(col("k").isNotNull).distinct().count()
+    assert(rows.length == nPages, "one rank per page")
+    assert(rows.forall(_.getLong(1) >= 150000L), "rank >= teleport mass")
+    val again = GraphOps.pageRankQuery(spark, sfDir).collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getInt(0), r.getLong(1))).toSeq, "rerun-identical")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"cartesian in pageRank plan:\n${plan.take(800)}")
+  }
+
+  test("graph degrees: strengths are consistent with the edge list (sum out_w == sum in_w == sum w)") {
+    val deg = GraphOps.graphDegrees(spark, sfDir)
+    val sums = deg.agg(sum("out_w"), sum("in_w")).head()
+    val totalW = GraphOps.transitionEdges(
+      graft.engine.Tables.load(spark, sfDir, "events"))
+      .agg(sum("w")).head().getLong(0)
+    assert(sums.getLong(0) == totalW && sums.getLong(1) == totalW)
+  }
+}
