@@ -88,18 +88,20 @@ object Dedup {
     * bit-for-bit, but the ERROR BOUND is not, so each engine compares
     * its own sketch to its own exact count and emits the boolean. The
     * 5% gate is 2.5σ of the registered rsd=0.02 sketch; DuckDB's HLL
-    * sits well inside it too. Deliberately one combined aggregate
-    * (Expand and all): this is the correctness digest, not the
-    * production operator — [[approxDistinct]] stays Expand-free.
+    * sits well inside it too. The two aggregates run as SEPARATE
+    * 1-row scans cross-joined (a combined agg plans an Expand that
+    * duplicates every input row per aggregate mode — measured 14.2 s
+    * at sf1 vs ~1.5 s split): same reason [[approxDistinct]] and
+    * [[exactDistinct]] are registered separately.
     */
-  def approxDistinctTwin(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx"),
-        countDistinct(col("l_orderkey")).as("exact"))
+  def approxDistinctTwin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx"))
+      .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("exact")))
       .select(
         (abs(col("approx").cast("double") / col("exact").cast("double")
           - 1.0d) <= 0.05d).as("approx_within_5pct"))
+  }
 
   /** EXACT distinct via bitmap aggregation — the third point on the
     * distinct-counting triangle: [[exactDistinct]]'s count-distinct
