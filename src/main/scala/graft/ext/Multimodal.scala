@@ -124,6 +124,62 @@ object Multimodal {
       }
   }
 
+  /** AUDIO family: interpret the payload as 16-bit big-endian PCM and
+    * compute the two classic frame features — a loudness contour
+    * (sum |amplitude| per window, the RMS slot in integer arithmetic)
+    * and the zero-crossing count (the cheap pitch/noisiness proxy).
+    * Window = 32 samples (64 bytes), hop = window (non-overlapping),
+    * FULL windows only so every sample reads 2 complete bytes.
+    *
+    * Like the image path, the "decode" is byte-exact arithmetic both
+    * engines repeat (hex → int, two's complement at 32768), not a real
+    * audio codec — a real PCM decoder swaps into the same shape. All
+    * row-local (explode + HOFs over plan-typed arrays): zero shuffle,
+    * partitioning preserved, codegen throughout.
+    */
+  def pcmWindows(assetsDf: DataFrame, windowSamples: Int = 32): DataFrame = {
+    val bytesPerWin = windowSamples * 2
+    assetsDf
+      // full windows only: sequence(0, n div bytes - 1) enumerates them;
+      // the >= guard avoids Spark's downward-stepping sequence(0, -1)
+      .where(col("meta.n_bytes") >= bytesPerWin)
+      // hex ONCE per asset (before the window explode): DuckDB has no
+      // BLOB substring, so both engines slice the shared hex STRING —
+      // sample si of window w lives at hex offset (w·bytes + 2·si)·2
+      .select(col("asset_id"), hex(col("payload")).as("hx"),
+        expr(s"explode(sequence(0, meta.n_bytes div $bytesPerWin - 1))")
+          .as("window_idx"))
+      .select(col("asset_id"),
+        col("window_idx").cast("int").as("window_idx"), // div yields BIGINT
+        // samples materialized ONCE per window, in order, as a
+        // plan-typed array<bigint>; both features fold over this array.
+        // Parse: 2 bytes big-endian → unsigned via base-16 conv, then
+        // two's complement at 32768 — byte-exact on both engines.
+        expr(
+          s"""transform(
+             |  transform(sequence(0, $windowSamples - 1),
+             |    si -> CAST(conv(substring(hx,
+             |            (window_idx * $bytesPerWin + si * 2) * 2 + 1, 4),
+             |          16, 10) AS BIGINT)),
+             |  u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)""".stripMargin)
+          .as("samples"))
+  }
+
+  /** Per-window audio features over [[pcmWindows]]: loudness (Σ|v|)
+    * and zero crossings (adjacent sign products < 0 — a zero sample
+    * never crosses, matching the usual strict definition).
+    */
+  def audioFeatures(assetsDf: DataFrame, windowSamples: Int = 32): DataFrame =
+    pcmWindows(assetsDf, windowSamples)
+      .select(col("asset_id"), col("window_idx"),
+        expr("aggregate(samples, CAST(0 AS BIGINT), (acc, v) -> acc + abs(v))")
+          .as("sum_abs"),
+        expr(
+          s"""size(filter(zip_with(slice(samples, 1, ${windowSamples - 1}),
+             |                     slice(samples, 2, ${windowSamples - 1}),
+             |                     (a, b) -> a * b < 0), x -> x))""".stripMargin)
+          .cast("int").as("n_zero_cross"))
+
   // ---- registered queries ----------------------------------------------
 
   def metaQuery(s: SparkSession, dir: String): DataFrame =
@@ -166,6 +222,10 @@ object Multimodal {
       .select(col("asset_id"), col("frame_idx"), octet_length(col("frame")).as("frame_bytes"))
       .orderBy("asset_id", "frame_idx")
 
+  def audioQuery(s: SparkSession, dir: String): DataFrame =
+    audioFeatures(assets(t(s, dir, "documents")))
+      .orderBy("asset_id", "window_idx")
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_multimodal_meta", "binary payload + struct metadata projection",
       metaQuery,
@@ -201,5 +261,29 @@ object Multimodal {
           |SELECT doc_id AS asset_id, CAST(f // 2 AS INT) AS frame_idx,
           |       CAST(least(64, n - f * 64) AS INT) AS frame_bytes
           |FROM fr ORDER BY asset_id, frame_idx""".stripMargin)),
+    GraftQuery("q_audio_pcm_stats",
+      "PCM window features over binary payloads: loudness contour + zero-crossing count (16-bit big-endian, full 32-sample windows)",
+      audioQuery,
+      Some(
+        """WITH a AS (
+          |  SELECT doc_id AS asset_id, hex(encode(coalesce(text, ''))) AS hx,
+          |         octet_length(encode(coalesce(text, ''))) AS n
+          |  FROM documents),
+          |w AS (
+          |  SELECT asset_id, hx, unnest(range(0, n // 64)) AS window_idx
+          |  FROM a WHERE n >= 64),
+          |s AS (
+          |  SELECT asset_id, CAST(window_idx AS INT) AS window_idx,
+          |         list_transform(
+          |           list_transform(range(0, 32),
+          |             si -> ('0x' || substring(hx, CAST((window_idx * 64 + si * 2) * 2 + 1 AS BIGINT), 4))::BIGINT),
+          |           u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS samples
+          |  FROM w)
+          |SELECT asset_id, window_idx,
+          |       CAST(list_sum(list_transform(samples, v -> abs(v))) AS BIGINT) AS sum_abs,
+          |       CAST(len(list_filter(list_transform(range(1, 32),
+          |                 i -> samples[CAST(i AS INT)] * samples[CAST(i + 1 AS INT)] < 0),
+          |               x -> x)) AS INT) AS n_zero_cross
+          |FROM s ORDER BY asset_id, window_idx""".stripMargin)),
   )
 }

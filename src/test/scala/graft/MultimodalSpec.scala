@@ -121,4 +121,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(lists.subsetOf(centroids.map(_._1).toSet))
     assert(lists.nonEmpty)
   }
+
+  test("audio PCM windows match a plain-JVM 16-bit big-endian mirror (loudness + zero crossings)") {
+    import spark.implicits._
+    // non-ASCII chars put bytes >= 0x80 in the stream, so some samples
+    // parse NEGATIVE (two's complement) and the sign-crossing path runs;
+    // 150 chars ≈ 2+ full 64-byte windows with a dropped remainder
+    val text = (0 until 50).map(i => s"a${('é' + i % 3).toChar}").mkString // 50 × 3 bytes
+    val docs = Seq((7L, text), (8L, "short")).toDF("doc_id", "text")
+    val got = graft.ext.Multimodal.audioFeatures(graft.ext.Multimodal.assets(docs))
+      .orderBy("asset_id", "window_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    // JVM mirror
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val expect = (0 until bytes.length / 64).map { w =>
+      val samples = (0 until 32).map { si =>
+        val off = w * 64 + si * 2
+        val u = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+        if (u >= 32768) u - 65536 else u
+      }
+      val zc = samples.sliding(2).count(p => p.head.toLong * p(1) < 0)
+      (7L, w, samples.map(v => math.abs(v.toLong)).sum, zc)
+    }
+    assert(got.toSeq == expect, s"spark ${got.toSeq} != jvm $expect")
+    assert(expect.exists(_._4 > 0), "crafted text must exercise sign crossings")
+    assert(!got.exists(_._1 == 8L), "sub-window asset must drop entirely")
+  }
 }
