@@ -842,20 +842,22 @@ object Dedup {
       }
     }
 
+  // the whole compute runs under sharedLock (reentrant into
+  // nearDupPairsShared's synchronized): every mutation of all three
+  // memo maps is serialized, so clearSessionMemos can neither race a
+  // late putIfAbsent re-pinning a cleared relation nor drop an entry
+  // between its unpersist walk and clear()
   private def nearDupLabels(s: SparkSession, dir: String): DataFrame =
-    memoized(labelsMemo, s, dir) {
-      val labels = connectedComponents(
-        nearDupPairsShared(s, dir).select(col("id1"), col("id2")))
-      // CC ran ⇒ the shared pairs are fully materialized in their own
-      // cache ⇒ the inner corpus-sized shingle-set cache is dead weight
-      // for the rest of the session — release it. Under sharedLock so
-      // the removal cannot interleave with a concurrent first call's
-      // compute-and-put (which would re-register the cache after the
-      // release and pin it until session end).
-      sharedLock.synchronized {
+    sharedLock.synchronized {
+      memoized(labelsMemo, s, dir) {
+        val labels = connectedComponents(
+          nearDupPairsShared(s, dir).select(col("id1"), col("id2")))
+        // CC ran ⇒ the shared pairs are fully materialized in their own
+        // cache ⇒ the inner corpus-sized shingle-set cache is dead
+        // weight for the rest of the session — release it
         Option(sharedSetsCache.remove((s, dir))).foreach(_.unpersist())
+        labels
       }
-      labels
     }
 
   /** Near-dup clusters over the MinHash+LSH pair graph

@@ -371,9 +371,14 @@ object Similarity {
   def semanticDedup(emb: DataFrame, tau: Double,
       maxCluster: Int = 10000): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"), col("embedding"))
-    // skew census: O(#clusters) aggregate reduced to one driver row
-    val sizes = e.groupBy("label").agg(count(lit(1)).as("cluster_n"))
-    val maxRow = sizes.agg(max(col("cluster_n"))).head()
+    // ONE setup job (the lshTopK discipline): the skew census and the
+    // hot path's dim probe ride the same O(#clusters)→1-row aggregate,
+    // so the under-cap fast path pays exactly one extra scan and the
+    // hot path pays nothing further
+    val sizes = e.groupBy("label").agg(
+      count(lit(1)).as("cluster_n"),
+      max(size(col("embedding"))).as("d"))
+    val maxRow = sizes.agg(max(col("cluster_n")), max(col("d"))).head()
     val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
 
     def pairCounts(part: DataFrame): DataFrame = {
@@ -397,7 +402,7 @@ object Similarity {
         // the HOTTEST cluster, so no (label, bucket) key can funnel more
         // than ~cap² pairs in expectation
         val p = planesFor(maxN, targetBucket = maxCluster)
-        val dim = e.select(size(col("embedding"))).head().getInt(0)
+        val dim = maxRow.getInt(1) // collected with the census, job-free
         val hotB = withSrpBucket(hot, planeTable(p, dim))
         val hl = hotB.select(col("label"), col("bucket"),
           col("vec_id"), col("embedding"))
@@ -439,7 +444,12 @@ object Similarity {
     * 100 TB shape: k·iters tiny driver collects for centroids, one
     * assignment scan, then the capped within-cluster stage — cluster
     * COUNT grows with the corpus (k ≈ n/targetCluster), which is what
-    * keeps Σ cᵢ² linear in n at fixed cluster size.
+    * keeps Σ cᵢ² linear in n at fixed cluster size. Note the dedup
+    * stage's skew census rides the ASSIGNMENT relation, so the lazy
+    * composition evaluates the row-local argmax twice (census job +
+    * main query); at scale, materialize the assignment first —
+    * `partitionBy(ivf_list)` per [[withIvfList]]'s note — and dedup
+    * the written table.
     */
   def semanticDedupKmeans(emb: DataFrame, tau: Double, k: Int,
       kmeansIters: Int = 3, maxCluster: Int = 10000): DataFrame = {

@@ -252,10 +252,7 @@ object ScaleOps {
         .select(col("kstr"),
           explode(sequence(lit(0), lit(kHashes - 1))).as("i"))
         .crossJoin(broadcast(mDf))
-        .select(col("kstr"),
-          pmod(graft.functions.HashExprs.md5Uint32(
-            concat(col("kstr"), lit(":"), col("i").cast("string"))),
-            col("m")).as("pos"))
+        .select(col("kstr"), bloomPos(col("kstr"), col("i"), col("m")).as("pos"))
     val bits = positions(keys, "c_custkey").select("pos").distinct()
     val bitStats = bits.agg(
       count(lit(1)).as("n_bits_set"),
@@ -292,6 +289,17 @@ object ScaleOps {
           col("n_absent_probes").cast("double")).as("fp_rate"))
   }
 
+  /** THE Bloom hash-position recipe — one definition shared by the
+    * digest build ([[bloomFilter]]), the production build
+    * ([[buildBloom]]) and the membership probe ([[bloomMightContain]]).
+    * Build and probe MUST compute bit-identical positions or the
+    * zero-false-negative guarantee dies; a single definition removes
+    * the drift surface.
+    */
+  private def bloomPos(key: Column, i: Column, m: Column): Column =
+    pmod(graft.functions.HashExprs.md5Uint32(
+      concat(key.cast("string"), lit(":"), i.cast("string"))), m)
+
   /** Production Bloom build — the mergeable fixed-size-bitmap aggregate
     * that [[bloomFilter]]'s position-set digest stands in for on the
     * correctness surface. Keys hash to `kHashes` positions via the same
@@ -313,8 +321,7 @@ object ScaleOps {
       .head().getLong(0)
     val words = distinct
       .select(col("kstr"), explode(sequence(lit(0), lit(kHashes - 1))).as("i"))
-      .select(pmod(graft.functions.HashExprs.md5Uint32(
-        concat(col("kstr"), lit(":"), col("i").cast("string"))), lit(m)).as("pos"))
+      .select(bloomPos(col("kstr"), col("i"), lit(m)).as("pos"))
       .select(floor(col("pos") / 64).cast("int").as("widx"),
         pmod(col("pos"), lit(64)).cast("int").as("bit"))
       .groupBy("widx")
@@ -335,8 +342,7 @@ object ScaleOps {
   def bloomMightContain(m: Long, words: Array[Long], kHashes: Int,
       key: Column): Column =
     (0 until kHashes).map { i =>
-      val pos = pmod(graft.functions.HashExprs.md5Uint32(
-        concat(key.cast("string"), lit(":"), lit(i.toString))), lit(m))
+      val pos = bloomPos(key, lit(i), lit(m))
       call_function("shiftrightunsigned",
         try_element_at(typedlit(words.toSeq),
           (floor(pos / 64) + 1).cast("int")),

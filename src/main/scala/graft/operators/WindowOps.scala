@@ -229,11 +229,16 @@ object WindowOps {
     // NULL parity with the window formulation this replaces: a NULL
     // balance buckets to the EXTRA bucket `parts` — after every real
     // bucket, i.e. the NULLS LAST position `ORDER BY bal DESC` gives it
-    // on both engines — and a NULL segment becomes its own group via a
-    // sentinel key string (concat_ws would silently drop the NULL and
-    // collide with a real segment; NUL appears in no realistic value,
-    // and BOTH passes group on this same segKey, so even a pathological
-    // real-NUL segment merges consistently in counts AND window).
+    // on both engines — via an EXPLICIT isNull branch (least() SKIPS
+    // nulls, so the earlier coalesce-fallback formulation never fired
+    // and NULLs silently merged into bucket parts−1; ranks stayed
+    // correct only because desc NULLS-LAST ordering inside the merged
+    // bucket still sorted them behind the reals). A NULL segment
+    // becomes its own group via a sentinel key string (concat_ws would
+    // silently drop the NULL and collide with a real segment; NUL
+    // appears in no realistic value, and BOTH passes group on this
+    // same segKey, so even a pathological real-NUL segment merges
+    // consistently in counts AND window).
     val segKey = coalesce(col("c_mktsegment"), lit("\u0000"))
 
     // Pass 1: per-(segment, balance-range bucket) row counts. The bucket
@@ -252,11 +257,11 @@ object WindowOps {
       if (bounds.isNullAt(0)) (0.0, 0.0)
       else (bounds.getDouble(0), bounds.getDouble(1))
     val width = math.max((hi - lo) / parts, java.lang.Double.MIN_NORMAL)
-    val bkt = when(isnan(col("bal")), lit(-1)).otherwise(coalesce(
-      least(
+    val bkt = when(isnan(col("bal")), lit(-1))
+      .when(col("bal").isNull, lit(parts))
+      .otherwise(least(
         floor((lit(hi) - col("bal")) / lit(width)).cast(IntegerType),
-        lit(parts - 1)),
-      lit(parts)))
+        lit(parts - 1)))
 
     val counts = cust
       .groupBy(segKey.as("seg"), bkt.as("bkt"))
