@@ -63,11 +63,15 @@ object GraphOps {
       .agg(count(lit(1)).as("w"))
   }
 
-  /** Weighted PageRank in exact micro-units over the transition graph:
+  /** Generic weighted-PageRank core in exact micro-units over any
+    * (src, dst, w) edge list and node relation (node type is whatever
+    * the join keys carry — int page ids, string tokens):
     * r₀ = SCALE per node; rᵢ₊₁(v) = 0.15·SCALE +
     * (17·Σ_{u→v} (rᵢ(u)·w(u,v) div outw(u))) div 20.
+    * Shared by the transition-graph rank and TextRank.
     */
-  def pageRank(events: DataFrame, iters: Int = 3): DataFrame = {
+  def pageRankOnGraph(edges: DataFrame, nodes: DataFrame,
+      iters: Int): DataFrame = {
     // deliberately NOT persisted: a position-controlled A/B at sf0.1
     // measured the unrolled plan at 3.4 s vs 6.0 s with edges+nodes
     // under a lazy MEMORY_AND_DISK persist — the edge pipeline's
@@ -76,12 +80,8 @@ object GraphOps {
     // outcome as the tfidf and LSH-bands persist experiments). At
     // unbounded iteration counts the CC loop's checkpoint-per-round
     // machinery is the right tool instead.
-    val edges = transitionEdges(events)
     val outw = edges.groupBy("src").agg(sum(col("w")).as("ow"))
     val ew = edges.join(outw, "src")
-    val nodes = events
-      .select(get_json_object(col("props"), "$.k").cast("int").as("node"))
-      .where(col("node").isNotNull).distinct()
     var r = nodes.withColumn("r", lit(Scale))
     for (_ <- 1 to iters) {
       val contrib = ew
@@ -94,11 +94,58 @@ object GraphOps {
           (lit(Scale * 3L / 20L) +
             expr("(17 * coalesce(c, CAST(0 AS BIGINT))) div 20")).as("r"))
     }
-    r.select(col("node"), col("r").as("rank_units")).orderBy("node")
+    r.select(col("node"), col("r").as("rank_units"))
+  }
+
+  /** Weighted PageRank over the event-transition graph. */
+  def pageRank(events: DataFrame, iters: Int = 3): DataFrame = {
+    val nodes = events
+      .select(get_json_object(col("props"), "$.k").cast("int").as("node"))
+      .where(col("node").isNotNull).distinct()
+    pageRankOnGraph(transitionEdges(events), nodes, iters).orderBy("node")
   }
 
   def pageRankQuery(s: SparkSession, dir: String): DataFrame =
     pageRank(t(s, dir, "events"), iters = 3)
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the corpus word co-occurrence graph. Adjacent normalized tokens
+    * (window 2, the paper's default) co-occur; the graph is UNDIRECTED
+    * — each pair contributes both directed edges — with co-occurrence
+    * counts as weights; [[pageRankOnGraph]] runs the same exact-integer
+    * iteration, and the top-k tokens by rank are the corpus keywords.
+    * Self-pairs and empty tokens are dropped. The tokenizer is the
+    * canonical normalize fragment every text oracle shares.
+    *
+    * 100 TB shape: tokenization/pairing is row-local; the graph
+    * aggregates are vocabulary²-bounded (far below corpus size); all
+    * node-keyed aggregates map-side combine, so stopword hubs skew no
+    * reducer. Deterministic: integer ranks, total (rank, token) order
+    * for the top-k cut.
+    */
+  def textRankKeywords(docs: DataFrame, iters: Int = 3, k: Int = 50): DataFrame = {
+    val norm = graft.functions.TextOps.normalizeText(col("text"))
+    val toks = docs.select(split(norm, " ").as("t"))
+    val dir0 = toks.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        """filter(transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) AS src, element_at(t, i + 1) AS dst)),
+          |  p -> p.src != p.dst AND p.src != '' AND p.dst != '')""".stripMargin))
+        .as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val edges = dir0
+      .unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val nodes = toks.select(explode(col("t")).as("node"))
+      .where(col("node") =!= "").distinct()
+    pageRankOnGraph(edges, nodes, iters)
+      .orderBy(col("rank_units").desc, col("node"))
+      .limit(k)
+      .select(col("node").as("token"), col("rank_units"))
+  }
+
+  def textRankQuery(s: SparkSession, dir: String): DataFrame =
+    textRankKeywords(t(s, dir, "documents"), iters = 3, k = 50)
 
   /** Degree/strength profile of the transition graph — the link-graph
     * QC companion (hub detection, weight concentration) and the cheap
@@ -160,6 +207,33 @@ object GraphOps {
            |${iterSql("r1", "r2")},
            |${iterSql("r2", "r3")}
            |SELECT node, CAST(r AS BIGINT) AS rank_units FROM r3 ORDER BY node""".stripMargin)),
+    GraftQuery("q_textrank_keywords",
+      "TextRank corpus keywords: exact-integer PageRank over the adjacent-token co-occurrence graph, top 50",
+      textRankQuery,
+      Some(
+        s"""WITH toks AS (
+           |  SELECT string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+           |  FROM documents),
+           |p0 AS (
+           |  SELECT unnest(list_filter(list_transform(range(1, len(t)),
+           |           i -> {'src': t[i], 'dst': t[i+1]}),
+           |           p -> p.src <> p.dst AND p.src <> '' AND p.dst <> '')) AS p
+           |  FROM toks WHERE len(t) >= 2),
+           |dir0 AS (SELECT p.src AS src, p.dst AS dst FROM p0),
+           |edges AS (
+           |  SELECT src, dst, count(*) AS w FROM (
+           |    SELECT src, dst FROM dir0 UNION ALL SELECT dst, src FROM dir0)
+           |  GROUP BY src, dst),
+           |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+           |nodes AS (
+           |  SELECT DISTINCT tok AS node
+           |  FROM (SELECT unnest(t) AS tok FROM toks) WHERE tok <> ''),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+           |${iterSql("r0", "r1")},
+           |${iterSql("r1", "r2")},
+           |${iterSql("r2", "r3")}
+           |SELECT node AS token, CAST(r AS BIGINT) AS rank_units
+           |FROM r3 ORDER BY r DESC, node LIMIT 50""".stripMargin)),
     GraftQuery("q_graph_degrees",
       "transition-graph degree/strength profile (in/out degree and weight per node)",
       graphDegrees,

@@ -67,6 +67,41 @@ class GraphOpsSpec extends SparkTestBase {
     assert(!plan.contains("Cartesian"), s"cartesian in pageRank plan:\n${plan.take(800)}")
   }
 
+  test("textRank matches a plain-JVM mirror on a crafted corpus; hub token ranks first") {
+    // pre-normalized text: tokenization reduces to whitespace split.
+    // 'data' is the hub (co-occurs with everything)
+    val docs = Seq(
+      "data quality data pipeline",
+      "data spark pipeline",
+      "spark data",
+      "solo").toDF("text")
+    // JVM mirror of the whole pipeline
+    val tokLists = Seq(
+      Seq("data", "quality", "data", "pipeline"),
+      Seq("data", "spark", "pipeline"),
+      Seq("spark", "data"),
+      Seq("solo"))
+    val dirPairs = tokLists.flatMap(t => t.zip(t.drop(1))).filter(p => p._1 != p._2)
+    val und = dirPairs ++ dirPairs.map(_.swap)
+    val edges = und.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val outw = edges.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    val nodes = tokLists.flatten.distinct
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = nodes.map { v =>
+        v -> edges.collect { case ((u, d), w) if d == v => r(u) * w / outw(u) }.sum
+      }.toMap
+      r = nodes.map(v => v -> (150000L + 17L * contrib(v) / 20L)).toMap
+    }
+    val expect = r.toSeq.sortBy { case (tok, ru) => (-ru, tok) }.take(50)
+    val got = graft.ext.GraphOps.textRankKeywords(docs, iters = 3, k = 50)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toSeq
+    assert(got == expect, s"spark $got != jvm $expect")
+    assert(got.head._1 == "data", "hub token must rank first")
+    assert(got.exists { case (tok, ru) => tok == "solo" && ru == 150000L },
+      "isolated token carries teleport mass only")
+  }
+
   test("graph degrees: strengths are consistent with the edge list (sum out_w == sum in_w == sum w)") {
     val deg = GraphOps.graphDegrees(spark, sfDir)
     val sums = deg.agg(sum("out_w"), sum("in_w")).head()
