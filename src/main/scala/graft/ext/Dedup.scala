@@ -772,9 +772,11 @@ object Dedup {
     * a session — true for the driver fixtures every registered query
     * reads (rewrite the table mid-session and you must use a new
     * session or call the un-memoized builders directly). The compute
-    * runs OUTSIDE the map lock (get/putIfAbsent, not computeIfAbsent):
-    * a concurrent first call may duplicate the idempotent computation,
-    * but never blocks unrelated callers for the multi-second job.
+    * runs OUTSIDE the map lock (get/putIfAbsent, not computeIfAbsent),
+    * so the MAP never blocks anyone for the multi-second job; the
+    * near-dup callers additionally serialize same-key first calls
+    * under a per-(session, dir) lock (see [[lockFor]]) — unrelated
+    * keys still proceed in parallel.
     */
   private def memoized(
       map: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
@@ -795,28 +797,42 @@ object Dedup {
   // themselves are materialized (see nearDupLabels)
   private val sharedSetsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  // serializes the near-dup compute-and-put against nearDupLabels'
-  // cache release: without it, a concurrent first call racing the
-  // release could re-insert a shingle-set cache entry AFTER removal,
-  // leaving it persisted for the session lifetime. Only near-dup
-  // callers contend here — and they all want the same computation;
-  // the generic memoized() path stays lock-free for everyone else.
-  private val sharedLock = new Object
+  // PER-KEY locks serialize each (session, dir)'s compute-and-put
+  // against nearDupLabels' cache release and clearSessionMemos:
+  // without them, a concurrent first call racing the release could
+  // re-insert a shingle-set cache entry AFTER removal (pinning it for
+  // the session lifetime), and a clear could orphan persisted blocks
+  // mid-walk. Per-KEY, not one global lock: a caller for another
+  // (session, dir) never waits behind this key's multi-second LSH+CC
+  // materialization — only same-key callers contend, and they all
+  // want the identical memoized computation anyway.
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]()
+  private def lockFor(s: SparkSession, dir: String): Object =
+    keyLocks.computeIfAbsent((s, dir), _ => new Object)
 
   /** Explicit release hook for long-lived library sessions: unpersists
     * and drops every memoized near-dup relation (pairs, labels, and any
-    * in-flight shingle-set cache) for ALL sessions/dirs. The memos
-    * otherwise hold their persisted blocks until the owning session
-    * stops — correct for the fixture-driven harness, heavyweight for an
-    * application that processes many corpora through one session.
+    * in-flight shingle-set cache) for ALL sessions/dirs present at call
+    * time (a key whose first compute starts after the snapshot is
+    * untouched). The memos otherwise hold their persisted blocks until
+    * the owning session stops — correct for the fixture-driven harness,
+    * heavyweight for an application that processes many corpora through
+    * one session.
     */
-  def clearSessionMemos(): Unit = sharedLock.synchronized {
-    Seq(pairsMemo, labelsMemo, sharedSetsCache).foreach { m =>
-      m.values().forEach { df =>
-        try df.unpersist()
-        catch { case _: Exception => () } // a stopped session's blocks are already gone
+  def clearSessionMemos(): Unit = {
+    val keys = new java.util.HashSet[(SparkSession, String)](keyLocks.keySet())
+    Seq(pairsMemo, labelsMemo, sharedSetsCache).foreach(m => keys.addAll(m.keySet()))
+    keys.forEach { key =>
+      lockFor(key._1, key._2).synchronized {
+        Seq(pairsMemo, labelsMemo, sharedSetsCache).foreach { m =>
+          Option(m.remove(key)).foreach { df =>
+            try df.unpersist()
+            catch { case _: Exception => () } // a stopped session's blocks are already gone
+          }
+        }
+        keyLocks.remove(key)
       }
-      m.clear()
     }
   }
 
@@ -832,7 +848,7 @@ object Dedup {
     * thresholded pair list, held until the session ends.
     */
   private def nearDupPairsShared(s: SparkSession, dir: String): DataFrame =
-    sharedLock.synchronized {
+    lockFor(s, dir).synchronized {
       memoized(pairsMemo, s, dir) {
         val (sets, verified) = minhashPairsCore(t(s, dir, "documents"),
           "text", "doc_id", shingleN = 2, numHashes = 16, bands = 8,
@@ -842,13 +858,14 @@ object Dedup {
       }
     }
 
-  // the whole compute runs under sharedLock (reentrant into
-  // nearDupPairsShared's synchronized): every mutation of all three
-  // memo maps is serialized, so clearSessionMemos can neither race a
-  // late putIfAbsent re-pinning a cleared relation nor drop an entry
-  // between its unpersist walk and clear()
+  // the whole compute runs under THIS KEY's lock (reentrant into
+  // nearDupPairsShared's synchronized): every mutation of the key's
+  // entries across all three memo maps is serialized, so
+  // clearSessionMemos can neither race a late putIfAbsent re-pinning
+  // a cleared relation nor orphan a persisted block mid-clear — while
+  // other (session, dir) keys proceed in parallel
   private def nearDupLabels(s: SparkSession, dir: String): DataFrame =
-    sharedLock.synchronized {
+    lockFor(s, dir).synchronized {
       memoized(labelsMemo, s, dir) {
         val labels = connectedComponents(
           nearDupPairsShared(s, dir).select(col("id1"), col("id2")))

@@ -212,7 +212,7 @@ object GraphOps {
       textRankQuery,
       Some(
         s"""WITH toks AS (
-           |  SELECT string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+           |  SELECT ${graft.functions.TextOps.duckNormToksSql} AS t
            |  FROM documents),
            |p0 AS (
            |  SELECT unnest(list_filter(list_transform(range(1, len(t)),

@@ -30,12 +30,15 @@ class GraphOpsSpec extends SparkTestBase {
     assert(edges == Map((1, 2) -> 2L, (2, 3) -> 1L, (3, 1) -> 1L))
   }
 
-  test("pageRank matches a plain-JVM integer mirror on the crafted graph") {
-    val edges = Map((1, 2) -> 2L, (2, 3) -> 1L, (3, 1) -> 1L)
+  /** Shared JVM mirror of pageRankOnGraph's exact-integer iteration —
+    * ONE definition, so the transition-graph and TextRank tests cannot
+    * drift on the damping/scale arithmetic.
+    */
+  private def jvmPageRank[N](edges: Map[(N, N), Long], nodes: Seq[N],
+      iters: Int = 3): Map[N, Long] = {
     val outw = edges.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
-    val nodes = Seq(1, 2, 3, 7)
     var r = nodes.map(_ -> 1000000L).toMap
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to iters) {
       val contrib = nodes.map { v =>
         v -> edges.collect { case ((u, d), w) if d == v =>
           r(u) * w / outw(u) // Long division == Spark/DuckDB `div` on positives
@@ -43,6 +46,12 @@ class GraphOpsSpec extends SparkTestBase {
       }.toMap
       r = nodes.map(v => v -> (150000L + 17L * contrib(v) / 20L)).toMap
     }
+    r
+  }
+
+  test("pageRank matches a plain-JVM integer mirror on the crafted graph") {
+    val r = jvmPageRank(Map((1, 2) -> 2L, (2, 3) -> 1L, (3, 1) -> 1L),
+      Seq(1, 2, 3, 7))
     val got = GraphOps.pageRank(craftedEvents, iters = 3)
       .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
     assert(got == r, s"spark $got != jvm $r")
@@ -84,15 +93,8 @@ class GraphOpsSpec extends SparkTestBase {
     val dirPairs = tokLists.flatMap(t => t.zip(t.drop(1))).filter(p => p._1 != p._2)
     val und = dirPairs ++ dirPairs.map(_.swap)
     val edges = und.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
-    val outw = edges.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
     val nodes = tokLists.flatten.distinct
-    var r = nodes.map(_ -> 1000000L).toMap
-    for (_ <- 1 to 3) {
-      val contrib = nodes.map { v =>
-        v -> edges.collect { case ((u, d), w) if d == v => r(u) * w / outw(u) }.sum
-      }.toMap
-      r = nodes.map(v => v -> (150000L + 17L * contrib(v) / 20L)).toMap
-    }
+    val r = jvmPageRank(edges, nodes)
     val expect = r.toSeq.sortBy { case (tok, ru) => (-ru, tok) }.take(50)
     val got = graft.ext.GraphOps.textRankKeywords(docs, iters = 3, k = 50)
       .collect().map(x => x.getString(0) -> x.getLong(1)).toSeq
