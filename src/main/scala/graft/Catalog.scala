@@ -34,6 +34,7 @@ object Catalog {
       graft.ext.TrainingPrep.queries ++
       graft.ext.Similarity.queries ++
       graft.ext.GraphOps.queries ++
+      graft.ext.MiningOps.queries ++
       graft.ext.Multimodal.queries ++
       graft.streaming.EventOps.queries
 

@@ -147,6 +147,158 @@ object GraphOps {
   def textRankQuery(s: SparkSession, dir: String): DataFrame =
     textRankKeywords(t(s, dir, "documents"), iters = 3, k = 50)
 
+  /** Undirected simple graph from the transition edges: one canonical
+    * (a < b) row per linked pair, self-loops dropped. Shared by the
+    * triangle census and label propagation.
+    */
+  def undirectedEdges(edges: DataFrame): DataFrame =
+    edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+  /** Per-node triangle census + local clustering coefficient over the
+    * undirected transition graph — the standard graph-QC signal (a
+    * crawl/link corpus with no closed wedges is a spam tree; one that is
+    * all triangles is a copy farm).
+    *
+    * 100 TB shape: degree-ordered edge orientation (Suri &
+    * Vassilvitskii 2011) — every edge points from its (deg, node)-
+    * smaller endpoint to the larger, so a node's oriented out-degree is
+    * O(√m) regardless of its real degree, and the wedge self-join that
+    * enumerates candidate triangles never fans a hub's full
+    * neighborhood through one key. Each triangle is emitted exactly
+    * once (its π-least corner owns it), then attributed to all three
+    * corners by a 3-way explode + map-side-combined count. No windows,
+    * no N² anywhere; the only driver data is the final sorted output.
+    * The lcc divide happens once, on integers both engines share.
+    */
+  def triangleStats(events: DataFrame): DataFrame = {
+    val und = undirectedEdges(transitionEdges(events))
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("degb")), "b")
+      .select(when(
+        struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("degb").as("degv")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("v"), col("dega").as("degv")))
+        .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.degv").as("degv"))
+    val o1 = oriented.select(col("u"), col("v").as("v1"), col("degv").as("d1"))
+    val o2 = oriented.select(col("u"), col("v").as("v2"), col("degv").as("d2"))
+    val wedges = o1.join(o2, Seq("u"))
+      .where(struct(col("d1"), col("v1")) < struct(col("d2"), col("v2")))
+    val tris = wedges
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          (lit(2) * coalesce(col("tri"), lit(0L))).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("lcc"))
+      .orderBy("node")
+  }
+
+  def triangleQuery(s: SparkSession, dir: String): DataFrame =
+    triangleStats(t(s, dir, "events"))
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * weighted undirected transition graph — community detection, the
+    * source-clustering companion to the near-dup CC labels. Fixed
+    * iteration count, deterministic argmax: each round a node adopts
+    * the label with the greatest incident edge weight, ties broken by
+    * the SMALLEST label (max(struct(ws, -lbl)) — one aggregate, no
+    * window), isolated/no-update nodes keep their own.
+    *
+    * 100 TB shape: per round, one join of labels onto the adjacency
+    * list (nbr-keyed) and two map-side-combined aggregates
+    * ((node,lbl) weight sums, then the per-node argmax) — hub skew
+    * collapses into partials exactly like the PageRank contribution
+    * aggregate. Unrolled into one lazy plan at fixed iters (the CC
+    * checkpoint loop is the unbounded-iteration tool).
+    */
+  def labelPropagation(events: DataFrame, iters: Int = 3): DataFrame = {
+    // weight = total transition count between the pair, both directions
+    val wAB = transitionEdges(events).where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+    val adj = wAB.select(col("a").as("node"), col("b").as("nbr"), col("w"))
+      .unionAll(wAB.select(col("b").as("node"), col("a").as("nbr"), col("w")))
+    val nodes = adj.select("node").distinct()
+    var lab = nodes.withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      val best = adj
+        .join(lab.select(col("node").as("nbr"), col("lbl")), "nbr")
+        .groupBy("node", "lbl").agg(sum(col("w")).as("ws"))
+        .groupBy("node")
+        .agg(max(struct(col("ws").as("ws"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+      lab = nodes.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+    }
+    val sizes = lab.groupBy("lbl").agg(count(lit(1)).as("csize"))
+    lab.join(sizes, "lbl")
+      .select(col("node"), col("lbl").as("community"), col("csize"))
+      .orderBy("node")
+  }
+
+  def labelPropQuery(s: SparkSession, dir: String): DataFrame =
+    labelPropagation(t(s, dir, "events"), iters = 3)
+
+  /** Bounded-depth weighted reachability from the graph's least node,
+    * as a RECURSIVE CTE (Spark 4's UnionLoop operator — UNION ALL
+    * form, the only one Spark supports): per (node, depth ≤ 3), the
+    * number of transition paths from the seed, weighted by the product
+    * of edge multiplicities. Exact BIGINT arithmetic end to end.
+    *
+    * 100 TB shape: each recursion level is ONE src-keyed equi-join of
+    * the frontier onto the edge list; UnionLoop materializes level
+    * frontiers, so the work per level is |frontier| ⋈ edges — the
+    * depth bound is the user's fan-out knob, and the final per-
+    * (node, depth) aggregate map-side combines the path counts. This is
+    * the declarative form of the hand-rolled iterate-and-union loops
+    * (CC, PageRank) for the bounded-depth case.
+    */
+  def reachPaths(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tuned(s)
+    Tables.registerAll(s, dir)
+    // depth-3 frontier from one seed is ≤ |nodes|³ paths; lift the 1M
+    // default so decade fixtures cannot trip the row-limit guard
+    s.sql("SET spark.sql.cteRecursionRowLimit=20000000")
+    s.sql(
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(get_json_object(props, '$.k') AS INT) AS k
+        |  FROM events WHERE get_json_object(props, '$.k') IS NOT NULL),
+        |trans AS (
+        |  SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+        |         k AS dst
+        |  FROM ev),
+        |edges AS (
+        |  SELECT src, dst, count(*) AS w FROM trans
+        |  WHERE src IS NOT NULL GROUP BY src, dst),
+        |seed AS (SELECT min(src) AS node FROM edges),
+        |reach AS (
+        |  SELECT node, 0 AS depth, CAST(1 AS BIGINT) AS paths FROM seed
+        |  UNION ALL
+        |  SELECT e.dst AS node, r.depth + 1 AS depth, r.paths * e.w AS paths
+        |  FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.depth < 3)
+        |SELECT node, depth, CAST(sum(paths) AS BIGINT) AS n_paths
+        |FROM reach WHERE depth > 0
+        |GROUP BY node, depth ORDER BY depth, node""".stripMargin)
+  }
+
   /** Degree/strength profile of the transition graph — the link-graph
     * QC companion (hub detection, weight concentration) and the cheap
     * oracle-visible pin of [[transitionEdges]]' construction.
@@ -234,6 +386,93 @@ object GraphOps {
            |${iterSql("r2", "r3")}
            |SELECT node AS token, CAST(r AS BIGINT) AS rank_units
            |FROM r3 ORDER BY r DESC, node LIMIT 50""".stripMargin)),
+    GraftQuery("q_triangle_stats",
+      "per-node triangle census + local clustering coefficient via degree-ordered edge orientation (Suri-Vassilvitskii)",
+      (s, dir) => triangleQuery(s, dir),
+      Some(
+        s"""$graphPrefixSql,
+           |und AS (
+           |  -- CAST pins the node type Spark keeps (DuckDB least/greatest
+           |  -- promote INTEGER to BIGINT)
+           |  SELECT DISTINCT CAST(least(src, dst) AS INTEGER) AS a,
+           |                  CAST(greatest(src, dst) AS INTEGER) AS b
+           |  FROM edges WHERE src <> dst),
+           |deg AS (
+           |  SELECT node, count(*) AS deg FROM (
+           |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+           |  GROUP BY node),
+           |oriented AS (
+           |  SELECT CASE WHEN (da.deg, a) < (db.deg, b) THEN a ELSE b END AS u,
+           |         CASE WHEN (da.deg, a) < (db.deg, b) THEN b ELSE a END AS v,
+           |         CASE WHEN (da.deg, a) < (db.deg, b) THEN db.deg ELSE da.deg END AS degv
+           |  FROM und
+           |  JOIN deg da ON da.node = a
+           |  JOIN deg db ON db.node = b),
+           |tris AS (
+           |  SELECT o1.u, o1.v AS v1, o2.v AS v2
+           |  FROM oriented o1
+           |  JOIN oriented o2 ON o1.u = o2.u AND (o1.degv, o1.v) < (o2.degv, o2.v)
+           |  JOIN oriented o3 ON o3.u = o1.v AND o3.v = o2.v),
+           |per_node AS (
+           |  SELECT node, count(*) AS tri FROM (
+           |    SELECT u AS node FROM tris
+           |    UNION ALL SELECT v1 FROM tris
+           |    UNION ALL SELECT v2 FROM tris)
+           |  GROUP BY node)
+           |SELECT d.node, d.deg, COALESCE(p.tri, 0) AS tri,
+           |       CASE WHEN d.deg >= 2
+           |            THEN CAST(2 * COALESCE(p.tri, 0) AS DOUBLE) /
+           |                 CAST(d.deg * (d.deg - 1) AS DOUBLE)
+           |            ELSE 0.0 END AS lcc
+           |FROM deg d LEFT JOIN per_node p ON d.node = p.node
+           |ORDER BY d.node""".stripMargin)),
+    GraftQuery("q_label_propagation",
+      "synchronous weighted label propagation (3 iterations, min-label tie-break) — transition-graph communities + sizes",
+      (s, dir) => labelPropQuery(s, dir),
+      Some {
+        def lpaIter(prev: String, cur: String): String =
+          s"""$cur AS (
+             |  SELECT n.node, COALESCE(b.lbl, n.node) AS lbl
+             |  FROM nodes2 n LEFT JOIN (
+             |    SELECT node, -((max({'ws': ws, 'nl': -lbl})).nl) AS lbl FROM (
+             |      SELECT a.node, p.lbl, CAST(sum(a.w) AS BIGINT) AS ws
+             |      FROM adj a JOIN $prev p ON a.nbr = p.node
+             |      GROUP BY a.node, p.lbl) GROUP BY node) b ON n.node = b.node)""".stripMargin
+        s"""$graphPrefixSql,
+           |wab AS (
+           |  -- CAST: DuckDB least/greatest promote INTEGER -> BIGINT
+           |  SELECT CAST(least(src, dst) AS INTEGER) AS a,
+           |         CAST(greatest(src, dst) AS INTEGER) AS b,
+           |         CAST(sum(w) AS BIGINT) AS w
+           |  FROM edges WHERE src <> dst GROUP BY least(src, dst), greatest(src, dst)),
+           |adj AS (
+           |  SELECT a AS node, b AS nbr, w FROM wab
+           |  UNION ALL SELECT b AS node, a AS nbr, w FROM wab),
+           |nodes2 AS (SELECT DISTINCT node FROM adj),
+           |l0 AS (SELECT node, node AS lbl FROM nodes2),
+           |${lpaIter("l0", "l1")},
+           |${lpaIter("l1", "l2")},
+           |${lpaIter("l2", "l3")},
+           |sizes AS (SELECT lbl, count(*) AS csize FROM l3 GROUP BY lbl)
+           |SELECT l.node, l.lbl AS community, s.csize
+           |FROM l3 l JOIN sizes s ON l.lbl = s.lbl
+           |ORDER BY l.node""".stripMargin
+      }),
+    GraftQuery("q_reach_paths",
+      "RECURSIVE CTE (UnionLoop): depth-bounded weighted path counts from the least transition-graph node",
+      reachPaths,
+      Some(
+        s"""${graphPrefixSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |seed AS (SELECT min(src) AS node FROM edges),
+           |reach AS (
+           |  SELECT node, 0 AS depth, CAST(1 AS BIGINT) AS paths FROM seed
+           |  UNION ALL
+           |  SELECT e.dst AS node, r.depth + 1 AS depth, r.paths * e.w AS paths
+           |  FROM reach r JOIN edges e ON e.src = r.node
+           |  WHERE r.depth < 3)
+           |SELECT node, depth, CAST(sum(paths) AS BIGINT) AS n_paths
+           |FROM reach WHERE depth > 0
+           |GROUP BY node, depth ORDER BY depth, node""".stripMargin)),
     GraftQuery("q_graph_degrees",
       "transition-graph degree/strength profile (in/out degree and weight per node)",
       graphDegrees,

@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.engine.{GraftSession, Tables}
+
+/** Frequent-itemset mining over order baskets (Agrawal & Srikant 1994's
+  * support/confidence/lift vocabulary, pair-level) — the co-occurrence
+  * analytics family the reference's relational surface stops short of
+  * (k8s/codes/variables.py:18-89 aggregates sales; it never mines
+  * cross-product affinities).
+  *
+  * 100 TB shape: the pair generator is a per-basket self-join — fan-out
+  * is Σ sᵢ² over basket sizes sᵢ, which real order data bounds by a
+  * small constant (TPC-H ≤ 7 items/order); there is never a
+  * corpus-level N². Baskets are deduped to (order, item) first, both
+  * aggregates map-side combine, the top-k cut is TakeOrderedAndProject
+  * (per-partition heads, driver merge of k·P rows), and the
+  * singles/total joins attach to the 20 surviving rows, with the 1-row
+  * basket count a broadcast literal. Lift keeps integer numerator and
+  * denominator separate until ONE double division both engines share.
+  */
+object MiningOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(GraftSession.tuned(s), dir, n)
+
+  /** Top-k item pairs by basket support with confidence and lift. */
+  def itemsetPairs(lineitem: DataFrame, k: Int = 20): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = items.select(countDistinct(col("ok")).as("n"))
+    val singles = items.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    val pairs = items.select(col("ok"), col("pk").as("pa"))
+      .join(items.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+      .where(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+    val top = pairs
+      .orderBy(col("support").desc, col("pa"), col("pb"))
+      .limit(k)
+    top
+      .join(singles.select(col("pk").as("pa"), col("cnt").as("cnt_a")), "pa")
+      .join(singles.select(col("pk").as("pb"), col("cnt").as("cnt_b")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("pa"), col("pb"), col("support"), col("cnt_a"), col("cnt_b"),
+        (col("support").cast("double") / col("cnt_a").cast("double"))
+          .as("conf_a_b"),
+        ((col("support") * col("n")).cast("double") /
+          (col("cnt_a") * col("cnt_b")).cast("double")).as("lift"))
+      .orderBy(col("support").desc, col("pa"), col("pb"))
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_itemset_pairs",
+      "market-basket pair mining: top-20 co-purchased part pairs with support, confidence, lift",
+      (s, dir) => itemsetPairs(t(s, dir, "lineitem"), k = 20),
+      Some(
+        """WITH items AS (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |n_orders AS (SELECT count(DISTINCT ok) AS n FROM items),
+          |singles AS (SELECT pk, count(*) AS cnt FROM items GROUP BY pk),
+          |pairs AS (
+          |  SELECT i1.pk AS pa, i2.pk AS pb, count(*) AS support
+          |  FROM items i1 JOIN items i2 ON i1.ok = i2.ok AND i1.pk < i2.pk
+          |  GROUP BY i1.pk, i2.pk),
+          |top AS (
+          |  SELECT pa, pb, support FROM pairs
+          |  ORDER BY support DESC, pa, pb LIMIT 20)
+          |SELECT t.pa, t.pb, t.support, sa.cnt AS cnt_a, sb.cnt AS cnt_b,
+          |       CAST(t.support AS DOUBLE) / CAST(sa.cnt AS DOUBLE) AS conf_a_b,
+          |       CAST(t.support * n.n AS DOUBLE) /
+          |       CAST(sa.cnt * sb.cnt AS DOUBLE) AS lift
+          |FROM top t
+          |JOIN singles sa ON sa.pk = t.pa
+          |JOIN singles sb ON sb.pk = t.pb
+          |CROSS JOIN n_orders n
+          |ORDER BY t.support DESC, t.pa, t.pb""".stripMargin)),
+  )
+}

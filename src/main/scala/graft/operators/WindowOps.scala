@@ -329,7 +329,54 @@ object WindowOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Dyadic-decay trailing EWMA of per-customer spend: weights 2⁻ⁱ over
+    * the last 8 orders, computed entirely in BIGINT cent-units
+    * (Σ cents·2^(7-i), one double division by the weight mass at the
+    * end) — the cross-engine float discipline applied to exponential
+    * smoothing. Eight lags share ONE window spec, so Spark plans a
+    * single Window operator over one (o_custkey) shuffle; the frame is
+    * row-bounded, so state per key is 8 values at any scale.
+    */
+  def ewmaOf(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+    val units = (1 to 7).foldLeft(cents * lit(128L)) { (acc, i) =>
+      acc + coalesce(lag(cents, i).over(w), lit(0L)) * lit(1L << (7 - i))
+    }
+    orders
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast(dec12).cast(DoubleType).as("price"),
+        (units.cast(DoubleType) / lit(25500.0)).as("ewma"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  def ewmaDyadic(s: SparkSession, dir: String): DataFrame =
+    ewmaOf(t(s, dir, "orders"))
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_ewma",
+      "dyadic-decay trailing EWMA (8-order half-life weights, exact BIGINT units, one final divide)",
+      ewmaDyadic,
+      Some(
+        """WITH c AS (
+          |  SELECT o_custkey, o_orderkey, o_orderdate,
+          |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+          |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM orders)
+          |SELECT o_custkey, o_orderkey, price,
+          |       CAST(cents * 128
+          |            + COALESCE(lag(cents, 1) OVER win, 0) * 64
+          |            + COALESCE(lag(cents, 2) OVER win, 0) * 32
+          |            + COALESCE(lag(cents, 3) OVER win, 0) * 16
+          |            + COALESCE(lag(cents, 4) OVER win, 0) * 8
+          |            + COALESCE(lag(cents, 5) OVER win, 0) * 4
+          |            + COALESCE(lag(cents, 6) OVER win, 0) * 2
+          |            + COALESCE(lag(cents, 7) OVER win, 0) AS DOUBLE) / 25500.0 AS ewma
+          |FROM c
+          |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)),
     GraftQuery("q_sort_limit", "ORDER BY + LIMIT → TakeOrderedAndProject",
       sortLimit,
       Some(

@@ -104,6 +104,105 @@ class GraphOpsSpec extends SparkTestBase {
       "isolated token carries teleport mass only")
   }
 
+  /** Brute-force per-node triangle counts over an undirected edge set —
+    * the O(n³) mirror the oriented-wedge pipeline must match.
+    */
+  private def jvmTriangles(und: Set[(Int, Int)]): Map[Int, Long] = {
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def has(a: Int, b: Int) = und.contains((a min b, a max b))
+    val counts = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if has(a, b) && has(a, c) && has(b, c)
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  test("triangle census: crafted triangle + pendant, exact counts and lcc") {
+    // u1 walks 1->2->3->1 (closes the triangle), u2 walks 3->4 (pendant)
+    val ev = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3), (1L, 40L, 1),
+      (2L, 10L, 3), (2L, 20L, 4))
+      .map { case (u, t, k) =>
+        (u, new Timestamp(t * 1000L), u * 100 + t, s"""{"k": $k}""")
+      }
+      .toDF("user_id", "ts", "event_id", "props")
+    val got = GraphOps.triangleStats(ev).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1 -> ((2L, 1L, 1.0)), 2 -> ((2L, 1L, 1.0)),
+      3 -> ((3L, 1L, 1.0 / 3.0)), 4 -> ((1L, 0L, 0.0))), s"got $got")
+  }
+
+  test("triangle census matches the brute-force mirror on the fixture graph") {
+    val events = graft.engine.Tables.load(spark, sfDir, "events")
+    val und = GraphOps.undirectedEdges(GraphOps.transitionEdges(events))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val expect = jvmTriangles(und)
+    val got = GraphOps.triangleStats(events).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got.filter(_._2 > 0) == expect.filter(_._2 > 0),
+      "per-node triangle counts must equal brute force")
+  }
+
+  /** Synchronous-LPA JVM mirror: max total incident weight, min-label
+    * tie-break, isolated/no-inflow nodes keep their label.
+    */
+  private def jvmLpa(adj: Map[(Int, Int), Long], nodes: Seq[Int],
+      iters: Int): Map[Int, Int] = {
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lab = nodes.map { v =>
+        // .toSeq first: a Map.collect producing (label, w) pairs would
+        // DEDUP by label and silently drop weight mass
+        val inc = adj.toSeq.collect { case ((n, nbr), w) if n == v => (lab(nbr), w) }
+          .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
+        if (inc.isEmpty) v -> lab(v)
+        else v -> -inc.toSeq.map { case (l, ws) => (ws, -l) }.max._2
+      }.toMap
+    }
+    lab
+  }
+
+  test("label propagation matches the JVM mirror on the fixture graph; sizes consistent") {
+    val events = graft.engine.Tables.load(spark, sfDir, "events")
+    val e = GraphOps.transitionEdges(events)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val undW = e.toSeq.filter { case ((s0, d0), _) => s0 != d0 }
+      .groupBy { case ((s0, d0), _) => (s0 min d0, s0 max d0) }
+      .map { case (p, xs) => p -> xs.map(_._2).sum }
+    val adj = undW.flatMap { case ((a, b), w) =>
+      Seq((a, b) -> w, (b, a) -> w) }
+    val nodes = adj.keys.map(_._1).toSeq.distinct
+    val expect = jvmLpa(adj, nodes, iters = 3)
+    val rows = GraphOps.labelPropagation(events, iters = 3).collect()
+    val got = rows.map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == expect, "community labels must equal the sync-LPA mirror")
+    // csize column is the count of nodes sharing the label
+    val sizes = expect.values.toSeq.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    assert(rows.forall(r => r.getLong(2) == sizes(r.getInt(1))), "community sizes")
+  }
+
+  test("recursive-CTE reach paths match a JVM BFS product mirror at sf0.001") {
+    val events = graft.engine.Tables.load(spark, sfDir, "events")
+    val e = GraphOps.transitionEdges(events)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val seed = e.keys.map(_._1).min
+    var frontier = Map(seed -> 1L)
+    val expect = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    for (depth <- 1 to 3) {
+      val next = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+      for ((n, paths) <- frontier; (((s0, d0), w)) <- e if s0 == n)
+        next(d0) += paths * w
+      frontier = next.toMap
+      frontier.foreach { case (n, p) => expect((n, depth)) = p }
+    }
+    val got = GraphOps.reachPaths(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == expect.toMap, s"reach paths diverge: got ${got.size} keys, expect ${expect.size}")
+  }
+
   test("graph degrees: strengths are consistent with the edge list (sum out_w == sum in_w == sum w)") {
     val deg = GraphOps.graphDegrees(spark, sfDir)
     val sums = deg.agg(sum("out_w"), sum("in_w")).head()

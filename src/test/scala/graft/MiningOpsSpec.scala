@@ -1,0 +1,40 @@
+package graft
+
+import graft.ext.MiningOps
+
+/** Market-basket pair mining: hand-computed support/confidence/lift on
+  * crafted baskets, plus determinism on the fixture.
+  */
+class MiningOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("itemset pairs: crafted baskets give exact support, confidence, lift") {
+    // baskets: o1={A,B,C}, o2={A,B}, o3={A,C}, o4={B} (+ dup row noise)
+    val li = Seq(
+      (1L, 101L), (1L, 102L), (1L, 103L), (1L, 101L), // dup (1,A) must not double-count
+      (2L, 101L), (2L, 102L),
+      (3L, 101L), (3L, 103L),
+      (4L, 102L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = MiningOps.itemsetPairs(li, k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // singles: A=3, B=3, C=2; n_orders=4
+    // pairs: (A,B)=2, (A,C)=2, (B,C)=1
+    assert(got == Map(
+      (101L, 102L) -> ((2L, 3L, 3L, 2.0 / 3.0, 8.0 / 9.0)),
+      (101L, 103L) -> ((2L, 3L, 2L, 2.0 / 3.0, 8.0 / 6.0)),
+      (102L, 103L) -> ((1L, 3L, 2L, 1.0 / 3.0, 4.0 / 6.0))), s"got $got")
+  }
+
+  test("itemset pairs on the fixture: deterministic rerun, support ordering, lift finite") {
+    val li = graft.engine.Tables.load(spark, sfDir, "lineitem")
+    val a = MiningOps.itemsetPairs(li, k = 20).collect()
+    val b = MiningOps.itemsetPairs(li, k = 20).collect()
+    assert(a.toSeq == b.toSeq, "rerun-identical")
+    val supports = a.map(_.getLong(2)).toSeq
+    assert(supports == supports.sorted.reverse, "descending support")
+    assert(a.forall(r => r.getDouble(6) > 0 && !r.getDouble(6).isInfinite))
+  }
+}

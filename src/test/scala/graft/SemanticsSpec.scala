@@ -114,6 +114,22 @@ class SemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("dyadic EWMA: hand-computed weights on a crafted order series") {
+    val orders = Seq(
+      (1L, 1L, "1995-01-01", 100.0),
+      (1L, 2L, "1995-01-02", 200.0),
+      (1L, 3L, "1995-01-03", 400.0),
+      (2L, 4L, "1995-01-01", 50.0))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val got = graft.operators.WindowOps.ewmaOf(orders).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // cents 10000/20000/40000; weights current=128, lag1=64, lag2=32
+    assert(got(1L) == 10000.0 * 128 / 25500.0)
+    assert(got(2L) == (20000.0 * 128 + 10000 * 64) / 25500.0)
+    assert(got(3L) == (40000.0 * 128 + 20000 * 64 + 10000 * 32) / 25500.0)
+    assert(got(4L) == 5000.0 * 128 / 25500.0, "partitions independent")
+  }
+
   test("ratio-to-report: shares sum to 1 per customer") {
     val sums = operators.WindowOps.ratioToReport(spark, sfDir)
       .groupBy("o_custkey").agg(sum("share").as("s"))
