@@ -322,6 +322,68 @@ object Dedup {
     if (cache) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else df
 
+  // ---- Prefix-filtered set-similarity join (AllPairs/PPJoin family) ----
+
+  /** EXACT set-similarity self-join via prefix filtering (Bayardo et al.
+    * 2007 "Scaling Up All Pairs Similarity Search"; the PPJoin lineage) —
+    * the deterministic counterpart to the LSH pipeline: instead of
+    * probabilistic banding, each doc's shingle set is sorted by a GLOBAL
+    * rarity order (ascending document frequency, hash tie-break) and only
+    * its PREFIX — the first n − ⌈t·n⌉ + 1 shingles — is exploded into the
+    * candidate join. The prefix lemma guarantees any pair with
+    * Jaccard ≥ t shares a prefix shingle (overlap ≥ ⌈t·n⌉ forces it), so
+    * recall is 1.0 BY CONSTRUCTION, not by a fixture data-gap argument;
+    * the exact verify then makes output == brute force on any corpus.
+    *
+    * 100 TB shape: everything rides the hashed-shingle machinery (8-byte
+    * keys, native codegen hashing). Shuffles: the df aggregate, the
+    * per-doc sort_array re-aggregate, the prefix-token candidate join, a
+    * narrow (id1, id2) distinct, and the survivor-only verify join. The
+    * rarity order is the skew control — a shingle with document
+    * frequency d can appear in at most d prefixes, and COMMON shingles
+    * are pushed out of prefixes entirely (a doc's prefix is its rarest
+    * shingles), so candidate volume is Σ_sh prefix-count(sh)², dominated
+    * by the rare tail. The remaining hot case — thousands of IDENTICAL
+    * tiny sets — is exact-dup flood, which the pipeline removes upstream
+    * (TrainingPipeline dedups exactly before near-dup). Length filter
+    * min ≥ t·max prunes size-incompatible pairs before the distinct.
+    */
+  def setSimJoin(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 2, threshold: Double = 0.5,
+      sorted: Boolean = true): DataFrame = {
+    val sets = hashedShingleSets(docs, textCol, idCol, shingleN)
+    val docFreq = sets.select(explode(col("shs")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val ordered = sets.select(col(idCol), explode(col("shs")).as("sh"))
+      .join(docFreq, "sh")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("o"))
+      .select(col(idCol), expr("transform(o, x -> x.sh)").as("oshs"))
+    val withPre = ordered
+      .withColumn("n", size(col("oshs")))
+      .withColumn("pre", expr(
+        s"slice(oshs, 1, size(oshs) - CAST(ceil($threshold * size(oshs)) AS INT) + 1)"))
+    val p1 = withPre.select(col(idCol).as("id1"), col("n").as("n1"),
+      explode(col("pre")).as("sh"))
+    val p2 = withPre.select(col(idCol).as("id2"), col("n").as("n2"),
+      explode(col("pre")).as("sh"))
+    val cands = p1.join(p2, Seq("sh"))
+      .where(col("id1") < col("id2"))
+      .where(least(col("n1"), col("n2")).cast("double") >=
+        lit(threshold) * greatest(col("n1"), col("n2")).cast("double"))
+      .select("id1", "id2")
+      .distinct()
+    val verified = cands
+      .join(sets.select(col(idCol).as("id1"), col("shs").as("sh1")), "id1")
+      .join(sets.select(col(idCol).as("id2"), col("shs").as("sh2")), "id2")
+      .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    if (sorted) verified.orderBy("id1", "id2") else verified
+  }
+
+  def setSimQuery(s: SparkSession, dir: String): DataFrame =
+    setSimJoin(t(s, dir, "documents"), "text", "doc_id")
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash of the token column: bit i of the result is 1 iff
@@ -955,6 +1017,28 @@ object Dedup {
       |),
       |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
+  /** Shared brute-force O(n²) exact-Jaccard oracle: the pair list both
+    * q_minhash_neardup (probabilistic recall + data-gap argument) and
+    * q_setsim_join (exact recall by the prefix lemma) must reproduce.
+    */
+  private val bruteForcePairsSql: String =
+    """WITH sets AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |    ELSE [] END) AS shingles
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |        FROM documents)
+      |)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |       len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+      |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      |WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+      |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+      |ORDER BY id1, id2""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_dedup_exact", "exact dedup via content-hash groupBy",
       exactDedup,
@@ -1001,24 +1085,13 @@ object Dedup {
     // testdata). The jaccard VALUE matches because the hashed-shingle
     // sets are collision-free here (64-bit hashes over ~10² shingles).
     GraftQuery("q_minhash_neardup", "MinHash+LSH near-dup pairs w/ exact Jaccard verify (brute-force oracle)",
-      minhashQuery,
-      Some(
-        """WITH sets AS (
-          |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
-          |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-          |    ELSE [] END) AS shingles
-          |  FROM (SELECT doc_id,
-          |          string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
-          |        FROM documents)
-          |)
-          |SELECT a.doc_id AS id1, b.doc_id AS id2,
-          |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-          |       len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-          |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-          |WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
-          |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-          |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
-          |ORDER BY id1, id2""".stripMargin)),
+      minhashQuery, Some(bruteForcePairsSql)),
+    // Same oracle, no data-gap argument needed: the prefix lemma makes
+    // candidate recall 1.0 on ANY corpus, so pipeline == brute force by
+    // construction (the shared oracle just pins it cross-engine).
+    GraftQuery("q_setsim_join",
+      "exact set-similarity self-join via global-rarity prefix filtering (AllPairs/PPJoin) — deterministic counterpart to LSH",
+      setSimQuery, Some(bruteForcePairsSql)),
     GraftQuery("q_simhash_neardup", "SimHash 64-bit near-dup pairs (chunk-blocked; XXH64 is engine-specific -> rows-only; blocking proven by q_simhash_md5_twin)",
       simhashQuery, None),
     GraftQuery("q_simhash_md5_twin", "md5-SimHash pigeonhole blocking == brute-force O(n^2) Hamming scan",

@@ -303,6 +303,62 @@ object TextOps {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
 
+  /** BPE merge TRAINING (Sennrich et al. 2016), k unrolled iterations:
+    * where [[bpePairStats]] is iteration zero's candidate list, this
+    * runs the actual greedy loop — count weighted adjacent symbol pairs
+    * over the vocabulary, pick the argmax (count desc, pair asc
+    * tie-break), apply the merge to every word's symbol array
+    * (left-to-right greedy non-overlapping, the reference algorithm's
+    * order), repeat. Emits the learned merge table: (step, lhs, rhs,
+    * pair_cnt). Pair statistics count every adjacent occurrence
+    * (overlapping included), the standard formulation.
+    *
+    * 100 TB design: the corpus collapses to its VOCABULARY (word,
+    * count) in one map-side-combined aggregate — every later stage is
+    * vocabulary-bounded, orders of magnitude below corpus size. Per
+    * iteration: one pair-count aggregate (map-side combined), a 1-row
+    * TakeOrderedAndProject argmax broadcast back, and a row-local
+    * higher-order-function fold applying the merge. Fixed iters unroll
+    * into one lazy plan; an unbounded trainer would lineage-cut the
+    * vocabulary per round like the CC loop. The fold's list ops are
+    * O(word_len²) per word — bounded by max word length, not corpus.
+    */
+  def bpeMergeTrain(docs: DataFrame, iters: Int = 3): DataFrame = {
+    var vocab = docs
+      .select(explode(split(normalizeText(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
+        col("cnt"))
+    var out: DataFrame = null
+    for (step <- 1 to iters) {
+      val pairs = vocab.where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS l,
+            |              element_at(syms, i + 1) AS r))""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("cnt")).as("pair_cnt"))
+      val top = pairs
+        .orderBy(col("pair_cnt").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .select(lit(step).as("step"), col("lhs"), col("rhs"), col("pair_cnt"))
+      out = if (out == null) top else out.unionAll(top)
+      vocab = vocab
+        .crossJoin(broadcast(top.select(col("lhs").as("ml"), col("rhs").as("mr"))))
+        .select(expr(
+          """aggregate(syms, CAST(array() AS ARRAY<STRING>),
+            |  (acc, x) -> CASE WHEN size(acc) > 0
+            |                    AND element_at(acc, -1) = ml AND x = mr
+            |              THEN concat(slice(acc, 1, size(acc) - 1),
+            |                          array(concat(ml, mr)))
+            |              ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"),
+          col("cnt"))
+    }
+    out.orderBy("step")
+  }
+
   /** Binary encodings + cryptographic digests: hex, base64, md5,
     * sha2-256 — content-addressing and transport encodings for
     * artifact/dedup stores.
@@ -557,6 +613,44 @@ object TextOps {
            |  FROM toks WHERE length(tok) >= 2)
            |SELECT pair, count(*) AS cnt FROM pairs
            |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin)),
+    GraftQuery("q_bpe_merges",
+      "BPE merge training: 3 unrolled greedy iterations over the weighted vocabulary (learned merge table)",
+      (s, dir) => bpeMergeTrain(t(s, dir, "documents"), iters = 3),
+      Some {
+        // one BPE iteration: pair stats on the previous vocabulary,
+        // 1-row argmax, merge applied by a list_reduce fold (greedy
+        // leftmost, same as Spark's aggregate() fold). acc[:-2] is the
+        // drop-last slice (DuckDB slice bounds are inclusive).
+        def bpeIter(prevV: String, n: Int): String =
+          s"""p$n AS (
+             |  SELECT p.l AS lhs, p.r AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM (
+             |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+             |             i -> {'l': syms[i], 'r': syms[i + 1]})) AS p
+             |    FROM $prevV WHERE len(syms) >= 2)
+             |  GROUP BY p.l, p.r),
+             |t$n AS (
+             |  SELECT $n AS step, lhs, rhs, pair_cnt FROM p$n
+             |  ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
+             |v$n AS (
+             |  SELECT list_reduce(list_transform(syms, s -> [s]),
+             |           (acc, x) -> CASE WHEN len(acc) > 0
+             |                             AND acc[-1] = t.lhs AND x[1] = t.rhs
+             |                       THEN list_append(acc[:-2], t.lhs || t.rhs)
+             |                       ELSE list_concat(acc, x) END) AS syms, cnt
+             |  FROM $prevV CROSS JOIN t$n t)""".stripMargin
+        s"""WITH v0 AS (
+           |  SELECT list_transform(range(1, length(w) + 1),
+           |           i -> substring(w, i, 1)) AS syms, cnt FROM (
+           |    SELECT w, count(*) AS cnt FROM (
+           |      SELECT unnest($duckNormToksSql) AS w FROM documents)
+           |    WHERE w <> '' GROUP BY w)),
+           |${bpeIter("v0", 1)},
+           |${bpeIter("v1", 2)},
+           |${bpeIter("v2", 3)}
+           |SELECT step, lhs, rhs, pair_cnt FROM (
+           |  SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3)
+           |ORDER BY step""".stripMargin
+      }),
     GraftQuery("q_text_stats", "token/char counts incl. BPE-ish regex tokenizer",
       textStats,
       Some(

@@ -165,6 +165,43 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.nearDupSurvivors(spark, sfDir).count() == total - removed)
   }
 
+  test("setSimJoin (prefix filter) == exact O(n²) brute force on the fixture == minhash output") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sets = Dedup.shingleSets(docs, "text", 2)
+      .where(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"))
+    val a = sets.select(col("doc_id").as("id1"), col("shingles").as("sh1"))
+    val b = sets.select(col("doc_id").as("id2"), col("shingles").as("sh2"))
+    val exact = a.crossJoin(b).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double")).as("j"))
+      .where(col("j") >= 0.5)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Double)].collect().toList
+    val got = Dedup.setSimQuery(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == exact, "prefix-filtered join must equal brute force exactly")
+    assert(got.nonEmpty, "fixture plants near-dup pairs")
+    // and therefore equals the LSH pipeline's verified output
+    val lsh = Dedup.minhashQuery(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == lsh, "two algorithms, one pair list")
+  }
+
+  test("prefix lemma holds on crafted adversarial sets (tiny overlap at the threshold)") {
+    // two sets sharing exactly half their shingles, plus decoys — the
+    // boundary case j == 0.5 must survive the prefix+length filters
+    val texts = Seq(
+      "a b c d e f g h i",        // shingles ab..hi (8)
+      "a b c d e x y z w",        // shares ab,bc,cd,de -> j = 4/12 < .5 (decoy)
+      "a b c d e f g h i",        // exact dup of 0: j = 1.0
+      "q r s t u v")              // disjoint decoy
+    val got = Dedup.setSimJoin(docsDf(texts), "text", "doc_id")
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == List((0L, 2L, 1.0)), s"got $got")
+  }
+
   test("incrementalNearDups == exact O(n²) cross brute force on the fixture") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sets = Dedup.shingleSets(docs, "text", 2).select(col("doc_id"), col("shingles"))

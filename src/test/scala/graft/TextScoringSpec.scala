@@ -9,6 +9,29 @@ import graft.functions.TextOps
   */
 class TextScoringSpec extends SparkTestBase {
 
+  test("BPE merge training: hand-computed merges on the classic low/lower/newest corpus") {
+    import spark.implicits._
+    val docs = Seq("low low low lower", "lower newest").toDF("text")
+    val got = graft.functions.TextOps.bpeMergeTrain(docs, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    // vocab: low:3, lower:2, newest:1
+    // iter1: 'l o'=5 ties 'o w'=5 -> lhs-asc tie-break picks (l, o)
+    // iter2: 'lo w'=5 wins
+    // iter3: 'low e'=2 ties 'e r'=2 -> 'e' < 'low' picks (e, r)
+    assert(got == List((1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "e", "r", 2L)),
+      s"got $got")
+  }
+
+  test("BPE pair stats count overlapping occurrences; merge fold is greedy leftmost") {
+    import spark.implicits._
+    val docs = Seq("aaaa aaaa").toDF("text")
+    val got = graft.functions.TextOps.bpeMergeTrain(docs, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    // vocab: aaaa:2. iter1: overlapping 'a a' pairs = 3 per word * 2 = 6;
+    // greedy fold: [a,a,a,a] -> [aa,aa]. iter2: 'aa aa' = 1 * 2 = 2.
+    assert(got == List((1, "a", "a", 6L), (2, "aa", "aa", 2L)), s"got $got")
+  }
+
   private def norm(t: String): Array[String] = t.toLowerCase
     .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim.split(" ", -1)
 
