@@ -348,8 +348,19 @@ object Dedup {
     * (TrainingPipeline dedups exactly before near-dup). Length filter
     * min ≥ t·max prunes size-incompatible pairs before the distinct.
     */
+  // Default shingle order is 3, NOT the minhash pipeline's 2, and the
+  // choice is measured: this corpus realizes only ~931 distinct word
+  // BIGRAMS across 5000 docs (sf0.1), so bigram document frequencies
+  // are huge and prefix filtering cannot discriminate (Σ df² = 73M
+  // candidate rows for 256 true pairs — the algorithm's efficiency
+  // premise, a shingle universe >> corpus, is broken by design in the
+  // synthetic text). TRIGRAMS realize 27k distinct shingles at sf0.1
+  // (Σ df² = 2.8M, 26× less), restoring the rare-prefix regime the
+  // published algorithm assumes. Correctness is n-independent (the
+  // prefix lemma holds for any token universe); only the candidate
+  // volume changes.
   def setSimJoin(docs: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 2, threshold: Double = 0.5,
+      shingleN: Int = 3, threshold: Double = 0.5,
       sorted: Boolean = true): DataFrame = {
     val sets = hashedShingleSets(docs, textCol, idCol, shingleN)
     val docFreq = sets.select(explode(col("shs")).as("sh"))
@@ -1017,27 +1028,29 @@ object Dedup {
       |),
       |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
-  /** Shared brute-force O(n²) exact-Jaccard oracle: the pair list both
-    * q_minhash_neardup (probabilistic recall + data-gap argument) and
-    * q_setsim_join (exact recall by the prefix lemma) must reproduce.
+  /** Shared brute-force O(n²) exact-Jaccard oracle over word n-gram
+    * shingle sets: the pair list q_minhash_neardup (n=2, probabilistic
+    * recall + data-gap argument) and q_setsim_join (n=3, exact recall by
+    * the prefix lemma) must reproduce.
     */
-  private val bruteForcePairsSql: String =
-    """WITH sets AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
-      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-      |    ELSE [] END) AS shingles
-      |  FROM (SELECT doc_id,
-      |          string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
-      |        FROM documents)
-      |)
-      |SELECT a.doc_id AS id1, b.doc_id AS id2,
-      |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-      |       len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-      |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-      |WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
-      |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-      |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
-      |ORDER BY id1, id2""".stripMargin
+  private def bruteForcePairsSql(n: Int): String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= $n
+       |    THEN list_transform(range(1, len(toks) - $n + 2),
+       |           i -> array_to_string(list_slice(toks, i, i + $n - 1), ' '))
+       |    ELSE [] END) AS shingles
+       |  FROM (SELECT doc_id,
+       |          string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+       |        FROM documents)
+       |)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+       |       len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+       |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+       |WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+       |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+       |ORDER BY id1, id2""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_dedup_exact", "exact dedup via content-hash groupBy",
@@ -1085,13 +1098,13 @@ object Dedup {
     // testdata). The jaccard VALUE matches because the hashed-shingle
     // sets are collision-free here (64-bit hashes over ~10² shingles).
     GraftQuery("q_minhash_neardup", "MinHash+LSH near-dup pairs w/ exact Jaccard verify (brute-force oracle)",
-      minhashQuery, Some(bruteForcePairsSql)),
-    // Same oracle, no data-gap argument needed: the prefix lemma makes
-    // candidate recall 1.0 on ANY corpus, so pipeline == brute force by
-    // construction (the shared oracle just pins it cross-engine).
+      minhashQuery, Some(bruteForcePairsSql(2))),
+    // Same oracle family at n=3, no data-gap argument needed: the prefix
+    // lemma makes candidate recall 1.0 on ANY corpus, so pipeline ==
+    // brute force by construction (the oracle just pins it cross-engine).
     GraftQuery("q_setsim_join",
       "exact set-similarity self-join via global-rarity prefix filtering (AllPairs/PPJoin) — deterministic counterpart to LSH",
-      setSimQuery, Some(bruteForcePairsSql)),
+      setSimQuery, Some(bruteForcePairsSql(3))),
     GraftQuery("q_simhash_neardup", "SimHash 64-bit near-dup pairs (chunk-blocked; XXH64 is engine-specific -> rows-only; blocking proven by q_simhash_md5_twin)",
       simhashQuery, None),
     GraftQuery("q_simhash_md5_twin", "md5-SimHash pigeonhole blocking == brute-force O(n^2) Hamming scan",

@@ -165,9 +165,9 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.nearDupSurvivors(spark, sfDir).count() == total - removed)
   }
 
-  test("setSimJoin (prefix filter) == exact O(n²) brute force on the fixture == minhash output") {
+  test("setSimJoin (prefix filter) == exact O(n²) brute force on the fixture") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val sets = Dedup.shingleSets(docs, "text", 2)
+    val sets = Dedup.shingleSets(docs, "text", 3)
       .where(size(col("shingles")) > 0)
       .select(col("doc_id"), col("shingles"))
     val a = sets.select(col("doc_id").as("id1"), col("shingles").as("sh1"))
@@ -183,18 +183,14 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().toList
     assert(got == exact, "prefix-filtered join must equal brute force exactly")
     assert(got.nonEmpty, "fixture plants near-dup pairs")
-    // and therefore equals the LSH pipeline's verified output
-    val lsh = Dedup.minhashQuery(spark, sfDir)
-      .as[(Long, Long, Double)].collect().toList
-    assert(got == lsh, "two algorithms, one pair list")
   }
 
-  test("prefix lemma holds on crafted adversarial sets (tiny overlap at the threshold)") {
-    // two sets sharing exactly half their shingles, plus decoys — the
-    // boundary case j == 0.5 must survive the prefix+length filters
+  test("prefix lemma holds on crafted adversarial sets (boundary overlap at the threshold)") {
+    // trigram shingles: doc1 shares a long prefix run with doc0 but
+    // falls under the threshold; doc2 is an exact dup
     val texts = Seq(
-      "a b c d e f g h i",        // shingles ab..hi (8)
-      "a b c d e x y z w",        // shares ab,bc,cd,de -> j = 4/12 < .5 (decoy)
+      "a b c d e f g h i",        // 7 trigrams
+      "a b c d e x y z w",        // shares abc,bcd,cde -> j = 3/11 < .5 (decoy)
       "a b c d e f g h i",        // exact dup of 0: j = 1.0
       "q r s t u v")              // disjoint decoy
     val got = Dedup.setSimJoin(docsDf(texts), "text", "doc_id")
