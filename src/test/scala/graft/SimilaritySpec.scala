@@ -224,6 +224,32 @@ class SimilaritySpec extends SparkTestBase {
       "only the planted dups may be flagged on a near-orthogonal corpus")
   }
 
+  test("PQ-ADC + exact re-rank reproduces the exact top-10; rerun-deterministic") {
+    val emb = graft.engine.Tables.load(spark, sfDir, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toList
+    val pq = Similarity.pqTopK(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toList
+    assert(pq == exact, "adaptive shortlist must cover the true top-10")
+    val again = Similarity.pqTopK(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toList
+    assert(pq == again, "codebooks and codes must be rerun-stable")
+  }
+
+  test("PQ ADC score approximates the true dot product within measured error bounds") {
+    val emb = graft.engine.Tables.load(spark, sfDir, "embeddings")
+    val (scores, _) = Similarity.pqAdcScores(emb, 0L, m = 8, kSub = 32, iters = 3)
+    val joined = scores.join(
+      Similarity.bruteForceTopK(emb, 0L, 100000)
+        .select(col("vec_id"), col("cos_sim")), "vec_id")
+      .select(col("adc"), col("cos_sim")).collect()
+    // unit vectors: cos == dot; quantization error must be bounded well
+    // below the similarity range or the shortlist would be useless
+    val errs = joined.map(r => math.abs(r.getDouble(0) - r.getDouble(1)))
+    assert(errs.max < 0.5, s"worst ADC error ${errs.max}")
+    assert(errs.sum / errs.length < 0.12, s"mean ADC error ${errs.sum / errs.length}")
+  }
+
   test("int8 quantization preserves cosine ranking: recall@10 >= 0.8 vs float") {
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
