@@ -30,6 +30,11 @@ object GraftSession {
     // At 100 TB the build side of a dim join must still broadcast; 32 MB
     // keeps all TPC-H-ish dims broadcastable without risking driver OOM.
     c.set("spark.sql.autoBroadcastJoinThreshold", (32L * 1024 * 1024).toString)
+    // Recursive CTEs (GraphOps.reachPaths): depth-3 path enumeration on
+    // the decade fixtures exceeds the 1M-row default runaway guard. Set
+    // HERE — the documented session contract every query routes through
+    // — rather than mutated ad hoc inside one query builder.
+    c.set("spark.sql.cteRecursionRowLimit", "20000000")
     graft.functions.HashExprs.register(spark)
     // session-level twin of GraftExtensions.injectOptimizerRule (the
     // extensions path only applies at builder time); idempotent

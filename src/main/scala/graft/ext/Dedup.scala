@@ -907,6 +907,8 @@ object Dedup {
         keyLocks.remove(key)
       }
     }
+    // engine-wide hook: also release GraphOps' reach-paths edge memo
+    GraphOps.clearEdgesMemo()
   }
 
   /** Default-parameter near-dup pairs over the documents table,
@@ -1033,7 +1035,7 @@ object Dedup {
     * recall + data-gap argument) and q_setsim_join (n=3, exact recall by
     * the prefix lemma) must reproduce.
     */
-  private def bruteForcePairsSql(n: Int): String =
+  private def bruteForcePairsSql(n: Int, threshold: Double = 0.5): String =
     s"""WITH sets AS (
        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= $n
        |    THEN list_transform(range(1, len(toks) - $n + 2),
@@ -1049,7 +1051,7 @@ object Dedup {
        |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
        |WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
        |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-       |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+       |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= $threshold
        |ORDER BY id1, id2""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(

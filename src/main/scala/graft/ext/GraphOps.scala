@@ -234,7 +234,13 @@ object GraphOps {
       .groupBy("a", "b").agg(sum(col("w")).as("w"))
     val adj = wAB.select(col("a").as("node"), col("b").as("nbr"), col("w"))
       .unionAll(wAB.select(col("b").as("node"), col("a").as("nbr"), col("w")))
-    val nodes = adj.select("node").distinct()
+    // node universe = every observed page, the SAME universe pageRank
+    // ranks — a node seen only in self-loop transitions has no adj row
+    // but must still appear (as its own singleton community) or the
+    // graph keys disagree on what the graph's nodes are
+    val nodes = events
+      .select(get_json_object(col("props"), "$.k").cast("int").as("node"))
+      .where(col("node").isNotNull).distinct()
     var lab = nodes.withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
       val best = adj
@@ -275,20 +281,36 @@ object GraphOps {
     * here is bounded by |nodes|·max_outdeg^depth — pick the loop style
     * accordingly at scale.
     */
+  // Session-memoized persisted edge list per (session, dir), same
+  // lifecycle policy as Dedup's near-dup memos: held until the session
+  // stops or [[Dedup.clearSessionMemos]] (the engine-wide release hook)
+  // runs. Without the memo, every reachPaths call re-registered a fresh
+  // MEMORY_AND_DISK relation — one orphaned cache per call per dir.
+  private val edgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[ext] def clearEdgesMemo(): Unit = {
+    val it = edgesMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); it.remove()
+      try e.getValue.unpersist()
+      catch { case _: Exception => () } // a stopped session's blocks are already gone
+    }
+  }
+
   def reachPaths(s: SparkSession, dir: String): DataFrame = {
-    GraftSession.tuned(s)
-    // depth-3 frontier from one seed is ≤ |nodes|³ paths; lift the 1M
-    // default so decade fixtures cannot trip the row-limit guard
-    s.sql("SET spark.sql.cteRecursionRowLimit=20000000")
+    GraftSession.tuned(s) // also lifts spark.sql.cteRecursionRowLimit
     // UnionLoop re-executes the recursive step's whole subtree per
     // level, and a CTE inlines into that step — leaving the edge
     // pipeline (window + aggregate over the events table) to run once
     // PER DEPTH (measured 10.9 s at sf0.1). Persist the tiny edge list
     // and hand the loop a view of it: levels then rescan cached edge
-    // blocks (10.9 → ~1 s). Lazy persist, so plan pins stay honest;
-    // CacheManager dedups re-registration across reruns.
-    transitionEdges(t(s, dir, "events"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // blocks. Lazy persist, so plan pins stay honest. The view name is
+    // session-global and rebound per call — sequential callers (the
+    // harness) always see their own dir's edges.
+    edgesMemo.computeIfAbsent((s, dir), _ =>
+        transitionEdges(t(s, dir, "events"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .createOrReplaceTempView("graft_reach_edges")
     s.sql(
       """WITH RECURSIVE seed AS (
@@ -453,7 +475,7 @@ object GraphOps {
            |adj AS (
            |  SELECT a AS node, b AS nbr, w FROM wab
            |  UNION ALL SELECT b AS node, a AS nbr, w FROM wab),
-           |nodes2 AS (SELECT DISTINCT node FROM adj),
+           |nodes2 AS (SELECT DISTINCT k AS node FROM ev),
            |l0 AS (SELECT node, node AS lbl FROM nodes2),
            |${lpaIter("l0", "l1")},
            |${lpaIter("l1", "l2")},

@@ -327,8 +327,8 @@ object Similarity {
     * run-to-run determinism — [[kmeansCentroids]]' discipline at the
     * subspace level. Empty codes keep their previous centroid.
     */
-  def pqSubCodebook(sub: DataFrame, kSub: Int, iters: Int): Seq[Seq[Double]] = {
-    val n = sub.count()
+  def pqSubCodebook(sub: DataFrame, kSub: Int, iters: Int,
+      n: Long): Seq[Seq[Double]] = {
     val stride = math.max(1L, n / kSub)
     var cb: Seq[Seq[Double]] = sub.where(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id").limit(kSub)
@@ -378,14 +378,18 @@ object Similarity {
     * vector for downstream exact re-ranking.
     */
   def pqAdcScores(emb: DataFrame, queryVecId: Long,
-      m: Int, kSub: Int, iters: Int): (DataFrame, Seq[Double]) = {
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      m: Int, kSub: Int, iters: Int): (DataFrame, Seq[Double], Long) = {
+    // ONE setup job for corpus size + dim — per-subspace codebooks and
+    // the shortlist heuristic reuse n instead of re-counting (was m+1
+    // full-table count scans before any real work)
+    val r0 = emb.agg(count(lit(1)), max(size(col("embedding")))).head()
+    val (n, dim) = (r0.getLong(0), r0.getInt(1))
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     def subCol(j: Int) = expr(s"slice(embedding, ${j * subDim + 1}, $subDim)")
     val codebooks = (0 until m).map { j =>
       pqSubCodebook(
-        emb.select(col("vec_id"), subCol(j).as("subv")), kSub, iters)
+        emb.select(col("vec_id"), subCol(j).as("subv")), kSub, iters, n)
     }
     // encode: m row-local argmins in one scan
     val encoded = (0 until m).foldLeft(emb) { (df, j) =>
@@ -406,7 +410,7 @@ object Similarity {
       expr(s"element_at(__lut[$j], c$j + 1)")).reduce(_ + _)
     (encoded
       .withColumn("__lut", typedlit(lut))
-      .select(col("vec_id"), adc.as("adc")), qVec)
+      .select(col("vec_id"), adc.as("adc")), qVec, n)
   }
 
   // Shortlist sizing is measured, not guessed: the fixture's vectors
@@ -420,9 +424,8 @@ object Similarity {
   def pqTopK(emb: DataFrame, queryVecId: Long, k: Int,
       m: Int = 8, kSub: Int = 32, iters: Int = 3,
       shortlist: Option[Int] = None): DataFrame = {
-    val (scores, qVec) = pqAdcScores(emb, queryVecId, m, kSub, iters)
-    val s = shortlist.getOrElse(
-      math.max(250, (emb.count() / 5).toInt))
+    val (scores, qVec, n) = pqAdcScores(emb, queryVecId, m, kSub, iters)
+    val s = shortlist.getOrElse(math.max(250, (n / 5).toInt))
     val short = scores
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(s)

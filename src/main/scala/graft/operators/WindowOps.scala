@@ -333,9 +333,13 @@ object WindowOps {
     * the last 8 orders, computed entirely in BIGINT cent-units
     * (Σ cents·2^(7-i), one double division by the weight mass at the
     * end) — the cross-engine float discipline applied to exponential
-    * smoothing. Eight lags share ONE window spec, so Spark plans a
-    * single Window operator over one (o_custkey) shuffle; the frame is
-    * row-bounded, so state per key is 8 values at any scale.
+    * smoothing. The divisor is the weight mass of the lags actually
+    * PRESENT, so a key's warm-up rows average over the orders that
+    * exist instead of being zero-padded toward 0 (a first order of
+    * $100 reports an EWMA of $100, not $50). Eight lags share ONE
+    * window spec, so Spark plans a single Window operator over one
+    * (o_custkey) shuffle; the frame is row-bounded, so state per key
+    * is 8 values at any scale.
     */
   def ewmaOf(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -344,11 +348,16 @@ object WindowOps {
     val units = (1 to 7).foldLeft(cents * lit(128L)) { (acc, i) =>
       acc + coalesce(lag(cents, i).over(w), lit(0L)) * lit(1L << (7 - i))
     }
+    val mass = (1 to 7).foldLeft(lit(128L)) { (acc, i) =>
+      acc + when(lag(cents, i).over(w).isNotNull, lit(1L << (7 - i)))
+        .otherwise(lit(0L))
+    }
     orders
       .select(
         col("o_custkey"), col("o_orderkey"),
         col("o_totalprice").cast(dec12).cast(DoubleType).as("price"),
-        (units.cast(DoubleType) / lit(25500.0)).as("ewma"))
+        (units.cast(DoubleType) / (mass * lit(100L)).cast(DoubleType))
+          .as("ewma"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -357,25 +366,37 @@ object WindowOps {
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_ewma",
-      "dyadic-decay trailing EWMA (8-order half-life weights, exact BIGINT units, one final divide)",
+      "dyadic-decay trailing EWMA (8-order half-life weights, exact BIGINT units, present-weight mass divisor)",
       ewmaDyadic,
       Some(
         """WITH c AS (
           |  SELECT o_custkey, o_orderkey, o_orderdate,
           |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
           |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-          |  FROM orders)
+          |  FROM orders),
+          |u AS (
+          |  SELECT o_custkey, o_orderkey, price,
+          |         cents * 128
+          |           + COALESCE(lag(cents, 1) OVER win, 0) * 64
+          |           + COALESCE(lag(cents, 2) OVER win, 0) * 32
+          |           + COALESCE(lag(cents, 3) OVER win, 0) * 16
+          |           + COALESCE(lag(cents, 4) OVER win, 0) * 8
+          |           + COALESCE(lag(cents, 5) OVER win, 0) * 4
+          |           + COALESCE(lag(cents, 6) OVER win, 0) * 2
+          |           + COALESCE(lag(cents, 7) OVER win, 0) AS units,
+          |         128
+          |           + CASE WHEN lag(cents, 1) OVER win IS NOT NULL THEN 64 ELSE 0 END
+          |           + CASE WHEN lag(cents, 2) OVER win IS NOT NULL THEN 32 ELSE 0 END
+          |           + CASE WHEN lag(cents, 3) OVER win IS NOT NULL THEN 16 ELSE 0 END
+          |           + CASE WHEN lag(cents, 4) OVER win IS NOT NULL THEN 8 ELSE 0 END
+          |           + CASE WHEN lag(cents, 5) OVER win IS NOT NULL THEN 4 ELSE 0 END
+          |           + CASE WHEN lag(cents, 6) OVER win IS NOT NULL THEN 2 ELSE 0 END
+          |           + CASE WHEN lag(cents, 7) OVER win IS NOT NULL THEN 1 ELSE 0 END AS mass
+          |  FROM c
+          |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
           |SELECT o_custkey, o_orderkey, price,
-          |       CAST(cents * 128
-          |            + COALESCE(lag(cents, 1) OVER win, 0) * 64
-          |            + COALESCE(lag(cents, 2) OVER win, 0) * 32
-          |            + COALESCE(lag(cents, 3) OVER win, 0) * 16
-          |            + COALESCE(lag(cents, 4) OVER win, 0) * 8
-          |            + COALESCE(lag(cents, 5) OVER win, 0) * 4
-          |            + COALESCE(lag(cents, 6) OVER win, 0) * 2
-          |            + COALESCE(lag(cents, 7) OVER win, 0) AS DOUBLE) / 25500.0 AS ewma
-          |FROM c
-          |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |       CAST(units AS DOUBLE) / CAST(mass * 100 AS DOUBLE) AS ewma
+          |FROM u
           |ORDER BY o_custkey, o_orderkey""".stripMargin)),
     GraftQuery("q_sort_limit", "ORDER BY + LIMIT → TakeOrderedAndProject",
       sortLimit,

@@ -22,7 +22,7 @@ object PqProbe {
       val exact = graft.ext.Similarity.bruteForceTopK(emb, 0L, 10)
         .collect().map(_.getLong(0)).toSet
       val n = emb.count().toInt
-      val (scores, _) = graft.ext.Similarity.pqAdcScores(emb, 0L, m = 8,
+      val (scores, _, _) = graft.ext.Similarity.pqAdcScores(emb, 0L, m = 8,
         kSub = 32, iters = 3)
       val ranked = scores.orderBy(col("adc").desc, col("vec_id"))
         .collect().map(_.getLong(0)).zipWithIndex.toMap

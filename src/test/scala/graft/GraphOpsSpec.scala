@@ -174,7 +174,12 @@ class GraphOpsSpec extends SparkTestBase {
       .map { case (p, xs) => p -> xs.map(_._2).sum }
     val adj = undW.flatMap { case ((a, b), w) =>
       Seq((a, b) -> w, (b, a) -> w) }
-    val nodes = adj.keys.map(_._1).toSeq.distinct
+    // node universe = every observed page (pageRank's universe), so
+    // self-loop-only / transition-free pages appear as singletons
+    val nodes = events
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .where(col("k").isNotNull).distinct()
+      .collect().map(_.getInt(0)).toSeq
     val expect = jvmLpa(adj, nodes, iters = 3)
     val rows = GraphOps.labelPropagation(events, iters = 3).collect()
     val got = rows.map(r => r.getInt(0) -> r.getInt(1)).toMap

@@ -123,11 +123,12 @@ class SemanticsSpec extends SparkTestBase {
       .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
     val got = graft.operators.WindowOps.ewmaOf(orders).collect()
       .map(r => r.getLong(1) -> r.getDouble(3)).toMap
-    // cents 10000/20000/40000; weights current=128, lag1=64, lag2=32
-    assert(got(1L) == 10000.0 * 128 / 25500.0)
-    assert(got(2L) == (20000.0 * 128 + 10000 * 64) / 25500.0)
-    assert(got(3L) == (40000.0 * 128 + 20000 * 64 + 10000 * 32) / 25500.0)
-    assert(got(4L) == 5000.0 * 128 / 25500.0, "partitions independent")
+    // cents 10000/20000/40000; weights current=128, lag1=64, lag2=32;
+    // divisor = mass of PRESENT lags only (no zero-padding warm-up bias)
+    assert(got(1L) == 100.0, "first order's EWMA is that order's value")
+    assert(got(2L) == (20000.0 * 128 + 10000 * 64) / (192 * 100.0))
+    assert(got(3L) == (40000.0 * 128 + 20000 * 64 + 10000 * 32) / (224 * 100.0))
+    assert(got(4L) == 50.0, "partitions independent")
   }
 
   test("ratio-to-report: shares sum to 1 per customer") {

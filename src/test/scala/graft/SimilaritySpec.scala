@@ -238,7 +238,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("PQ ADC score approximates the true dot product within measured error bounds") {
     val emb = graft.engine.Tables.load(spark, sfDir, "embeddings")
-    val (scores, _) = Similarity.pqAdcScores(emb, 0L, m = 8, kSub = 32, iters = 3)
+    val (scores, _, _) = Similarity.pqAdcScores(emb, 0L, m = 8, kSub = 32, iters = 3)
     val joined = scores.join(
       Similarity.bruteForceTopK(emb, 0L, 100000)
         .select(col("vec_id"), col("cos_sim")), "vec_id")
