@@ -395,6 +395,46 @@ object Dedup {
   def setSimQuery(s: SparkSession, dir: String): DataFrame =
     setSimJoin(t(s, dir, "documents"), "text", "doc_id")
 
+  /** EXACT containment join (asymmetric Jaccard, |A∩B| / |A|): directed
+    * near-dup detection — "A is quoted/embedded in B" — which symmetric
+    * Jaccard misses when B is much larger than A (a 10-line doc pasted
+    * into a 1000-line doc has j ≈ 0.01 but containment 1.0). The
+    * quote/boilerplate/subset signal a training-data pipeline needs
+    * beside the symmetric near-dup family.
+    *
+    * Shape: overlap COUNTS from the exploded-shingle self-join (8-byte
+    * hashed keys, one map-side-combined (idA, idB) aggregate — arrays
+    * never shuffle), sizes attached by two narrow joins, then each
+    * unordered pair emits 0–2 directed rows. Candidate volume is
+    * Σ_sh df(sh)² — the same contamination-style bound as the gram
+    * join, dominated by common shingles; exact-dup flood is removed
+    * upstream (the pipeline dedups exactly first), and a production
+    * caller can cap df like the LSH bucket cap at a documented recall
+    * trade.
+    */
+  def containmentJoin(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8,
+      sorted: Boolean = true): DataFrame = {
+    val sets = hashedShingleSets(docs, textCol, idCol, shingleN)
+    val sizes = sets.select(col(idCol), size(col("shs")).as("n"))
+    val tok = sets.select(col(idCol), explode(col("shs")).as("sh"))
+    val ov = tok.select(col(idCol).as("ida"), col("sh"))
+      .join(tok.select(col(idCol).as("idb"), col("sh")), Seq("sh"))
+      .where(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
+      .join(sizes.select(col(idCol).as("ida"), col("n").as("na")), "ida")
+      .join(sizes.select(col(idCol).as("idb"), col("n").as("nb")), "idb")
+    val dirAB = ov.select(col("ida").as("sub_id"), col("idb").as("sup_id"),
+      (col("c").cast("double") / col("na").cast("double")).as("containment"))
+    val dirBA = ov.select(col("idb").as("sub_id"), col("ida").as("sup_id"),
+      (col("c").cast("double") / col("nb").cast("double")).as("containment"))
+    val out = dirAB.unionAll(dirBA).where(col("containment") >= threshold)
+    if (sorted) out.orderBy("sub_id", "sup_id") else out
+  }
+
+  def containmentQuery(s: SparkSession, dir: String): DataFrame =
+    containmentJoin(t(s, dir, "documents"), "text", "doc_id")
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash of the token column: bit i of the result is 1 iff
@@ -1107,6 +1147,32 @@ object Dedup {
     GraftQuery("q_setsim_join",
       "exact set-similarity self-join via global-rarity prefix filtering (AllPairs/PPJoin) — deterministic counterpart to LSH",
       setSimQuery, Some(bruteForcePairsSql(3))),
+    GraftQuery("q_containment_join",
+      "exact containment join (asymmetric Jaccard |A∩B|/|A| >= 0.8): directed quote/subset near-dup detection",
+      containmentQuery,
+      Some(
+        """WITH sets AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+          |    THEN list_transform(range(1, len(toks) - 1),
+          |           i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+          |    ELSE [] END) AS shingles
+          |  FROM (SELECT doc_id,
+          |          string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+          |        FROM documents)),
+          |ov AS (
+          |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+          |         len(list_intersect(a.shingles, b.shingles)) AS c,
+          |         len(a.shingles) AS na, len(b.shingles) AS nb
+          |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.shingles, b.shingles)) > 0),
+          |directed AS (
+          |  SELECT ida AS sub_id, idb AS sup_id,
+          |         CAST(c AS DOUBLE) / CAST(na AS DOUBLE) AS containment FROM ov
+          |  UNION ALL
+          |  SELECT idb, ida, CAST(c AS DOUBLE) / CAST(nb AS DOUBLE) FROM ov)
+          |SELECT sub_id, sup_id, containment FROM directed
+          |WHERE containment >= 0.8
+          |ORDER BY sub_id, sup_id""".stripMargin)),
     GraftQuery("q_simhash_neardup", "SimHash 64-bit near-dup pairs (chunk-blocked; XXH64 is engine-specific -> rows-only; blocking proven by q_simhash_md5_twin)",
       simhashQuery, None),
     GraftQuery("q_simhash_md5_twin", "md5-SimHash pigeonhole blocking == brute-force O(n^2) Hamming scan",

@@ -323,12 +323,17 @@ object TextOps {
     * vocabulary per round like the CC loop. The fold's list ops are
     * O(word_len²) per word — bounded by max word length, not corpus.
     */
-  def bpeMergeTrain(docs: DataFrame, iters: Int = 3): DataFrame = {
+  /** Training core shared by [[bpeMergeTrain]] and [[bpeEncodeStats]]:
+    * returns the merged vocabulary (word, symbol array, count) after
+    * `iters` greedy merges AND the learned merge table — one lazy plan
+    * produces both.
+    */
+  def bpeTrainCore(docs: DataFrame, iters: Int): (DataFrame, DataFrame) = {
     var vocab = docs
       .select(explode(split(normalizeText(col("text")), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(expr(
+      .select(col("w"), expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
         col("cnt"))
     var out: DataFrame = null
@@ -347,7 +352,7 @@ object TextOps {
       out = if (out == null) top else out.unionAll(top)
       vocab = vocab
         .crossJoin(broadcast(top.select(col("lhs").as("ml"), col("rhs").as("mr"))))
-        .select(expr(
+        .select(col("w"), expr(
           """aggregate(syms, CAST(array() AS ARRAY<STRING>),
             |  (acc, x) -> CASE WHEN size(acc) > 0
             |                    AND element_at(acc, -1) = ml AND x = mr
@@ -356,8 +361,105 @@ object TextOps {
             |              ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"),
           col("cnt"))
     }
-    out.orderBy("step")
+    (vocab, out.orderBy("step"))
   }
+
+  def bpeMergeTrain(docs: DataFrame, iters: Int = 3): DataFrame =
+    bpeTrainCore(docs, iters)._2
+
+  /** Tokenizer APPLY under the learned merges: per-doc fertility stats
+    * (words, BPE pieces, pieces/word) — the metric a tokenizer team
+    * watches when retraining vocab (fertility regressions = longer
+    * sequences = more compute per document). The corpus encodes through
+    * a vocabulary-level join: words collapse to the (word → n_pieces)
+    * table once, then each doc aggregates its words' piece counts —
+    * no per-document re-segmentation. One more shuffle than training
+    * (the doc↔vocab word join, 8-byte-ish keys, map-side combined
+    * aggregate after).
+    */
+  def bpeEncodeStats(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val (vocab, _) = bpeTrainCore(docs, iters)
+    val pieces = vocab.select(col("w"), size(col("syms")).as("n_pieces"))
+    docs
+      .select(col("doc_id"), explode(split(normalizeText(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .join(pieces, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces").cast("long")).as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        (col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+      .orderBy("doc_id")
+  }
+
+  /** Flesch reading-ease per document — the classic readability screen
+    * (a corpus whose FRE collapses is OCR noise or code, not prose).
+    * Heuristics shared bit-for-bit by both engines: sentences =
+    * max(1, runs of [.!?]) over the RAW text, words = non-empty
+    * normalized tokens, syllables = max(1, vowel-group runs) per word.
+    * FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * computed ONCE from exact BIGINT counts (identical expression text
+    * → identical IEEE result). One explode + one map-side-combined
+    * aggregate; row-local regexes, no second scan.
+    */
+  def readabilityOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("long").as("n_sentences"),
+        explode(split(normalizeText(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "n_sentences")
+      .agg(count(lit(1)).as("n_words"),
+        sum(greatest(regexp_count(col("w"), lit("[aeiouy]+")), lit(1))
+          .cast("long")).as("n_syllables"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"), col("n_syllables"),
+        (lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")))
+          .as("flesch"))
+      .orderBy("doc_id")
+
+  def readability(s: SparkSession, dir: String): DataFrame =
+    readabilityOf(t(s, dir, "documents"))
+
+  /** Shared oracle fragment: the 3-iteration BPE training chain
+    * (v0..v3 vocabularies carrying the word, t1..t3 selected merges).
+    * One BPE iteration = pair stats on the previous vocabulary, 1-row
+    * argmax, merge applied by a list_reduce fold (greedy leftmost, same
+    * as Spark's aggregate() fold). acc[:-2] is the drop-last slice
+    * (DuckDB slice bounds are inclusive). Both BPE oracles embed this
+    * one definition so train and apply cannot drift.
+    */
+  private def bpeOracleIter(prevV: String, n: Int): String =
+    s"""p$n AS (
+       |  SELECT p.l AS lhs, p.r AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM (
+       |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+       |             i -> {'l': syms[i], 'r': syms[i + 1]})) AS p
+       |    FROM $prevV WHERE len(syms) >= 2)
+       |  GROUP BY p.l, p.r),
+       |t$n AS (
+       |  SELECT $n AS step, lhs, rhs, pair_cnt FROM p$n
+       |  ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
+       |v$n AS (
+       |  SELECT w, list_reduce(list_transform(syms, s -> [s]),
+       |           (acc, x) -> CASE WHEN len(acc) > 0
+       |                             AND acc[-1] = t.lhs AND x[1] = t.rhs
+       |                       THEN list_append(acc[:-2], t.lhs || t.rhs)
+       |                       ELSE list_concat(acc, x) END) AS syms, cnt
+       |  FROM $prevV CROSS JOIN t$n t)""".stripMargin
+
+  private lazy val bpeOracleCtes: String =
+    s"""v0 AS (
+       |  SELECT w, list_transform(range(1, length(w) + 1),
+       |           i -> substring(w, i, 1)) AS syms, cnt FROM (
+       |    SELECT w, count(*) AS cnt FROM (
+       |      SELECT unnest($duckNormToksSql) AS w FROM documents)
+       |    WHERE w <> '' GROUP BY w)),
+       |${bpeOracleIter("v0", 1)},
+       |${bpeOracleIter("v1", 2)},
+       |${bpeOracleIter("v2", 3)}""".stripMargin
 
   /** Binary encodings + cryptographic digests: hex, base64, md5,
     * sha2-256 — content-addressing and transport encodings for
@@ -616,41 +718,44 @@ object TextOps {
     GraftQuery("q_bpe_merges",
       "BPE merge training: 3 unrolled greedy iterations over the weighted vocabulary (learned merge table)",
       (s, dir) => bpeMergeTrain(t(s, dir, "documents"), iters = 3),
-      Some {
-        // one BPE iteration: pair stats on the previous vocabulary,
-        // 1-row argmax, merge applied by a list_reduce fold (greedy
-        // leftmost, same as Spark's aggregate() fold). acc[:-2] is the
-        // drop-last slice (DuckDB slice bounds are inclusive).
-        def bpeIter(prevV: String, n: Int): String =
-          s"""p$n AS (
-             |  SELECT p.l AS lhs, p.r AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM (
-             |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
-             |             i -> {'l': syms[i], 'r': syms[i + 1]})) AS p
-             |    FROM $prevV WHERE len(syms) >= 2)
-             |  GROUP BY p.l, p.r),
-             |t$n AS (
-             |  SELECT $n AS step, lhs, rhs, pair_cnt FROM p$n
-             |  ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
-             |v$n AS (
-             |  SELECT list_reduce(list_transform(syms, s -> [s]),
-             |           (acc, x) -> CASE WHEN len(acc) > 0
-             |                             AND acc[-1] = t.lhs AND x[1] = t.rhs
-             |                       THEN list_append(acc[:-2], t.lhs || t.rhs)
-             |                       ELSE list_concat(acc, x) END) AS syms, cnt
-             |  FROM $prevV CROSS JOIN t$n t)""".stripMargin
-        s"""WITH v0 AS (
-           |  SELECT list_transform(range(1, length(w) + 1),
-           |           i -> substring(w, i, 1)) AS syms, cnt FROM (
-           |    SELECT w, count(*) AS cnt FROM (
-           |      SELECT unnest($duckNormToksSql) AS w FROM documents)
-           |    WHERE w <> '' GROUP BY w)),
-           |${bpeIter("v0", 1)},
-           |${bpeIter("v1", 2)},
-           |${bpeIter("v2", 3)}
+      Some(
+        s"""WITH $bpeOracleCtes
            |SELECT step, lhs, rhs, pair_cnt FROM (
            |  SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3)
-           |ORDER BY step""".stripMargin
-      }),
+           |ORDER BY step""".stripMargin)),
+    GraftQuery("q_bpe_encode",
+      "tokenizer apply: per-doc BPE fertility stats (words, pieces, pieces/word) under the 3 learned merges",
+      (s, dir) => bpeEncodeStats(t(s, dir, "documents"), iters = 3),
+      Some(
+        s"""WITH $bpeOracleCtes,
+           |pieces AS (SELECT w, len(syms) AS n_pieces FROM v3),
+           |dw AS (
+           |  SELECT doc_id, unnest($duckNormToksSql) AS w FROM documents)
+           |SELECT doc_id, count(*) AS n_words,
+           |       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+           |       CAST(sum(n_pieces) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility
+           |FROM dw JOIN pieces USING (w)
+           |WHERE w <> ''
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_readability",
+      "Flesch reading-ease per doc (sentence/word/syllable heuristics shared bit-for-bit by both engines)",
+      readability,
+      Some(
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+           |         unnest($duckNormToksSql) AS w
+           |  FROM documents),
+           |agg AS (
+           |  SELECT doc_id, n_sentences, count(*) AS n_words,
+           |         CAST(sum(greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)) AS BIGINT) AS n_syllables
+           |  FROM base WHERE w <> ''
+           |  GROUP BY doc_id, n_sentences)
+           |SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences, n_words, n_syllables,
+           |       206.835
+           |         - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           |         - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+           |FROM agg ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_text_stats", "token/char counts incl. BPE-ish regex tokenizer",
       textStats,
       Some(

@@ -198,6 +198,18 @@ class DedupSpec extends SparkTestBase {
     assert(got == List((0L, 2L, 1.0)), s"got $got")
   }
 
+  test("containment join: embedded doc detected in one direction only") {
+    // doc 1 embeds doc 0's full trigram set (containment 1.0 A->B);
+    // B->A is 3/8 and must NOT emit; doc 2 is disjoint
+    val texts = Seq(
+      "a b c d e",
+      "a b c d e f g h i j",
+      "q r s t u v w x")
+    val got = Dedup.containmentJoin(docsDf(texts), "text", "doc_id")
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == List((0L, 1L, 1.0)), s"got $got")
+  }
+
   test("incrementalNearDups == exact O(n²) cross brute force on the fixture") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sets = Dedup.shingleSets(docs, "text", 2).select(col("doc_id"), col("shingles"))

@@ -22,6 +22,30 @@ class TextScoringSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("BPE encode: per-doc fertility under the learned merges, hand-computed") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low lower"), (2L, "lower newest"))
+      .toDF("doc_id", "text")
+    val got = graft.functions.TextOps.bpeEncodeStats(docs, iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // merges (l,o),(lo,w),(e,r): low -> [low] 1 piece; lower -> [low, er]
+    // 2 pieces; newest -> 6 singles (no merge applies)
+    assert(got == Map(
+      1L -> ((4L, 5L, 1.25)),   // 1+1+1+2 pieces over 4 words
+      2L -> ((2L, 8L, 4.0))),   // 2+6 pieces over 2 words
+      s"got $got")
+  }
+
+  test("readability: hand-computed Flesch on a crafted two-sentence doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "The cat sat. It ran!")).toDF("doc_id", "text")
+    val row = graft.functions.TextOps.readabilityOf(docs).head()
+    assert(row.getLong(1) == 2L, "two sentences")
+    assert(row.getLong(2) == 5L, "five words")
+    assert(row.getLong(3) == 5L, "five single-syllable words")
+    assert(row.getDouble(4) == 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * 1.0)
+  }
+
   test("BPE pair stats count overlapping occurrences; merge fold is greedy leftmost") {
     import spark.implicits._
     val docs = Seq("aaaa aaaa").toDF("text")
