@@ -332,6 +332,53 @@ object ScaleOps {
     (m, arr)
   }
 
+  /** Granule-level Bloom skip index: [[minmaxIndex]]'s manifest idea
+    * applied to POINT lookups — min/max stats cannot skip a granule for
+    * an equality probe on an unsorted key, a per-granule Bloom filter
+    * can. Per month-granule of orders: a filter over its distinct
+    * customer keys (same shared [[bloomPos]] recipe, m sized per
+    * granule at 8 bits/key) plus the skip decision for a data-derived
+    * probe (min customer key). Digest columns are aggregate-only
+    * (set-bit count + position sum) — no collect_list anywhere, so the
+    * manifest build is a pair of map-side-combined aggregates at any
+    * scale; zero false negatives by the shared-recipe argument
+    * (probe and build positions are the same expression).
+    */
+  def bloomSkipIndex(s: SparkSession, dir: String): DataFrame = {
+    val spark = graft.engine.GraftSession.tuned(s)
+    val kHashes = 4
+    val orders = graft.engine.Tables.load(spark, dir, "orders")
+    val granule = expr(
+      "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)")
+    val gk = orders.select(granule.as("granule"), col("o_custkey")).distinct()
+    val sizes = gk.groupBy("granule").agg(count(lit(1)).as("n_keys"))
+      .withColumn("m", expr("((n_keys * 8 + 63) div 64) * 64").cast("long"))
+    val bits = gk.join(sizes, "granule")
+      .select(col("granule"), col("m"),
+        explode(sequence(lit(0), lit(kHashes - 1))).as("i"), col("o_custkey"))
+      .select(col("granule"),
+        bloomPos(col("o_custkey"), col("i"), col("m")).as("pos"))
+      .distinct()
+    val stats = bits.groupBy("granule").agg(
+      count(lit(1)).as("n_bits_set"),
+      sum(col("pos")).as("pos_sum"))
+    val probeDf = orders.agg(min(col("o_custkey")).as("probe"))
+    val probePos = sizes.crossJoin(broadcast(probeDf))
+      .select(col("granule"),
+        explode(sequence(lit(0), lit(kHashes - 1))).as("i"),
+        col("probe"), col("m"))
+      .select(col("granule"), bloomPos(col("probe"), col("i"), col("m")).as("pos"))
+    val hits = probePos
+      .join(bits.withColumn("hit", lit(1)), Seq("granule", "pos"), "left")
+      .groupBy("granule")
+      .agg(sum(when(col("hit").isNull, 1L).otherwise(0L)).as("misses"))
+    sizes.join(stats, "granule").join(hits, "granule")
+      .select(col("granule"), col("n_keys"), col("m"),
+        col("n_bits_set"), col("pos_sum"),
+        (col("misses") === 0L).cast("int").as("probe_hit"))
+      .orderBy("granule")
+  }
+
   /** Membership predicate over a [[buildBloom]] filter: true iff all
     * `kHashes` positions are set. The words array travels as a plan
     * literal (implicitly broadcast), so the probe is row-local — the
@@ -396,6 +443,38 @@ object ScaleOps {
           |       CAST(max(epoch_us(l_shipdate)) < 857174400000000 OR
           |            min(epoch_us(l_shipdate)) > 875577600000000 AS INT) AS skippable
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    graft.GraftQuery("q_bloom_skip_index", "granule-level Bloom skip manifest: per-month filters over customer keys + point-probe skip decision",
+      bloomSkipIndex,
+      Some(
+        """WITH gk AS (
+          |  SELECT DISTINCT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS granule,
+          |         o_custkey
+          |  FROM orders),
+          |sizes AS (
+          |  SELECT granule, count(*) AS n_keys,
+          |         CAST(((count(*) * 8 + 63) // 64) * 64 AS BIGINT) AS m
+          |  FROM gk GROUP BY granule),
+          |bits AS (
+          |  SELECT DISTINCT granule,
+          |         ('0x' || substring(md5(CAST(o_custkey AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 25, 8))::BIGINT % s.m AS pos
+          |  FROM gk JOIN sizes s USING (granule), range(4) t(i)),
+          |stats AS (
+          |  SELECT granule, count(*) AS n_bits_set, CAST(sum(pos) AS BIGINT) AS pos_sum
+          |  FROM bits GROUP BY granule),
+          |probe AS (SELECT min(o_custkey) AS probe FROM orders),
+          |ppos AS (
+          |  SELECT s.granule,
+          |         ('0x' || substring(md5(CAST(p.probe AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 25, 8))::BIGINT % s.m AS pos
+          |  FROM sizes s, probe p, range(4) t(i)),
+          |hits AS (
+          |  SELECT pp.granule,
+          |         sum(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) AS misses
+          |  FROM ppos pp LEFT JOIN bits b ON b.granule = pp.granule AND b.pos = pp.pos
+          |  GROUP BY pp.granule)
+          |SELECT s.granule, s.n_keys, s.m, st.n_bits_set, st.pos_sum,
+          |       CAST(h.misses = 0 AS INT) AS probe_hit
+          |FROM sizes s JOIN stats st USING (granule) JOIN hits h ON h.granule = s.granule
+          |ORDER BY s.granule""".stripMargin)),
     graft.GraftQuery("q_bloom_filter", "distributed Bloom build (8 bits/key, k=4, md5 positions): digest + zero-false-negative sweep + measured fp rate",
       bloomFilter,
       Some(

@@ -364,6 +364,42 @@ object WindowOps {
   def ewmaDyadic(s: SparkSession, dir: String): DataFrame =
     ewmaOf(t(s, dir, "orders"))
 
+  /** Rolling z-score anomaly flag: each order's price against its own
+    * trailing-8 window statistics — the streaming-adjacent "is this
+    * point anomalous for THIS key" detector (the QC family's per-corpus
+    * z, scoped to a moving frame). Moments accumulate as exact BIGINT
+    * cent sums inside one ROWS-framed window (s², bounded: 8·(10⁹)²
+    * < 2⁶³); the double conversion happens once in a shared formula,
+    * variance clamped ≥ 0 against FP cancellation (the outlierDocs
+    * discipline). One shuffle on the high-cardinality customer key.
+    */
+  def rollingZscore(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-7, Window.currentRow)
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast(dec12).cast(DoubleType).as("price"),
+        cents.as("cents"),
+        count(lit(1)).over(w).as("n"),
+        sum(cents).over(w).as("s1"),
+        sum(cents * cents).over(w).as("s2"))
+      .select(col("o_custkey"), col("o_orderkey"), col("price"),
+        expr(
+          """CASE WHEN n < 2 THEN 0.0 ELSE
+            |  CASE WHEN greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+            |         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 0.0) = 0.0
+            |  THEN 0.0
+            |  ELSE (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            |       / sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+            |         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+            |  END END""".stripMargin).as("z"))
+      .select(col("o_custkey"), col("o_orderkey"), col("price"), col("z"),
+        (abs(col("z")) > 2.0).cast("int").as("is_anomaly"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_ewma",
       "dyadic-decay trailing EWMA (8-order half-life weights, exact BIGINT units, present-weight mass divisor)",
@@ -398,6 +434,37 @@ object WindowOps {
           |       CAST(units AS DOUBLE) / CAST(mass * 100 AS DOUBLE) AS ewma
           |FROM u
           |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+    GraftQuery("q_rolling_zscore",
+      "trailing-8 rolling z-score anomaly flag per customer (exact BIGINT moments, one clamped double conversion)",
+      rollingZscore,
+      Some(
+        """WITH c AS (
+          |  SELECT o_custkey, o_orderkey, o_orderdate,
+          |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+          |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM orders),
+          |m AS (
+          |  SELECT o_custkey, o_orderkey, price, cents,
+          |         count(*) OVER win AS n,
+          |         CAST(sum(cents) OVER win AS BIGINT) AS s1,
+          |         CAST(sum(cents * cents) OVER win AS BIGINT) AS s2
+          |  FROM c
+          |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+          |z AS (
+          |  SELECT o_custkey, o_orderkey, price,
+          |         CASE WHEN n < 2 THEN 0.0 ELSE
+          |           CASE WHEN greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          |                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 0.0) = 0.0
+          |           THEN 0.0
+          |           ELSE (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |                / sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          |                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+          |           END END AS z
+          |  FROM m)
+          |SELECT o_custkey, o_orderkey, price, z,
+          |       CAST(abs(z) > 2.0 AS INT) AS is_anomaly
+          |FROM z ORDER BY o_custkey, o_orderkey""".stripMargin)),
     GraftQuery("q_sort_limit", "ORDER BY + LIMIT → TakeOrderedAndProject",
       sortLimit,
       Some(

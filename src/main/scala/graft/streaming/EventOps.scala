@@ -17,6 +17,9 @@ final case class MgState(counters: Map[String, Long])
 /** Open-session state for [[EventOps.streamingSessionize]]. */
 final case class SessState(startUs: Long, lastUs: Long, n: Long)
 
+/** Last ≤7 dyadic-EWMA micro-unit values, most recent first. */
+final case class EwmaState(recent: Seq[Long])
+
 /** Event-time windowed aggregation (SURVEY.md §2.10). The reference has
   * no streaming — its nearest analogs are Airflow polling sensors
   * (etl_aws_vini.py:459-468) — so this family is Tier B: batch-mode
@@ -231,6 +234,70 @@ object EventOps {
         (user, next.n, next.sum)
       }
       .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** Batch twin of [[streamingEwma]]: the dyadic-decay trailing EWMA of
+    * event values per user (WindowOps.ewmaOf's arithmetic on the event
+    * stream — micro-units, present-weight mass divisor). Exact integer
+    * numerator/denominator, one double division, so the streaming and
+    * batch forms are comparable with == rather than a tolerance.
+    */
+  def eventEwma(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val units = floor(col("value") * 1000000 + 0.5).cast("long")
+    val num = (1 to 7).foldLeft(units * lit(128L)) { (acc, i) =>
+      acc + coalesce(lag(units, i).over(w), lit(0L)) * lit(1L << (7 - i))
+    }
+    val mass = (1 to 7).foldLeft(lit(128L)) { (acc, i) =>
+      acc + when(lag(units, i).over(w).isNotNull, lit(1L << (7 - i)))
+        .otherwise(lit(0L))
+    }
+    events.select(col("user_id"), col("event_id"),
+      (num.cast("double") / (mass * lit(1000000L)).cast("double")).as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Streaming dyadic EWMA per user (`flatMapGroupsWithState`): one
+    * output row PER EVENT carrying the trailing-8 exponentially-decayed
+    * value average at that point — the running-signal shape (per-event
+    * risk/engagement scores) that windowed aggregates can't emit.
+    * State is a hard-bounded 7-value queue per user: O(1) memory per
+    * key on an unbounded stream. Arithmetic matches [[eventEwma]]
+    * exactly (integer micro-units, present-mass divisor, one divide),
+    * so the spec compares == against the batch twin. Per-trigger
+    * arrivals sort by (ts, event_id) in memory — one user's
+    * single-trigger slice, not the stream.
+    */
+  def streamingEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    eventStream(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value").cast("double").as("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, events, state) =>
+          val sorted = events.toArray.sortBy(e => (e._3, e._2))
+          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
+          val out = sorted.map { case (_, eid, _, v) =>
+            val u = math.floor(v * 1000000 + 0.5).toLong
+            val window = u +: recent
+            val num = window.zipWithIndex
+              .map { case (x, i) => x * (1L << (7 - i)) }.sum
+            val mass = window.zipWithIndex
+              .map { case (_, i) => 1L << (7 - i) }.sum
+            recent = window.take(7)
+            (user, eid, num.toDouble / (mass * 1000000L).toDouble)
+          }
+          state.update(EwmaState(recent))
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "ewma")
   }
 
   /** Streaming heavy hitters per user: a MISRA-GRIES summary of event

