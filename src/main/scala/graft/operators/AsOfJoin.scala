@@ -64,6 +64,41 @@ object AsOfJoin {
           payload.map(p => col(s"__matched.$p").as(s"$prefix$p")): _*)
   }
 
+  /** FORWARD as-of: for each left row, the single right row with the
+    * SMALLEST right.ts ≥ left.ts within the key (pandas merge_asof
+    * direction='forward'). Same one-shuffle union+window composition,
+    * mirrored: left rows sort BEFORE right rows at equal ts (side
+    * 0 < 1) and `first(payload, ignoreNulls)` looks over a
+    * current-to-unbounded-FOLLOWING frame, so an equal-ts right row
+    * still matches (the ≥ semantics of DuckDB's forward ASOF oracle).
+    */
+  def asOfJoinNext(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val carryCols = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val lSide = left.select(
+      Seq(col(key), col(ts), lit(0).as("__side"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          payload.map(p => org.apache.spark.sql.types.StructField(p, right.schema(p).dataType))))
+          .as("__payload")) ++
+        carryCols.map(col): _*)
+    val rSide = right.select(
+      Seq(col(key), col(ts), lit(1).as("__side"),
+        struct(payload.map(col): _*).as("__payload")) ++
+        carryCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lSide.union(rSide)
+      .select(
+        Seq(col(key), col(ts), col("__side"),
+          first(col("__payload"), ignoreNulls = true).over(w).as("__matched")) ++
+          carryCols.map(col): _*)
+      .where(col("__side") === 0)
+      .select(
+        Seq(col(key), col(ts)) ++ carryCols.map(col) ++
+          payload.map(p => col(s"__matched.$p").as(s"$prefix$p")): _*)
+  }
+
   /** q_asof_join: each click joined to the user's latest purchase at or
     * before the click. Purchases are deduped to one per (user, ts)
     * (max event_id) so the as-of choice is total on both engines.
@@ -86,7 +121,43 @@ object AsOfJoin {
       .orderBy("click_id")
   }
 
+  /** q_asof_join_forward: each click joined to the user's NEXT purchase
+    * at or after the click — time-to-conversion analytics.
+    */
+  def asofForwardQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(GraftSession.tuned(s), dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("value"))
+    asOfJoinNext(clicks, purchases, "user_id", "ts", Seq("ts", "value"))
+      .select(
+        col("click_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("next_purchase_ts"),
+        col("asof_value").as("next_purchase_value"))
+      .orderBy("click_id")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_asof_join_forward", "forward as-of join (next right row at-or-after): union+window mirror, one shuffle, no join",
+      asofForwardQuery,
+      Some(
+        """WITH p AS (
+          |  SELECT user_id, ts, value,
+          |         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+          |  FROM events WHERE event_type = 'purchase'
+          |), pp AS (SELECT user_id, ts, value FROM p WHERE rn = 1),
+          |c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click')
+          |SELECT c.click_id, c.user_id,
+          |       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+          |       strftime(pp.ts, '%Y-%m-%d %H:%M:%S.%f') AS next_purchase_ts,
+          |       pp.value AS next_purchase_value
+          |FROM c ASOF LEFT JOIN pp ON c.user_id = pp.user_id AND pp.ts >= c.ts
+          |ORDER BY click_id""".stripMargin)),
     GraftQuery("q_asof_join", "as-of join composed from union+window (one shuffle, no join)",
       asofQuery,
       Some(

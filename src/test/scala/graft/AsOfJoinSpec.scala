@@ -34,6 +34,27 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out(200L) == (None, None))
   }
 
+  test("forward as-of: equal ts matches, earliest following wins, no-later rows get nulls") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L), // two laters -> earliest (12:00)
+      (1L, ts("2024-01-01 12:00:00"), 101L), // equal ts -> matches
+      (1L, ts("2024-01-01 15:00:00"), 102L), // after all right rows -> null
+      (2L, ts("2024-01-01 09:00:00"), 200L)  // key with no right rows at all
+    ).toDF("user_id", "ts", "click_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 12:00:00"), 12.0),
+      (1L, ts("2024-01-01 13:00:00"), 13.0)
+    ).toDF("user_id", "ts", "value")
+
+    val out = AsOfJoin.asOfJoinNext(left, right, "user_id", "ts", Seq("ts", "value"))
+      .select(col("click_id"), col("asof_ts"), col("asof_value"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)), Option(r.get(2))))).toMap
+    assert(out(100L) == ((Some(ts("2024-01-01 12:00:00")), Some(12.0))))
+    assert(out(101L) == ((Some(ts("2024-01-01 12:00:00")), Some(12.0))), "equal ts matches under >=")
+    assert(out(102L) == ((None, None)), "nothing at-or-after")
+    assert(out(200L) == ((None, None)), "keyless left rows survive with nulls")
+  }
+
   test("a NULL field in the matched right row stays NULL (no cross-row mixing)") {
     val left = Seq((1L, ts("2024-01-01 11:30:00"), 100L))
       .toDF("user_id", "ts", "click_id")

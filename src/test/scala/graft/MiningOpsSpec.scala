@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.ext.MiningOps
 
 /** Market-basket pair mining: hand-computed support/confidence/lift on
@@ -26,6 +28,32 @@ class MiningOpsSpec extends SparkTestBase {
       (101L, 102L) -> ((2L, 3L, 3L, 2.0 / 3.0, 8.0 / 9.0)),
       (101L, 103L) -> ((2L, 3L, 2L, 2.0 / 3.0, 8.0 / 6.0)),
       (102L, 103L) -> ((1L, 3L, 2L, 1.0 / 3.0, 4.0 / 6.0))), s"got $got")
+  }
+
+  test("typo pairs: deletion blocking finds exactly the distance-1 pairs, shared-variant false candidates die") {
+    val ents = Seq(
+      (1L, "abc"), (2L, "abd"), // substitution
+      (3L, "ab"),               // deletion of both
+      (4L, "ba"),               // shares variant 'a'/'b' with ab but lev=2
+      (5L, "xyz"))              // isolated
+      .toDF("c_custkey", "c_name")
+    val got = MiningOps.typoPairs(ents, "c_custkey", "c_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $got")
+  }
+
+  test("typo pairs == brute-force levenshtein on the fixture names") {
+    val cust = graft.engine.Tables.load(spark, sfDir, "customer")
+    val names = cust.select(col("c_custkey").as("id"), col("c_name").as("n"))
+    val brute = names.as("a").crossJoin(names.as("b"))
+      .where(col("a.id") < col("b.id") &&
+        levenshtein(col("a.n"), col("b.n")) === 1)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = MiningOps.typoPairs(cust, "c_custkey", "c_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, "blocking must be lossless and verify exact")
+    assert(got.nonEmpty, "digit-substitution neighbors exist in the fixture")
   }
 
   test("itemset pairs on the fixture: deterministic rerun, support ordering, lift finite") {
