@@ -17,13 +17,28 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): surfaced as nanos-since-epoch
-    // long (GraftSession sets nanosAsLong), truncated here to micros —
-    // exactly what DuckDB does reading the same file into TIMESTAMP.
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
+    // events.ts normalizes to session-zoned TIMESTAMP (micros) whatever
+    // physical type the generator wrote — the fixture schema has changed
+    // across driver rounds: parquet TIMESTAMP(NANOS) surfaces as
+    // nanos-since-epoch long (GraftSession sets nanosAsLong; truncate to
+    // micros, exactly what DuckDB does reading the same file), while
+    // TIMESTAMP(MICROS isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ
+    // (cast reinterprets in the session's pinned UTC — same instants).
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** ONE definition of the events.ts physical-type adaptation (shared
+    * with the streaming source, which reads the parquet directly).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Register every testdata table as a temp view (reference pattern:

@@ -197,15 +197,15 @@ object Dedup {
   // shared band-join machinery (self-join candidatePairs + bipartite
   // incrementalNearDups): ONE definition of the bucket cap and the
   // estimated-Jaccard prefilter, so the two registered dedup paths
-  // cannot drift on recall semantics
+  // cannot drift on recall semantics. The cap itself is the engine-wide
+  // [[Blocking]] helper (also: SimHash chunks, SemDeDup clusters, the
+  // containment-join df cap).
   private def oversizedBuckets(bands: DataFrame, maxBucket: Int): DataFrame =
-    bands.groupBy("band_id", "band_hash")
-      .agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n") > maxBucket)
+    Blocking.oversizedGroups(bands, Seq("band_id", "band_hash"), maxBucket)
 
   private def prunedSide(bands: DataFrame, oversized: DataFrame,
       idCol: String, outId: String, outSig: String): DataFrame =
-    bands.join(broadcast(oversized), Seq("band_id", "band_hash"), "left_anti")
+    Blocking.pruneGroups(bands, oversized, Seq("band_id", "band_hash"))
       .select(col("band_id"), col("band_hash"),
         col(idCol).as(outId), col("sig").as(outSig))
 
@@ -402,34 +402,75 @@ object Dedup {
     * quote/boilerplate/subset signal a training-data pipeline needs
     * beside the symmetric near-dup family.
     *
-    * Shape: overlap COUNTS from the exploded-shingle self-join (8-byte
-    * hashed keys, one map-side-combined (idA, idB) aggregate — arrays
-    * never shuffle), sizes attached by two narrow joins, then each
-    * unordered pair emits 0–2 directed rows. Candidate volume is
-    * Σ_sh df(sh)² — the same contamination-style bound as the gram
-    * join, dominated by common shingles; exact-dup flood is removed
-    * upstream (the pipeline dedups exactly first), and a production
-    * caller can cap df like the LSH bucket cap at a documented recall
-    * trade.
+    * Candidate generation is PREFIX-FILTERED (the overlap variant of
+    * the AllPairs/PPJoin lemma [[setSimJoin]] uses for symmetric
+    * Jaccard): containment ≥ t means |A∩B| ≥ ⌈t·|A|⌉, so if A's
+    * shingles are sorted by GLOBAL rarity (ascending document
+    * frequency, hash tie-break) the first |A| − ⌈t·|A|⌉ + 1 of them —
+    * A's prefix — must intersect B, else the overlap fits inside the
+    * remaining ⌈t·|A|⌉ − 1 shingles. Containment is asymmetric, so only
+    * the SUB side prefixes; the SUP side joins with its full shingle
+    * list. Candidates are then verified EXACTLY against the full
+    * hashed-shingle sets (array_intersect — values never approximate),
+    * with a length prefilter (|B| ≥ t·|A|, else the overlap cannot
+    * reach t·|A|) ahead of the pair-dedup distinct.
+    *
+    * Candidate volume is Σ_sh prefixCount(sh)·df(sh) — prefixes hold
+    * each doc's RAREST shingles, so hot boilerplate shingles are pushed
+    * out of every non-degenerate prefix — and the `maxDf` cap
+    * ([[Blocking]], ON by default, same knob family as the LSH bucket
+    * cap) bounds it at maxDf · Σ|prefix| ≈ maxDf · 0.2 · corpus
+    * shingle count, LINEAR in the corpus at fixed cap. The recall
+    * trade: a qualifying pair is missed only when EVERY prefix shingle
+    * it shares has df > maxDf — i.e. the sub doc's rarest shared
+    * shingles are all boilerplate, which at t = 0.8 means the sub doc
+    * IS boilerplate (exact-dup flood is removed upstream by the
+    * pipeline's exact-dedup stage). With `maxDf = Int.MaxValue` recall
+    * is 1.0 by the lemma on ANY corpus — the spec pins both modes on a
+    * planted hot-shingle corpus.
     */
   def containmentJoin(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.8,
-      sorted: Boolean = true): DataFrame = {
+      maxDf: Int = 10000, sorted: Boolean = true): DataFrame = {
     val sets = hashedShingleSets(docs, textCol, idCol, shingleN)
-    val sizes = sets.select(col(idCol), size(col("shs")).as("n"))
-    val tok = sets.select(col(idCol), explode(col("shs")).as("sh"))
-    val ov = tok.select(col(idCol).as("ida"), col("sh"))
-      .join(tok.select(col(idCol).as("idb"), col("sh")), Seq("sh"))
-      .where(col("ida") < col("idb"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
-      .join(sizes.select(col(idCol).as("ida"), col("n").as("na")), "ida")
-      .join(sizes.select(col(idCol).as("idb"), col("n").as("nb")), "idb")
-    val dirAB = ov.select(col("ida").as("sub_id"), col("idb").as("sup_id"),
-      (col("c").cast("double") / col("na").cast("double")).as("containment"))
-    val dirBA = ov.select(col("idb").as("sub_id"), col("ida").as("sup_id"),
-      (col("c").cast("double") / col("nb").cast("double")).as("containment"))
-    val out = dirAB.unionAll(dirBA).where(col("containment") >= threshold)
-    if (sorted) out.orderBy("sub_id", "sup_id") else out
+    val tok = sets.select(col(idCol), size(col("shs")).as("n"),
+      explode(col("shs")).as("sh"))
+    val docFreq = tok.groupBy("sh").agg(count(lit(1)).as("df"))
+    // rarity-ordered shingle list per doc; prefix = the rarest
+    // |A| − ⌈t·|A|⌉ + 1 (≥ 1 for any non-empty set)
+    val ordered = tok
+      .join(docFreq, "sh")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("o"))
+      .select(col(idCol), expr("transform(o, x -> x.sh)").as("oshs"))
+    val withPre = ordered
+      .withColumn("nsub", size(col("oshs")))
+      .withColumn("pre", expr(
+        s"slice(oshs, 1, size(oshs) - CAST(ceil($threshold * size(oshs)) AS INT) + 1)"))
+    // the df census IS the cap census: one aggregate, both sides pruned
+    // against the SAME hot-shingle set
+    val hot = docFreq.where(col("df") > maxDf).select("sh")
+    val subSide = Blocking.pruneGroups(
+      withPre.select(col(idCol).as("sub_id"), col("nsub"),
+        explode(col("pre")).as("sh")),
+      hot, Seq("sh"))
+    val supSide = Blocking.pruneGroups(
+      tok.select(col(idCol).as("sup_id"), col("n").as("nsup"), col("sh")),
+      hot, Seq("sh"))
+    val cands = subSide.join(supSide, Seq("sh"))
+      .where(col("sub_id") =!= col("sup_id"))
+      .where(col("nsup").cast("double") >=
+        lit(threshold) * col("nsub").cast("double"))
+      .select("sub_id", "sup_id")
+      .distinct()
+    val verified = cands
+      .join(sets.select(col(idCol).as("sub_id"), col("shs").as("sh1")), "sub_id")
+      .join(sets.select(col(idCol).as("sup_id"), col("shs").as("sh2")), "sup_id")
+      .select(col("sub_id"), col("sup_id"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(col("sh1")).cast("double")).as("containment"))
+      .where(col("containment") >= threshold)
+    if (sorted) verified.orderBy("sub_id", "sup_id") else verified
   }
 
   def containmentQuery(s: SparkSession, dir: String): DataFrame =
@@ -506,10 +547,9 @@ object Dedup {
       col(idCol), col(hashCol),
       expr(s"explode(transform(sequence(0, ${chunks - 1}), b -> struct(b AS chunk_id, (shiftright($hashCol, b * $bits) & $mask) AS chunk)))").as("c"))
       .select(col(idCol), col(hashCol), col("c.chunk_id"), col("c.chunk"))
-    val oversized = chunked.groupBy("chunk_id", "chunk")
-      .agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n") > maxBucket)
-    val pruned = chunked.join(broadcast(oversized), Seq("chunk_id", "chunk"), "left_anti")
+    val pruned = Blocking.pruneGroups(chunked,
+      Blocking.oversizedGroups(chunked, Seq("chunk_id", "chunk"), maxBucket),
+      Seq("chunk_id", "chunk"))
     val l = pruned.select(col("chunk_id"), col("chunk"),
       col(idCol).as("id1"), col(hashCol).as("h1"))
     val r = pruned.select(col("chunk_id"), col("chunk"),
@@ -1047,6 +1087,31 @@ object Dedup {
       |           CAST(span_idx * 8 + 8 AS BIGINT)), ' ') AS span
       |  FROM idx)""".stripMargin
 
+  /** Shared oracle fragment: brute-force directed containment pairs
+    * (trigram shingles, all |A∩B|/|A| values in `directed`). Shared by
+    * the q_containment_join oracle and GraphOps' doc-quote PageRank.
+    */
+  private[ext] val containmentCteSql: String =
+    """sets AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |    THEN list_transform(range(1, len(toks) - 1),
+      |           i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+      |    ELSE [] END) AS shingles
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |        FROM documents)),
+      |ov AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |         len(list_intersect(a.shingles, b.shingles)) AS c,
+      |         len(a.shingles) AS na, len(b.shingles) AS nb
+      |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.shingles, b.shingles)) > 0),
+      |directed AS (
+      |  SELECT ida AS sub_id, idb AS sup_id,
+      |         CAST(c AS DOUBLE) / CAST(na AS DOUBLE) AS containment FROM ov
+      |  UNION ALL
+      |  SELECT idb, ida, CAST(c AS DOUBLE) / CAST(nb AS DOUBLE) FROM ov)""".stripMargin
+
   private val componentsCteSql: String =
     """WITH RECURSIVE sets AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
@@ -1148,31 +1213,13 @@ object Dedup {
       "exact set-similarity self-join via global-rarity prefix filtering (AllPairs/PPJoin) — deterministic counterpart to LSH",
       setSimQuery, Some(bruteForcePairsSql(3))),
     GraftQuery("q_containment_join",
-      "exact containment join (asymmetric Jaccard |A∩B|/|A| >= 0.8): directed quote/subset near-dup detection",
+      "exact containment join (asymmetric Jaccard |A∩B|/|A| >= 0.8) via sub-side prefix filtering + maxDf cap: directed quote/subset near-dup detection",
       containmentQuery,
       Some(
-        """WITH sets AS (
-          |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-          |    THEN list_transform(range(1, len(toks) - 1),
-          |           i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-          |    ELSE [] END) AS shingles
-          |  FROM (SELECT doc_id,
-          |          string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
-          |        FROM documents)),
-          |ov AS (
-          |  SELECT a.doc_id AS ida, b.doc_id AS idb,
-          |         len(list_intersect(a.shingles, b.shingles)) AS c,
-          |         len(a.shingles) AS na, len(b.shingles) AS nb
-          |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-          |  WHERE len(list_intersect(a.shingles, b.shingles)) > 0),
-          |directed AS (
-          |  SELECT ida AS sub_id, idb AS sup_id,
-          |         CAST(c AS DOUBLE) / CAST(na AS DOUBLE) AS containment FROM ov
-          |  UNION ALL
-          |  SELECT idb, ida, CAST(c AS DOUBLE) / CAST(nb AS DOUBLE) FROM ov)
-          |SELECT sub_id, sup_id, containment FROM directed
-          |WHERE containment >= 0.8
-          |ORDER BY sub_id, sup_id""".stripMargin)),
+        s"""WITH $containmentCteSql
+           |SELECT sub_id, sup_id, containment FROM directed
+           |WHERE containment >= 0.8
+           |ORDER BY sub_id, sup_id""".stripMargin)),
     GraftQuery("q_simhash_neardup", "SimHash 64-bit near-dup pairs (chunk-blocked; XXH64 is engine-specific -> rows-only; blocking proven by q_simhash_md5_twin)",
       simhashQuery, None),
     GraftQuery("q_simhash_md5_twin", "md5-SimHash pigeonhole blocking == brute-force O(n^2) Hamming scan",

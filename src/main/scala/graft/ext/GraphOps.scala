@@ -108,6 +108,34 @@ object GraphOps {
   def pageRankQuery(s: SparkSession, dir: String): DataFrame =
     pageRank(t(s, dir, "events"), iters = 3)
 
+  /** PageRank over the DOCUMENT quote graph — the citation-style
+    * importance prior a training-corpus pipeline attaches to documents
+    * (a doc quoted by many others outranks its quoters), vs
+    * [[pageRank]]'s event-transition graph. Edges come from the exact
+    * containment join ([[Dedup.containmentJoin]]): sub ⊆ sup at
+    * containment ≥ 0.8 means sup embeds sub's text, so the CITER is sup
+    * and rank mass flows sup → sub, weight 1 per quote edge. Nodes are
+    * the whole corpus — unquoted docs keep the base rank, so the output
+    * is a full per-document prior, not just the quoted subset.
+    *
+    * 100 TB shape: edge construction inherits the containment join's
+    * prefix-filter + maxDf bound; the rank loop is [[pageRankOnGraph]]'s
+    * map-side-combined iteration (quote-hub skew reduces to partials).
+    */
+  def docPageRank(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = Dedup
+      .containmentJoin(docs, "text", "doc_id", sorted = false)
+      .select(col("sup_id").as("src"), col("sub_id").as("dst"),
+        lit(1L).as("w"))
+    val nodes = docs.select(col("doc_id").as("node")).distinct()
+    pageRankOnGraph(edges, nodes, iters)
+      .select(col("node").as("doc_id"), col("rank_units"))
+      .orderBy("doc_id")
+  }
+
+  def docPageRankQuery(s: SparkSession, dir: String): DataFrame =
+    docPageRank(t(s, dir, "documents"), iters = 3)
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     * the corpus word co-occurrence graph. Adjacent normalized tokens
     * (window 2, the paper's default) co-occur; the graph is UNDIRECTED
@@ -386,6 +414,22 @@ object GraphOps {
            |${iterSql("r1", "r2")},
            |${iterSql("r2", "r3")}
            |SELECT node, CAST(r AS BIGINT) AS rank_units FROM r3 ORDER BY node""".stripMargin)),
+    GraftQuery("q_pagerank_docs",
+      "document-quote-graph PageRank: citation-style importance prior over containment-join quote edges (sup cites sub), exact integer micro-units",
+      docPageRankQuery,
+      Some(
+        s"""WITH ${Dedup.containmentCteSql},
+           |edges AS (
+           |  SELECT sup_id AS src, sub_id AS dst, CAST(1 AS BIGINT) AS w
+           |  FROM directed WHERE containment >= 0.8),
+           |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+           |nodes AS (SELECT doc_id AS node FROM documents),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+           |${iterSql("r0", "r1")},
+           |${iterSql("r1", "r2")},
+           |${iterSql("r2", "r3")}
+           |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_units
+           |FROM r3 ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_textrank_keywords",
       "TextRank corpus keywords: exact-integer PageRank over the adjacent-token co-occurrence graph, top 50",
       textRankQuery,

@@ -326,10 +326,18 @@ object Similarity {
     * (k·subDim aggregate rows to the driver), 1e-9 rounding for
     * run-to-run determinism — [[kmeansCentroids]]' discipline at the
     * subspace level. Empty codes keep their previous centroid.
+    *
+    * `sub` is the TRAINING relation — at scale a stride sample of the
+    * corpus, not the corpus ([[pqAdcScores]] builds and persists it);
+    * standard PQ practice (Jégou et al. train on ~100k samples
+    * regardless of corpus size) and what keeps Lloyd's m×iters
+    * assignment scans off the full table. `initStride` picks the seed
+    * rows (every initStride-th vec_id): callers make it a MULTIPLE of
+    * the sample stride so ~kSub seeds exist among the sampled ids.
     */
   def pqSubCodebook(sub: DataFrame, kSub: Int, iters: Int,
-      n: Long): Seq[Seq[Double]] = {
-    val stride = math.max(1L, n / kSub)
+      initStride: Long): Seq[Seq[Double]] = {
+    val stride = math.max(1L, initStride)
     var cb: Seq[Seq[Double]] = sub.where(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id").limit(kSub)
       .select(col("subv")).collect()
@@ -366,12 +374,16 @@ object Similarity {
     * every fixture SF (spec + oracle pin it), which is what lets the
     * registered query share the brute-force oracle with LSH/IVF.
     *
-    * 100 TB shape: codebook training is m small driver-side Lloyd's
-    * loops (O(kSub·subDim) collects); encoding is one row-local scan;
-    * the ADC scan reads 4 bytes/vector instead of 256 (the actual PQ
-    * win at scale — the code table fits where the float corpus cannot);
-    * the exact re-rank touches `shortlist` rows. All collects are O(k)
-    * setup, per the engine-wide policy.
+    * 100 TB shape: codebook training runs on a DETERMINISTIC STRIDE
+    * SAMPLE of O(kSub·1000) rows, persisted once — Lloyd's m×iters
+    * assignment scans hit the in-memory sample, never the corpus (the
+    * full-table passes are exactly: one count/dim aggregate, the sample
+    * materialization, one encoding scan, and the re-rank join — O(1)
+    * regardless of iters). Per-subspace collects stay O(kSub·subDim);
+    * encoding is one row-local scan; the ADC scan reads 4 bytes/vector
+    * instead of 256 (the actual PQ win at scale — the code table fits
+    * where the float corpus cannot); the exact re-rank touches
+    * `shortlist` rows (sublinear by default — see [[pqTopK]]).
     */
   /** ADC scoring stage shared by [[pqTopK]] and the recall tooling:
     * (vec_id, adc) for every corpus vector, plus the collected query
@@ -387,10 +399,26 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     def subCol(j: Int) = expr(s"slice(embedding, ${j * subDim + 1}, $subDim)")
+    // deterministic training sample: every sampleStride-th vec_id,
+    // targeting kSub·1000 rows (at the fixture SFs n < target so the
+    // sample IS the corpus and codebooks are unchanged); persisted so
+    // the m×iters Lloyd's assignment jobs scan memory, not parquet.
+    // Seed-row stride is a MULTIPLE of sampleStride so ~kSub seeds
+    // exist among the sampled (near-dense) ids.
+    val sampleTarget = kSub.toLong * 1000L
+    val sampleStride = math.max(1L, n / sampleTarget)
+    val train = (if (sampleStride == 1L) emb
+      else emb.where(pmod(col("vec_id"), lit(sampleStride)) === 0))
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ns = train.count()
+    val initStride = sampleStride * math.max(1L, ns / kSub)
     val codebooks = (0 until m).map { j =>
       pqSubCodebook(
-        emb.select(col("vec_id"), subCol(j).as("subv")), kSub, iters, n)
+        train.select(col("vec_id"), subCol(j).as("subv")), kSub, iters,
+        initStride)
     }
+    train.unpersist()
     // encode: m row-local argmins in one scan
     val encoded = (0 until m).foldLeft(emb) { (df, j) =>
       withPqCode(df.withColumn("subv", subCol(j)), codebooks(j), s"c$j")
@@ -417,15 +445,19 @@ object Similarity {
   // are random near-orthogonal (the hard case for ANY quantizer — the
   // top-10/bulk similarity gap shrinks as n grows), and the worst ADC
   // rank of a true top-10 member measured 163/63/115/2133 at
-  // n=500/500/2000/20000 (tools-probe, m=8 kSub=32). max(250, n/5)
-  // covers each with ≥1.5× margin; deterministic fixtures make that a
-  // stable bound, not a sample. Real clustered embeddings need far
-  // smaller shortlists — pass one explicitly.
+  // n=500/500/2000/20000 (tools-probe, m=8 kSub=32). The default is
+  // SUBLINEAR — max(250, 20·√n) — so the documented hazard of a
+  // linear-fraction re-rank cannot ship by accident: 447/894/2828 at
+  // n=500/2000/20000 covers every measured worst rank (1.3–7.8×
+  // margin) while re-ranking 0.03% of a 10⁹-row corpus instead of 20%.
+  // Real clustered embeddings need far smaller shortlists — pass one
+  // explicitly.
   def pqTopK(emb: DataFrame, queryVecId: Long, k: Int,
       m: Int = 8, kSub: Int = 32, iters: Int = 3,
       shortlist: Option[Int] = None): DataFrame = {
     val (scores, qVec, n) = pqAdcScores(emb, queryVecId, m, kSub, iters)
-    val s = shortlist.getOrElse(math.max(250, (n / 5).toInt))
+    val s = shortlist.getOrElse(
+      math.max(250, (20.0 * math.sqrt(n.toDouble)).toInt))
     val short = scores
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(s)
@@ -536,9 +568,11 @@ object Similarity {
     val dupCounts =
       if (maxN <= maxCluster) pairCounts(e) // no hot cluster: exact plan
       else {
+        // census rides the existing sizes aggregate (reused for the dim
+        // probe), so the split uses Blocking.pruneGroups directly
         val oversized = sizes.where(col("cluster_n") > maxCluster)
           .select("label")
-        val small = e.join(broadcast(oversized), Seq("label"), "left_anti")
+        val small = Blocking.pruneGroups(e, oversized, Seq("label"))
         val hot = e.join(broadcast(oversized), Seq("label"), "left_semi")
         // sub-block plane count: expected block ≈ maxCluster members of
         // the HOTTEST cluster, so no (label, bucket) key can funnel more

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -19,6 +19,9 @@ final case class SessState(startUs: Long, lastUs: Long, n: Long)
 
 /** Last ≤7 dyadic-EWMA micro-unit values, most recent first. */
 final case class EwmaState(recent: Seq[Long])
+
+/** Bounded trailing-7 value queue for the streaming rolling z-score. */
+final case class ZState(recent: Seq[Long])
 
 /** Event-time windowed aggregation (SURVEY.md §2.10). The reference has
   * no streaming — its nearest analogs are Airflow polling sensors
@@ -110,19 +113,19 @@ object EventOps {
       .orderBy("user_id")
 
   /** Shared streaming source over the events fixture: footer schema
-    * probe (ts = nanos long, see Tables.load), directory + glob (the
-    * file stream source requires a DIRECTORY; testdata lays each table
-    * out as one file), nanos→micros timestamp conversion. Every
+    * probe, directory + glob (the file stream source requires a
+    * DIRECTORY; testdata lays each table out as one file), and the
+    * engine-wide ts physical-type adaptation (Tables.normalizeEventTs —
+    * the generator's ts type has varied across driver rounds). Every
     * streaming operator reads through this ONE definition.
     */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tuned(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
+    Tables.normalizeEventTs(spark.readStream
       .schema(raw)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(sfDir))
   }
 
   /** Structured Streaming twin of [[tumblingAgg]]: same logical window
@@ -300,6 +303,94 @@ object EventOps {
       .toDF("user_id", "event_id", "ewma")
   }
 
+  /** Batch twin of [[streamingRollingZscore]]: each event's value
+    * against its user's trailing-8 window statistics —
+    * WindowOps.rollingZscore's arithmetic (exact BIGINT micro-unit
+    * moments inside one ROWS frame, variance clamped ≥ 0, one double
+    * conversion in a shared formula) on the event stream. Exact integer
+    * moments + an identical double formula on both forms make the spec
+    * comparison == rather than a tolerance. The s2 sum is bounded:
+    * 8·(10⁹)² < 2⁶³ holds for |value| ≤ 10³ (the fixture's domain is
+    * [0, ~600]); a wider domain must drop the 10⁶ unit scale a decade.
+    */
+  def eventRollingZscore(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-7, Window.currentRow)
+    val units = floor(col("value") * 1000000 + 0.5).cast("long")
+    events
+      .select(col("user_id"), col("event_id"),
+        units.as("u"),
+        count(lit(1)).over(w).as("n"),
+        sum(units).over(w).as("s1"),
+        sum(units * units).over(w).as("s2"))
+      .select(col("user_id"), col("event_id"),
+        zFormula(col("u"), col("n"), col("s1"), col("s2")).as("z"))
+      .select(col("user_id"), col("event_id"), col("z"),
+        (abs(col("z")) > 2.0).cast("int").as("is_anomaly"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** ONE definition of the z computation both rolling-zscore forms
+    * share: population variance from exact integer moments, clamped
+    * ≥ 0 against FP cancellation, z = 0 for n < 2 or zero variance.
+    */
+  private def zFormula(u: Column, n: Column, s1: Column, s2: Column): Column = {
+    val mean = s1.cast("double") / n.cast("double")
+    val varp = greatest(
+      s2.cast("double") / n.cast("double") - mean * mean, lit(0.0))
+    when(n < 2, 0.0)
+      .when(varp === 0.0, 0.0)
+      .otherwise((u.cast("double") - mean) / sqrt(varp))
+  }
+
+  /** Streaming per-event rolling z-score anomaly flag
+    * (`flatMapGroupsWithState`): the streaming twin of the batch
+    * rolling-zscore family — one output row PER EVENT scoring it
+    * against its user's trailing-8 statistics at that point. State is
+    * a hard-bounded 7-value queue per user (O(1) per key on an
+    * unbounded stream); moments are recomputed from the ≤8-element
+    * window with the SAME exact-integer accumulation and the same
+    * double formula as [[eventRollingZscore]], so the spec compares ==
+    * against the batch twin. Per-trigger arrivals sort by
+    * (ts, event_id) in memory — one user's single-trigger slice, not
+    * the stream.
+    */
+  def streamingRollingZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    eventStream(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value").cast("double").as("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ZState, (Long, Long, Double, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, events, state) =>
+          val sorted = events.toArray.sortBy(e => (e._3, e._2))
+          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
+          val out = sorted.map { case (_, eid, _, v) =>
+            val u = math.floor(v * 1000000 + 0.5).toLong
+            val window = u +: recent
+            val n = window.size
+            val s1 = window.sum
+            val s2 = window.map(x => x * x).sum
+            val mean = s1.toDouble / n.toDouble
+            val varp = math.max(s2.toDouble / n.toDouble - mean * mean, 0.0)
+            val z =
+              if (n < 2 || varp == 0.0) 0.0
+              else (u.toDouble - mean) / math.sqrt(varp)
+            recent = window.take(7)
+            (user, eid, z, if (math.abs(z) > 2.0) 1 else 0)
+          }
+          state.update(ZState(recent))
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "z", "is_anomaly")
+  }
+
   /** Streaming heavy hitters per user: a MISRA-GRIES summary of event
     * types with a hard `capacity` bound on per-key state — the
     * bounded-memory answer to "top types per user over an unbounded
@@ -418,8 +509,8 @@ object EventOps {
     * small or bucket-joins when not — same planning as batch.
     */
   def streamingEnrichedEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val profile = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val profile = Tables.normalizeEventTs(
+        spark.read.parquet(s"$sfDir/events.parquet"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("lifetime_events"))
     val stream = eventStream(spark, sfDir)

@@ -69,8 +69,8 @@ class AsOfJoinSpec extends SparkTestBase {
   }
 
   test("row count is exactly the left side's (no fan-out, no drops)") {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.engine.Tables.normalizeEventTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
     val views = ev.where(col("event_type") === "view")

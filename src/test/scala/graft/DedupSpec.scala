@@ -210,6 +210,67 @@ class DedupSpec extends SparkTestBase {
     assert(got == List((0L, 1L, 1.0)), s"got $got")
   }
 
+  test("containment join (prefix filter) == exact O(n²) directed brute force on the fixture") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sets = Dedup.shingleSets(docs, "text", 3)
+      .where(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"))
+    val a = sets.select(col("doc_id").as("sub_id"), col("shingles").as("sh1"))
+    val b = sets.select(col("doc_id").as("sup_id"), col("shingles").as("sh2"))
+    val exact = a.crossJoin(b).where(col("sub_id") =!= col("sup_id"))
+      .select(col("sub_id"), col("sup_id"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(col("sh1")).cast("double")).as("c"))
+      .where(col("c") >= 0.8)
+      .orderBy("sub_id", "sup_id")
+      .as[(Long, Long, Double)].collect().toList
+    val got = Dedup.containmentQuery(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == exact, "prefix-filtered containment must equal brute force exactly")
+    assert(got.nonEmpty, "fixture plants containment pairs")
+  }
+
+  test("containment join df cap: hot boilerplate shingle bounded, rare-shingle pairs exact") {
+    // 300 boilerplate docs share ONE hot trigram (df = 301 > cap = 50)
+    // plus unique tails; docs 300/301 are a true containment pair through
+    // RARE shingles only; doc 302's whole shingle set IS the hot trigram
+    // (the only shape whose qualifying pairs ride hot shingles alone)
+    val texts =
+      (0 until 300).map(i => s"all rights reserved u$i t$i w$i e$i") ++
+        Seq(
+          "alpha beta gamma delta epsilon",
+          "alpha beta gamma delta epsilon zeta eta theta",
+          "all rights reserved",
+          "all rights reserved plus more stuff here")
+    val docs = docsDf(texts)
+    // capped (registered default shape, cap forced low): the rare-path
+    // pair survives with the EXACT value; every hot-only pair is the
+    // documented recall trade
+    val capped = Dedup.containmentJoin(docs, "text", "doc_id", maxDf = 50)
+      .as[(Long, Long, Double)].collect().toList
+    assert(capped == List((300L, 301L, 1.0)), s"got $capped")
+    // uncapped: recall 1.0 by the prefix lemma — equals directed brute
+    // force including all 301 hot-only containments of doc 302
+    val sets = Dedup.shingleSets(docs, "text", 3)
+      .where(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"))
+    val a = sets.select(col("doc_id").as("sub_id"), col("shingles").as("sh1"))
+    val b = sets.select(col("doc_id").as("sup_id"), col("shingles").as("sh2"))
+    val exact = a.crossJoin(b).where(col("sub_id") =!= col("sup_id"))
+      .select(col("sub_id"), col("sup_id"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(col("sh1")).cast("double")).as("c"))
+      .where(col("c") >= 0.8)
+      .orderBy("sub_id", "sup_id")
+      .as[(Long, Long, Double)].collect().toList
+    val uncapped = Dedup.containmentJoin(docs, "text", "doc_id",
+        maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toList
+    assert(uncapped == exact, "uncapped containment must equal brute force")
+    assert(uncapped.contains((302L, 303L, 1.0)) && uncapped.size == 302,
+      s"expected 302 directed pairs, got ${uncapped.size}")
+  }
+
   test("incrementalNearDups == exact O(n²) cross brute force on the fixture") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sets = Dedup.shingleSets(docs, "text", 2).select(col("doc_id"), col("shingles"))

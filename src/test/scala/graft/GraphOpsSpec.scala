@@ -76,6 +76,25 @@ class GraphOpsSpec extends SparkTestBase {
     assert(!plan.contains("Cartesian"), s"cartesian in pageRank plan:\n${plan.take(800)}")
   }
 
+  test("doc-quote pageRank: quoted doc outranks quoters; matches the JVM mirror") {
+    // docs 1 and 2 both embed doc 0's full trigram set (containment
+    // 0 ⊆ 1, 0 ⊆ 2 at 1.0) → quote edges 1→0 and 2→0; doc 3 is
+    // disjoint (isolated node, teleport mass only)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "prefix words alpha beta gamma delta epsilon suffix words here"),
+      (3L, "totally unrelated content nothing shared at all"))
+      .toDF("doc_id", "text")
+    val got = GraphOps.docPageRank(docs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mirror = jvmPageRank(Map((1L, 0L) -> 1L, (2L, 0L) -> 1L),
+      Seq(0L, 1L, 2L, 3L))
+    assert(got == mirror, s"spark $got != jvm $mirror")
+    assert(got(0L) > got(3L) && got(1L) == 150000L && got(3L) == 150000L,
+      "rank mass flows from quoters to the quoted doc only")
+  }
+
   test("textRank matches a plain-JVM mirror on a crafted corpus; hub token ranks first") {
     // pre-normalized text: tokenization reduces to whitespace split.
     // 'data' is the hub (co-occurs with everything)

@@ -34,8 +34,8 @@ class RangeJoinSpec extends SparkTestBase {
   }
 
   test("bucketed range join equals the plain inequality join on real data") {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.engine.Tables.normalizeEventTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
     val wins = ev.where(col("event_type") === "signup")

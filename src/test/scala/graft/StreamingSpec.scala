@@ -134,11 +134,10 @@ class StreamingSpec extends SparkTestBase {
   test("streaming parquet sink with checkpoint writes exactly the input rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
     val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream
+    val stream = graft.engine.Tables.normalizeEventTs(spark.readStream
       .schema(raw)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(sfDir))
       .select("event_id", "user_id", "event_type", "ts")
     val q = stream.writeStream
       .format("parquet")
@@ -296,6 +295,27 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch, "exact equality — both paths share the integer arithmetic")
     // state bound: the trailing window never weighs more than 8 values
     assert(streamed.nonEmpty)
+  }
+
+  test("streaming rolling z-score == batch twin exactly (integer moments, one formula)") {
+    val q = EventOps.streamingRollingZscore(spark, sfDir).writeStream
+      .format("memory")
+      .queryName("graft_zscore_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_zscore_test")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    val batch = EventOps.eventRollingZscore(
+      graft.engine.Tables.load(spark, sfDir, "events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    assert(streamed.size == batch.size, "one row per event on both paths")
+    assert(streamed == batch, "exact equality — both paths share the integer moments")
+    assert(streamed.values.exists(_._2 == 1), "fixture contains trailing-window anomalies")
   }
 
   test("mapGroupsWithState per-user running totals == batch aggregation") {
