@@ -297,70 +297,49 @@ object Similarity {
 
   // ---- Product quantization (PQ) ANN -----------------------------------
 
-  /** Squared-L2 code assignment against a plan-literal sub-codebook:
-    * per row, the index of the nearest sub-centroid (first index wins
-    * ties — deterministic). Same row-local argmin shape as
-    * [[withIvfList]], but L2 (the published PQ objective) instead of
-    * cosine — subvectors of unit vectors are NOT unit, so cosine would
-    * quantize direction only and throw away subvector magnitude.
-    */
-  private def withPqCode(sub: DataFrame, table: Seq[Seq[Double]],
-      outCol: String): DataFrame =
-    sub
-      .withColumn("__cb", typedlit(table))
-      .withColumn("__d2", expr(
-        """transform(__cb, c -> aggregate(
-          |  zip_with(subv, c, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-          |  CAST(0 AS DOUBLE), (s, v) -> s + v))""".stripMargin))
-      .withColumn(outCol, expr(
-        s"""aggregate(sequence(0, ${table.size - 1}),
-           |          named_struct('best', -1, 'bestD2', CAST('Infinity' AS DOUBLE)),
-           |          (acc, c) -> CASE
-           |            WHEN element_at(__d2, c + 1) < acc.bestD2
-           |            THEN named_struct('best', c, 'bestD2', element_at(__d2, c + 1))
-           |            ELSE acc END).best""".stripMargin))
-      .drop("__cb", "__d2")
-
-  /** Per-subspace L2 Lloyd's codebook: stride-sample init, assign by
-    * [[withPqCode]], mean update via posexplode + groupBy(code, pos)
-    * (k·subDim aggregate rows to the driver), 1e-9 rounding for
-    * run-to-run determinism — [[kmeansCentroids]]' discipline at the
-    * subspace level. Empty codes keep their previous centroid.
+  /** Per-subspace L2 Lloyd's codebook over the DRIVER-SIDE training
+    * sample: argmin assignment matches [[withPqCode]] exactly (strict <,
+    * first index wins ties), mean update per code, 1e-9 rounding for
+    * cross-version determinism, empty codes keep their previous
+    * centroid. `seedIdx` picks the initial centroids (sample positions,
+    * chosen by [[pqAdcScores]] from the strided vec_ids).
     *
-    * `sub` is the TRAINING relation — at scale a stride sample of the
-    * corpus, not the corpus ([[pqAdcScores]] builds and persists it);
-    * standard PQ practice (Jégou et al. train on ~100k samples
-    * regardless of corpus size) and what keeps Lloyd's m×iters
-    * assignment scans off the full table. `initStride` picks the seed
-    * rows (every initStride-th vec_id): callers make it a MULTIPLE of
-    * the sample stride so ~kSub seeds exist among the sampled ids.
+    * Driver-side ON PURPOSE: the sample is hard-bounded at
+    * O(kSub·1000) rows whatever the corpus size (standard PQ practice —
+    * Jégou et al. train codebooks on ~100k vectors for billion-scale
+    * corpora), so Lloyd's m×iters assignment passes are a tight JVM
+    * loop over ≤ a few MB instead of m×iters Spark jobs evaluating an
+    * interpreted HOF argmin over the corpus — the round-5 shape spent
+    * 24 full-table assignment scans in setup before any query ran.
     */
-  def pqSubCodebook(sub: DataFrame, kSub: Int, iters: Int,
-      initStride: Long): Seq[Seq[Double]] = {
-    val stride = math.max(1L, initStride)
-    var cb: Seq[Seq[Double]] = sub.where(pmod(col("vec_id"), lit(stride)) === 0)
-      .orderBy("vec_id").limit(kSub)
-      .select(col("subv")).collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toSeq).toSeq
+  def pqSubCodebook(sample: Array[Array[Double]], kSub: Int, iters: Int,
+      seedIdx: Seq[Int]): Seq[Seq[Double]] = {
+    var cb: Array[Array[Double]] = seedIdx.map(sample(_).clone).toArray
+    val dim = if (sample.isEmpty) 0 else sample.head.length
     for (_ <- 0 until iters) {
-      val means = withPqCode(sub, cb, "code")
-        .select(col("code"), posexplode(col("subv")).as(Seq("pos", "v")))
-        .groupBy("code", "pos")
-        .agg(avg(col("v").cast("double")).as("m"))
-        .collect()
-      val byCode = means.groupBy(_.getInt(0))
-      cb = cb.zipWithIndex.map { case (old, i) =>
-        byCode.get(i) match {
-          case Some(rows) => rows.sortBy(_.getInt(1))
-            .map(r => math.rint(r.getDouble(2) * 1e9) / 1e9).toSeq
-          case None       => old
+      val sums = Array.fill(cb.length)(new Array[Double](dim))
+      val counts = new Array[Long](cb.length)
+      sample.foreach { v =>
+        var best = -1
+        var bestD2 = Double.PositiveInfinity
+        var c = 0
+        while (c < cb.length) {
+          var d2 = 0.0
+          var j = 0
+          while (j < dim) { val t = v(j) - cb(c)(j); d2 += t * t; j += 1 }
+          if (d2 < bestD2) { bestD2 = d2; best = c }
+          c += 1
         }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      cb = cb.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0L) old
+        else sums(i).map(s => math.rint(s / counts(i) * 1e9) / 1e9)
       }
     }
-    cb
+    cb.map(_.toSeq).toSeq
   }
 
   /** PQ-ADC ANN top-k with exact re-rank (Jégou, Douze & Schmid 2011):
@@ -398,32 +377,45 @@ object Similarity {
     val (n, dim) = (r0.getLong(0), r0.getInt(1))
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    def subCol(j: Int) = expr(s"slice(embedding, ${j * subDim + 1}, $subDim)")
     // deterministic training sample: every sampleStride-th vec_id,
     // targeting kSub·1000 rows (at the fixture SFs n < target so the
-    // sample IS the corpus and codebooks are unchanged); persisted so
-    // the m×iters Lloyd's assignment jobs scan memory, not parquet.
-    // Seed-row stride is a MULTIPLE of sampleStride so ~kSub seeds
-    // exist among the sampled (near-dense) ids.
+    // sample IS the corpus), collected ONCE to the driver — a
+    // hard-bounded O(kSub·1000)-row collect, not corpus-sized — so the
+    // m per-subspace Lloyd's loops run in-JVM with zero further jobs.
+    // Seed rows: every initStride-th vec_id, initStride a MULTIPLE of
+    // sampleStride so ~kSub seeds exist among the sampled (near-dense)
+    // ids — the same pmod discipline at every scale.
     val sampleTarget = kSub.toLong * 1000L
     val sampleStride = math.max(1L, n / sampleTarget)
-    val train = (if (sampleStride == 1L) emb
+    val sampleRows = (if (sampleStride == 1L) emb
       else emb.where(pmod(col("vec_id"), lit(sampleStride)) === 0))
       .select(col("vec_id"), col("embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ns = train.count()
-    val initStride = sampleStride * math.max(1L, ns / kSub)
+      .orderBy("vec_id")
+      .collect()
+    val sampleIds = sampleRows.map(_.getLong(0))
+    val sampleVecs = sampleRows.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    val initStride = sampleStride * math.max(1L, sampleVecs.length.toLong / kSub)
+    val seedIdx = sampleIds.zipWithIndex
+      .collect { case (id, i) if id % initStride == 0L => i }
+      .take(kSub).toSeq
     val codebooks = (0 until m).map { j =>
       pqSubCodebook(
-        train.select(col("vec_id"), subCol(j).as("subv")), kSub, iters,
-        initStride)
+        sampleVecs.map(v =>
+          java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim)),
+        kSub, iters, seedIdx)
     }
-    train.unpersist()
-    // encode: m row-local argmins in one scan
-    val encoded = (0 until m).foldLeft(emb) { (df, j) =>
-      withPqCode(df.withColumn("subv", subCol(j)), codebooks(j), s"c$j")
-        .drop("subv")
-    }
+    // encode: ONE codegen'd expression (graft_pq_encode) assigns all m
+    // sub-codes in a tight JVM loop and packs them byte-per-subspace
+    // into a single BIGINT — the 4-byte/row relation the ADC scan
+    // reads. (The previous shape evaluated an interpreted HOF argmin
+    // per subspace per row — the whole encode stage fell out of
+    // whole-stage codegen and dominated the key's bench time.)
+    val encoded = emb.withColumn("pqcode",
+      call_function("graft_pq_encode", col("embedding"),
+        typedlit(codebooks)))
     val qVec = emb.where(col("vec_id") === queryVecId)
       .select(col("embedding")).head().getSeq[Any](0).map {
         case f: Float => f.toDouble
@@ -435,7 +427,8 @@ object Similarity {
       codebooks(j).map(c => c.zip(qj).map { case (a, b) => a * b }.sum)
     }
     val adc = (0 until m).map(j =>
-      expr(s"element_at(__lut[$j], c$j + 1)")).reduce(_ + _)
+      expr(s"element_at(__lut[$j], CAST(shiftright(pqcode, ${8 * j}) & 255 AS INT) + 1)"))
+      .reduce(_ + _)
     (encoded
       .withColumn("__lut", typedlit(lut))
       .select(col("vec_id"), adc.as("adc")), qVec, n)

@@ -264,6 +264,47 @@ object HashImpls {
     bucket
   }
 
+  /** Product-quantization encode: the m per-subspace nearest-centroid
+    * indices (squared L2, strict <, FIRST index wins ties — the PQ
+    * assignment rule shared with codebook training) packed into one
+    * BIGINT, subspace j's code in byte j. `cb` is [m][kSub][subDim];
+    * subvector j reads vector positions [j·subDim, (j+1)·subDim).
+    * Requires m ≤ 8 and kSub ≤ 256 (enforced by the expression).
+    */
+  def pqEncode(v: ArrayData, vFloat: Boolean,
+      cb: Array[Array[Array[Double]]]): Long = {
+    val m = cb.length
+    var code = 0L
+    var j = 0
+    while (j < m) {
+      val cbj = cb(j)
+      val subDim = if (cbj.isEmpty) 0 else cbj(0).length
+      val off = j * subDim
+      var best = 0
+      var bestD2 = Double.PositiveInfinity
+      var c = 0
+      while (c < cbj.length) {
+        val cent = cbj(c)
+        var d2 = 0.0
+        var t = 0
+        while (t < subDim) {
+          val x =
+            if (v.isNullAt(off + t)) 0.0
+            else if (vFloat) v.getFloat(off + t).toDouble
+            else v.getDouble(off + t)
+          val d = x - cent(t)
+          d2 += d * d
+          t += 1
+        }
+        if (d2 < bestD2) { bestD2 = d2; best = c }
+        c += 1
+      }
+      code |= best.toLong << (8 * j)
+      j += 1
+    }
+    code
+  }
+
   /** Deterministic payload downsample: every k-th byte of the input —
     * the batch shape of a media resize (a real resizer replaces the
     * sampling kernel; the binary-in/binary-out plumbing is identical).
@@ -655,6 +696,67 @@ case class SrpBucketExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_pq_encode(array<float|double>, array<array<array<double>>>
+  * literal) -> bigint`: the m per-subspace PQ centroid assignments of
+  * the vector, packed byte-per-subspace into one BIGINT. The codebook
+  * argument must be FOLDABLE (a literal): it deserializes ONCE into a
+  * primitive double[][][] held by the expression/codegen reference, so
+  * the per-row cost is the pure m·kSub·subDim flop loop — the
+  * whole-stage-codegen replacement for the interpreted HOF argmin the
+  * encode stage originally evaluated per row per subspace.
+  */
+case class PqEncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def vFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(ArrayType(ArrayType(DoubleType, _), _), _))
+          if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float|double>, literal array<array<array<double>>>)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pq_encode"
+
+  @transient private lazy val table: Array[Array[Array[Double]]] = {
+    val cb = right.eval().asInstanceOf[ArrayData]
+    val out = Array.ofDim[Array[Array[Double]]](cb.numElements())
+    var j = 0
+    while (j < out.length) {
+      val sub = cb.getArray(j)
+      val cents = Array.ofDim[Array[Double]](sub.numElements())
+      var c = 0
+      while (c < cents.length) {
+        cents(c) = sub.getArray(c).toDoubleArray()
+        c += 1
+      }
+      out(j) = cents
+      j += 1
+    }
+    require(out.length <= 8 && out.forall(_.length <= 256),
+      s"$prettyName: m <= 8 subspaces, kSub <= 256 centroids")
+    out
+  }
+
+  protected override def nullSafeEval(v: Any, cbIgnored: Any): Any =
+    HashImpls.pqEncode(v.asInstanceOf[ArrayData], vFloat, table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqTable", table, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = graft.functions.HashImpls.pqEncode($v, $vFloat, $ref);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_downsample(binary, k) -> binary` (k a literal): every k-th
   * byte — the deterministic stand-in for a media resize kernel.
   */
@@ -799,6 +901,11 @@ object HashExprs {
       exprs => exprs match {
         case Seq(v, p) => SrpBucketExpr(v, p)
         case _ => throw new IllegalArgumentException("graft_srp_bucket(vec, planes)")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_encode",
+      exprs => exprs match {
+        case Seq(v, cb) => PqEncodeExpr(v, cb)
+        case _ => throw new IllegalArgumentException("graft_pq_encode(vec, codebooks literal)")
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_luhn",
       exprs => exprs match {
