@@ -64,28 +64,50 @@ object MiningOps {
     * distance 1 ("ab"/"ba" share "a" at distance 2), so survivors
     * verify with the real levenshtein — exact output on any corpus.
     *
-    * 100 TB shape: one row-local explode (×(len+1)), an 8-byte-ish
-    * string-key equi-join whose bucket sizes are deletion-neighborhood
-    * sizes (small for real entity names), a narrow distinct, and the
-    * codegen'd levenshtein on survivors only. The registered query runs
-    * on customer names, where single-digit substitutions are the
-    * planted typo structure.
+    * 100 TB shape: the ENTIRE blocking pipeline runs over DISTINCT
+    * names — an exact-dup name flood (the same entity string repeated
+    * millions of times, which ScaleGen's replicated customers simulate)
+    * collapses to one blocking row instead of multiplying every variant
+    * bucket, so candidate volume scales with the VOCABULARY, not the
+    * row count (measured: the id-level formulation went 15.3× on 10×
+    * data at sf1 because every replica repeats the base names; this
+    * shape restores name-level scaling). Then: one row-local explode
+    * (×(len+1)), an 8-byte-ish string-key equi-join whose bucket sizes
+    * are deletion-neighborhood sizes (small for real entity names), a
+    * narrow distinct, the codegen'd levenshtein on surviving NAME
+    * pairs, and two output-bounded joins expand name pairs back to id
+    * pairs (identical-name id pairs are distance 0 — never output — so
+    * the expansion loses nothing). The registered query runs on
+    * customer names, where single-digit substitutions are the planted
+    * typo structure.
     */
   def typoPairs(entities: DataFrame, idCol: String, nameCol: String): DataFrame = {
     val names = entities.select(col(idCol).as("id"), col(nameCol).as("name"))
-    val variants = names.select(col("id"), col("name"), explode(expr(
-      """array_distinct(concat(array(name),
-        |  transform(sequence(1, length(name)),
-        |    i -> concat(substring(name, 1, i - 1),
-        |                substring(name, i + 1, length(name) - i)))))""".stripMargin))
-      .as("v"))
-    val cand = variants.select(col("id").as("ida"), col("name").as("na"), col("v"))
-      .join(variants.select(col("id").as("idb"), col("name").as("nb"), col("v")), Seq("v"))
-      .where(col("ida") < col("idb"))
-      .select("ida", "idb", "na", "nb").distinct()
-    cand.where(levenshtein(col("na"), col("nb")) === 1)
-      .select(col("ida"), col("idb"),
-        col("na").as("name_a"), col("nb").as("name_b"))
+    val dnames = names.select("name").distinct()
+    // variants join on their 8-byte hash, not the variant STRING — the
+    // hashedShingleSets discipline (narrower shuffle; a hash collision
+    // only adds a false candidate, which the levenshtein verify kills)
+    val variants = dnames.select(col("name"), explode(expr(
+      """array_distinct(transform(
+        |  concat(array(name),
+        |    transform(sequence(1, length(name)),
+        |      i -> concat(substring(name, 1, i - 1),
+        |                  substring(name, i + 1, length(name) - i)))),
+        |  v -> xxhash64(v)))""".stripMargin))
+      .as("vh"))
+    val namePairs = variants.select(col("name").as("na"), col("vh"))
+      .join(variants.select(col("name").as("nb"), col("vh")), Seq("vh"))
+      .where(col("na") < col("nb"))
+      .select("na", "nb").distinct()
+      .where(levenshtein(col("na"), col("nb")) === 1)
+    namePairs
+      .join(names.select(col("id").as("ia"), col("name").as("na")), "na")
+      .join(names.select(col("id").as("ib"), col("name").as("nb")), "nb")
+      .select(
+        least(col("ia"), col("ib")).as("ida"),
+        greatest(col("ia"), col("ib")).as("idb"),
+        when(col("ia") < col("ib"), col("na")).otherwise(col("nb")).as("name_a"),
+        when(col("ia") < col("ib"), col("nb")).otherwise(col("na")).as("name_b"))
       .orderBy("ida", "idb")
   }
 

@@ -79,8 +79,24 @@ object ScaleGen {
     def replicate(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until reps).map(i => shift(df, i)).reduce(_ union _)
 
-    wr(replicate(cust)((d, i) =>
-      d.withColumn("c_custkey", col("c_custkey") + lit(i * custSpan))), "customer")
+    // c_name gets the same per-replica Caesar rotation as documents:
+    // without it every replica repeats the base names byte-identically,
+    // so name-keyed operators (typo pairs) see an exact-dup flood whose
+    // TRUE pair count grows quadratically with replicas — a replication
+    // artifact, not workload structure (the honest-embeddings
+    // precedent: perturb what would otherwise be byte-equal twins)
+    val alphaC = "abcdefghijklmnopqrstuvwxyz"
+    val digitsC = "0123456789"
+    wr(replicate(cust)((d, i) => {
+      val rotL = alphaC.drop(i % 26) + alphaC.take(i % 26)
+      val rotD = digitsC.drop(i % 10) + digitsC.take(i % 10)
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * custSpan))
+        .withColumn("c_name",
+          if (i == 0) col("c_name")
+          else translate(col("c_name"),
+            alphaC + alphaC.toUpperCase + digitsC,
+            rotL + rotL.toUpperCase + rotD))
+    }), "customer")
     wr(replicate(ords)((d, i) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(i * ordSpan))
         .withColumn("o_custkey", col("o_custkey") + lit(i * custSpan))), "orders")
@@ -124,14 +140,12 @@ object ScaleGen {
     // residual, negligible against the letter rotation on word text).
     val docs = rd("documents")
     val docSpan = span(docs, "doc_id")
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
-    val digits = "0123456789"
     wr(replicate(docs)((d, i) => {
-      val rotL = alpha.drop(i % 26) + alpha.take(i % 26)
-      val rotD = digits.drop(i % 10) + digits.take(i % 10)
+      val rotL = alphaC.drop(i % 26) + alphaC.take(i % 26)
+      val rotD = digitsC.drop(i % 10) + digitsC.take(i % 10)
       d.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
         .withColumn("text", translate(col("text"),
-          alpha + alpha.toUpperCase + digits,
+          alphaC + alphaC.toUpperCase + digitsC,
           rotL + rotL.toUpperCase + rotD))
     }), "documents")
   }

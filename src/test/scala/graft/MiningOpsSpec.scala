@@ -56,6 +56,22 @@ class MiningOpsSpec extends SparkTestBase {
     assert(got.nonEmpty, "digit-substitution neighbors exist in the fixture")
   }
 
+  test("typo pairs under an exact-dup name flood: distinct-name blocking, id pairs expand correctly") {
+    // 50 ids share ONE name plus a distance-1 partner with 3 ids: the
+    // id-level formulation would push 50 copies through every variant
+    // bucket (the sf1 super-linear shape); the name-level one blocks
+    // once per DISTINCT name and expands to exactly the 50×3 id pairs
+    import spark.implicits._
+    val ents = ((1L to 50L).map(i => (i, "acme corp")) ++
+      Seq(51L, 52L, 53L).map(i => (i, "acme c0rp")) ++
+      Seq((54L, "unrelated name")))
+      .toDF("c_custkey", "c_name")
+    val got = MiningOps.typoPairs(ents, "c_custkey", "c_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (a <- 1L to 50L; b <- 51L to 53L) yield (a, b)).toSet
+    assert(got == want, s"expected the 150 cross pairs, got ${got.size}")
+  }
+
   test("itemset pairs on the fixture: deterministic rerun, support ordering, lift finite") {
     val li = graft.engine.Tables.load(spark, sfDir, "lineitem")
     val a = MiningOps.itemsetPairs(li, k = 20).collect()
