@@ -23,6 +23,13 @@ final case class EwmaState(recent: Seq[Long])
 /** Bounded trailing-7 value queue for the streaming rolling z-score. */
 final case class ZState(recent: Seq[Long])
 
+/** Earliest strictly-ordered view→click→purchase completion times
+  * reached so far (epoch micros; None = step unreached) for
+  * [[EventOps.streamingFunnel]]. O(1) per user on an unbounded stream.
+  */
+final case class FunnelState(
+    t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
 /** Event-time windowed aggregation (SURVEY.md §2.10). The reference has
   * no streaming — its nearest analogs are Airflow polling sensors
   * (etl_aws_vini.py:459-468) — so this family is Tier B: batch-mode
@@ -669,14 +676,7 @@ object EventOps {
     val ev = t(s, dir, "events")
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
-    val s1 = ev.where(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts_us").as("t1"))
-    val s2 = ev.where(col("event_type") === "click")
-      .join(s1, "user_id").where(col("ts_us") > col("t1"))
-      .groupBy("user_id").agg(min("ts_us").as("t2"))
-    val s3 = ev.where(col("event_type") === "purchase")
-      .join(s2, "user_id").where(col("ts_us") > col("t2"))
-      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    val (s1, s2, s3) = funnelStages(ev)
     // one declarative plan (no driver-side counts re-running upstream
     // stages): three 1-row reach counts cross-joined, pivoted long via
     // a literal array on the single assembled row
@@ -700,6 +700,93 @@ object EventOps {
       .select(col("r.step"), col("r.event_type"),
         col("r.n_users"), col("r.conv_rate"))
       .orderBy("step")
+  }
+
+  /** The three chained earliest-completion stage tables the funnel
+    * family shares: per-user min view time, min click strictly after
+    * it, min purchase strictly after that. Input needs (user_id,
+    * event_type, ts_us) columns.
+    */
+  private def funnelStages(
+      ev: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val s1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, "user_id").where(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, "user_id").where(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    (s1, s2, s3)
+  }
+
+  /** Per-user funnel depth table — the user-grain view [[funnel]]
+    * reduces to its 3-row report, exposed so the streaming twin
+    * ([[streamingFunnel]]) has an exact row-for-row batch target:
+    * (user_id, step_reached ∈ 1..3, t1_us, t2_us, t3_us; -1 =
+    * unreached). Users with no view row never enter the funnel, same
+    * as the batch aggregates.
+    */
+  def funnelUserTimes(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val (s1, s2, s3) = funnelStages(ev)
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1) + when(col("t2").isNotNull, 1).otherwise(0) +
+          when(col("t3").isNotNull, 1).otherwise(0)).as("step_reached"),
+        coalesce(col("t1"), lit(-1L)).as("t1_us"),
+        coalesce(col("t2"), lit(-1L)).as("t2_us"),
+        coalesce(col("t3"), lit(-1L)).as("t3_us"))
+      .orderBy("user_id")
+  }
+
+  /** Streaming funnel state machine (`flatMapGroupsWithState`): the
+    * streaming twin of [[funnel]]/[[funnelUserTimes]] — per-user
+    * earliest strictly-ordered view→click→purchase completion with
+    * O(1) state per key (three optional micros) on an unbounded
+    * stream. Under event-time-ordered arrival the greedy update is
+    * exact: the first view IS min(t1), so each later stage latches on
+    * its first strictly-later qualifying arrival — the same strict->
+    * comparisons as the batch aggregates — and never revises. Emits
+    * one row per user per trigger carrying current depth; the spec
+    * compares final rows == against [[funnelUserTimes]]. Per-trigger
+    * arrivals sort by (ts, event_id) in memory — one user's
+    * single-trigger slice, not the stream.
+    */
+  def streamingFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    eventStream(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        coalesce(col("event_type"), lit("")).as("et"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, (Long, Int, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, events, state) =>
+          val sorted = events.toArray.sortBy(e => (e._4, e._2))
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          sorted.foreach { case (_, _, et, ts) =>
+            et match {
+              case "view" if st.t1.isEmpty => st = st.copy(t1 = Some(ts))
+              case "click" if st.t2.isEmpty && st.t1.exists(ts > _) =>
+                st = st.copy(t2 = Some(ts))
+              case "purchase" if st.t3.isEmpty && st.t2.exists(ts > _) =>
+                st = st.copy(t3 = Some(ts))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          if (st.t1.isEmpty) Iterator.empty
+          else Iterator.single((user, 1 + st.t2.size + st.t3.size,
+            st.t1.getOrElse(-1L), st.t2.getOrElse(-1L),
+            st.t3.getOrElse(-1L)))
+      }
+      .toDF("user_id", "step_reached", "t1_us", "t2_us", "t3_us")
   }
 
   /** Weekly cohort retention: cohort = the week of a user's FIRST

@@ -318,6 +318,35 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.values.exists(_._2 == 1), "fixture contains trailing-window anomalies")
   }
 
+  test("streaming funnel state machine == batch per-user funnel exactly") {
+    val q = EventOps.streamingFunnel(spark, sfDir).writeStream
+      .format("memory")
+      .queryName("graft_funnel_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_funnel_test")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val batch = EventOps.funnelUserTimes(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(streamed.size == batch.size, "one row per funnel-entered user on both paths")
+    assert(streamed == batch,
+      "exact equality — greedy latching == the chained min aggregates")
+    // the user-grain table must reduce to the registered 3-row report
+    val report = EventOps.funnel(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(report(1) == batch.size.toLong)
+    assert(report(2) == batch.values.count(_._1 >= 2).toLong)
+    assert(report(3) == batch.values.count(_._1 == 3).toLong)
+    assert(report(3) > 0, "fixture contains completed funnels")
+  }
+
   test("mapGroupsWithState per-user running totals == batch aggregation") {
     val q = EventOps.streamingUserStateCounts(spark, sfDir).writeStream
       .format("memory")
