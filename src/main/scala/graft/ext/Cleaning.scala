@@ -424,14 +424,21 @@ object Cleaning {
     * from actual model size, and the only other shuffle is the doc_id
     * reduction. The bigram array build is row-local codegen.
     */
-  def bigramSurprisal(s: SparkSession, dir: String): DataFrame = {
-    val bg = t(s, dir, "documents")
+  /** One (doc_id, g) row per bigram POSITION — the corpus the order-2
+    * LM family ([[bigramSurprisal]], [[knSurprisal]]) both fits on and
+    * scores.
+    */
+  private def bigramPositions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(col("doc_id"),
         split(TextOps.normalizeText(col("text")), " ").as("toks"))
       .where(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))"))
         .as("g"))
+
+  def bigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val bg = bigramPositions(s, dir)
     val c12 = bg.groupBy("g").agg(count(lit(1)).as("c12"))
     val c1 = bg
       .select(substring_index(col("g"), " ", 1).as("w1"))
@@ -443,6 +450,65 @@ object Cleaning {
       .select(col("doc_id"),
         (floor(log2(col("c1"))).cast("long") -
           floor(log2(col("c12"))).cast("long")).as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** Interpolated Kneser-Ney bigram scoring — the smoothing family the
+    * production LM-quality filters actually run (CCNet filters CommonCrawl
+    * on KenLM perplexity; KenLM's default estimator is interpolated
+    * modified Kneser-Ney). Unlike [[bigramSurprisal]]'s unsmoothed
+    * conditional, KN mixes the discounted bigram estimate with a
+    * CONTINUATION unigram — how many distinct contexts a word follows,
+    * not how often it occurs — so boilerplate tokens that appear
+    * millions of times in ONE context stop looking fluent:
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *              + D·N1+(w₁·)/c(w₁·) · N1+(·w₂)/NBT
+    *
+    * (Kneser & Ney 1995; D = 0.75, the Chen & Goodman 1998 default;
+    * NBT = distinct bigram types). With the self-fit corpus every
+    * scored bigram has c ≥ 1, so with D = 3/4 the probability is the
+    * exact integer ratio
+    *
+    *   [(4·c₁₂ − 3)·NBT + 3·N1+(w₁·)·N1+(·w₂)]  /  [4·c₁·NBT]
+    *
+    * and per-position surprisal bit-quantizes to floor(log2 den) −
+    * floor(log2 num) — exact BIGINT sums, the same cross-engine-safe
+    * form as the rest of the LM family (interpolation makes p a proper
+    * probability, so num ≤ den and bits ≥ 0). Integer bound: num peaks
+    * near 4·c₁₂·NBT, so the BIGINT form holds while positions·types <
+    * 2⁶¹ — beyond that (≫ this fixture family) drop both counts one
+    * decade before multiplying.
+    *
+    * 100 TB design: the model IS the bigram-type table — c(w₁·) and
+    * N1+(w₁·) reduce from it in ONE per-prefix aggregate (c₁ = Σ c₁₂),
+    * N1+(·w₂) in one per-suffix aggregate, NBT in a 1-row reduce that
+    * broadcasts; scoring joins are on high-cardinality token keys where
+    * AQE sizes the strategy. No window, no collect, no per-doc state.
+    */
+  def knSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val bg = bigramPositions(s, dir)
+    val types = bg.groupBy("g").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+    val byW1 = types.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1p"))
+    val byW2 = types.groupBy("w2").agg(count(lit(1)).as("n1pr"))
+    val nbt = types.agg(count(lit(1)).as("nbt"))
+    bg
+      .join(types, "g")
+      .join(byW1, "w1")
+      .join(byW2, "w2")
+      .crossJoin(broadcast(nbt))
+      .select(col("doc_id"),
+        (floor(log2(lit(4L) * col("c1") * col("nbt"))).cast("long") -
+          floor(log2((lit(4L) * col("c12") - lit(3L)) * col("nbt") +
+            lit(3L) * col("n1p") * col("n1pr"))).cast("long")).as("bits"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("sum_bits"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
@@ -626,6 +692,34 @@ object Cleaning {
            |         CAST(floor(log2(c12.c12)) AS BIGINT) AS bits
            |  FROM bg JOIN c12 USING (g)
            |  JOIN c1 ON c1.w1 = split_part(bg.g, ' ', 1))
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |       CAST(sum(bits) AS BIGINT) AS sum_bits,
+           |       CAST(CAST(sum(bits) AS BIGINT) AS DOUBLE) /
+           |         CAST(count(*) AS DOUBLE) AS mean_bits
+           |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_kn_surprisal", "interpolated Kneser-Ney bigram scoring (D=3/4 exact-integer form, bit-quantized): the CCNet/KenLM-style LM quality filter",
+      knSurprisal,
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, $normToksSql AS t FROM documents),
+           |bg AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+           |                 i -> t[i] || ' ' || t[i+1])) AS g
+           |  FROM toks WHERE len(t) >= 2),
+           |types AS (
+           |  SELECT g, count(*) AS c12,
+           |         split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+           |  FROM bg GROUP BY 1),
+           |w1t AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p
+           |        FROM types GROUP BY 1),
+           |w2t AS (SELECT w2, count(*) AS n1pr FROM types GROUP BY 1),
+           |nbt AS (SELECT count(*) AS nbt FROM types),
+           |b AS (
+           |  SELECT bg.doc_id,
+           |         CAST(floor(log2(4 * c1 * nbt)) AS BIGINT) -
+           |         CAST(floor(log2((4 * c12 - 3) * nbt + 3 * n1p * n1pr)) AS BIGINT) AS bits
+           |  FROM bg JOIN types USING (g)
+           |  JOIN w1t USING (w1) JOIN w2t USING (w2) CROSS JOIN nbt)
            |SELECT doc_id, count(*) AS n_bigrams,
            |       CAST(sum(bits) AS BIGINT) AS sum_bits,
            |       CAST(CAST(sum(bits) AS BIGINT) AS DOUBLE) /
