@@ -517,6 +517,45 @@ object Cleaning {
       .orderBy("doc_id")
   }
 
+  /** Cross-document novelty: what fraction of a doc's DISTINCT trigram
+    * shingles appear in NO other document? The corpus-internal
+    * memorization signal the dedup-analysis literature reads alongside
+    * near-dup rates (Lee et al. 2022 measure how much of each document
+    * duplicates elsewhere before/after dedup): low novelty = the doc is
+    * assembled from text the corpus already has (quotes, boilerplate,
+    * templates) even when no single pair crosses a near-dup threshold —
+    * complementary to [[repetitionStats]] (intra-doc) and
+    * `q_contamination` (vs an external benchmark). Shingles ride the
+    * codegen'd hash path ([[Dedup.hashedShingleSets]]); a doc counts
+    * toward a shingle's df once (per-doc distinct), so df ≥ 2 means
+    * "some OTHER doc has it" exactly.
+    *
+    * 100 TB design: one scan to per-doc distinct hashed shingles
+    * (row-local codegen), one map-side-combined df aggregate on the
+    * 8-byte hash key, one join back on that key, one doc_id reduce —
+    * the exact-dedup geometry with a ratio on top. No windows, no
+    * arrays shuffled (the exploded LONG column is the widest thing
+    * that moves).
+    */
+  def noveltyScores(s: SparkSession, dir: String): DataFrame =
+    noveltyOf(t(s, dir, "documents"))
+
+  /** df-level core of [[noveltyScores]] (specs plant corpora). */
+  def noveltyOf(docs: DataFrame): DataFrame = {
+    val tok = Dedup.hashedShingleSets(docs, "text", "doc_id", 3)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val docFreq = tok.groupBy("sh").agg(count(lit(1)).as("df"))
+    tok
+      .join(docFreq, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        ((col("n_shingles") - col("n_shared")).cast("double") /
+          col("n_shingles").cast("double")).as("novelty_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Declarative data-quality report — the expectation-suite shape
     * (null checks, range checks, value-set membership, format regex,
     * cross-column consistency, key uniqueness) evaluated corpus-wide
@@ -724,6 +763,25 @@ object Cleaning {
            |       CAST(sum(bits) AS BIGINT) AS sum_bits,
            |       CAST(CAST(sum(bits) AS BIGINT) AS DOUBLE) /
            |         CAST(count(*) AS DOUBLE) AS mean_bits
+           |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_novelty", "cross-doc novelty: fraction of a doc's distinct trigram shingles found in no other doc (corpus-internal memorization signal)",
+      noveltyScores,
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, $normToksSql AS t FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, g FROM (
+           |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+           |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+           |    FROM toks WHERE len(t) >= 3)),
+           |df AS (SELECT g, count(*) AS df FROM sh GROUP BY 1),
+           |b AS (
+           |  SELECT sh.doc_id, CASE WHEN df.df >= 2 THEN 1 ELSE 0 END AS shared
+           |  FROM sh JOIN df USING (g))
+           |SELECT doc_id, count(*) AS n_shingles,
+           |       CAST(sum(shared) AS BIGINT) AS n_shared,
+           |       CAST(count(*) - CAST(sum(shared) AS BIGINT) AS DOUBLE) /
+           |         CAST(count(*) AS DOUBLE) AS novelty_ratio
            |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_data_quality_report", "expectation-suite validation: per-rule checked/violation counts + pass flags (one scan + one keyed aggregate)",
       dataQualityReport,

@@ -222,6 +222,31 @@ class CleaningSpec extends SparkTestBase {
     assert(n1pr.values.exists(_ > 1L), "fixture exercises continuation counts")
   }
 
+  test("noveltyScores: planted duplicate scores 0, unique doc scores 1, partial overlap exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "zxq wvu tsr qpo nml kji"),                     // fully unique
+      (4L, "the quick brown fox sat still today"))          // shares a prefix with 1/2
+      .toDF("doc_id", "text")
+    val out = Cleaning.noveltyOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1)._3 == 0.0 && out(2)._3 == 0.0,
+      "exact duplicates: every shingle shared")
+    assert(out(3)._3 == 1.0 && out(3)._2 == 0L, "unique doc: nothing shared")
+    // doc 4 shares exactly its "the quick brown" and "quick brown fox"
+    // trigrams with docs 1/2 (5 distinct trigrams total)
+    assert(out(4) == ((5L, 2L, 0.6)), "partial overlap counts exact")
+    // fixture sanity: the planted near-dup corpus has sub-1 novelty docs
+    val fix = Cleaning.noveltyScores(spark, sfDir).collect()
+    assert(fix.nonEmpty && fix.exists(_.getDouble(3) < 1.0))
+    assert(fix.forall { r =>
+      val (n, sh, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      n > 0 && sh >= 0 && sh <= n && ratio == (n - sh).toDouble / n.toDouble
+    })
+  }
+
   test("dataQualityReport: rule arithmetic matches a plain-JVM sweep; failure path exercised") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
