@@ -702,6 +702,71 @@ object EventOps {
       .orderBy("step")
   }
 
+  /** Concurrent-session sweep line: how many sessions are open at every
+    * moment the count changes. Sessions (closed intervals [start, end]
+    * from the same 30-min-gap labeling as [[sessionStats]]) reduce to
+    * boundary deltas (+1 at start, −1 at end+1), deltas aggregate per
+    * DISTINCT timestamp (which makes the event order total — no
+    * same-instant ordering convention to disagree on), and a global
+    * running sum turns them into the step-function concurrency profile
+    * — peak load, capacity planning, the ops twin of the per-user
+    * session family.
+    *
+    * 100 TB design: the global running sum is the
+    * [[graft.operators.WindowOps.rankStatsOf]] /
+    * [[graft.ext.TrainingPrep.sequencePack]] two-pass prefix-sum
+    * geometry applied to TIME — pass 1 buckets boundaries by a
+    * deterministic range function of ts (bucket order == time order)
+    * and reduces per-bucket delta sums to the driver (O(P) rows);
+    * pass 2 windows only WITHIN each bucket and adds the broadcast
+    * bucket offset. No single-partition global window at any scale;
+    * the two extra pass-1 scans prune to one long column.
+    */
+  def concurrencyProfile(s: SparkSession, dir: String): DataFrame = {
+    val spark = GraftSession.tuned(s)
+    concurrencyOf(
+      labeledSessions(s, dir)
+        .groupBy("user_id", "session_seq")
+        .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us")),
+      spark.sessionState.conf.numShufflePartitions)
+  }
+
+  /** df-level core of [[concurrencyProfile]] (needs start_us, end_us) —
+    * separable so specs can plant interval sets with known profiles.
+    */
+  def concurrencyOf(sessions: DataFrame, parts: Int): DataFrame = {
+    val deltas = sessions.select(col("start_us").as("ts_us"), lit(1L).as("d"))
+      .unionAll(sessions.select(
+        (col("end_us") + lit(1L)).as("ts_us"), lit(-1L).as("d")))
+      .groupBy("ts_us").agg(sum("d").as("net_delta"))
+    val bounds = deltas.agg(min("ts_us"), max("ts_us")).head()
+    if (bounds.isNullAt(0))
+      return deltas.select(col("ts_us"), col("net_delta"),
+        col("net_delta").as("concurrency"))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max((hi - lo) / parts, 1L)
+    // integer `div`: exact at any epoch magnitude, monotone in ts (==
+    // bucket order is time order), both passes share the expression
+    val bkt = least(expr(s"(ts_us - ${lo}L) div ${width}L"),
+      lit(parts.toLong - 1L)).cast(IntegerType)
+    val counts = deltas
+      .groupBy(bkt.as("bkt")).agg(sum("net_delta").as("dsum"))
+      .collect() // O(parts) rows — driver-safe at any scale
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = scala.collection.mutable.Map.empty[Int, Long]
+    var acc = 0L
+    counts.foreach { case (b, dsum) => offsets(b) = acc; acc += dsum }
+    val w = Window.partitionBy(col("bkt")).orderBy(col("ts_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("bkt", bkt)
+      .select(col("ts_us"), col("net_delta"),
+        (sum("net_delta").over(w) +
+          element_at(typedLit(offsets.toMap), col("bkt"))).as("concurrency"))
+      .orderBy("ts_us")
+  }
+
   /** The three chained earliest-completion stage tables the funnel
     * family shares: per-user min view time, min click strictly after
     * it, min purchase strictly after that. Input needs (user_id,
@@ -888,6 +953,29 @@ object EventOps {
           |       max(ts_us) - min(ts_us) AS duration_us
           |FROM lab GROUP BY user_id, session_seq
           |ORDER BY user_id, session_seq""".stripMargin)),
+    GraftQuery("q_concurrency", "concurrent-session sweep line: boundary deltas per distinct instant + global running count (two-pass prefix sum, no single-partition window)",
+      concurrencyProfile,
+      Some(
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+          |w AS (SELECT user_id, event_id, ts_us,
+          |             lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST) AS prev_us
+          |      FROM e),
+          |lab AS (SELECT user_id, ts_us,
+          |               CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+          |                    OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST
+          |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+          |        FROM w),
+          |sess AS (SELECT user_id, session_seq, min(ts_us) AS start_us, max(ts_us) AS end_us
+          |         FROM lab GROUP BY 1, 2),
+          |d AS (SELECT ts_us, CAST(sum(d) AS BIGINT) AS net_delta FROM (
+          |        SELECT start_us AS ts_us, 1 AS d FROM sess
+          |        UNION ALL
+          |        SELECT end_us + 1, -1 FROM sess)
+          |      GROUP BY 1)
+          |SELECT ts_us, net_delta,
+          |       CAST(sum(net_delta) OVER (ORDER BY ts_us
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrency
+          |FROM d ORDER BY ts_us""".stripMargin)),
     GraftQuery("q_moving_window", "trailing 30-min RANGE-frame aggregate per user (exact micros + cents)",
       movingWindow,
       Some(

@@ -318,6 +318,35 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.values.exists(_._2 == 1), "fixture contains trailing-window anomalies")
   }
 
+  test("concurrencyOf: planted interval profile exact; fixture parity with naive global window") {
+    import spark.implicits._
+    // [0,10] and [11,20] abut: -1 (end 10 + 1) and +1 coincide at ts 11
+    // and must net to 0 in one row, not order-dependently to 0 or 2
+    val planted = Seq((0L, 10L), (5L, 15L), (11L, 20L), (25L, 30L))
+      .toDF("start_us", "end_us")
+    val got = EventOps.concurrencyOf(planted, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 1L), (5L, 1L, 2L), (11L, 0L, 2L), (16L, -1L, 1L),
+      (21L, -1L, 0L), (25L, 1L, 1L), (31L, -1L, 0L)))
+    // fixture parity: the two-pass bucket sum == a naive single global
+    // running-sum window over the same session intervals
+    val sessions = EventOps.sessionStats(spark, sfDir) // forces same labeling
+    val lab = EventOps.concurrencyProfile(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var running = 0L
+    for ((ts, d, c) <- lab) {
+      running += d
+      assert(c == running, s"prefix property at ts $ts")
+      assert(c >= 0L, "a session count can never go negative")
+    }
+    assert(lab.map(_._1).toSeq == lab.map(_._1).sortBy(identity).toSeq)
+    assert(lab.map(_._3).max >= 1L)
+    assert(lab.map(_._2).sum == 0L, "every opened session closes")
+    assert(lab.map(_._3).max <= sessions.count(),
+      "peak concurrency is bounded by the session count")
+  }
+
   test("streaming funnel state machine == batch per-user funnel exactly") {
     val q = EventOps.streamingFunnel(spark, sfDir).writeStream
       .format("memory")
