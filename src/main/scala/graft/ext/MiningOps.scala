@@ -146,5 +146,64 @@ object MiningOps {
           |JOIN singles sb ON sb.pk = t.pb
           |CROSS JOIN n_orders n
           |ORDER BY t.support DESC, t.pa, t.pb""".stripMargin)),
+    GraftQuery("q_fuzzy_best_match",
+      "fuzzy-lookup entity resolution: per dirty-side name, the Jaro-Winkler argmax over the clean side (codegen'd graft_jaro_winkler, broadcast dirty side, map-side argmax)",
+      (s, dir) => fuzzyBestMatch(
+        t(s, dir, "supplier"), "s_suppkey", "s_name",
+        t(s, dir, "customer"), "c_custkey", "c_name"),
+      Some(
+        """WITH sc AS (
+          |  SELECT s.s_suppkey, c.c_custkey,
+          |         jaro_winkler_similarity(s.s_name, c.c_name) AS jw
+          |  FROM supplier s CROSS JOIN customer c),
+          |best AS (SELECT s_suppkey, max(jw) AS best_jw FROM sc GROUP BY 1),
+          |pick AS (
+          |  SELECT sc.s_suppkey, min(sc.c_custkey) AS c_custkey
+          |  FROM sc JOIN best ON sc.s_suppkey = best.s_suppkey
+          |                   AND sc.jw = best.best_jw
+          |  GROUP BY 1)
+          |SELECT p.s_suppkey AS did, s.s_name AS dname,
+          |       p.c_custkey AS cid, c.c_name AS cname, b.best_jw
+          |FROM pick p
+          |JOIN supplier s ON s.s_suppkey = p.s_suppkey
+          |JOIN best b ON b.s_suppkey = p.s_suppkey
+          |JOIN customer c ON c.c_custkey = p.c_custkey
+          |ORDER BY did""".stripMargin)),
   )
+
+  /** Fuzzy-lookup entity resolution: for every row of a SMALL dirty
+    * relation, the argmax-similarity row of a large clean relation
+    * under the codegen'd Jaro-Winkler expression (ties broken toward
+    * the lowest clean id, so the answer is a function of the data, not
+    * the schedule).
+    *
+    * 100 TB shape: the DIRTY side broadcasts (the operator's contract —
+    * a lookup/reference list of entities to resolve, orders of
+    * magnitude smaller than the corpus; big-dirty callers should block
+    * first, e.g. with [[typoPairs]]-style deletion neighborhoods or
+    * [[Blocking]]). The clean-side scan then never shuffles: each task
+    * scores its partition against the broadcast list and partial
+    * `max_by` aggregation reduces every partition to ≤ |dirty| rows
+    * before the one tiny final exchange. Scoring is one whole-stage-
+    * codegen loop per pair ([[graft.functions.HashImpls.jaroWinkler]]);
+    * nothing is materialized per pair.
+    */
+  def fuzzyBestMatch(dirty: DataFrame, dirtyIdCol: String, dirtyNameCol: String,
+      clean: DataFrame, cleanIdCol: String, cleanNameCol: String): DataFrame = {
+    graft.functions.HashExprs.register(dirty.sparkSession)
+    val d = dirty.select(col(dirtyIdCol).as("did"), col(dirtyNameCol).as("dname"))
+    val c = clean.select(col(cleanIdCol).as("cid"), col(cleanNameCol).as("cname"))
+    c.crossJoin(broadcast(d))
+      .withColumn("jw", expr("graft_jaro_winkler(dname, cname)"))
+      .groupBy("did", "dname")
+      .agg(max_by(
+        struct(col("cid"), col("cname"), col("jw")),
+        // ordering key: best score first, then LOWEST clean id — the
+        // negation makes max_by's maximum the deterministic pick
+        struct(col("jw"), (-col("cid")).as("nid"))).as("best"))
+      .select(col("did"), col("dname"),
+        col("best.cid").as("cid"), col("best.cname").as("cname"),
+        col("best.jw").as("best_jw"))
+      .orderBy("did")
+  }
 }

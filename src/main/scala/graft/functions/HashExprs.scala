@@ -425,6 +425,71 @@ object HashImpls {
     pos >= 13 && pos <= 19 && sum % 10 == 0
   }
 
+  /** Jaro-Winkler similarity, value-identical to DuckDB's
+    * `jaro_winkler_similarity` (pinned empirically: bit-exact on 50k
+    * random pairs incl. forced common prefixes — see
+    * q_fuzzy_best_match's oracle). Semantics: standard Jaro with match
+    * window `max(l1,l2)/2 - 1` (floor, clamped to 0), greedy
+    * left-to-right matching, transpositions = floor(half the
+    * out-of-order matches); Winkler boost `p * 0.1 * (1 - jaro)` for
+    * shared prefix p ≤ 4 applied ONLY when jaro > 0.7; EITHER input
+    * empty → 0.0 (DuckDB returns 0.0 even for two empties, not the
+    * textbook 1.0). Operates on UTF-16 code units — identical to any
+    * byte/codepoint treatment on the ASCII entity names this engine
+    * scores; non-BMP inputs may diverge from byte-based engines.
+    *
+    * The double arithmetic replays the exact literal operation order
+    * `(m/l1 + m/l2 + (m-t)/m) / 3` then `j + p*0.1*(1-j)` so IEEE-754
+    * results match the oracle engine bitwise — no rounding shim needed
+    * downstream.
+    */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    var win = (if (l1 > l2) l1 else l2) / 2 - 1
+    if (win < 0) win = 0
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = if (i - win > 0) i - win else 0
+      val hi = if (i + win < l2 - 1) i + win else l2 - 1
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+    if (jaro > 0.7) {
+      var p = 0
+      val pMax = { val c = if (l1 < l2) l1 else l2; if (c < 4) c else 4 }
+      while (p < pMax && s1.charAt(p) == s2.charAt(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+
   /** Spread the low 31 bits of `v` onto the even bit positions of a
     * long (classic Morton magic-mask ladder). Input is masked to 31
     * bits so the interleaved result never reaches the sign bit.
@@ -840,6 +905,35 @@ case class LuhnExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_jaro_winkler(string, string) -> double`: codegen'd
+  * Jaro-Winkler similarity (see [[HashImpls.jaroWinkler]] for the
+  * pinned cross-engine semantics). The (b)-tier answer to fuzzy entity
+  * scoring — one tight JVM loop per pair inside whole-stage codegen,
+  * where a HOF/UDF formulation would interpret per character.
+  */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two string args, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashImpls.jaroWinkler($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashExprs {
   /** The cross-engine-exact md5→uint32 recipe — Spark
     * `conv(substring(md5(x), 25, 8), 16, 10)` == DuckDB
@@ -906,6 +1000,11 @@ object HashExprs {
       exprs => exprs match {
         case Seq(v, cb) => PqEncodeExpr(v, cb)
         case _ => throw new IllegalArgumentException("graft_pq_encode(vec, codebooks literal)")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_jaro_winkler",
+      exprs => exprs match {
+        case Seq(a, b) => JaroWinklerExpr(a, b)
+        case _ => throw new IllegalArgumentException("graft_jaro_winkler(a, b)")
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_luhn",
       exprs => exprs match {

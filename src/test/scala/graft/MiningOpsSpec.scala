@@ -72,6 +72,41 @@ class MiningOpsSpec extends SparkTestBase {
     assert(got == want, s"expected the 150 cross pairs, got ${got.size}")
   }
 
+  test("jaro-winkler expression: pinned reference vectors (incl. the DuckDB empty-string and boost-threshold conventions)") {
+    import spark.implicits._
+    graft.functions.HashExprs.register(spark)
+    val vecs = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),   // classic Winkler example
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abcdef", "fedcba", 0.38888888888888884), // jaro < 0.7 → NO boost
+      ("abab", "baba", 0.8333333333333334),      // transpositions + zero prefix
+      ("same", "same", 1.0),
+      ("ab", "", 0.0), ("", "", 0.0))            // DuckDB: either empty → 0.0
+    val got = vecs.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(expr("graft_jaro_winkler(a, b)")).collect().map(_.getDouble(0))
+    vecs.zip(got).foreach { case ((a, b, want), g) =>
+      assert(g == want, s"jw($a, $b): got $g, want $want (must be BIT-exact)")
+    }
+  }
+
+  test("fuzzy best match: argmax is exact, ties break to the lowest clean id, rerun-identical") {
+    import spark.implicits._
+    val dirty = Seq((1L, "jonathon smith"), (2L, "acme c0rp")).toDF("id", "name")
+    val clean = Seq(
+      (10L, "jonathan smith"), (11L, "jon smith"), (12L, "acme corp"),
+      (13L, "acme corp"), (14L, "zzz")).toDF("id", "name")
+    val out = MiningOps.fuzzyBestMatch(dirty, "id", "name", clean, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out(1L) == 10L, "jonathan beats jon on JW")
+    // ids 12/13 carry the SAME name → identical jw; the deterministic
+    // pick must be the LOWER id
+    assert(out(2L) == 12L)
+    val again = MiningOps.fuzzyBestMatch(dirty, "id", "name", clean, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(again == out, "rerun-identical")
+  }
+
   test("itemset pairs on the fixture: deterministic rerun, support ordering, lift finite") {
     val li = graft.engine.Tables.load(spark, sfDir, "lineitem")
     val a = MiningOps.itemsetPairs(li, k = 20).collect()
