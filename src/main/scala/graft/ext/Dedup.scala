@@ -758,6 +758,72 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact duplicated-substring spans at character granularity — the
+    * ExactSubstr flavor of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better"), which removes any ≥L-char
+    * substring occurring twice in the corpus. Their single-node tool
+    * builds a suffix array; the distributed re-expression is the
+    * rolling L-gram: every position emits its L-char window, a
+    * substring of length ≥ L is repeated iff ALL its L-grams are
+    * repeated, so positions whose L-gram has corpus frequency ≥ 2 are
+    * exactly the positions covered by a duplicated substring. Merging
+    * those positions' [pos, pos+L) windows into maximal islands yields
+    * the duplicated spans; per-island gram count − 1 + L is the island
+    * length, so span accounting is exact, not approximate.
+    *
+    * 100 TB shape: the gram explode is row-local ×(len−L+1) — linear
+    * in corpus characters, the same volume every tokenizing pass here
+    * already moves. The frequency aggregate shuffles the gram key with
+    * map-side combine, so a million-copy boilerplate gram arrives
+    * pre-combined per upstream partition (never a skewed raw-row
+    * funnel); the df≥2 join back is 1:many against a one-row-per-gram
+    * build side. Island merging is one window over (doc_id, pos) —
+    * high-cardinality partition key. The registered query groups by
+    * the raw 30-char gram so the answer is exact and oracle-equal; a
+    * petabyte deployment would swap in a 128-bit gram fingerprint
+    * (collision odds ≪ hardware error) to cut shuffle width ~4×, or
+    * Lee et al.'s suffix-array sharding when L-gram flooding from
+    * adversarial corpora matters.
+    */
+  def substringDupSpans(docs: DataFrame, textCol: String, idCol: String,
+      minLen: Int = 30): DataFrame = {
+    val L = minLen
+    val grams = docs
+      .where(length(col(textCol)) >= L)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        explode(sequence(lit(1), length(col(textCol)) - L + 1)).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(s"substring(text, pos, $L)").as("gram"))
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    val dupPos = grams
+      .join(df.where(col("gram_df") >= 2), Seq("gram"))
+      .select("doc_id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val runMax = max(col("pos") + L)
+      .over(w.rowsBetween(Long.MinValue, -1))
+    val islands = dupPos
+      .withColumn("new_island",
+        when(col("pos") > coalesce(runMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(w))
+    val spans = islands
+      .groupBy("doc_id", "island")
+      .agg(count(lit(1)).as("n_grams"),
+        (max(col("pos")) + L - min(col("pos"))).as("span_chars"))
+    spans
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("n_grams")).as("n_dup_grams"),
+        sum(col("span_chars")).as("dup_chars"))
+      .join(docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_grams"),
+        col("dup_chars"),
+        (col("dup_chars").cast("double") / col("n_chars").cast("double"))
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   // ---- incremental (batch-vs-corpus) near-dup check --------------------
 
   /** Ingest-time dedup: which INCOMING docs are near-dups of the
@@ -1307,6 +1373,40 @@ object Dedup {
            |       coalesce(r.new_text_md5, md5('')) AS new_text_md5
            |FROM totals t LEFT JOIN rebuilt r USING (doc_id)
            |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_substring_dup_spans",
+      "exact duplicated-substring spans >= 30 chars (Lee et al. ExactSubstr, rolling L-gram re-expression): per-doc island count, gram count, duplicated chars, ratio",
+      (s, dir) => substringDupSpans(t(s, dir, "documents"), "text", "doc_id"),
+      Some(
+        """WITH g AS (
+          |  SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, i, 30) AS gram
+          |  FROM documents, UNNEST(range(1, length(text) - 30 + 2)) AS t(i)
+          |  WHERE length(text) >= 30),
+          |df AS (SELECT gram, count(*) AS gram_df FROM g GROUP BY 1),
+          |d AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (gram)
+          |      WHERE df.gram_df >= 2),
+          |m AS (
+          |  SELECT doc_id, pos,
+          |         CASE WHEN pos > coalesce(max(pos + 30) OVER (
+          |                PARTITION BY doc_id ORDER BY pos
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          |              THEN 1 ELSE 0 END AS new_island
+          |  FROM d),
+          |isl AS (
+          |  SELECT doc_id, pos,
+          |         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          |  FROM m),
+          |sp AS (
+          |  SELECT doc_id, island, count(*) AS n_grams,
+          |         max(pos) + 30 - min(pos) AS span_chars
+          |  FROM isl GROUP BY 1, 2)
+          |SELECT sp.doc_id, count(*) AS n_spans,
+          |       CAST(sum(sp.n_grams) AS BIGINT) AS n_dup_grams,
+          |       CAST(sum(sp.span_chars) AS BIGINT) AS dup_chars,
+          |       CAST(CAST(sum(sp.span_chars) AS BIGINT) AS DOUBLE) /
+          |         CAST(length(any_value(doc.text)) AS DOUBLE) AS dup_ratio
+          |FROM sp JOIN documents doc ON doc.doc_id = sp.doc_id
+          |GROUP BY sp.doc_id
+          |ORDER BY sp.doc_id""".stripMargin)),
     // Brute-force cross-split oracle: same data-gap argument as
     // q_minhash_neardup (planted pairs at j >= 0.8, background < 0.35
     // at every SF), so LSH output == the exact cross pair list.

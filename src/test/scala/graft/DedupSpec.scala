@@ -359,6 +359,56 @@ class DedupSpec extends SparkTestBase {
     assert(touched.forall { case (id, _, _, _, m) => origMd5(id) != m })
   }
 
+  test("substring dup spans: planted cross-doc and within-doc repeats, exact island accounting") {
+    import spark.implicits._
+    // 40-char shared block planted inside two otherwise-unique docs,
+    // plus one doc repeating its own 30-char block twice; doc 4 is
+    // all-unique and must not appear
+    val shared = "the quick brown fox jumps over lazy dogs" // 40 chars
+    val block  = "aaaaaaaaaabbbbbbbbbbcccccccccc"           // 30 chars
+    require(shared.length == 40 && block.length == 30)
+    // unique tails/prefixes use non-repeating sequences so they can't
+    // accidentally form duplicated 30-grams of their own
+    val uniq1 = (0 until 29).map(i => ('A' + i % 26).toChar).mkString
+    val uniq2 = (0 until 25).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val docs = Seq(
+      (1L, s"XXXXX${shared}$uniq1"),
+      (2L, s"$uniq2${shared}ZZZZZ"),
+      (3L, s"${block}0123456789${block}"),
+      (4L, "entirely unique text with no repeated windows at all........"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(docs, "text", "doc_id", minLen = 30)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // docs 1/2: one island of the 40-char shared block = 11 grams
+    // (40-30+1), 40 duplicated chars
+    assert(out(1L) == ((1L, 11L, 40L)))
+    assert(out(2L) == ((1L, 11L, 40L)))
+    // doc 3: the 30-char block occurs at pos 1 and pos 41 — two
+    // disjoint islands of 1 gram / 30 chars each
+    assert(out(3L) == ((2L, 2L, 60L)))
+    assert(!out.contains(4L), "unique doc must not be reported")
+  }
+
+  test("substring dup spans: overlapping duplicated windows merge into one maximal island") {
+    import spark.implicits._
+    // a 45-char repeated run yields 16 overlapping 30-grams that must
+    // merge into ONE island of 45 chars, not 16 spans
+    val run = "z" * 45
+    // boundary chars DIFFER between the docs, so the maximal shared
+    // substring is exactly the 45-char run (a shared boundary char
+    // would legitimately extend the duplicated span by one)
+    val docs = Seq(
+      (1L, s"HEAD!${run}?TAIL.ONE.UNIQUE.SUFFIX.AAAA"),
+      (2L, s"OTHER#PREFIX#${run}%DIFFERENT%TAIL%BB"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(docs, "text", "doc_id", minLen = 30)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((1L, 16L, 45L)))
+    assert(out(2L) == ((1L, 16L, 45L)))
+  }
+
   test("property: dedup by distinct is idempotent and bounded (100 seeded samples)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 100) {
