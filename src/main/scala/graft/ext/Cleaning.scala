@@ -556,6 +556,49 @@ object Cleaning {
       .orderBy("doc_id")
   }
 
+  /** Corpus domain-shift report: the top-k tokens most over-represented
+    * in one language/domain slice vs the rest of the corpus — the
+    * per-term decomposition of KL(P‖Q) with add-one smoothing that
+    * data-mixing pipelines read before re-weighting a source (the
+    * Gopher/DoReMi-style "what is this slice actually made of"
+    * question). Per token: cp/cq occurrence counts in the focus slice
+    * P and complement Q, smoothed log-ratio bit-quantized exactly like
+    * the surprisal family —
+    * `floor(log2((cp+1)(Nq+V))) − floor(log2((cq+1)(Np+V)))` — and the
+    * ranking weight `(cp+1)·bits` (unnormalized p̂ × log-ratio), so
+    * every compared value is exact BIGINT arithmetic (floor(log2) of
+    * an integer is the cross-engine-safe quantization; see
+    * [[unigramSurprisal]]).
+    *
+    * 100 TB shape: ONE tokenizing scan; both slice counts come from a
+    * single map-side-combined groupBy(token) with conditional sums (no
+    * per-slice scan, no full-outer join of two count relations); the
+    * (Np, Nq, V) totals reduce that vocabulary-sized relation to one
+    * broadcast row; the top-k cut is TakeOrderedAndProject. Nothing
+    * shuffles more than the vocabulary.
+    */
+  def domainShift(docs: DataFrame, textCol: String, sliceCol: String,
+      focus: String, k: Int = 20): DataFrame = {
+    val toks = docs
+      .select((col(sliceCol) === focus).as("in_p"),
+        explode(split(TextOps.normalizeText(col(textCol)), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val counts = toks.groupBy("tok")
+      .agg(sum(when(col("in_p"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("in_p"), 1L).otherwise(0L)).as("cq"))
+    val totals = counts.agg(
+      sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("tok"), col("cp"), col("cq"),
+        (floor(log2((col("cp") + 1L) * (col("nq") + col("v")))).cast("long") -
+          floor(log2((col("cq") + 1L) * (col("np") + col("v")))).cast("long"))
+          .as("bits"))
+      .withColumn("weighted_bits", (col("cp") + 1L) * col("bits"))
+      .orderBy(col("weighted_bits").desc, col("tok"))
+      .limit(k)
+  }
+
   /** Declarative data-quality report — the expectation-suite shape
     * (null checks, range checks, value-set membership, format regex,
     * cross-column consistency, key uniqueness) evaluated corpus-wide
@@ -783,6 +826,30 @@ object Cleaning {
            |       CAST(count(*) - CAST(sum(shared) AS BIGINT) AS DOUBLE) /
            |         CAST(count(*) AS DOUBLE) AS novelty_ratio
            |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_domain_shift",
+      "domain-shift report: top-20 tokens most over-represented in the en slice vs the rest (per-term smoothed KL decomposition, bit-quantized exact)",
+      (s, dir) => domainShift(t(s, dir, "documents"), "text", "lang", "en", 20),
+      Some(
+        s"""WITH toks AS (
+           |  SELECT (lang = 'en') AS in_p, unnest($normToksSql) AS tok
+           |  FROM documents),
+           |t2 AS (SELECT in_p, tok FROM toks WHERE tok <> ''),
+           |counts AS (
+           |  SELECT tok,
+           |         CAST(sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+           |         CAST(sum(CASE WHEN NOT in_p THEN 1 ELSE 0 END) AS BIGINT) AS cq
+           |  FROM t2 GROUP BY 1),
+           |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+           |               CAST(sum(cq) AS BIGINT) AS nq,
+           |               count(*) AS v FROM counts)
+           |SELECT tok, cp, cq,
+           |       CAST(floor(log2((cp + 1) * (nq + v))) AS BIGINT) -
+           |       CAST(floor(log2((cq + 1) * (np + v))) AS BIGINT) AS bits,
+           |       (cp + 1) *
+           |       (CAST(floor(log2((cp + 1) * (nq + v))) AS BIGINT) -
+           |        CAST(floor(log2((cq + 1) * (np + v))) AS BIGINT)) AS weighted_bits
+           |FROM counts CROSS JOIN tot
+           |ORDER BY weighted_bits DESC, tok LIMIT 20""".stripMargin)),
     GraftQuery("q_data_quality_report", "expectation-suite validation: per-rule checked/violation counts + pass flags (one scan + one keyed aggregate)",
       dataQualityReport,
       Some(

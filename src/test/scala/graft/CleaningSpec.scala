@@ -295,4 +295,28 @@ class CleaningSpec extends SparkTestBase {
       }
     }
   }
+
+  test("domain shift: planted two-slice corpus, exact bit-quantized KL decomposition and ranking") {
+    import spark.implicits._
+    // en: "alpha alpha alpha" + "alpha beta"; fr: "beta beta gamma" +
+    // "beta gamma" -> Np=5, Nq=5, V=3; expected rows computed by hand
+    // from floor(log2((cp+1)(Nq+V))) - floor(log2((cq+1)(Np+V)))
+    val docs = Seq(
+      (1L, "alpha alpha alpha", "en"), (2L, "alpha beta", "en"),
+      (3L, "beta beta gamma", "fr"), (4L, "beta gamma", "fr"))
+      .toDF("doc_id", "text", "lang")
+    graft.functions.HashExprs.register(spark)
+    val got = Cleaning.domainShift(docs, "text", "lang", "en", 20)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = Seq(
+      ("alpha", 4L, 0L, 2L, 10L),
+      ("gamma", 0L, 2L, -1L, -1L),
+      ("beta", 1L, 3L, -1L, -2L))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+    // k truncates the ranking deterministically
+    val top1 = Cleaning.domainShift(docs, "text", "lang", "en", 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq("alpha"))
+  }
 }
