@@ -462,6 +462,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * vector, the most-cosine-similar vector carrying a DIFFERENT label
+    * — the pair a triplet/InfoNCE loss learns the most from. Anchors
+    * are a deterministic stride sample (`vec_id % stride == 0`), the
+    * caller's stand-in for "the batch currently being mined".
+    *
+    * 100 TB shape: the anchor set broadcasts (mining batches are
+    * thousands of rows against a corpus of billions); the corpus scan
+    * never shuffles — each task scores its partition against every
+    * broadcast anchor through the codegen'd [[cosine]] loop and
+    * partial `max_by` reduces it to ≤ |anchors| rows before one tiny
+    * exchange (the [[graft.ext.MiningOps.fuzzyBestMatch]] geometry on
+    * vectors). Ties break to the lowest negative id. A production
+    * miner drops the label-inequality predicate into the same scan —
+    * no second pass — and swaps the stride sample for its batch
+    * relation.
+    */
+  def hardNegatives(emb: DataFrame, stride: Long = 41L): DataFrame = {
+    val anchors = emb.where(col("vec_id") % stride === 0L)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("embedding").as("a_vec"))
+    emb.join(broadcast(anchors), col("label") =!= col("a_label"))
+      .select(col("a_id"), col("a_label"), col("vec_id"), col("label"),
+        cosine("embedding", "a_vec").as("cos_sim"))
+      .groupBy("a_id", "a_label")
+      .agg(max_by(
+        struct(col("vec_id"), col("label"), col("cos_sim")),
+        struct(col("cos_sim"), (-col("vec_id")).as("nid"))).as("best"))
+      .select(col("a_id"), col("a_label"),
+        col("best.vec_id").as("neg_id"), col("best.label").as("neg_label"),
+        col("best.cos_sim").as("cos_sim"))
+      .orderBy("a_id")
+  }
+
   // ---- registered queries ----------------------------------------------
 
   def cosineTopkQuery(s: SparkSession, dir: String): DataFrame =
@@ -759,6 +793,31 @@ object Similarity {
           |     sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
           |  FROM embeddings, q)
           |SELECT vec_id, label, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin)),
+    GraftQuery("q_hard_negatives",
+      "contrastive hard-negative mining: per stride-sampled anchor, the most-similar vector with a different label (broadcast anchors, map-side argmax)",
+      (s, dir) => hardNegatives(t(s, dir, "embeddings"), stride = 41L),
+      Some(
+        """WITH a AS (
+          |  SELECT vec_id AS a_id, label AS a_label, embedding AS a_vec
+          |  FROM embeddings WHERE vec_id % 41 = 0),
+          |sims AS (
+          |  SELECT a.a_id, a.a_label, e.vec_id, e.label,
+          |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+          |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.a_vec[i] AS DOUBLE))) /
+          |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          |     sqrt(list_sum(list_transform(a.a_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim
+          |  FROM embeddings e JOIN a ON e.label <> a.a_label),
+          |best AS (SELECT a_id, max(cos_sim) AS cos_sim FROM sims GROUP BY 1),
+          |pick AS (
+          |  SELECT s.a_id, min(s.vec_id) AS neg_id
+          |  FROM sims s JOIN best b ON s.a_id = b.a_id AND s.cos_sim = b.cos_sim
+          |  GROUP BY 1)
+          |SELECT p.a_id, a.a_label, p.neg_id, e.label AS neg_label, b.cos_sim
+          |FROM pick p
+          |JOIN a ON a.a_id = p.a_id
+          |JOIN best b ON b.a_id = p.a_id
+          |JOIN embeddings e ON e.vec_id = p.neg_id
+          |ORDER BY p.a_id""".stripMargin)),
     // Both ANN oracles are the brute-force exact top-k: hash-equality
     // asserts observed recall@10 = 1.0 — measured to hold at sf0.001,
     // sf0.01 AND sf0.1 (tools/AnnTune), and stable because the probed

