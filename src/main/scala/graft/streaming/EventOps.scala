@@ -20,6 +20,10 @@ final case class SessState(startUs: Long, lastUs: Long, n: Long)
 /** Last ≤7 dyadic-EWMA micro-unit values, most recent first. */
 final case class EwmaState(recent: Seq[Long])
 
+/** Last event type per user for the streaming transition pairer —
+  * O(1) state; `None` until the user's first event arrives. */
+final case class TransState(last: Option[String])
+
 /** Bounded trailing-7 value queue for the streaming rolling z-score. */
 final case class ZState(recent: Seq[Long])
 
@@ -398,6 +402,43 @@ object EventOps {
       .toDF("user_id", "event_id", "z", "is_anomaly")
   }
 
+  /** Streaming twin of [[transitionMatrix]]'s pairing stage
+    * (`flatMapGroupsWithState`): per-user state is ONE value — the
+    * last event type seen — so state is O(1) per key on an unbounded
+    * stream. Emits a (prev_type, next_type) record per event past the
+    * user's first; the matrix itself is then a standard streaming
+    * aggregation over these records (counts are associative — no extra
+    * state shape needed). The spec folds the emitted pairs and
+    * compares == against the batch matrix counts. Per-trigger arrivals
+    * sort by (ts, event_id) in memory — one user's single-trigger
+    * slice, not the stream.
+    */
+  def streamingTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    eventStream(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type").as("et"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, (Long, Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, events, state) =>
+          val sorted = events.toArray.sortBy(e => (e._3, e._2))
+          var prev = state.getOption.flatMap(_.last)
+          val out = Array.newBuilder[(Long, Long, String, String)]
+          sorted.foreach { case (_, eid, _, et) =>
+            prev.foreach(p => out += ((user, eid, p, et)))
+            prev = Some(et)
+          }
+          state.update(TransState(prev))
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "prev_type", "next_type")
+  }
+
   /** Streaming heavy hitters per user: a MISRA-GRIES summary of event
     * types with a hard `capacity` bound on per-key state — the
     * bounded-memory answer to "top types per user over an unbounded
@@ -605,6 +646,35 @@ object EventOps {
     labeledSessions(s, dir)
       .select(col("user_id"), col("event_id"), col("session_seq"))
       .orderBy("user_id", "event_id")
+
+  /** First-order event-type transition matrix — the Markov-chain view
+    * of user journeys (counts, per-source out-degree, and transition
+    * probability) that attribution and next-action models start from.
+    *
+    * 100 TB shape: the only full-data shuffle is the user-keyed window
+    * that pairs each event with its predecessor (high-cardinality
+    * partition key, same exchange geometry as [[sessionize]] — a
+    * co-scheduled pipeline reuses that shuffle). Everything after is
+    * |event_types|²-sized: the pair counts map-side combine, the
+    * out-degree relation is a second tiny aggregate joined back by
+    * broadcast, and the probability stays one BIGINT/BIGINT division
+    * both engines share.
+    */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val trans = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = trans.groupBy("prev_type").agg(sum("n").as("out_n"))
+    trans.join(broadcast(outTotals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"), col("out_n"),
+        (col("n").cast("double") / col("out_n").cast("double")).as("prob"))
+      .orderBy("prev_type", "next_type")
+  }
 
   /** Session-grain rollup of [[sessionize]]: events → labeled sessions
     * → one row per (user, session) with size and exact-micros duration.
@@ -1000,6 +1070,22 @@ object EventOps {
           |            OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST
           |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
           |FROM w ORDER BY user_id, event_id""".stripMargin)),
+    GraftQuery("q_transition_matrix",
+      "first-order event-type transition matrix: per (prev, next) counts, out-degree, probability (Markov journey view)",
+      transitionMatrix,
+      Some(
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+          |tr AS (
+          |  SELECT event_type AS next_type,
+          |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST) AS prev_type
+          |  FROM e),
+          |c AS (SELECT prev_type, next_type, count(*) AS n
+          |      FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+          |o AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_n FROM c GROUP BY 1)
+          |SELECT c.prev_type, c.next_type, c.n, o.out_n,
+          |       CAST(c.n AS DOUBLE) / CAST(o.out_n AS DOUBLE) AS prob
+          |FROM c JOIN o USING (prev_type)
+          |ORDER BY prev_type, next_type""".stripMargin)),
     GraftQuery("q_gap_fill", "per-key daily resample: zero-filled counts + forward-filled last event type",
       gapFillDaily,
       Some(

@@ -493,4 +493,29 @@ class StreamingSpec extends SparkTestBase {
       assert(off >= 0L, "first event defines the cohort floor")
     }
   }
+
+  test("streaming transitions: folded pair counts == the batch transition matrix") {
+    val q = EventOps.streamingTransitions(spark, sfDir).writeStream
+      .format("memory")
+      .queryName("graft_trans_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_trans_test")
+      .groupBy("prev_type", "next_type").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = EventOps.transitionMatrix(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      "per-(prev,next) counts must agree exactly between the twins")
+    // probabilities in the batch matrix sum to 1 per source type
+    val bySrc = EventOps.transitionMatrix(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+    bySrc.foreach { case (src, rows) =>
+      val p = rows.map(_.getDouble(4)).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"$src rows sum to $p")
+    }
+  }
 }
