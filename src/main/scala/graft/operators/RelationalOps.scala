@@ -812,6 +812,57 @@ object RelationalOps {
       .orderBy("o_custkey")
   }
 
+  /** Snapshot diff — the table-reconciliation primitive behind "what
+    * changed between yesterday's load and today's": per primary key,
+    * a status (added / removed / changed / unchanged) and the
+    * comma-joined list of columns whose values differ (null-safe
+    * comparison throughout, so NULL→value and value→NULL both count
+    * as changes and NULL==NULL does not).
+    *
+    * 100 TB shape: ONE co-keyed shuffle (the full-outer sort-merge
+    * join on the pk, AQE-planned); every status/changed-column
+    * computation is row-local on the joined row. Snapshots already
+    * bucketed/partitioned by pk diff shuffle-free. No window, no
+    * driver state, output linear in the union of keys.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, pk: String,
+      cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, p: String) =
+      df.select((pk +: cols).map(c => col(c).as(p + c)): _*)
+    val o = side(oldSnap, "o_s_")
+    val n = side(newSnap, "n_s_")
+    val same = cols.map(c => col("o_s_" + c) <=> col("n_s_" + c))
+    val status = when(col("o_s_" + pk).isNull, "added")
+      .when(col("n_s_" + pk).isNull, "removed")
+      .when(same.reduce(_ && _), "unchanged")
+      .otherwise("changed")
+    val changed = when(
+      col("o_s_" + pk).isNull || col("n_s_" + pk).isNull, lit(""))
+      .otherwise(concat_ws(",", cols.map(c =>
+        when(!(col("o_s_" + c) <=> col("n_s_" + c)), lit(c))): _*))
+    o.join(n, col("o_s_" + pk) === col("n_s_" + pk), "full_outer")
+      .select(
+        coalesce(col("o_s_" + pk), col("n_s_" + pk)).as("pk"),
+        status.as("status"), changed.as("changed_cols"))
+      .orderBy("pk")
+  }
+
+  /** Registered diff: two deterministic snapshot views of orders —
+    * "old" drops keys ≡0 (mod 7), "new" drops keys ≡0 (mod 5) and
+    * bumps totalprice on keys ≡0 (mod 3) — so all four statuses occur
+    * on every fixture SF.
+    */
+  def snapshotDiffQuery(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val oldSnap = orders.where(col("o_orderkey") % 7 =!= 0)
+    val newSnap = orders.where(col("o_orderkey") % 5 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    snapshotDiff(oldSnap, newSnap, "o_orderkey",
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+  }
+
   /** A+: explicit GROUPING SETS — the general form rollup/cube sugar
     * over; run through spark.sql like the reference's query style.
     */
@@ -1422,6 +1473,38 @@ object RelationalOps {
           |EXCEPT ALL
           |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
           |ORDER BY o_custkey""".stripMargin)),
+    GraftQuery("q_snapshot_diff",
+      "snapshot reconciliation: per-pk added/removed/changed/unchanged status + changed-column list from one full-outer co-keyed join",
+      snapshotDiffQuery,
+      Some(
+        """WITH o AS (
+          |  SELECT o_orderkey AS pk, o_custkey, o_orderstatus, o_totalprice
+          |  FROM orders WHERE o_orderkey % 7 <> 0),
+          |n AS (
+          |  SELECT o_orderkey AS pk, o_custkey, o_orderstatus,
+          |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+          |              ELSE o_totalprice END AS o_totalprice
+          |  FROM orders WHERE o_orderkey % 5 <> 0),
+          |j AS (
+          |  SELECT coalesce(o.pk, n.pk) AS pk, o.pk AS opk, n.pk AS npk,
+          |         o.o_custkey AS oc, n.o_custkey AS nc,
+          |         o.o_orderstatus AS os, n.o_orderstatus AS ns,
+          |         o.o_totalprice AS op, n.o_totalprice AS np
+          |  FROM o FULL OUTER JOIN n ON o.pk = n.pk)
+          |SELECT pk,
+          |  CASE WHEN opk IS NULL THEN 'added'
+          |       WHEN npk IS NULL THEN 'removed'
+          |       WHEN (oc IS NOT DISTINCT FROM nc)
+          |        AND (os IS NOT DISTINCT FROM ns)
+          |        AND (op IS NOT DISTINCT FROM np) THEN 'unchanged'
+          |       ELSE 'changed' END AS status,
+          |  CASE WHEN opk IS NULL OR npk IS NULL THEN ''
+          |       ELSE concat_ws(',',
+          |         CASE WHEN NOT (oc IS NOT DISTINCT FROM nc) THEN 'o_custkey' END,
+          |         CASE WHEN NOT (os IS NOT DISTINCT FROM ns) THEN 'o_orderstatus' END,
+          |         CASE WHEN NOT (op IS NOT DISTINCT FROM np) THEN 'o_totalprice' END)
+          |       END AS changed_cols
+          |FROM j ORDER BY pk""".stripMargin)),
     GraftQuery("q_cube", "CUBE over two keys + grouping bitmask",
       cubeAgg,
       Some(

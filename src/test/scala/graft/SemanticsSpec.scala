@@ -157,4 +157,38 @@ class SemanticsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("snapshot diff: every status occurs, null-safe column comparison, changed-column lists exact") {
+    import spark.implicits._
+    import graft.operators.RelationalOps
+    val oldSnap = Seq(
+      (1L, Some("a"), Some(10.0)),   // unchanged
+      (2L, Some("b"), Some(20.0)),   // value -> value change on v
+      (3L, Some("c"), None),         // NULL -> value change on d
+      (4L, None, None),              // both NULL -> NULL: unchanged
+      (5L, Some("e"), Some(50.0)))   // removed
+      .toDF("id", "v", "d")
+    val newSnap = Seq(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("B"), Some(20.0)),
+      (3L, Some("c"), Some(30.0)),
+      (4L, None: Option[String], None: Option[Double]),
+      (6L, Some("f"), Some(60.0)))   // added
+      .toDF("id", "v", "d")
+    val got = RelationalOps.snapshotDiff(oldSnap, newSnap, "id", Seq("v", "d"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, "unchanged", ""),
+      (2L, "changed", "v"),
+      (3L, "changed", "d"),
+      (4L, "unchanged", ""),
+      (5L, "removed", ""),
+      (6L, "added", "")))
+    // multi-column change lists every differing column in order
+    val multi = RelationalOps.snapshotDiff(
+      Seq((9L, Some("x"), Some(1.0))).toDF("id", "v", "d"),
+      Seq((9L, Some("y"), Some(2.0))).toDF("id", "v", "d"),
+      "id", Seq("v", "d")).collect()
+    assert(multi.head.getString(2) == "v,d")
+  }
 }
