@@ -687,11 +687,243 @@ object Cleaning {
       .orderBy("doc_id")
   }
 
+  /** k-anonymity audit over a quasi-identifier tuple — the privacy
+    * counterpart of [[piiRedact]]: direct identifiers get scrubbed,
+    * but a released table can still re-identify through COMBINATIONS
+    * of innocuous columns (Sweeney's k-anonymity). Every equivalence
+    * class of (nation, segment, coarse-balance-bucket) is counted; a
+    * class smaller than k means those rows are re-identifiable within
+    * a k-sized crowd. Emits each class with its size and violation
+    * flag plus the table-level k (the min class size, a broadcast
+    * 1-row cross join).
+    *
+    * 100 TB shape: one map-side-combined aggregate on the QI tuple;
+    * class count is bounded by the QI domain (|nations|×|segments|×
+    * |buckets|), so the global min reduces O(domain) rows — never the
+    * corpus.
+    */
+  def kAnonymity(customer: DataFrame, k: Int = 5): DataFrame = {
+    val classes = customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+      .agg(count(lit(1)).as("class_size"))
+    val g = classes.agg(min(col("class_size")).as("k_anon"))
+    classes.crossJoin(broadcast(g))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"),
+        col("class_size"),
+        (col("class_size") < k).cast("int").as("violates_k5"),
+        col("k_anon"))
+      .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
+  }
+
+  /** Expected Benford first-digit probabilities, computed ONCE in JVM
+    * doubles and interpolated verbatim (17-significant-digit
+    * round-trip) into BOTH the Spark literals and the DuckDB oracle —
+    * the engines compare against the same bit-exact constants, so no
+    * cross-engine log10 ULP ever reaches the hash.
+    */
+  private[ext] val benfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** Benford first-significant-digit conformance test — the classic
+    * data-quality / fraud screen: naturally-occurring amounts follow
+    * P(d) = log10(1+1/d); fabricated or truncated data doesn't. Digits
+    * come from the STRING head of exact integer cents (never
+    * floor(log10(x)), whose FP boundary at powers of ten is an
+    * engine-dependent edge). Per-digit χ² contributions are computed
+    * row-locally on the 9 aggregated rows — no cross-row double sum,
+    * so no fold-order hazard.
+    *
+    * 100 TB shape: one map-side-combined 9-group aggregate + a
+    * broadcast 1-row total; everything downstream operates on 9 rows.
+    */
+  def benford(amounts: DataFrame, amountCol: String): DataFrame = {
+    val cents = floor(col(amountCol) * 100 + 0.5).cast("long")
+    val digits = amounts
+      .where(col(amountCol) > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val total = digits.agg(sum(col("cnt")).cast("long").as("total"))
+    val expected = benfordExpected.tail.foldLeft(
+      when(col("digit") === benfordExpected.head._1,
+        lit(benfordExpected.head._2))) { case (acc, (d, p)) =>
+      acc.when(col("digit") === d, lit(p))
+    }.otherwise(lit(0.0))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("share"),
+        expected.as("expected_p"),
+        pow(col("cnt").cast("double") - col("total").cast("double") * expected, 2)
+          .divide(col("total").cast("double") * expected).as("chi2_term"))
+      .orderBy("digit")
+  }
+
   // ---- registered queries ----------------------------------------------
 
   private val normToksSql = TextOps.duckNormToksSql
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the length
+    * distributions of English vs non-English documents — the numeric
+    * drift detector that complements [[q_domain_shift]]'s term-level
+    * KL: did a slice's CONTINUOUS covariate (length, score) shift?
+    * KS = max_b |F̂₁(b) − F̂₂(b)| over the merged support.
+    *
+    * 100 TB shape: one map-side-combined aggregate collapses the corpus
+    * to per-(bucket) count pairs — the windowed cumsum then runs over
+    * the DISTINCT VALUE DOMAIN (n_chars values, bounded by max doc
+    * length — thousands of rows at any corpus size), never the corpus;
+    * the argmax cut is a 1-row TakeOrderedAndProject. CDF ratios are
+    * the only doubles, computed once from exact integer cumulatives in
+    * a shared formula.
+    */
+  def ksTest(docs: DataFrame): DataFrame = {
+    val b = docs
+      .select(col("n_chars").as("bucket"),
+        (col("lang") === "en").cast("long").as("en"))
+      .groupBy("bucket")
+      .agg(sum(col("en")).as("c1"), sum(lit(1L) - col("en")).as("c2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = docs.agg(
+      sum((col("lang") === "en").cast("long")).as("n1"),
+      sum((col("lang") =!= "en").cast("long")).as("n2"))
+    b.select(col("bucket"),
+      sum(col("c1")).over(w).as("cum1"),
+      sum(col("c2")).over(w).as("cum2"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket").as("ks_at_bucket"), col("n1"), col("n2"),
+        abs(col("cum1").cast("double") / col("n1").cast("double") -
+          col("cum2").cast("double") / col("n2").cast("double")).as("ks_stat"))
+      .orderBy(col("ks_stat").desc, col("ks_at_bucket"))
+      .limit(1)
+  }
+
+  /** Quantile normalization of a per-document covariate WITHIN its
+    * source domain — the mixing-prep transform that puts every domain's
+    * score scale on a common uniform [0,1] footing before a global
+    * threshold or temperature mix (a raw cut of "quality > 0.7" keeps
+    * wildly different fractions of different domains; the mid-rank
+    * percentile F̂(v) = (#below + ½·#equal)/n keeps the SAME fraction
+    * of each). Exact integer construction: per-(source, value) counts,
+    * cumulative sums over the distinct-value domain, one double
+    * division per OUTPUT row.
+    *
+    * 100 TB shape: the corpus collapses to (source, value) count rows
+    * in one map-side-combined aggregate; the per-source cumsum window
+    * runs over that DOMAIN-bounded set (|sources| × |distinct
+    * lengths| — low thousands per source), not the corpus, and the
+    * result joins back broadcast-style on (source, value). The
+    * low-cardinality source partition key is safe exactly because the
+    * windowed relation is domain-sized (the WindowOps high-cardinality
+    * rule guards corpus-sized windowed relations).
+    */
+  def quantileNorm(docs: DataFrame): DataFrame = {
+    val v = docs.groupBy(col("source"), col("n_chars").as("val"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("val"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cdf = v.select(col("source"), col("val"), col("cnt"),
+      sum(col("cnt")).over(w).as("cum"))
+    val n = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    docs.select(col("doc_id"), col("source"), col("n_chars").as("val"))
+      .join(cdf, Seq("source", "val"))
+      .join(n, Seq("source"))
+      .select(col("doc_id"), col("source"), col("val").as("n_chars"),
+        ((col("cum").cast("double") - lit(0.5) * col("cnt").cast("double")) /
+          col("n").cast("double")).as("pctl"))
+      .orderBy("doc_id")
+  }
+
+  /** Benford expectation as a DuckDB CASE over the SAME JVM-computed
+    * doubles the Spark side uses (%.17g round-trips IEEE bit-exactly).
+    */
+  private val benfordCaseSql: String =
+    benfordExpected.map { case (d, p) =>
+      // Double.toString: shortest repr that round-trips under correct
+      // rounding. The e0 suffix matters: DuckDB types a plain decimal
+      // literal as DECIMAL first and the double cast lands 1 ULP off;
+      // exponent-form literals parse directly as correctly-rounded
+      // DOUBLE, recovering the exact JVM bits (verified both paths).
+      s"WHEN digit = $d THEN CAST(${java.lang.Double.toString(p)}e0 AS DOUBLE)"
+    }.mkString("CASE ", " ", " ELSE 0.0 END")
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_k_anonymity",
+      "k-anonymity audit: quasi-identifier equivalence-class sizes + violation flags + table-level k",
+      (s, dir) => kAnonymity(t(s, dir, "customer")),
+      Some(
+        """WITH q AS (
+          |  SELECT c_nationkey, c_mktsegment,
+          |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+          |  FROM customer),
+          |cls AS (
+          |  SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS class_size
+          |  FROM q GROUP BY 1, 2, 3),
+          |g AS (SELECT min(class_size) AS k_anon FROM cls)
+          |SELECT c_nationkey, c_mktsegment, bal_bucket, class_size,
+          |       CAST(class_size < 5 AS INT) AS violates_k5, k_anon
+          |FROM cls, g
+          |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin)),
+    GraftQuery("q_benford",
+      "Benford first-digit conformance: exact-cents digit counts vs log10(1+1/d), per-digit chi-square terms",
+      (s, dir) => benford(t(s, dir, "orders"), "o_totalprice"),
+      Some(
+        s"""WITH d AS (
+           |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+           |  FROM orders WHERE o_totalprice > 0),
+           |c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY digit),
+           |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+           |SELECT digit, cnt,
+           |       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           |       $benfordCaseSql AS expected_p,
+           |       pow(CAST(cnt AS DOUBLE) - CAST(total AS DOUBLE) * ($benfordCaseSql), 2)
+           |         / (CAST(total AS DOUBLE) * ($benfordCaseSql)) AS chi2_term
+           |FROM c, t ORDER BY digit""".stripMargin)),
+    GraftQuery("q_ks_test",
+      "two-sample Kolmogorov-Smirnov drift stat over doc lengths (en vs rest): domain-bounded CDF cumsums",
+      (s, dir) => ksTest(t(s, dir, "documents")),
+      Some(
+        """WITH b AS (
+          |  SELECT n_chars AS bucket,
+          |         CAST(sum(CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS c1,
+          |         CAST(sum(CAST(lang <> 'en' AS BIGINT)) AS BIGINT) AS c2
+          |  FROM documents GROUP BY 1),
+          |c AS (
+          |  SELECT bucket,
+          |         CAST(sum(c1) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+          |         CAST(sum(c2) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+          |  FROM b),
+          |t AS (
+          |  SELECT CAST(sum(CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS n1,
+          |         CAST(sum(CAST(lang <> 'en' AS BIGINT)) AS BIGINT) AS n2
+          |  FROM documents)
+          |SELECT bucket AS ks_at_bucket, n1, n2,
+          |       abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+          |           CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS ks_stat
+          |FROM c, t
+          |ORDER BY ks_stat DESC, ks_at_bucket LIMIT 1""".stripMargin)),
+    GraftQuery("q_quantile_norm",
+      "within-source quantile normalization to uniform [0,1] (mid-rank CDF over the distinct-value domain)",
+      (s, dir) => quantileNorm(t(s, dir, "documents")),
+      Some(
+        """WITH v AS (
+          |  SELECT source, n_chars AS val, count(*) AS cnt
+          |  FROM documents GROUP BY 1, 2),
+          |cdf AS (
+          |  SELECT source, val, cnt,
+          |         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY val
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |  FROM v),
+          |n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1)
+          |SELECT doc_id, d.source, d.n_chars,
+          |       (CAST(cum AS DOUBLE) - 0.5 * CAST(cnt AS DOUBLE)) / CAST(n.n AS DOUBLE) AS pctl
+          |FROM documents d
+          |JOIN cdf ON d.source = cdf.source AND d.n_chars = cdf.val
+          |JOIN n ON d.source = n.source
+          |ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_pii_redact", "PII scrub: email/IPv4/phone counts + chained regexp_replace redaction",
       piiRedact,
       Some(

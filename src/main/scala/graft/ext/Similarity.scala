@@ -780,7 +780,120 @@ object Similarity {
        |  FROM embeddings, q)
        |SELECT vec_id, label, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
 
+  /** Distributed Gram (uncentered covariance) matrix of the embedding
+    * column — the aggregation workhorse behind PCA / whitening /
+    * low-rank compression of an embedding store: G[i][j] = Σ_rows
+    * vᵢ·vⱼ. Components quantize ONCE to exact micro-unit BIGINTs
+    * (deterministic floor of the float→double widening), upper-triangle
+    * pairs generate ROW-LOCALLY (one nested-transform flatten + one
+    * explode — no self-join, no shuffle before the aggregate), and the
+    * d(d+1)/2-group aggregate sums DECIMAL(38,0) exactly (order-free
+    * cross-engine; per-term ≤ (5·10⁵)² with corpus-count headroom far
+    * past any BIGINT bound). The single shuffle moves map-side-combined
+    * partials of at most d² rows per task — at 100 TB the exchange is
+    * O(tasks·d²), independent of row count. Output doubles cast from
+    * the same exact integers on both engines.
+    */
+  def embedGram(embeddings: DataFrame): DataFrame =
+    embeddings
+      .selectExpr(
+        """transform(embedding,
+          |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS LONG)) AS qv
+          |""".stripMargin)
+      .selectExpr(
+        """explode(flatten(transform(sequence(0, size(qv) - 1),
+          |  i -> transform(sequence(i, size(qv) - 1),
+          |    j -> struct(i, j, qv[i] * qv[j] AS p))))) AS cell
+          |""".stripMargin)
+      .selectExpr("cell.i AS i", "cell.j AS j",
+        "CAST(cell.p AS DECIMAL(38,0)) AS p")
+      .groupBy("i", "j")
+      .agg(sum(col("p")).as("g"))
+      .selectExpr("i", "j", "CAST(g AS DOUBLE) AS gram")
+      .orderBy("i", "j")
+
+  /** Driver-side power iteration over a [[embedGram]]-shaped d×d matrix
+    * (symmetric PSD): returns the dominant eigenvector (deterministic
+    * fixed iteration count, first-nonzero-positive sign convention) —
+    * the O(d²) post-processing step of a distributed PCA, where the
+    * cluster produces the Gram matrix and the driver solves the tiny
+    * eigenproblem (d=64 here; d² doubles, trivially driver-sized at any
+    * corpus scale). Spec-pinned against a hand-solvable matrix.
+    */
+  def pcaPowerIteration(g: Array[Array[Double]], iters: Int = 50): Array[Double] = {
+    val d = g.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var it = 0
+    while (it < iters) {
+      val nv = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += g(i)(j) * v(j); j += 1 }
+        s
+      }
+      val norm = math.sqrt(nv.map(x => x * x).sum)
+      v = if (norm == 0.0) v else nv.map(_ / norm)
+      it += 1
+    }
+    val sign = v.find(math.abs(_) > 1e-12).map(x => math.signum(x)).getOrElse(1.0)
+    v.map(_ * sign)
+  }
+
+  /** Distributed PCA, end to end: the cluster reduces the corpus to the
+    * [[embedGram]] d×d matrix (one aggregate), the driver solves the
+    * O(d²) eigenproblem ([[pcaPowerIteration]] — deterministic fixed
+    * iteration, sign-normalized), and the dominant component projects
+    * back over the corpus as a broadcast-literal dot product (zip_with
+    * + aggregate fold — row-local, fixed fold order, zero shuffles
+    * beyond the Gram's own). Scores are in micro-unit × eigvec scale;
+    * scale cancels in any downstream rank/threshold use.
+    *
+    * No SQL oracle (power iteration isn't expressible in DuckDB) →
+    * rows-only key, pinned by [[embedGram]]'s oracle-green twin plus
+    * the AnalyticsOpsSpec variance-dominance and determinism pins.
+    */
+  def pcaProject(embeddings: DataFrame): DataFrame = {
+    val cells = embedGram(embeddings).collect()
+    val d = cells.map(_.getAs[Int]("j")).max + 1
+    val g = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (i, j, v) = (r.getAs[Int]("i"), r.getAs[Int]("j"), r.getAs[Double]("gram"))
+      g(i)(j) = v; g(j)(i) = v
+    }
+    val v1 = pcaPowerIteration(g)
+    embeddings
+      .selectExpr("vec_id", "label",
+        """transform(embedding,
+          |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS LONG)) AS qv
+          |""".stripMargin)
+      .withColumn("pcvec", typedlit(v1.toSeq))
+      .withColumn("pc1", expr(
+        "aggregate(zip_with(qv, pcvec, (a, b) -> CAST(a AS DOUBLE) * b), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .select(col("vec_id"), col("label"), col("pc1"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_pca_project",
+      "distributed PCA: Gram-matrix reduce + driver power iteration + broadcast dominant-component projection",
+      (s, dir) => pcaProject(t(s, dir, "embeddings")),
+      None),
+    GraftQuery("q_embed_gram",
+      "distributed Gram matrix of the embedding store: row-local pair fan-out + exact DECIMAL(38,0) micro-unit sums",
+      (s, dir) => embedGram(t(s, dir, "embeddings")),
+      Some(
+        """WITH q AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding,
+          |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+          |  FROM embeddings),
+          |e AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS idx, qv[CAST(t.i AS INT)] AS qval
+          |      FROM q, unnest(range(1, len(qv) + 1)) AS t(i))
+          |SELECT a.idx AS i, b.idx AS j,
+          |       CAST(sum(CAST(a.qval AS HUGEINT) * b.qval) AS DOUBLE) AS gram
+          |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.idx <= b.idx
+          |GROUP BY a.idx, b.idx
+          |ORDER BY i, j""".stripMargin)),
     GraftQuery("q_cosine_topk", "brute-force cosine top-k vs query vector",
       cosineTopkQuery,
       Some(

@@ -630,7 +630,174 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-document character-level Shannon entropy, bit-quantized to the
+    * corpus convention (floor(log2 n) − floor(log2 cnt) per character —
+    * exact BIGINT arithmetic, the surprisal family's cross-engine-safe
+    * quantization): the repetition/compressibility quality signal a
+    * cleaning pipeline thresholds on (low entropy ⇒ boilerplate, char
+    * floods, template spam). Entirely ROW-LOCAL: distinct chars via
+    * array_distinct(split), per-char counts via the length-of-replace
+    * trick, the sum via the `aggregate` higher-order fold — one scan,
+    * zero shuffles, whole-stage codegen end to end.
+    */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), normalizeText(col("text")).as("s"))
+      .where(length(col("s")) > 0)
+      .selectExpr(
+        "doc_id",
+        "length(s) AS n_chars_norm",
+        // Spark's regex split keeps a trailing '' element (Java split
+        // with limit -1); filter it so the 0-count char can't reach the
+        // log2 and the distinct count matches DuckDB's string_split.
+        "size(filter(array_distinct(split(s, '')), c -> c <> '')) AS n_distinct_chars",
+        """aggregate(
+          |  filter(array_distinct(split(s, '')), c -> c <> ''), 0L,
+          |  (acc, c) -> acc +
+          |    (length(s) - length(replace(s, c, ''))) *
+          |    (CAST(floor(log2(length(s))) AS LONG) -
+          |     CAST(floor(log2(length(s) - length(replace(s, c, '')))) AS LONG)))
+          |AS ent_bits""".stripMargin)
+      .withColumn("ent_bits_per_char",
+        col("ent_bits").cast(DoubleType) / col("n_chars_norm").cast(DoubleType))
+      .orderBy("doc_id")
+
+  /** Chi-square term–label association (the classic feature-selection
+    * statistic for a learned quality/language filter): for each term,
+    * the 2×2 contingency of document-level occurrence vs the binary
+    * label (lang = 'en'), scored χ² = N(n11·n00 − n10·n01)²/
+    * ((n11+n01)(n10+n00)(n11+n10)(n01+n00)). Counts are exact integers
+    * from two stacked map-side-combined aggregates (term,doc) → term —
+    * the q_term_stats no-Expand discipline; doc totals ride a broadcast
+    * 1-row cross join; the χ² formula runs ONCE in parallel double
+    * arithmetic on aggregated rows (the corr/skew convention — both
+    * engines compute the identical expression over identical integers).
+    * Top-k cut is TakeOrderedAndProject with a term tiebreak.
+    */
+  def chi2Terms(docs: DataFrame, minDf: Int = 10, k: Int = 30): DataFrame = {
+    val termDoc = docs
+      .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"),
+        explode(split(normalizeText(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+      .select(col("term"), col("doc_id"), col("y")).distinct()
+    val perTerm = termDoc.groupBy("term").agg(
+      sum(col("y")).as("n11"),
+      sum(lit(1L) - col("y")).as("n10"))
+    val totals = docs.agg(
+      sum((col("lang") === "en").cast("long")).as("n_pos"),
+      count(lit(1)).as("n_docs"))
+    perTerm
+      .where(col("n11") + col("n10") >= minDf)
+      .crossJoin(broadcast(totals))
+      .select(col("term"), col("n11"), col("n10"),
+        (col("n_pos") - col("n11")).as("n01"),
+        (col("n_docs") - col("n_pos") - col("n10")).as("n00"),
+        col("n_docs"))
+      .select(col("term"), col("n11"), col("n10"), col("n01"), col("n00"),
+        (col("n_docs").cast(DoubleType) *
+          pow(col("n11").cast(DoubleType) * col("n00").cast(DoubleType) -
+            col("n10").cast(DoubleType) * col("n01").cast(DoubleType), 2) /
+          ((col("n11") + col("n01")).cast(DoubleType) *
+            (col("n10") + col("n00")).cast(DoubleType) *
+            (col("n11") + col("n10")).cast(DoubleType) *
+            (col("n01") + col("n00")).cast(DoubleType))).as("chi2"))
+      .orderBy(col("chi2").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Inverted-index construction — the retrieval-side artifact a corpus
+    * pipeline materializes next to the forward store: per term, document
+    * frequency, total term frequency, and a BOUNDED postings head (first
+    * 8 doc ids). The head comes from a row_number window on (term, doc)
+    * rows that Spark plans as WindowGroupLimit — per-partition heads,
+    * never a full per-term materialization — and the final string_agg
+    * folds ≤ 8 rows per term; stopword-grade terms (df ~ corpus) cost
+    * O(8), not O(df), beyond their count aggregate. Both aggregates
+    * map-side combine; the df cut keeps the output vocabulary-bounded.
+    */
+  def invertedIndex(docs: DataFrame, k: Int = 50): DataFrame = {
+    val td = docs
+      .select(col("doc_id"), explode(split(normalizeText(col("text")), " "))
+        .as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val agg = td.groupBy("term").agg(
+      count(lit(1)).as("df"),
+      sum(col("tf")).cast(LongType).as("total_tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    val postings = td
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 8)
+      .groupBy("term")
+      .agg(concat_ws(",",
+        expr("transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING))"))
+        .as("postings"))
+    agg.join(postings, "term")
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_char_entropy",
+      "row-local char-level Shannon entropy, bit-quantized (exact BIGINT; compressibility quality signal)",
+      (s, dir) => charEntropy(t(s, dir, "documents")),
+      Some(
+        s"""WITH p AS (SELECT doc_id, $duckNormSql AS s FROM documents),
+           |f AS (SELECT doc_id, s, CAST(length(s) AS INT) AS n FROM p WHERE length(s) > 0),
+           |ch AS (SELECT doc_id, n, c, count(*) AS cnt
+           |       FROM (SELECT doc_id, n, unnest(string_split(s, '')) AS c FROM f)
+           |       GROUP BY doc_id, n, c),
+           |e AS (SELECT doc_id, n, CAST(count(*) AS INT) AS n_distinct_chars,
+           |             CAST(sum(cnt * (CAST(floor(log2(n)) AS BIGINT) - CAST(floor(log2(cnt)) AS BIGINT))) AS BIGINT) AS ent_bits
+           |      FROM ch GROUP BY doc_id, n)
+           |SELECT doc_id, n AS n_chars_norm, n_distinct_chars, ent_bits,
+           |       CAST(ent_bits AS DOUBLE) / CAST(n AS DOUBLE) AS ent_bits_per_char
+           |FROM e ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_chi2_terms",
+      "chi-square term-label feature selection: exact 2x2 doc-level contingency per term, top-30",
+      (s, dir) => chi2Terms(t(s, dir, "documents")),
+      Some(
+        s"""WITH td AS (
+           |  SELECT DISTINCT term, doc_id, CAST(lang = 'en' AS BIGINT) AS y
+           |  FROM (SELECT doc_id, lang, unnest($duckNormToksSql) AS term FROM documents)
+           |  WHERE term <> ''),
+           |pt AS (SELECT term, CAST(sum(y) AS BIGINT) AS n11,
+           |              CAST(sum(1 - y) AS BIGINT) AS n10
+           |       FROM td GROUP BY term),
+           |tot AS (SELECT CAST(sum(CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS n_pos,
+           |               count(*) AS n_docs
+           |        FROM documents)
+           |SELECT term, n11, n10, n_pos - n11 AS n01, n_docs - n_pos - n10 AS n00,
+           |       CAST(n_docs AS DOUBLE) *
+           |         pow(CAST(n11 AS DOUBLE) * CAST(n_docs - n_pos - n10 AS DOUBLE) -
+           |             CAST(n10 AS DOUBLE) * CAST(n_pos - n11 AS DOUBLE), 2) /
+           |         (CAST(n11 + (n_pos - n11) AS DOUBLE) *
+           |          CAST(n10 + (n_docs - n_pos - n10) AS DOUBLE) *
+           |          CAST(n11 + n10 AS DOUBLE) *
+           |          CAST((n_pos - n11) + (n_docs - n_pos - n10) AS DOUBLE)) AS chi2
+           |FROM pt, tot
+           |WHERE n11 + n10 >= 10
+           |ORDER BY chi2 DESC, term LIMIT 30""".stripMargin)),
+    GraftQuery("q_inverted_index",
+      "inverted-index build: per-term df, total tf, bounded 8-doc postings head (WindowGroupLimit cut)",
+      (s, dir) => invertedIndex(t(s, dir, "documents")),
+      Some(
+        s"""WITH td AS (
+           |  SELECT term, doc_id, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest($duckNormToksSql) AS term FROM documents)
+           |  WHERE term <> '' GROUP BY term, doc_id),
+           |agg AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+           |        FROM td GROUP BY term),
+           |post AS (
+           |  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+           |  FROM (SELECT term, doc_id,
+           |               row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+           |        FROM td)
+           |  WHERE rn <= 8 GROUP BY term)
+           |SELECT agg.term, df, total_tf, postings
+           |FROM agg JOIN post USING (term)
+           |ORDER BY df DESC, agg.term LIMIT 50""".stripMargin)),
     GraftQuery("q_tfidf_topk", "TF-IDF top-5 terms per doc (integer/string output; score orders, never emitted)",
       (s, dir) => tfidfTopK(s, dir),
       Some(

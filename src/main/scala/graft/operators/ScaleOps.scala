@@ -397,7 +397,52 @@ object ScaleOps {
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
 
+  /** Bloom-prefiltered join — the runtime-filter / semi-join-reduction
+    * pattern that makes selective dim-fact joins cheap at 100 TB: build
+    * a Bloom filter over the FILTERED dim side's join keys
+    * ([[buildBloom]] — mergeable bit_or aggregate, O(filter-size)
+    * driver collect), ship it as a plan literal, and drop fact rows
+    * row-locally BEFORE the shuffle ([[bloomMightContain]]). Only
+    * ~sel + fp of the fact side ever enters the exchange; the exact
+    * equi-join afterwards kills the false positives, so the RESULT is
+    * exactly the plain join — the filter moves bytes, never semantics.
+    * (Spark's own `spark.sql.optimizer.runtime.bloomFilter` does this
+    * rewrite automatically for suitable plans; this is the explicit,
+    * inspectable form with the build/probe recipe shared via
+    * [[bloomPos]] so false negatives are structurally impossible.)
+    */
+  def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String): DataFrame = {
+    val (m, words) = buildBloom(dim, dimKey)
+    val pruned = fact.where(bloomMightContain(m, words, 4, col(factKey)))
+    pruned.join(dim, col(factKey) === col(dimKey))
+  }
+
+  /** q_bloom_join: orders prefiltered by a Bloom over BUILDING-segment
+    * customer keys, then exactly joined — hash-identical to the plain
+    * filtered join.
+    */
+  def bloomJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val spark = graft.engine.GraftSession.tuned(s)
+    val orders = graft.engine.Tables.load(spark, dir, "orders")
+    val dim = graft.engine.Tables.load(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    bloomPrefilteredJoin(orders, dim, "o_custkey", "c_custkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Seq[graft.GraftQuery] = Seq(
+    graft.GraftQuery("q_bloom_join",
+      "Bloom-prefiltered dim-fact join (runtime-filter semi-join reduction) == plain filtered join",
+      bloomJoinQuery,
+      Some(
+        """SELECT o_orderkey, o_custkey, c_name, o_orderpriority
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |ORDER BY o_orderkey""".stripMargin)),
     graft.GraftQuery("q_salted_join", "skew-salted left join == plain join (semantics-preserving rewrite)",
       saltedJoinQuery,
       Some(

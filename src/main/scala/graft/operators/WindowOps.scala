@@ -400,7 +400,105 @@ object WindowOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Time-weighted average (TWAP): each event's value is "held" until
+    * the user's next event; the per-user average weights each value by
+    * its holding duration — the right mean for irregularly-sampled
+    * series, where the arithmetic mean over-counts burst periods.
+    *
+    * Exactness: values quantize to milli-units ONCE (deterministic
+    * floor both engines), durations are exact epoch-micro BIGINTs, and
+    * the value×duration products sum as DECIMAL(38,0) (per-term
+    * ≤ 5e5·1e13 ≈ 5e18 would overflow a BIGINT sum; decimal sums are
+    * exact and order-free cross-engine). ONE double division at the
+    * end. Scale: a lead() window + one aggregate, both on the
+    * high-cardinality user key — one shuffle total, O(1) state per row.
+    */
+  def twap(s: SparkSession, dir: String): DataFrame = {
+    // tus is epoch-micros of ts — same total order, already projected
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("tus"),
+        floor(col("value") * 1000 + 0.5).cast(LongType).as("vmilli"),
+        col("event_id"))
+      .withColumn("nxt", lead(col("tus"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum((col("vmilli").cast(DecimalType(38, 0)) * (col("nxt") - col("tus")))
+          .cast(DecimalType(38, 0))).as("num"),
+        sum(col("nxt") - col("tus")).cast(LongType).as("held_us"),
+        count(lit(1)).as("n_held"))
+      .where(col("held_us") > 0)
+      .select(col("user_id"), col("n_held"), col("held_us"),
+        (col("num").cast(DoubleType) /
+          (col("held_us").cast(DoubleType) * 1000.0)).as("twap"))
+      .orderBy("user_id")
+  }
+
+  /** Trailing distinct-count via a windowed BITMAP — the O(1)-state
+    * replacement for collect_set-over-window: event types dictionary-
+    * encode through a tiny global dense_rank (O(#types) rows, broadcast
+    * back), each row contributes `1 << tid`, and the trailing-5 frame
+    * reduces with `bit_or` (an associative aggregate Spark evaluates in
+    * constant window state) — `bit_count` of the OR is the exact
+    * distinct count. collect_set over the same frame would hold the
+    * set per row and cannot map-side combine. One window shuffle on
+    * the high-cardinality user key; the dictionary join is a broadcast.
+    * Caps at 64 types per bitmap word — beyond that, the bitmap_* ops
+    * family (q_bitmap_distinct) is the multi-word form.
+    */
+  def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val dict = events.select(col("event_type")).distinct()
+      .withColumn("tid",
+        row_number().over(Window.orderBy(col("event_type"))).cast(LongType) - 1)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    events.join(broadcast(dict), "event_type")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        call_function("shiftleft", lit(1L), col("tid").cast("int")).as("bit"))
+      .select(col("user_id"), col("event_id"),
+        bit_count(bit_or(col("bit")).over(w)).cast(IntegerType)
+          .as("n_distinct_5"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_twap",
+      "per-user time-weighted average (hold-until-next weighting, exact DECIMAL(38,0) value-duration sums)",
+      twap,
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS tus,
+          |         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vmilli,
+          |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          |  FROM events),
+          |s AS (
+          |  SELECT user_id,
+          |         sum(CAST(vmilli AS HUGEINT) * (nxt - tus)) AS num,
+          |         CAST(sum(nxt - tus) AS BIGINT) AS held_us,
+          |         count(*) AS n_held
+          |  FROM e WHERE nxt IS NOT NULL GROUP BY user_id)
+          |SELECT user_id, n_held, held_us,
+          |       CAST(num AS DOUBLE) / (CAST(held_us AS DOUBLE) * 1000.0) AS twap
+          |FROM s WHERE held_us > 0 ORDER BY user_id""".stripMargin)),
+    GraftQuery("q_rolling_distinct",
+      "trailing-5 distinct event types per user: windowed bitmap bit_or + popcount (O(1) window state)",
+      rollingDistinct,
+      Some(
+        """WITH d AS (
+          |  SELECT event_type,
+          |         CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) - 1 AS tid
+          |  FROM (SELECT DISTINCT event_type FROM events)),
+          |e AS (SELECT event_id, user_id, ts, tid FROM events JOIN d USING (event_type))
+          |SELECT user_id, event_id,
+          |       CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(tid AS INT))
+          |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS INT) AS n_distinct_5
+          |FROM e ORDER BY user_id, event_id""".stripMargin)),
     GraftQuery("q_ewma",
       "dyadic-decay trailing EWMA (8-order half-life weights, exact BIGINT units, present-weight mass divisor)",
       ewmaDyadic,

@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ext.{Cleaning, Similarity}
+import graft.functions.TextOps
+import graft.operators.{ScaleOps, WindowOps}
+
+/** Semantic pins for the round-6 analytics batch: Bloom-prefiltered
+  * join, TWAP, bitmap rolling-distinct, k-anonymity, Benford, char
+  * entropy, chi-square terms, inverted index, embedding Gram + power
+  * iteration.
+  */
+class AnalyticsOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bloom-prefiltered join == plain filtered join (false positives die in the exact join)") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val dim = Tables.load(spark, sfDir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val got = ScaleOps.bloomPrefilteredJoin(orders, dim, "o_custkey", "c_custkey")
+      .select("o_orderkey", "c_custkey")
+    val want = orders.join(dim, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_custkey")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(want.count() > 0)
+  }
+
+  test("twap: hand-computed hold-until-next weighting on a 3-event series") {
+    // user 1: value 10 held 2s, value 30 held 6s -> twap = (10*2+30*6)/8 = 25
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "e", 10.0, ""),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 1L, "e", 30.0, ""),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:08"), 1L, "e", 99.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("twap").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = WindowOps.twap(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_held") == 2L)
+    assert(r(0).getAs[Long]("held_us") == 8000000L)
+    assert(math.abs(r(0).getAs[Double]("twap") - 25.0) < 1e-12)
+  }
+
+  test("rolling distinct: windowed bitmap popcount == collect_set size over the same frame") {
+    val events = Tables.load(spark, sfDir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = events.select(col("user_id"), col("event_id"),
+      size(collect_set(col("event_type")).over(w)).cast("int").as("n_naive"))
+    val got = WindowOps.rollingDistinct(spark, sfDir)
+    val joined = got.join(naive, Seq("user_id", "event_id"))
+    assert(joined.where(col("n_distinct_5") =!= col("n_naive")).isEmpty)
+    assert(got.agg(max(col("n_distinct_5"))).head().getInt(0) <= 5)
+  }
+
+  test("k-anonymity: planted singleton class is flagged, k_anon is the min class size") {
+    val df = Seq(
+      (1L, "a", 1, 500.0, "S1"), (2L, "b", 1, 600.0, "S1"),
+      (3L, "c", 1, 700.0, "S1"), (4L, "d", 1, 800.0, "S1"),
+      (5L, "e", 1, 900.0, "S1"),
+      (6L, "f", 2, 1500.0, "S2")) // singleton QI class
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val r = Cleaning.kAnonymity(df).collect()
+    assert(r.length == 2)
+    val byNation = r.map(x => x.getAs[Int]("c_nationkey") -> x).toMap
+    assert(byNation(1).getAs[Long]("class_size") == 5L)
+    assert(byNation(1).getAs[Int]("violates_k5") == 0)
+    assert(byNation(2).getAs[Long]("class_size") == 1L)
+    assert(byNation(2).getAs[Int]("violates_k5") == 1)
+    assert(r.forall(_.getAs[Long]("k_anon") == 1L))
+  }
+
+  test("benford: shares sum to 1, expected_p is log10(1+1/d), counts cover all positive rows") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val r = Cleaning.benford(orders, "o_totalprice").collect()
+    assert(r.map(_.getAs[Int]("digit")).toSet.subsetOf((1 to 9).toSet))
+    assert(math.abs(r.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    r.foreach { row =>
+      val d = row.getAs[Int]("digit")
+      assert(row.getAs[Double]("expected_p") == math.log10(1.0 + 1.0 / d))
+    }
+    val total = orders.where(col("o_totalprice") > 0).count()
+    assert(r.map(_.getAs[Long]("cnt")).sum == total)
+  }
+
+  test("char entropy: uniform 4-char doc = 2 bits/char, single-char doc = 0 bits") {
+    val df = Seq((1L, "abcd", "en", "s", 4L), (2L, "aaaa", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.charEntropy(df).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("ent_bits") == 8L)   // 4 chars x (log2 4 - log2 1)
+    assert(r(0).getAs[Int]("n_distinct_chars") == 4)
+    assert(r(0).getAs[Double]("ent_bits_per_char") == 2.0)
+    assert(r(1).getAs[Long]("ent_bits") == 0L)   // one char: log2 4 - log2 4
+    assert(r(1).getAs[Int]("n_distinct_chars") == 1)
+  }
+
+  test("chi2 terms: a perfectly label-correlated term dominates an independent one") {
+    val docs = (0 until 40).map { i =>
+      val en = i % 2 == 0
+      val text = (if (en) "signal " else "") + "common filler"
+      (i.toLong, text, if (en) "en" else "de", "s", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.chi2Terms(docs, minDf = 5, k = 10).collect()
+    val byTerm = r.map(x => x.getAs[String]("term") -> x).toMap
+    assert(byTerm("signal").getAs[Double]("chi2") > 30.0) // N=40, perfect split
+    assert(byTerm("common").getAs[Double]("chi2") == 0.0) // present in every doc
+    // contingency identity: n11+n10+n01+n00 == N for every term
+    r.foreach { x =>
+      assert(x.getAs[Long]("n11") + x.getAs[Long]("n10") +
+        x.getAs[Long]("n01") + x.getAs[Long]("n00") == 40L)
+    }
+  }
+
+  test("inverted index: postings head is sorted, bounded at 8, consistent with df") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val r = TextOps.invertedIndex(docs, k = 20).collect()
+    assert(r.nonEmpty && r.length <= 20)
+    r.foreach { row =>
+      val posts = row.getAs[String]("postings").split(",").map(_.toLong)
+      assert(posts.length <= 8)
+      assert(posts.sameElements(posts.sorted))
+      assert(row.getAs[Long]("df") >= posts.length)
+      assert(row.getAs[Long]("total_tf") >= row.getAs[Long]("df"))
+    }
+    // df order is non-increasing (top-k by df)
+    val dfs = r.map(_.getAs[Long]("df"))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("embed gram: hand-computed 2-vector, 2-dim Gram in micro-units") {
+    // v1=(1.0, 0.5), v2=(0.0, 2.0) -> micro (1e6, 5e5), (0, 2e6)
+    // G00 = 1e12, G01 = 5e11, G11 = 25e10 + 4e12
+    val df = Seq((1L, Seq(1.0f, 0.5f), 0), (2L, Seq(0.0f, 2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.embedGram(df).collect()
+    val g = r.map(x => (x.getAs[Int]("i"), x.getAs[Int]("j")) -> x.getAs[Double]("gram")).toMap
+    assert(g((0, 0)) == 1e12)
+    assert(g((0, 1)) == 5e11)
+    assert(g((1, 1)) == 2.5e11 + 4e12)
+    assert(r.length == 3) // upper triangle only
+  }
+
+  test("ks test: identical samples give 0, disjoint supports give 1") {
+    def docs(rows: Seq[(Long, String, Long)]) =
+      rows.map { case (id, lang, n) => (id, "x", lang, "s", n) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // identical length distributions -> KS = 0
+    val same = docs((0L until 20L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", 100L + (i % 5))))
+    assert(Cleaning.ksTest(same).head().getAs[Double]("ks_stat") == 0.0)
+    // disjoint supports -> KS = 1 at the boundary
+    val split = docs((0L until 20L).map(i =>
+      if (i % 2 == 0) (i, "en", 100L) else (i, "de", 200L)))
+    val r = Cleaning.ksTest(split).head()
+    assert(r.getAs[Double]("ks_stat") == 1.0)
+    assert(r.getAs[Long]("ks_at_bucket") == 100L)
+  }
+
+  test("quantile norm: per-source mid-rank percentiles are uniform and source-scale-free") {
+    // two sources with very different length scales; percentiles match
+    val rows = (0 until 10).map(i => (i.toLong, "x", "en", "sa", 100L + i)) ++
+      (0 until 10).map(i => (10L + i, "x", "en", "sb", 10000L + 7L * i))
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Cleaning.quantileNorm(df).collect()
+    val bySrc = r.groupBy(_.getAs[String]("source"))
+    // same rank structure -> identical percentile multiset in both sources
+    val pa = bySrc("sa").map(_.getAs[Double]("pctl")).sorted
+    val pb = bySrc("sb").map(_.getAs[Double]("pctl")).sorted
+    assert(pa.sameElements(pb))
+    assert(pa.head == 0.05 && pa.last == 0.95) // mid-rank of 10 distinct values
+  }
+
+  test("pca projection: dominant-component variance >= any coordinate axis; rerun-identical") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val r1 = Similarity.pcaProject(emb).collect()
+    val r2 = Similarity.pcaProject(emb).collect()
+    assert(r1.map(_.toString).sameElements(r2.map(_.toString)))
+    val scores = r1.map(_.getAs[Double]("pc1"))
+    def variance(xs: Array[Double]): Double = {
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    val vProj = variance(scores)
+    // per-axis variance of the SAME micro-quantized data, axes 0 and 1
+    val axes = emb.selectExpr(
+      "CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000 + 0.5) AS DOUBLE) AS a0",
+      "CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) AS DOUBLE) AS a1")
+      .collect()
+    val v0 = variance(axes.map(_.getAs[Double]("a0")))
+    val v1 = variance(axes.map(_.getAs[Double]("a1")))
+    // PC1 maximizes uncentered second moment; on roughly-centered data it
+    // still dominates single axes (loose factor guards centering slack)
+    assert(vProj >= math.max(v0, v1) * 0.5,
+      s"projection variance $vProj vs axes $v0 / $v1")
+    assert(r1.length == emb.count())
+  }
+
+  test("power iteration: dominant eigenvector of a diagonal matrix, sign-normalized") {
+    val g = Array(Array(3.0, 0.0), Array(0.0, 1.0))
+    val v = Similarity.pcaPowerIteration(g)
+    assert(math.abs(v(0) - 1.0) < 1e-9 && math.abs(v(1)) < 1e-9)
+    // sign convention: first nonzero component positive
+    val g2 = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+    val v2 = Similarity.pcaPowerIteration(g2)
+    assert(v2(0) > 0 && math.abs(v2(0) - v2(1)) < 1e-9) // (1,1)/sqrt(2)
+  }
+}
