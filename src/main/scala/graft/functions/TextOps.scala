@@ -738,7 +738,71 @@ object TextOps {
       .limit(k)
   }
 
+  /** Windowed PMI co-occurrence statistics — the word2vec/GloVe-prep
+    * artifact: for every unordered token pair co-occurring within a
+    * ±2-token window, the corpus pair count and the pointwise mutual
+    * information, bit-quantized to the surprisal convention
+    * (floor(log2 c_ab·N) − floor(log2 c_a·c_b) — exact BIGINT, no
+    * cross-engine log drift). Pair generation is ROW-LOCAL (one
+    * nested-transform flatten over the token array + one explode — the
+    * out-of-range arm is filtered by INDEX before any element access,
+    * so Spark's null-skipping least/greatest can never fabricate a
+    * pair); counts are two map-side-combined aggregates; unigram
+    * attach is a pair-keyed join; the cut is TakeOrderedAndProject.
+    */
+  def pmiCooc(docs: DataFrame, k: Int = 40): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        expr("filter(split(graft_norm_text(text), ' '), x -> x <> '')").as("toks"))
+      .where(size(col("toks")) >= 2)
+    val pairs = toks
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(toks) - 2), i ->
+          |  transform(filter(sequence(1, 2), d -> i + d <= size(toks) - 1),
+          |    d -> named_struct('x', toks[i], 'y', toks[i + d]))))""".stripMargin))
+        .as("p"))
+      .select(least(col("p.x"), col("p.y")).as("w1"),
+        greatest(col("p.x"), col("p.y")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val uni = docs
+      .select(explode(expr(
+        "filter(split(graft_norm_text(text), ' '), x -> x <> '')")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).cast(LongType).as("n_tok"))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        (floor(log2(col("c_ab") * col("n_tok"))).cast(LongType) -
+          floor(log2(col("c_a") * col("c_b"))).cast(LongType)).as("pmi_bits"))
+      .orderBy(col("c_ab").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_pmi_cooc",
+      "windowed PMI co-occurrence (+-2 tokens, row-local pair fan-out, bit-quantized exact-integer PMI), top 40 pairs",
+      (s, dir) => pmiCooc(t(s, dir, "documents")),
+      Some(
+        s"""WITH d AS (SELECT doc_id, $duckNormToksSql AS toks FROM documents),
+           |tok AS (
+           |  SELECT doc_id, CAST(t.i AS INT) AS pos, toks[CAST(t.i AS INT)] AS w
+           |  FROM d, unnest(range(1, len(toks) + 1)) AS t(i)
+           |  WHERE toks[CAST(t.i AS INT)] <> ''),
+           |p AS (
+           |  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+           |  FROM tok a JOIN tok b
+           |    ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)),
+           |pc AS (SELECT w1, w2, count(*) AS c_ab FROM p GROUP BY 1, 2),
+           |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+           |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni)
+           |SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+           |       CAST(floor(log2(c_ab * n_tok)) AS BIGINT) -
+           |       CAST(floor(log2(ua.c * ub.c)) AS BIGINT) AS pmi_bits
+           |FROM pc JOIN uni ua ON pc.w1 = ua.w
+           |        JOIN uni ub ON pc.w2 = ub.w, n
+           |ORDER BY c_ab DESC, w1, w2 LIMIT 40""".stripMargin)),
     GraftQuery("q_char_entropy",
       "row-local char-level Shannon entropy, bit-quantized (exact BIGINT; compressibility quality signal)",
       (s, dir) => charEntropy(t(s, dir, "documents")),

@@ -434,7 +434,52 @@ object ScaleOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Incremental aggregate maintenance — the pattern that makes a
+    * 100 TB daily pipeline affordable: yesterday's materialized
+    * per-key aggregate (`base`) merges with an aggregate over ONLY the
+    * new partition (`delta`) via a full-outer coalesce-sum, instead of
+    * rescanning history. Correct exactly when the aggregate is
+    * algebraic (count/sum/min/max here; mergeable sketches — HLL,
+    * Bloom, CMS — extend it to distincts). The registered query proves
+    * the contract the pattern depends on: merge(base, delta) is
+    * hash-identical to the full recompute.
+    */
+  def mergeAggregates(base: DataFrame, delta: DataFrame,
+      key: String): DataFrame =
+    base.withColumnRenamed("n_events", "bn").withColumnRenamed("sum_micro", "bs")
+      .join(delta.withColumnRenamed("n_events", "dn")
+        .withColumnRenamed("sum_micro", "ds"), Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("bs"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+          .as("sum_micro"))
+
+  private def eventAgg(events: DataFrame): DataFrame =
+    events.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      sum(floor(col("value") * 1000000 + 0.5).cast("long")).as("sum_micro"))
+
+  /** q_incremental_agg: per-user totals maintained incrementally across
+    * a mid-January cutoff == one-shot recompute over the full table.
+    */
+  def incrementalAggQuery(s: SparkSession, dir: String): DataFrame = {
+    val events = graft.engine.Tables.load(
+      graft.engine.GraftSession.tuned(s), dir, "events")
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val base = eventAgg(events.where(col("ts") < cutoff))
+    val delta = eventAgg(events.where(col("ts") >= cutoff))
+    mergeAggregates(base, delta, "user_id").orderBy("user_id")
+  }
+
   val queries: Seq[graft.GraftQuery] = Seq(
+    graft.GraftQuery("q_incremental_agg",
+      "incremental aggregate maintenance: base+delta coalesce-sum merge == full recompute (algebraic aggregates)",
+      incrementalAggQuery,
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
     graft.GraftQuery("q_bloom_join",
       "Bloom-prefiltered dim-fact join (runtime-filter semi-join reduction) == plain filtered join",
       bloomJoinQuery,

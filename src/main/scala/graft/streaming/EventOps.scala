@@ -27,6 +27,10 @@ final case class TransState(last: Option[String])
 /** Bounded trailing-7 value queue for the streaming rolling z-score. */
 final case class ZState(recent: Seq[Long])
 
+/** Bounded trailing-4 event-type queue for the streaming rolling
+  * distinct count — O(1) per user on an unbounded stream. */
+final case class TypeQueueState(recent: Seq[String])
+
 /** Earliest strictly-ordered view→click→purchase completion times
   * reached so far (epoch micros; None = step unreached) for
   * [[EventOps.streamingFunnel]]. O(1) per user on an unbounded stream.
@@ -400,6 +404,43 @@ object EventOps {
           out.iterator
       }
       .toDF("user_id", "event_id", "z", "is_anomaly")
+  }
+
+  /** Streaming twin of the batch bitmap rolling-distinct
+    * (WindowOps.rollingDistinct): one output row per event carrying
+    * the count of DISTINCT event types in the user's trailing-5-event
+    * frame. State is a hard-bounded 4-element type queue per user
+    * (O(1) on an unbounded stream); the batch side dictionary-encodes
+    * into a bitmap for the windowed bit_or, the streaming side counts
+    * the ≤5 strings directly — same frame, same count, so the spec
+    * compares == per (user, event). Per-trigger arrivals sort by
+    * (ts, event_id) in memory — one user's single-trigger slice, not
+    * the stream.
+    */
+  def streamingRollingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    eventStream(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type").cast("string").as("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TypeQueueState, (Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, events, state) =>
+          val sorted = events.toArray.sortBy(e => (e._3, e._2))
+          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
+          val out = sorted.map { case (_, eid, _, tpe) =>
+            val frame = tpe +: recent // trailing 5 incl. current
+            recent = frame.take(4)
+            (user, eid, frame.distinct.size)
+          }
+          state.update(TypeQueueState(recent))
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "n_distinct_5")
   }
 
   /** Streaming twin of [[transitionMatrix]]'s pairing stage

@@ -199,6 +199,56 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(r1.length == emb.count())
   }
 
+  test("hits: JVM-mirror replay of the 2-iteration linear update on the fixture graph") {
+    val events = Tables.load(spark, sfDir, "events")
+    val edges = graft.ext.GraphOps.transitionEdges(events).collect()
+      .map(r => (r.getAs[Int]("src"), r.getAs[Int]("dst"), r.getAs[Long]("w")))
+    val a1 = edges.groupBy(_._2).map { case (n, es) => n -> es.map(_._3).sum }
+    val h1 = edges.groupBy(_._1).map { case (n, es) =>
+      n -> es.map(e => e._3 * a1.getOrElse(e._2, 0L)).sum
+    }
+    val a2 = edges.groupBy(_._2).map { case (n, es) =>
+      n -> es.map(e => e._3 * h1.getOrElse(e._1, 0L)).sum
+    }
+    val got = graft.ext.GraphOps.hits(events).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val n = r.getAs[Int]("node")
+      assert(r.getAs[Long]("h1_units") == h1.getOrElse(n, 0L))
+      assert(r.getAs[Long]("a2_units") == a2.getOrElse(n, 0L))
+    }
+    assert(got.map(_.getAs[Double]("hub_score")).max == 1.0)
+    assert(got.map(_.getAs[Double]("auth_score")).max == 1.0)
+  }
+
+  test("pmi cooc: hand-computed pairs and bit-quantized PMI on a 3-token doc") {
+    val df = Seq((1L, "x y z", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.functions.TextOps.pmiCooc(df).collect()
+    val pairs = r.map(x => (x.getAs[String]("w1"), x.getAs[String]("w2"))).toSet
+    assert(pairs == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    r.foreach { x =>
+      assert(x.getAs[Long]("c_ab") == 1L)
+      // floor(log2(1*3)) - floor(log2(1*1)) = 1 - 0
+      assert(x.getAs[Long]("pmi_bits") == 1L)
+    }
+  }
+
+  test("incremental agg: base+delta merge == full recompute; delta-only keys appear") {
+    val full = ScaleOps.incrementalAggQuery(spark, sfDir)
+    val direct = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000000 + 0.5).cast("long")).as("sum_micro"))
+    assert(full.exceptAll(direct).isEmpty && direct.exceptAll(full).isEmpty)
+    // synthetic: a key only in delta and a key only in base both survive
+    val base = Seq((1L, 2L, 100L), (2L, 1L, 50L)).toDF("user_id", "n_events", "sum_micro")
+    val delta = Seq((2L, 3L, 25L), (9L, 1L, 7L)).toDF("user_id", "n_events", "sum_micro")
+    val m = ScaleOps.mergeAggregates(base, delta, "user_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m == Map(1L -> (2L, 100L), 2L -> (4L, 75L), 9L -> (1L, 7L)))
+  }
+
   test("power iteration: dominant eigenvector of a diagonal matrix, sign-normalized") {
     val g = Array(Array(3.0, 0.0), Array(0.0, 1.0))
     val v = Similarity.pcaPowerIteration(g)

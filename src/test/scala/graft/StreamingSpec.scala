@@ -318,6 +318,26 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.values.exists(_._2 == 1), "fixture contains trailing-window anomalies")
   }
 
+  test("streaming rolling distinct == batch bitmap twin exactly (same trailing-5 frame)") {
+    val q = EventOps.streamingRollingDistinct(spark, sfDir).writeStream
+      .format("memory")
+      .queryName("graft_rdistinct_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_rdistinct_test")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    val batch = graft.operators.WindowOps.rollingDistinct(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(streamed.size == batch.size, "one row per event on both paths")
+    assert(streamed == batch, "exact equality — same frame, bitmap vs queue")
+    assert(streamed.values.exists(_ > 1), "fixture frames mix event types")
+  }
+
   test("concurrencyOf: planted interval profile exact; fixture parity with naive global window") {
     import spark.implicits._
     // [0,10] and [11,20] abut: -1 (end 10 + 1) and +1 coincide at ts 11
