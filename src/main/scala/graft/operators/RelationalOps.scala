@@ -730,6 +730,41 @@ object RelationalOps {
       .orderBy("l_returnflag")
   }
 
+  /** Per-group ordinary least squares (closed-form simple regression)
+    * from the [[corrCovar]] exact-integer-moment regime: slope =
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n,
+    * r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²)). Moments
+    * are exact BIGINT sums in one map-side-combined aggregate (x =
+    * quantity ≤ 50, y = whole dollars — y² sums stay far under 2⁶³ at
+    * any fixture scale; a 100 TB run moves the moment sums to
+    * DECIMAL(38,0), the formula is unchanged); each engine evaluates
+    * the IDENTICAL double formula once over identical integers.
+    */
+  def linReg(s: SparkSession, dir: String): DataFrame = {
+    val (n, sx, sy) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, syy, sxy) = (col("sxx").cast("double"),
+      col("syy").cast("double"), col("sxy").cast("double"))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice")).cast("long").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        slope.as("slope"),
+        ((sy - slope * sx) / n).as("intercept"),
+        (((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+          ((n * sxx - sx * sx) * (n * syy - sy * sy))).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   /** A+: population skewness + excess kurtosis from raw integer
     * moments, same regime as [[corrCovar]]: Σx..Σx⁴ accumulate as
     * longs (order-independent), each sum converts to double once
@@ -1419,6 +1454,27 @@ object RelationalOps {
           |       (n * sxy - sx * sy) / (n * n) AS covar_pop,
           |       (n * sxy - sx * sy)
           |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+          |FROM m ORDER BY l_returnflag""".stripMargin)),
+    GraftQuery("q_linreg", "per-group closed-form OLS (slope/intercept/r2) from exact integer moments",
+      linReg,
+      Some(
+        """WITH m AS (
+          |  SELECT l_returnflag,
+          |         CAST(count(*) AS DOUBLE) AS n,
+          |         CAST(count(*) AS BIGINT) AS n_out,
+          |         CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+          |         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+          |         CAST(CAST(sum(x*x) AS BIGINT) AS DOUBLE) AS sxx,
+          |         CAST(CAST(sum(y*y) AS BIGINT) AS DOUBLE) AS syy,
+          |         CAST(CAST(sum(x*y) AS BIGINT) AS DOUBLE) AS sxy
+          |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+          |               CAST(floor(l_extendedprice) AS BIGINT) AS y FROM lineitem)
+          |  GROUP BY l_returnflag)
+          |SELECT l_returnflag, n_out AS n,
+          |       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+          |       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+          |       ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+          |         ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
           |FROM m ORDER BY l_returnflag""".stripMargin)),
     GraftQuery("q_skew_kurt", "population skewness + excess kurtosis from exact integer moments",
       skewKurt,

@@ -999,7 +999,66 @@ object EventOps {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Two-proportion A/B significance test — the experiment-analysis
+    * terminal of the product funnel family: users assign to arms by a
+    * deterministic hash of their id (the hashSplit recipe — md5Uint32
+    * mod 2, mirrored bit-for-bit in the oracle), "conversion" is
+    * reaching a high-value purchase (> 250), and the pooled two-proportion z-score
+    * z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) decides significance. Counts
+    * are exact integers from one user-keyed aggregate + one 4-way
+    * conditional rollup to a single row; the z formula runs once in
+    * identical double arithmetic.
+    *
+    * 100 TB shape: one map-side-combined groupBy(user) then a 1-row
+    * global aggregate — no window, no join, nothing driver-side.
+    */
+  def abTest(events: DataFrame): DataFrame = {
+    val users = events
+      .groupBy("user_id")
+      .agg(max((col("event_type") === "purchase" && col("value") > 250)
+        .cast("long")).as("conv"))
+      .withColumn("arm",
+        pmod(graft.functions.HashExprs.md5Uint32(
+          col("user_id").cast("string")), lit(2)))
+    val s = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val (ca, cb) = (col("conv_a").cast("double"), col("conv_b").cast("double"))
+    val pPool = (ca + cb) / (na + nb)
+    s.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      (ca / na).as("p_a"), (cb / nb).as("p_b"),
+      ((ca / na - cb / nb) /
+        sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / na + lit(1.0) / nb)))
+        .as("z"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_abtest",
+      "two-proportion A/B z-test: deterministic hash arms, high-value-purchase conversion, pooled z from exact counts",
+      (s, dir) => abTest(t(s, dir, "events")),
+      Some(
+        """WITH u AS (
+          |  SELECT user_id,
+          |         CAST(max(CAST(event_type = 'purchase' AND value > 250 AS BIGINT)) AS BIGINT) AS conv,
+          |         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 25, 8))::BIGINT % 2 AS arm
+          |  FROM events GROUP BY user_id),
+          |s AS (
+          |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          |         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+          |         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+          |  FROM u)
+          |SELECT n_a, n_b, conv_a, conv_b,
+          |       CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+          |       CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+          |       (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+          |       sqrt((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+          |            (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) *
+          |            (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
+          |FROM s""".stripMargin)),
     GraftQuery("q_funnel", "strictly-ordered view->click->purchase funnel: earliest-completion reach counts + step conversion rates",
       funnel,
       Some(

@@ -249,6 +249,43 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(m == Map(1L -> (2L, 100L), 2L -> (4L, 75L), 9L -> (1L, 7L)))
   }
 
+  test("linreg: exact slope/intercept/r2=1 on planted perfectly-linear data") {
+    // y = 3x + 7 exactly, one group
+    val df = (1 to 20).map(i => ("A", i, (3 * i + 7).toDouble))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("linreg").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.operators.RelationalOps.linReg(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("slope") == 3.0)
+    assert(r(0).getAs[Double]("intercept") == 7.0)
+    assert(r(0).getAs[Double]("r2") == 1.0)
+  }
+
+  test("abtest: counts and z match a JVM replay of the same hash assignment") {
+    val events = Tables.load(spark, sfDir, "events")
+    val r = graft.streaming.EventOps.abTest(events).head()
+    // replay: per-user conversion + the same md5 arm, computed via Spark
+    // exprs but folded in plain JVM arithmetic
+    val users = events.groupBy("user_id")
+      .agg(max((col("event_type") === "purchase" && col("value") > 250)
+        .cast("long")).as("conv"))
+      .withColumn("arm",
+        pmod(graft.functions.HashExprs.md5Uint32(
+          col("user_id").cast("string")), lit(2)))
+      .collect().map(u => (u.getAs[Long]("arm"), u.getAs[Long]("conv")))
+    val nA = users.count(_._1 == 0L); val nB = users.count(_._1 == 1L)
+    val cA = users.filter(_._1 == 0L).map(_._2).sum
+    val cB = users.filter(_._1 == 1L).map(_._2).sum
+    assert(r.getAs[Long]("n_a") == nA && r.getAs[Long]("n_b") == nB)
+    assert(r.getAs[Long]("conv_a") == cA && r.getAs[Long]("conv_b") == cB)
+    val p = (cA + cB).toDouble / (nA + nB)
+    val z = (cA.toDouble / nA - cB.toDouble / nB) /
+      math.sqrt(p * (1.0 - p) * (1.0 / nA + 1.0 / nB))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-12)
+    assert(nA > 0 && nB > 0, "hash assignment fills both arms")
+  }
+
   test("power iteration: dominant eigenvector of a diagonal matrix, sign-normalized") {
     val g = Array(Array(3.0, 0.0), Array(0.0, 1.0))
     val v = Similarity.pcaPowerIteration(g)
