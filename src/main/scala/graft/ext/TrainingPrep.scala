@@ -340,7 +340,63 @@ object TrainingPrep {
         min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
       .orderBy("file_name")
 
+  /** Top-p (nucleus) corpus selection per source — the mixing-prep cut
+    * that keeps each domain's HIGHEST-mass head until a fixed fraction
+    * p of that domain's total mass is covered (the sampling analog of
+    * nucleus decoding, applied to corpus curation): a global threshold
+    * keeps wildly different fractions of different domains; the
+    * per-domain mass quantile keeps the same share of each. Mass here
+    * is doc length; a bucket (distinct length value) is kept while the
+    * cumulative mass STRICTLY BEFORE it is under p·total — entirely in
+    * exact integer arithmetic (`2·(cum − mass) < total` for p = ½; no
+    * doubles anywhere on the decision path).
+    *
+    * 100 TB shape: the [[Cleaning.quantileNorm]] pattern — corpus
+    * collapses to (source, value) count/mass rows in one
+    * map-side-combined aggregate; the per-source DESC cumsum runs over
+    * that domain-bounded set; kept buckets join back broadcast-style.
+    */
+  def topPSample(docs: DataFrame): DataFrame = {
+    val v = docs.groupBy(col("source"), col("n_chars").as("val"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("source"), col("val"), (col("cnt") * col("val")).as("mass"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("val").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = v.select(col("source"), col("val"), col("mass"),
+      sum(col("mass")).over(w).as("cum"))
+    val tot = v.groupBy("source").agg(sum(col("mass")).as("total"))
+    val kept = cum.join(tot, "source")
+      .where((col("cum") - col("mass")) * 2 < col("total"))
+      .select(col("source").as("ksource"), col("val").as("kval"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(kept, col("source") === col("ksource") &&
+        col("n_chars") === col("kval"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_top_p_sample",
+      "per-source top-p (nucleus) selection: keep each domain's highest-mass head to p=1/2 of its mass, exact integer cut",
+      (s, dir) => topPSample(t(s, dir, "documents")),
+      Some(
+        """WITH v AS (
+          |  SELECT source, n_chars AS val, count(*) AS cnt,
+          |         CAST(count(*) * n_chars AS BIGINT) AS mass
+          |  FROM documents GROUP BY source, n_chars),
+          |c AS (
+          |  SELECT source, val, mass,
+          |         CAST(sum(mass) OVER (PARTITION BY source ORDER BY val DESC
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |  FROM v),
+          |tot AS (SELECT source, CAST(sum(mass) AS BIGINT) AS total FROM v GROUP BY source),
+          |kept AS (
+          |  SELECT c.source, c.val FROM c JOIN tot ON c.source = tot.source
+          |  WHERE (c.cum - c.mass) * 2 < tot.total)
+          |SELECT doc_id, d.source, d.n_chars
+          |FROM documents d JOIN kept ON d.source = kept.source AND d.n_chars = kept.val
+          |ORDER BY doc_id""".stripMargin)),
     // The oracle runs over the driver's table VIEWS (no filename
     // metadata there), but each fixture table is exactly one file, so
     // the expected basename is the known constant — the gate still

@@ -286,6 +286,24 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(nA > 0 && nB > 0, "hash assignment fills both arms")
   }
 
+  test("top-p sample: keeps the heavy head to half the mass per source, exact integer cut") {
+    // source sa: lengths 10x100 + 10x50 -> total 1500; DESC cum: the 100s
+    // bucket (mass 1000) has cum-before 0 < 750 -> kept; the 50s bucket
+    // has cum-before 1000 >= 750 -> cut.
+    val rows = (0 until 10).map(i => (i.toLong, "x", "en", "sa", 100L)) ++
+      (0 until 10).map(i => (10L + i, "x", "en", "sa", 50L))
+    val r = graft.ext.TrainingPrep.topPSample(
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+    assert(r.length == 10)
+    assert(r.forall(_.getAs[Long]("n_chars") == 100L))
+    // per-source independence: each source's share is cut separately
+    val two = rows ++ (0 until 4).map(i => (20L + i, "x", "en", "sb", 7L))
+    val r2 = graft.ext.TrainingPrep.topPSample(
+      two.toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+    // sb has ONE bucket: cum-before 0 < total/2 -> entire source kept
+    assert(r2.count(_.getAs[String]("source") == "sb") == 4)
+  }
+
   test("power iteration: dominant eigenvector of a diagonal matrix, sign-normalized") {
     val g = Array(Array(3.0, 0.0), Array(0.0, 1.0))
     val v = Similarity.pcaPowerIteration(g)
