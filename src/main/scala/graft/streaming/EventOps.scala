@@ -31,6 +31,12 @@ final case class ZState(recent: Seq[Long])
   * distinct count — O(1) per user on an unbounded stream. */
 final case class TypeQueueState(recent: Seq[String])
 
+/** Running TWAP accumulators per user: last event's (epoch-micros,
+  * milli-value) plus the exact numerator/denominator sums so far.
+  * O(1) per key on an unbounded stream. */
+final case class TwapState(
+    lastTs: Long, lastVmilli: Long, num: BigInt, heldUs: Long, nHeld: Long)
+
 /** Earliest strictly-ordered view→click→purchase completion times
   * reached so far (epoch micros; None = step unreached) for
   * [[EventOps.streamingFunnel]]. O(1) per user on an unbounded stream.
@@ -441,6 +447,53 @@ object EventOps {
           out.iterator
       }
       .toDF("user_id", "event_id", "n_distinct_5")
+  }
+
+  /** Streaming twin of the batch TWAP (WindowOps.twap): each arriving
+    * event CLOSES its user's previous holding segment, so the operator
+    * emits one running-TWAP row per event past the user's first, and
+    * the last emission per user equals the batch answer exactly (the
+    * spec pins it). State is O(1): the open segment's (ts, value) plus
+    * the exact numerator (BigInt — the same order-free exactness the
+    * batch side gets from DECIMAL(38,0) sums), held-duration and
+    * segment-count accumulators. Per-trigger arrivals sort by
+    * (ts, event_id) in memory — one user's single-trigger slice, not
+    * the stream.
+    */
+  def streamingTwap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    eventStream(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value").cast("double").as("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TwapState, (Long, Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, events, state) =>
+          val sorted = events.toArray.sortBy(e => (e._3, e._2))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Double)]
+          sorted.foreach { case (_, eid, tus, v) =>
+            val vm = math.floor(v * 1000 + 0.5).toLong
+            if (st == null) st = TwapState(tus, vm, BigInt(0), 0L, 0L)
+            else {
+              val dur = tus - st.lastTs
+              st = TwapState(tus, vm,
+                st.num + BigInt(st.lastVmilli) * dur,
+                st.heldUs + dur, st.nHeld + 1)
+              if (st.heldUs > 0)
+                out += ((user, eid, st.nHeld, st.heldUs,
+                  st.num.toDouble / (st.heldUs.toDouble * 1000.0)))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "n_held", "held_us", "twap")
   }
 
   /** Streaming twin of [[transitionMatrix]]'s pairing stage

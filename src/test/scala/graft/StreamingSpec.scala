@@ -338,6 +338,29 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.values.exists(_ > 1), "fixture frames mix event types")
   }
 
+  test("streaming twap: last running emission per user == batch TWAP exactly") {
+    val q = EventOps.streamingTwap(spark, sfDir).writeStream
+      .format("memory")
+      .queryName("graft_twap_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val lastPerUser = spark.table("graft_twap_test")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        val last = rows.maxBy(_.getLong(2)) // max n_held = final segment
+        u -> (last.getLong(2), last.getLong(3), last.getDouble(4))
+      }
+    val batch = graft.operators.WindowOps.twap(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("twap")))
+      .toMap
+    assert(lastPerUser.size == batch.size, "one final row per user on both paths")
+    assert(lastPerUser == batch, "exact equality — BigInt vs DECIMAL(38,0) numerators")
+  }
+
   test("concurrencyOf: planted interval profile exact; fixture parity with naive global window") {
     import spark.implicits._
     // [0,10] and [11,20] abut: -1 (end 10 + 1) and +1 coincide at ts 11
