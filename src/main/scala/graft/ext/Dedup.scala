@@ -575,18 +575,26 @@ object Dedup {
     * keeps it a single shuffle; the production (XXH64, codegen'd) path
     * stays [[withSimhash]] — this twin exists for verification.
     */
-  def md5Simhash32(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = docs
-      .select(col(idCol),
-        explode(array_distinct(split(TextOps.normalizeText(col(textCol)), " "))).as("tok"))
-      .withColumn("th", graft.functions.HashExprs.md5Uint32(col("tok")))
+  def md5Simhash32(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    md5Simhash32FromToks(
+      docs.select(col(idCol),
+        explode(array_distinct(split(TextOps.normalizeText(col(textCol)), " "))).as("tok")),
+      idCol)
+
+  /** The vote core of [[md5Simhash32]], over ANY exploded
+    * (id, tok) relation — shared with the multimodal perceptual-hash
+    * twin, whose tokens are payload byte shingles instead of words.
+    */
+  def md5Simhash32FromToks(toks: DataFrame, idCol: String): DataFrame = {
+    val hashed = toks.withColumn("th",
+      graft.functions.HashExprs.md5Uint32(col("tok")))
     val voteCols = (0 until 32).map(b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"v$b"))
     val hashFromVotes = (0 until 32)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    toks.groupBy(col(idCol))
+    hashed.groupBy(col(idCol))
       .agg(voteCols.head, voteCols.tail: _*)
       .select(col(idCol), hashFromVotes.as("simhash32"))
   }

@@ -226,7 +226,95 @@ object Multimodal {
     audioFeatures(assets(t(s, dir, "documents")))
       .orderBy("asset_id", "window_idx")
 
+  /** 64-bit perceptual hash of a binary payload: SimHash over the
+    * payload's byte-4-gram shingles (hex-string form, stride 1) — a
+    * LOCALITY-SENSITIVE signature in payload space (flip one byte and
+    * only the ≤4 shingles covering it change their votes), which is
+    * the pHash contract the way this container can honor it: a real
+    * image pHash swaps the byte shingles for DCT coefficients of the
+    * decoded bitmap; the signature→blocking→verify pipeline after that
+    * expression is identical. Row-local and codegen'd (one hex + HOF
+    * shingle build + the native graft_simhash64 vote loop).
+    */
+  def withPhash(assetsDf: DataFrame): DataFrame =
+    assetsDf
+      .where(col("meta.n_bytes") >= 4)
+      .select(col("asset_id"), expr(
+        """graft_simhash64(array_distinct(transform(
+          |  sequence(0, meta.n_bytes - 4),
+          |  i -> substring(hex(payload), i * 2 + 1, 8))))""".stripMargin)
+        .as("phash"))
+
+  /** Multimodal near-dup pairs: [[withPhash]] signatures through the
+    * SAME pigeonhole chunk blocking + oversized-bucket cap + full-hash
+    * Hamming verify as the text SimHash family (Dedup
+    * .hammingBlockedPairs — exact recall within maxHamming, capped
+    * candidate volume under degenerate payloads). XXH64 signatures are
+    * engine-specific → rows-only key; the blocking is proven by the
+    * oracle-green [[phashMd5Twin]].
+    */
+  def phashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.hammingBlockedPairs(
+      withPhash(assets(t(s, dir, "documents"))),
+      "asset_id", "phash", totalBits = 64, maxHamming = 3,
+      maxBucket = 10000)
+
+  /** Engine-portable 32-bit perceptual hash (md5 votes over the same
+    * byte shingles, via Dedup.md5Simhash32FromToks) for the oracle
+    * twin. */
+  def md5Phash32(assetsDf: DataFrame): DataFrame =
+    Dedup.md5Simhash32FromToks(
+      assetsDf
+        .where(col("meta.n_bytes") >= 4)
+        .select(col("asset_id"), explode(expr(
+          """array_distinct(transform(
+            |  sequence(0, meta.n_bytes - 4),
+            |  i -> substring(hex(payload), i * 2 + 1, 8)))""".stripMargin))
+          .as("tok")),
+      "asset_id")
+
+  /** md5-pHash blocking twin: pigeonhole-blocked pairs == DuckDB's
+    * brute-force O(n²) Hamming scan (corpus capped at asset_id < 500 —
+    * the whole table at the correctness SF — like the text twin).
+    */
+  def phashMd5Twin(s: SparkSession, dir: String): DataFrame =
+    Dedup.hammingBlockedPairs(
+      md5Phash32(assets(t(s, dir, "documents").where(col("doc_id") < 500))),
+      "asset_id", "simhash32", totalBits = 32, maxHamming = 3,
+      maxBucket = Int.MaxValue)
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_phash_neardup",
+      "multimodal perceptual-hash near-dup pairs (byte-shingle SimHash, chunk-blocked; XXH64 -> rows-only; blocking proven by q_phash_md5_twin)",
+      phashPairs, None),
+    GraftQuery("q_phash_md5_twin",
+      "md5-pHash pigeonhole blocking == brute-force O(n^2) Hamming scan over payload byte shingles",
+      phashMd5Twin,
+      Some(
+        """WITH a AS (
+          |  SELECT doc_id AS asset_id, hex(encode(coalesce(text, ''))) AS hx,
+          |         octet_length(encode(coalesce(text, ''))) AS n
+          |  FROM documents
+          |  WHERE doc_id < 500 AND octet_length(encode(coalesce(text, ''))) >= 4),
+          |tk AS (
+          |  SELECT DISTINCT asset_id, substring(hx, CAST(t.i * 2 + 1 AS INT), 8) AS tok
+          |  FROM a, unnest(range(0, n - 3)) AS t(i)),
+          |th AS (
+          |  SELECT asset_id, ('0x' || substring(md5(tok), 25, 8))::BIGINT AS h FROM tk),
+          |votes AS (
+          |  SELECT asset_id, b,
+          |         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          |  FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) bits
+          |  GROUP BY asset_id, b),
+          |ph AS (
+          |  SELECT asset_id,
+          |         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash32
+          |  FROM votes GROUP BY asset_id)
+          |SELECT a.asset_id AS id1, b.asset_id AS id2,
+          |       CAST(bit_count(xor(a.simhash32, b.simhash32)) AS INTEGER) AS hamming
+          |FROM ph a JOIN ph b ON a.asset_id < b.asset_id
+          |WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3
+          |ORDER BY id1, id2""".stripMargin)),
     GraftQuery("q_multimodal_meta", "binary payload + struct metadata projection",
       metaQuery,
       Some(

@@ -1111,7 +1111,7 @@ object EventOps {
           |       sqrt((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
           |            (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) *
           |            (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
-          |FROM s""".stripMargin)),
+          |FROM s ORDER BY n_a""".stripMargin)),
     GraftQuery("q_funnel", "strictly-ordered view->click->purchase funnel: earliest-completion reach counts + step conversion rates",
       funnel,
       Some(

@@ -304,6 +304,29 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(r2.count(_.getAs[String]("source") == "sb") == 4)
   }
 
+  test("phash near-dup: identical payloads pair at hamming 0; locality under a small edit") {
+    import graft.ext.Multimodal
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val docs = Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, base, "en", "s", base.length.toLong),              // exact dup
+      (3L, base.replace("quick", "quack"), "en", "s", base.length.toLong), // near dup
+      (4L, "completely different content about spark catalyst optimizer rules " * 6,
+        "en", "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val hashed = Multimodal.withPhash(Multimodal.assets(docs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed(1L) == hashed(2L), "identical payloads hash identically")
+    val hamNear = java.lang.Long.bitCount(hashed(1L) ^ hashed(3L))
+    val hamFar = java.lang.Long.bitCount(hashed(1L) ^ hashed(4L))
+    assert(hamNear < hamFar, "one-word edit stays closer than unrelated content")
+    val dir = java.nio.file.Files.createTempDirectory("phash").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Multimodal.phashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0), "exact dup found at hamming 0")
+  }
+
   test("power iteration: dominant eigenvector of a diagonal matrix, sign-normalized") {
     val g = Array(Array(3.0, 0.0), Array(0.0, 1.0))
     val v = Similarity.pcaPowerIteration(g)
