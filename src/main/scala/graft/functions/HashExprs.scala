@@ -54,6 +54,43 @@ object HashImpls {
     out
   }
 
+  /** 64-bit perceptual hash of a byte payload: SimHash over the
+    * payload's DISTINCT byte-4-gram windows at stride 2, in ONE tight
+    * loop over the raw bytes — no hex string, no per-shingle string
+    * allocation, no array materialization (the hex+HOF formulation of
+    * the same signature measured ~4× slower at sf0.1). Window value
+    * packs into an int; dedupe is a per-row HashSet (≤ payload/2
+    * entries); vote majority matches [[simhash64]]'s convention.
+    */
+  def phash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    val counts = new Array[Int](64)
+    val seen = new java.util.HashSet[Integer]()
+    var total = 0
+    var p = 0
+    while (p <= n - 4) {
+      val w = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      if (seen.add(w)) {
+        total += 1
+        val h = XXH64.hashInt(w, seed)
+        var i = 0
+        while (i < 64) {
+          counts(i) += ((h >>> i) & 1L).toInt
+          i += 1
+        }
+      }
+      p += 2
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (2 * counts(i) > total) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
   /** MinHash signature: sig[s] = min over elements of
     * xxhash64(seed=s+1, xxhash64(element)). Each string is hashed once;
     * the k rows remix the 8-byte hash (hashLong), not the string.
@@ -538,6 +575,26 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   * canonical normalization every text pipeline runs first, as one
   * codegen'd JVM loop instead of two chained regexes.
   */
+/** `graft_phash64(binary) -> bigint` — see [[HashImpls.phash64]]. */
+case class Phash64Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_phash64"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpls.phash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.phash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Phash64Expr =
+    copy(child = newChild)
+}
+
 case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -954,6 +1011,8 @@ object HashExprs {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_simhash64",
       exprs => SimHash64Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_phash64",
+      exprs => Phash64Expr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_norm_text",
       exprs => NormalizeTextExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
