@@ -32,6 +32,7 @@ object Catalog {
       graft.ext.Dedup.queries ++
       graft.ext.Cleaning.queries ++
       graft.ext.TrainingPrep.queries ++
+      graft.ext.TimeSeries.queries ++
       graft.ext.Similarity.queries ++
       graft.ext.GraphOps.queries ++
       graft.ext.MiningOps.queries ++

@@ -1,0 +1,303 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.GraftQuery
+import graft.engine.{GraftSession, Tables}
+
+/** Time-series analytics over the daily order-revenue series plus
+  * event-level survival analysis — the monitoring/forecast-prep family
+  * (seasonal profile, autocorrelation, CUSUM change-point detection,
+  * Kaplan-Meier time-to-conversion).
+  *
+  * 100 TB design: every operator here collapses the corpus FIRST
+  * through one map-side-combined aggregate to a DOMAIN-bounded series
+  * (calendar days / duration days / day-of-week), and only then runs
+  * windows or self-joins on that bounded relation — the documented
+  * exception to the "windows only on high-cardinality keys" rule: the
+  * windowed INPUT, not the partition key, is what must stay bounded.
+  * A century of daily grain is ~37k rows regardless of corpus size.
+  *
+  * Exactness: revenue quantizes to integer cents at the source; all
+  * moments/cumulatives are BIGINT or DECIMAL(38,0) sums of exact
+  * integers, and every emitted double is a single IEEE division (or a
+  * DECIMAL→double cast) of the same exact integers on both engines, so
+  * the DuckDB oracles hash-match bit for bit.
+  */
+object TimeSeries {
+
+  private val dec38 = DecimalType(38, 0)
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(GraftSession.tuned(s), dir, n)
+
+  /** Shared series: one row per order date, revenue in exact cents.
+    * One map-side-combined aggregate — the only pass over the corpus.
+    */
+  def dailyRevenue(orders: DataFrame): DataFrame =
+    orders
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("day")
+      .agg(sum("cents").as("cents"))
+
+  // ---- day-of-week seasonal profile -----------------------------------
+
+  /** Seasonal index per day-of-week (0 = Sunday, matching DuckDB's
+    * `dayofweek`): mean daily revenue of that weekday over the global
+    * mean daily revenue. Classical multiplicative-decomposition
+    * seasonality in its exact form — both means are single IEEE
+    * divisions of exact BIGINT sums, and the index is one further
+    * double division, so the oracle matches bit for bit.
+    */
+  def seasonality(orders: DataFrame): DataFrame = {
+    val daily = dailyRevenue(orders)
+    val tot = daily.agg(sum("cents").as("total_cents"),
+      count(lit(1)).as("total_days"))
+    val avgDow = col("sum_cents").cast("double") / col("n_days").cast("double")
+    val avgAll = col("total_cents").cast("double") / col("total_days").cast("double")
+    daily
+      .select((dayofweek(col("day")) - 1).cast("long").as("dow"), col("cents"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum("cents").as("sum_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("sum_cents"),
+        avgDow.as("avg_cents"),
+        (avgDow / avgAll).as("seasonal_index"))
+      .orderBy("dow")
+  }
+
+  // ---- autocorrelation ------------------------------------------------
+
+  /** Autocorrelation of the daily revenue series at lags 1..maxLag.
+    *
+    * Exact-integer form: with n days and revenue sum S, the n-scaled
+    * deviation dᵗ = n·xᵗ − S is an exact BIGINT (n·Σdᵗ ≡ 0), so
+    *
+    *   acf(k) = Σₜ dᵗ·dᵗ₊ₖ / Σₜ dᵗ²
+    *
+    * with both sums DECIMAL(38,0) over exact products and ONE double
+    * division at the end. Lag alignment is an equi-join on calendar
+    * day + k (gap days simply produce no pair — same on both engines).
+    * Integer bound: |d| ≤ days·max_daily_cents, so the BIGINT form
+    * holds while days²·daily_cents < 2⁶³ and the DECIMAL(38,0) sums
+    * while days·d² < 10³⁸ — decades past any daily-grain series (a
+    * century is 37k days).
+    *
+    * 100 TB design: the corpus collapses to the day grain first; the
+    * lag fan-out (explode × maxLag) and self-join run on the bounded
+    * series only, with the 1-row stats broadcast.
+    */
+  def acf(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = dailyRevenue(orders)
+    val stats = daily.agg(count(lit(1)).as("n"), sum("cents").as("s"))
+    val dev = daily.crossJoin(broadcast(stats))
+      .select(col("day"), (col("n") * col("cents") - col("s")).as("d"))
+    val den = dev
+      .agg(sum(col("d").cast(dec38) * col("d").cast(dec38)).as("den"))
+    val lagged = dev
+      .select(col("day"), col("d"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .withColumn("tday", date_add(col("day"), col("lag")))
+    lagged
+      .join(dev.select(col("day").as("tday"), col("d").as("d2")), "tday")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("d").cast(dec38) * col("d2").cast(dec38)).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+      .orderBy("lag")
+  }
+
+  // ---- CUSUM change-point ---------------------------------------------
+
+  /** One-sided CUSUM upward-shift statistic over the daily revenue
+    * series (Page 1954). The textbook recursion
+    * Sₜ = max(0, Sₜ₋₁ + (xₜ − μ − slack)) has the closed form
+    *
+    *   Sₜ = cumₜ − min(0, min_{j≤t} cumⱼ),   cumₜ = Σ_{i≤t} zᵢ
+    *
+    * (z = n-scaled deviation minus slack), which is two cumulative
+    * windows over the day domain instead of a sequential loop — the
+    * [[graft.streaming.EventOps]] streaming twin keeps the recursion's
+    * O(1) state instead.
+    *
+    * Self-fit parameters, exact cross-engine: μ enters as the n-scaled
+    * deviation d = n·x − S (no division), and slack = n·σ/2 computes as
+    * floor(sqrt(den/n)/2) — sqrt is IEEE-correctly-rounded, so the
+    * floor is deterministic on both engines. Flag threshold is the
+    * conventional h = 4σ, i.e. 8·slack in the scaled units.
+    */
+  def cusum(orders: DataFrame): DataFrame = {
+    val daily = dailyRevenue(orders)
+    val stats = daily.agg(count(lit(1)).as("n"), sum("cents").as("s"))
+    val dev = daily.crossJoin(broadcast(stats))
+      .select(col("day"), col("cents"), col("n"),
+        (col("n") * col("cents") - col("s")).as("dv"))
+    val slackDf = dev.agg(
+      floor(sqrt(sum(col("dv").cast(dec38) * col("dv").cast(dec38))
+        .cast("double") / first(col("n")).cast("double")) / 2)
+        .cast("long").as("slack"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev.crossJoin(broadcast(slackDf))
+      .select(col("day"), col("cents"), col("n"), col("slack"),
+        (col("dv") - col("slack")).as("z"))
+      .withColumn("cum", sum(col("z")).over(w))
+      .withColumn("runmin", least(lit(0L), min(col("cum")).over(w)))
+      .select(col("day"), col("cents").as("daily_cents"),
+        ((col("cum") - col("runmin")).cast("double") / col("n").cast("double"))
+          .as("cusum"),
+        ((col("cum") - col("runmin")) > col("slack") * 8).cast("int")
+          .as("shift_flag"))
+      .orderBy("day")
+  }
+
+  // ---- Kaplan-Meier survival ------------------------------------------
+
+  /** Kaplan-Meier time-to-conversion with right censoring (Kaplan &
+    * Meier 1958): per user, entry = first event, "death" = first
+    * purchase; users who never purchase are censored at the study end
+    * (max ts in the data). Durations are whole days, so the life table
+    * domain is bounded by the observation window.
+    *
+    * Survival S(t) = Π_{s≤t} (n_s − d_s)/n_s with the deaths-first
+    * convention (censored at t are still at risk at t). Each ratio is
+    * one IEEE division of exact BIGINTs; the cumulative product folds
+    * ascending-day via `aggregate(collect_list over window)` — a left
+    * fold in frame order, matching DuckDB's streaming window `product`
+    * multiplication order, so the doubles are bit-identical.
+    *
+    * 100 TB design: one shuffle to the user grain, one aggregate to
+    * the duration-day domain; the cumulative windows run on that
+    * bounded life table only.
+    */
+  def survivalKm(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(
+      min(col("ts")).as("entry"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("conv"))
+    val studyEnd = events.agg(max(col("ts")).as("study_end"))
+    val durations = perUser.crossJoin(broadcast(studyEnd))
+      .select(
+        when(col("conv").isNotNull,
+          datediff(to_date(col("conv")), to_date(col("entry"))))
+          .otherwise(datediff(to_date(col("study_end")), to_date(col("entry"))))
+          .cast("long").as("t"),
+        col("conv").isNotNull.cast("long").as("ev"))
+    val total = durations.agg(count(lit(1)).as("tot"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    durations
+      .groupBy("t")
+      .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c"))
+      .crossJoin(broadcast(total))
+      .withColumn("cumdc", sum(col("d") + col("c")).over(w))
+      .select(col("t"), col("d").as("n_events"), col("c").as("n_censored"),
+        (col("tot") - col("cumdc") + col("d") + col("c")).as("n_risk"))
+      .withColumn("ratio",
+        (col("n_risk") - col("n_events")).cast("double") /
+          col("n_risk").cast("double"))
+      .withColumn("survival",
+        aggregate(collect_list(col("ratio")).over(w), lit(1.0),
+          (acc, x) => acc * x))
+      .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
+        col("survival"))
+      .orderBy("t")
+  }
+
+  // ---- registered queries ---------------------------------------------
+
+  /** Shared daily-series SQL fragment for the oracles. */
+  private val dailySql =
+    """SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_seasonality",
+      "day-of-week seasonal index of daily revenue (exact cents sums, one IEEE division per mean)",
+      (s, dir) => seasonality(t(s, dir, "orders")),
+      Some(
+        s"""WITH daily AS ($dailySql),
+           |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents, count(*) AS total_days FROM daily),
+           |d AS (SELECT CAST(dayofweek(day) AS BIGINT) AS dow, count(*) AS n_days,
+           |             CAST(sum(cents) AS BIGINT) AS sum_cents
+           |      FROM daily GROUP BY 1)
+           |SELECT dow, n_days, sum_cents,
+           |       CAST(sum_cents AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_cents,
+           |       (CAST(sum_cents AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+           |       (CAST(total_cents AS DOUBLE) / CAST(total_days AS DOUBLE)) AS seasonal_index
+           |FROM d, tot ORDER BY dow""".stripMargin)),
+    GraftQuery("q_acf",
+      "autocorrelation of daily revenue at lags 1..7 (n-scaled integer deviations, DECIMAL(38,0) moment sums)",
+      (s, dir) => acf(t(s, dir, "orders")),
+      Some(
+        s"""WITH daily AS ($dailySql),
+           |st AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s FROM daily),
+           |dev AS (SELECT day, CAST(n * cents - s AS BIGINT) AS d FROM daily, st),
+           |den AS (SELECT sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS den FROM dev),
+           |pairs AS (
+           |  SELECT l.lag, a.d AS d1, b.d AS d2
+           |  FROM (SELECT CAST(x AS BIGINT) AS lag FROM range(1, 8) t(x)) l
+           |  CROSS JOIN dev a
+           |  JOIN dev b ON b.day = a.day + CAST(l.lag AS INT)),
+           |nums AS (
+           |  SELECT lag, count(*) AS n_pairs,
+           |         sum(CAST(d1 AS HUGEINT) * CAST(d2 AS HUGEINT)) AS num
+           |  FROM pairs GROUP BY lag)
+           |SELECT lag, n_pairs, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+           |FROM nums, den ORDER BY lag""".stripMargin)),
+    GraftQuery("q_cusum",
+      "one-sided CUSUM change-point stat over daily revenue (closed-form cum - running-min, self-fit slack = sigma/2)",
+      (s, dir) => cusum(t(s, dir, "orders")),
+      Some(
+        s"""WITH daily AS ($dailySql),
+           |st AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s FROM daily),
+           |d AS (SELECT day, cents, n, CAST(n * cents - s AS BIGINT) AS dv FROM daily, st),
+           |sl AS (SELECT CAST(floor(sqrt(CAST(sum(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT)) AS DOUBLE)
+           |                 / CAST(any_value(n) AS DOUBLE)) / 2) AS BIGINT) AS slack FROM d),
+           |z AS (SELECT day, cents, n, slack, dv - slack AS z FROM d, sl),
+           |c AS (SELECT day, cents, n, slack,
+           |        CAST(sum(z) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |      FROM z),
+           |r AS (SELECT day, cents, n, slack, cum,
+           |        least(CAST(0 AS BIGINT),
+           |              CAST(min(cum) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS runmin
+           |      FROM c)
+           |SELECT day, cents AS daily_cents,
+           |       CAST(cum - runmin AS DOUBLE) / CAST(n AS DOUBLE) AS cusum,
+           |       CAST(cum - runmin > slack * 8 AS INT) AS shift_flag
+           |FROM r ORDER BY day""".stripMargin)),
+    GraftQuery("q_survival_km",
+      "Kaplan-Meier time-to-first-purchase with right censoring (life table over the bounded duration-day domain)",
+      (s, dir) => survivalKm(t(s, dir, "events")),
+      Some(
+        """WITH pu AS (
+          |  SELECT user_id, min(ts) AS entry,
+          |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv
+          |  FROM events GROUP BY 1),
+          |se AS (SELECT max(ts) AS study_end FROM events),
+          |dur AS (
+          |  SELECT CAST(CASE WHEN conv IS NOT NULL
+          |              THEN datediff('day', CAST(entry AS DATE), CAST(conv AS DATE))
+          |              ELSE datediff('day', CAST(entry AS DATE), CAST(study_end AS DATE)) END AS BIGINT) AS t,
+          |         CAST(conv IS NOT NULL AS BIGINT) AS ev
+          |  FROM pu, se),
+          |byt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c FROM dur GROUP BY t),
+          |tot AS (SELECT count(*) AS tot FROM dur),
+          |base AS (
+          |  SELECT t, d AS n_events, c AS n_censored,
+          |         tot - CAST(sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |           + d + c AS n_risk
+          |  FROM byt, tot),
+          |r AS (SELECT t, n_risk, n_events, n_censored,
+          |        CAST(n_risk - n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS ratio FROM base)
+          |SELECT t, n_risk, n_events, n_censored,
+          |       product(ratio) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS survival
+          |FROM r ORDER BY t""".stripMargin)),
+  )
+}
