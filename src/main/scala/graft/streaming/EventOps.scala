@@ -31,6 +31,11 @@ final case class ZState(recent: Seq[Long])
   * distinct count — O(1) per user on an unbounded stream. */
 final case class TypeQueueState(recent: Seq[String])
 
+/** CUSUM accumulators per user: running sum of the slack-adjusted
+  * deviations and min(0, min cum so far) — the two integers the
+  * closed-form identity needs. O(1) per key on an unbounded stream. */
+final case class CusumState(cum: Long, runmin: Long)
+
 /** Running TWAP accumulators per user: last event's (epoch-micros,
   * milli-value) plus the exact numerator/denominator sums so far.
   * O(1) per key on an unbounded stream. */
@@ -410,6 +415,75 @@ object EventOps {
           out.iterator
       }
       .toDF("user_id", "event_id", "z", "is_anomaly")
+  }
+
+  /** Per-user one-sided CUSUM monitoring against a TRAINED baseline
+    * (mu, slack in value micro-units) — the deployed-monitor shape of
+    * [[graft.ext.TimeSeries.cusum]], which self-fits its baseline in a
+    * first batch pass instead. Same closed form: with z = v − mu −
+    * slack, Sₜ = cumₜ − min(0, min_{j≤t} cumⱼ) equals the textbook
+    * max(0, Sₜ₋₁ + zₜ) recursion; the alarm fires at S > 8·slack
+    * (h = 4σ when slack = σ/2). All integers until the spec-shared
+    * output, so the streaming twin compares == per event.
+    *
+    * 100 TB design: windows partition on the high-cardinality user
+    * key; the baseline is two plan literals, no second scan.
+    */
+  def eventCusum(events: DataFrame, muMicro: Long, slackMicro: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"),
+        (floor(col("value") * 1000000 + 0.5).cast("long")
+          - lit(muMicro) - lit(slackMicro)).as("z"),
+        col("ts"))
+      .withColumn("cum", sum(col("z")).over(w))
+      .withColumn("runmin", least(lit(0L), min(col("cum")).over(w)))
+      .select(col("user_id"), col("event_id"),
+        (col("cum") - col("runmin")).as("cusum_units"),
+        ((col("cum") - col("runmin")) > lit(8L * slackMicro)).cast("int")
+          .as("alarm"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Streaming twin of [[eventCusum]] (`flatMapGroupsWithState`): one
+    * output row per event carrying the user's CUSUM statistic and
+    * alarm flag at that point. State is TWO longs per user — the
+    * running cum and its clamped minimum — the O(1) form of the same
+    * closed-form identity the batch windows compute, so the spec
+    * compares == per (user, event). Per-trigger arrivals sort by
+    * (ts, event_id) in memory — one user's single-trigger slice, not
+    * the stream.
+    */
+  def streamingCusum(spark: SparkSession, sfDir: String,
+      muMicro: Long, slackMicro: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    eventStream(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value").cast("double").as("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, (Long, Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, events, state) =>
+          val sorted = events.toArray.sortBy(e => (e._3, e._2))
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = sorted.map { case (_, eid, _, v) =>
+            val z = math.floor(v * 1000000 + 0.5).toLong - muMicro - slackMicro
+            val cum = st.cum + z
+            val runmin = math.min(st.runmin, cum)
+            st = CusumState(cum, runmin)
+            val s = cum - runmin
+            (user, eid, s, if (s > 8L * slackMicro) 1 else 0)
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "cusum_units", "alarm")
   }
 
   /** Streaming twin of the batch bitmap rolling-distinct
@@ -1089,6 +1163,28 @@ object EventOps {
   }
 
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_cusum_user",
+      "per-user CUSUM monitoring vs a trained baseline (mu=50, slack=15): closed-form cum - running-min, integer micro-units",
+      (s, dir) => eventCusum(t(s, dir, "events"), 50000000L, 15000000L),
+      Some(
+        """WITH z AS (
+          |  SELECT user_id, event_id, ts,
+          |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) - 50000000 - 15000000 AS z
+          |  FROM events),
+          |c AS (
+          |  SELECT user_id, event_id, ts,
+          |         CAST(sum(z) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |  FROM z),
+          |r AS (
+          |  SELECT user_id, event_id, cum,
+          |         least(CAST(0 AS BIGINT),
+          |               CAST(min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS runmin
+          |  FROM c)
+          |SELECT user_id, event_id, cum - runmin AS cusum_units,
+          |       CAST(cum - runmin > 120000000 AS INT) AS alarm
+          |FROM r ORDER BY user_id, event_id""".stripMargin)),
     GraftQuery("q_abtest",
       "two-proportion A/B z-test: deterministic hash arms, high-value-purchase conversion, pooled z from exact counts",
       (s, dir) => abTest(t(s, dir, "events")),

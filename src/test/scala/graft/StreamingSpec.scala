@@ -338,6 +338,29 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.values.exists(_ > 1), "fixture frames mix event types")
   }
 
+  test("streaming cusum == batch twin exactly (two-long state vs window closed form)") {
+    val q = EventOps.streamingCusum(spark, sfDir, 50000000L, 15000000L)
+      .writeStream
+      .format("memory")
+      .queryName("graft_cusum_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_cusum_test")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    val batch = EventOps.eventCusum(
+      graft.engine.Tables.load(spark, sfDir, "events"), 50000000L, 15000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    assert(streamed.size == batch.size, "one row per event on both paths")
+    assert(streamed == batch, "exact equality — shared integer closed form")
+    assert(streamed.values.forall(_._1 >= 0L), "CUSUM statistic is clamped >= 0")
+    assert(streamed.values.exists(_._2 == 1), "fixture drifts above the alarm threshold somewhere")
+  }
+
   test("streaming twap: last running emission per user == batch TWAP exactly") {
     val q = EventOps.streamingTwap(spark, sfDir).writeStream
       .format("memory")
