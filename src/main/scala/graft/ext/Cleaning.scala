@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -20,6 +21,8 @@ import graft.functions.TextOps
   * so Spark broadcasts it and even that shuffle disappears.
   */
 object Cleaning {
+
+  private val dec38 = DecimalType(38, 0)
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(GraftSession.tuned(s), dir, n)
@@ -337,6 +340,20 @@ object Cleaning {
     * bit-identical cross-engine.
     */
   def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    classifierRawScores(s, dir)
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("sum_milli").cast("double") /
+          (col("n_tokens") * 1000L).cast("double")).as("score"),
+        (col("sum_milli") > 0).cast("int").as("keep"))
+      .orderBy("doc_id")
+
+  /** The classifier's exact integer core — (doc_id, n_tokens,
+    * sum_milli) — shared by [[qualityClassifier]] (inference) and
+    * [[classifierEval]] (evaluation), so both derive from ONE scoring
+    * definition.
+    */
+  def classifierRawScores(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
         explode(split(TextOps.normalizeText(col("text")), " ")).as("tok"))
@@ -346,12 +363,58 @@ object Cleaning {
       .join(broadcast(classifierWeights(s)), "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("w_milli").as("sum_milli"))
-      .select(
-        col("doc_id"), col("n_tokens"),
-        (col("sum_milli").cast("double") /
-          (col("n_tokens") * 1000L).cast("double")).as("score"),
-        (col("sum_milli") > 0).cast("int").as("keep"))
-      .orderBy("doc_id")
+
+  /** Classifier evaluation report: confusion matrix, precision /
+    * recall / F1 at the classifier's own keep threshold, and ROC AUC
+    * by the rank-sum (Mann-Whitney U) identity with mid-rank tie
+    * handling — all from exact integer counts, with one IEEE division
+    * per emitted double. The evaluated label is the fixture's `lang =
+    * 'en'` flag standing in for held-out human labels.
+    *
+    * AUC without a corpus-wide sort: docs quantize to the BOUNDED
+    * score-milli domain (floor(sum_milli/n_tokens) ∈ [-500, 499] by
+    * the weight-table range), per-score (pos, neg) counts reduce
+    * map-side, and the tie-aware identity
+    *   2·U = Σ_s pos_s · (2·cumneg_<s + neg_s)
+    * needs only a cumulative window over that bounded domain — the
+    * window-domain rule, not a window over the corpus. Sums go through
+    * DECIMAL(38,0) so P·N-scale products cannot overflow at any corpus
+    * size.
+    */
+  def classifierEval(s: SparkSession, dir: String): DataFrame = {
+    val labeled = classifierRawScores(s, dir)
+      .join(t(s, dir, "documents")
+        .select(col("doc_id"), (col("lang") === "en").cast("long").as("y")),
+        "doc_id")
+      .select(col("y"), (col("sum_milli") > 0).cast("long").as("p"),
+        floor(col("sum_milli").cast("double") / col("n_tokens").cast("double"))
+          .cast("long").as("score_milli"))
+    val cm = labeled.agg(
+      sum(col("y") * col("p")).as("tp"),
+      sum((lit(1L) - col("y")) * col("p")).as("fp"),
+      sum(col("y") * (lit(1L) - col("p"))).as("fn"),
+      sum((lit(1L) - col("y")) * (lit(1L) - col("p"))).as("tn"))
+    val w = Window.orderBy("score_milli")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val auc = labeled
+      .groupBy("score_milli")
+      .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      .withColumn("cumneg", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .agg(
+        sum((col("pos") * (lit(2L) * col("cumneg") + col("neg"))).cast(dec38))
+          .as("u2"),
+        sum("pos").as("n_pos"), sum("neg").as("n_neg"))
+    cm.crossJoin(broadcast(auc)).select(
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      (col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).as("prec"),
+      (col("tp").cast("double") / (col("tp") + col("fn")).cast("double")).as("rec"),
+      (lit(2.0) * col("tp").cast("double") /
+        (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")).as("f1"),
+      col("n_pos"), col("n_neg"),
+      (col("u2").cast("double") /
+        (lit(2L).cast(dec38) * col("n_pos").cast(dec38) * col("n_neg").cast(dec38))
+          .cast("double")).as("auc"))
+  }
 
   // ---- corpus-LM surprisal scoring -------------------------------------
 
@@ -1154,6 +1217,50 @@ object Cleaning {
            |       CAST(CAST(sum(w.w_milli) AS BIGINT) > 0 AS INT) AS keep
            |FROM b JOIN w USING (bucket)
            |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_classifier_eval",
+      "classifier evaluation: confusion matrix, precision/recall/F1, rank-sum AUC with mid-rank ties (exact integer counts)",
+      classifierEval,
+      Some(
+        s"""WITH w AS (
+           |  SELECT CAST(t.i AS BIGINT) AS bucket,
+           |         (t.i * 2654435761) % 1000 - 500 AS w_milli
+           |  FROM range($classifierBuckets) t(i)),
+           |toks AS (
+           |  SELECT doc_id, unnest($normToksSql) AS tok FROM documents),
+           |b AS (
+           |  SELECT doc_id,
+           |         ('0x' || substring(md5(tok), 25, 8))::BIGINT % $classifierBuckets AS bucket
+           |  FROM toks),
+           |raw AS (
+           |  SELECT b.doc_id, count(*) AS n_tokens,
+           |         CAST(sum(w.w_milli) AS BIGINT) AS sum_milli
+           |  FROM b JOIN w USING (bucket) GROUP BY b.doc_id),
+           |lab AS (
+           |  SELECT CAST(d.lang = 'en' AS BIGINT) AS y,
+           |         CAST(r.sum_milli > 0 AS BIGINT) AS p,
+           |         CAST(floor(CAST(r.sum_milli AS DOUBLE) / CAST(r.n_tokens AS DOUBLE)) AS BIGINT) AS score_milli
+           |  FROM raw r JOIN documents d USING (doc_id)),
+           |cm AS (
+           |  SELECT CAST(sum(y * p) AS BIGINT) AS tp, CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+           |         CAST(sum(y * (1 - p)) AS BIGINT) AS fn, CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn
+           |  FROM lab),
+           |bs AS (SELECT score_milli, CAST(sum(y) AS BIGINT) AS pos,
+           |              CAST(sum(1 - y) AS BIGINT) AS neg
+           |       FROM lab GROUP BY 1),
+           |cn AS (SELECT score_milli, pos, neg,
+           |         COALESCE(CAST(sum(neg) OVER (ORDER BY score_milli
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumneg
+           |       FROM bs),
+           |u AS (SELECT sum(CAST(pos AS HUGEINT) * (2 * CAST(cumneg AS HUGEINT) + CAST(neg AS HUGEINT))) AS u2,
+           |             CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg
+           |      FROM cn)
+           |SELECT tp, fp, fn, tn,
+           |       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec,
+           |       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS rec,
+           |       2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1,
+           |       n_pos, n_neg,
+           |       CAST(u2 AS DOUBLE) / CAST(2 * CAST(n_pos AS HUGEINT) * CAST(n_neg AS HUGEINT) AS DOUBLE) AS auc
+           |FROM cm, u ORDER BY tp""".stripMargin)),
     GraftQuery("q_mad", "per-language median absolute deviation (robust outlier scale)",
       madStats,
       Some(

@@ -319,4 +319,33 @@ class CleaningSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq
     assert(top1 == Seq("alpha"))
   }
+
+  test("classifier eval: windowed rank-sum AUC == brute-force pairwise AUC; matrix margins consistent") {
+    val row = Cleaning.classifierEval(spark, sfDir).head()
+    val tp = row.getAs[Long]("tp"); val fp = row.getAs[Long]("fp")
+    val fn = row.getAs[Long]("fn"); val tn = row.getAs[Long]("tn")
+    assert(tp + fn == row.getAs[Long]("n_pos"))
+    assert(fp + tn == row.getAs[Long]("n_neg"))
+    assert(row.getAs[Double]("prec") == tp.toDouble / (tp + fp))
+    assert(row.getAs[Double]("rec") == tp.toDouble / (tp + fn))
+
+    // brute-force pairwise AUC over the same quantized scores
+    val scored = Cleaning.classifierRawScores(spark, sfDir)
+      .join(graft.engine.Tables.load(spark, sfDir, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          (org.apache.spark.sql.functions.col("lang") === "en").as("y")),
+        "doc_id")
+      .collect()
+      .map(r => (r.getAs[Boolean]("y"),
+        math.floor(r.getAs[Long]("sum_milli").toDouble /
+          r.getAs[Long]("n_tokens").toDouble).toLong))
+    val pos = scored.filter(_._1).map(_._2)
+    val neg = scored.filterNot(_._1).map(_._2)
+    var num = 0.0
+    for (p <- pos; n <- neg)
+      num += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val brute = num / (pos.length.toLong * neg.length)
+    assert(math.abs(row.getAs[Double]("auc") - brute) < 1e-12,
+      s"windowed identity ${row.getAs[Double]("auc")} vs brute $brute")
+  }
 }
