@@ -157,6 +157,46 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  // ---- trend / seasonal / residual decomposition ----------------------
+
+  /** Classical additive decomposition of the daily revenue series
+    * (the STL shape with a moving-average trend and day-of-week
+    * seasonal — Cleveland et al. 1990 fit loess; the classical form
+    * is Hyndman & Athanasopoulos ch. 3): trend = centered ±3-day
+    * moving average, seasonal = per-weekday mean of the detrended
+    * series, residual = the rest.
+    *
+    * Exactness with a VARYING edge-window width: the trend frame is
+    * RANGE ±3 on the day number, so edge/gap windows hold n₇ ∈ 1..7
+    * present days. The detrended value (x − sum₇/n₇) scales by
+    * 420 = lcm(1..7) into the exact integer du = (n₇x − sum₇)·(420/n₇),
+    * so the weekday seasonal mean is one division of two exact BIGINTs
+    * and every emitted double is IEEE-pinned.
+    *
+    * 100 TB design: day-domain windows only (the corpus collapsed in
+    * [[dailyRevenue]]); the 7-row seasonal table broadcasts back.
+    */
+  def stlDecompose(orders: DataFrame): DataFrame = {
+    val daily = dailyRevenue(orders)
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+    val wT = Window.orderBy("day_num").rangeBetween(-3, 3)
+    val det = daily
+      .withColumn("n7", count(lit(1)).over(wT))
+      .withColumn("sum7", sum(col("cents")).over(wT))
+      .withColumn("du",
+        (col("n7") * col("cents") - col("sum7")) * (lit(420L) / col("n7")).cast("long"))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+    val seasonal = det.groupBy("dow")
+      .agg((sum("du").cast("double") / (count(lit(1)) * 420L).cast("double"))
+        .as("seasonal"))
+    det.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("cents").as("daily_cents"),
+        (col("sum7").cast("double") / col("n7").cast("double")).as("trend"),
+        col("seasonal"),
+        (col("du").cast("double") / 420.0 - col("seasonal")).as("residual"))
+      .orderBy("day")
+  }
+
   // ---- Kaplan-Meier survival ------------------------------------------
 
   /** Kaplan-Meier time-to-conversion with right censoring (Kaplan &
@@ -272,6 +312,29 @@ object TimeSeries {
            |       CAST(cum - runmin AS DOUBLE) / CAST(n AS DOUBLE) AS cusum,
            |       CAST(cum - runmin > slack * 8 AS INT) AS shift_flag
            |FROM r ORDER BY day""".stripMargin)),
+    GraftQuery("q_stl_decompose",
+      "classical additive trend/seasonal/residual decomposition of daily revenue (lcm-scaled exact integers)",
+      (s, dir) => stlDecompose(t(s, dir, "orders")),
+      Some(
+        s"""WITH daily AS ($dailySql),
+           |d AS (SELECT day, cents,
+           |        CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS day_num
+           |      FROM daily),
+           |t AS (SELECT day, cents, day_num,
+           |        CAST(count(*) OVER (ORDER BY day_num RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n7,
+           |        CAST(sum(cents) OVER (ORDER BY day_num RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS sum7
+           |      FROM d),
+           |e AS (SELECT day, cents, n7, sum7,
+           |        (n7 * cents - sum7) * (420 // n7) AS du,
+           |        CAST(dayofweek(day) AS BIGINT) AS dow
+           |      FROM t),
+           |s AS (SELECT dow, CAST(sum(du) AS DOUBLE) / CAST(count(*) * 420 AS DOUBLE) AS seasonal
+           |      FROM e GROUP BY dow)
+           |SELECT day, cents AS daily_cents,
+           |       CAST(sum7 AS DOUBLE) / CAST(n7 AS DOUBLE) AS trend,
+           |       seasonal,
+           |       CAST(du AS DOUBLE) / 420.0 - seasonal AS residual
+           |FROM e JOIN s USING (dow) ORDER BY day""".stripMargin)),
     GraftQuery("q_survival_km",
       "Kaplan-Meier time-to-first-purchase with right censoring (life table over the bounded duration-day domain)",
       (s, dir) => survivalKm(t(s, dir, "events")),

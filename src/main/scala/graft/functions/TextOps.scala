@@ -231,6 +231,47 @@ object TextOps {
       .orderBy(col("tf").desc, col("term"))
       .limit(20)
 
+  /** Zipf/Heaps corpus fingerprint from the frequency SPECTRUM: bucket
+    * the vocabulary by floor(log2 termcount), count types per bucket,
+    * and fit log2-types against the bucket by closed-form OLS — the
+    * log-log frequency-of-frequencies slope (≈ −(1 + 1/α) for a Zipf
+    * exponent α; Baayen 2001's frequency spectrum). Both axes are
+    * BIT-QUANTIZED (floor-log2 of exact integers, the LM-family
+    * recipe), so the OLS moments are exact BIGINT sums over a ≤64-row
+    * bounded domain and the emitted doubles are one shared formula.
+    *
+    * 100 TB design: one map-side-combined vocabulary aggregate, then a
+    * 64-bucket census — no corpus-wide ranking window, which a naive
+    * rank-frequency Zipf fit would need.
+    */
+  def zipfSpectrum(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(explode(split(normalizeText(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val stats = counts.agg(count(lit(1)).as("vocab"), sum("c").as("total_tf"))
+    val (n, sx, sy) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, syy, sxy) = (col("sxx").cast("double"),
+      col("syy").cast("double"), col("sxy").cast("double"))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    counts
+      .select(floor(log2(col("c"))).cast("long").as("x"))
+      .groupBy("x").agg(count(lit(1)).as("types"))
+      .select(col("x"), floor(log2(col("types"))).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .crossJoin(broadcast(stats))
+      .select(col("vocab"), col("total_tf"), col("n").as("n_buckets"),
+        slope.as("slope"),
+        ((sy - slope * sx) / n).as("intercept"),
+        (((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+          ((n * sxx - sx * sx) * (n * syy - sy * sy))).as("r2"))
+  }
+
   /** Count-min sketch over corpus term frequencies (Cormode &
     * Muthukrishnan 2005), checked against exact counts: build a
     * d=4 × w=1024 counter table from md5-derived positions, then
@@ -1072,6 +1113,32 @@ object TextOps {
           |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS seg_dist,
           |       regexp_replace(c_name, 'Customer#0*([0-9]+)', 'C-\1') AS short_name
           |FROM customer ORDER BY c_custkey""".stripMargin)),
+    GraftQuery("q_zipf",
+      "Zipf frequency-spectrum fit: bit-quantized log-log OLS over the bounded floor-log2 bucket census",
+      zipfSpectrum,
+      Some(
+        s"""WITH toks AS (SELECT unnest($duckNormToksSql) AS term FROM documents),
+           |c AS (SELECT term, count(*) AS c FROM toks WHERE term <> '' GROUP BY term),
+           |st AS (SELECT count(*) AS vocab, CAST(sum(c) AS BIGINT) AS total_tf FROM c),
+           |xy AS (
+           |  SELECT x, CAST(floor(log2(types)) AS BIGINT) AS y
+           |  FROM (SELECT CAST(floor(log2(c)) AS BIGINT) AS x, count(*) AS types
+           |        FROM c GROUP BY 1)),
+           |m AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n,
+           |         CAST(count(*) AS BIGINT) AS n_out,
+           |         CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+           |         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+           |         CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+           |         CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy,
+           |         CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy
+           |  FROM xy)
+           |SELECT vocab, total_tf, n_out AS n_buckets,
+           |       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           |       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+           |       ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+           |         ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+           |FROM st, m ORDER BY vocab""".stripMargin)),
     GraftQuery("q_term_stats", "corpus TF/DF term statistics (TF-IDF building block), top 20",
       termStats,
       Some(

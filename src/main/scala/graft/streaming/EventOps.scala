@@ -417,6 +417,45 @@ object EventOps {
       .toDF("user_id", "event_id", "z", "is_anomaly")
   }
 
+  /** Top onboarding paths: each user's first three event types joined
+    * "a>b>c" (shorter for users with fewer events), counted across
+    * users. One per-user row_number window (high-cardinality key) and
+    * a conditional-max pivot; the path domain is bounded by
+    * |event types|³, so the final count is a tiny aggregate at any
+    * corpus size.
+    */
+  def userPaths(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(
+        max(when(col("rn") === 1, col("event_type"))).as("s1"),
+        max(when(col("rn") === 2, col("event_type"))).as("s2"),
+        max(when(col("rn") === 3, col("event_type"))).as("s3"))
+      .select(concat_ws(">", col("s1"), col("s2"), col("s3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
+  /** Longest consecutive-active-day streak per user — the classic
+    * gaps-and-islands pattern: distinct activity days minus their
+    * per-user row_number collapse each run of consecutive days to one
+    * island date, then two keyed aggregates. Both windows partition on
+    * the high-cardinality user key; nothing global.
+    */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy("day")
+    events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("island", date_sub(col("day"), row_number().over(wU)))
+      .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").as("n_active_days"), max("len").as("longest_streak"))
+      .orderBy("user_id")
+  }
+
   /** Per-user one-sided CUSUM monitoring against a TRAINED baseline
     * (mu, slack in value micro-units) — the deployed-monitor shape of
     * [[graft.ext.TimeSeries.cusum]], which self-fits its baseline in a
@@ -1163,6 +1202,34 @@ object EventOps {
   }
 
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_user_paths",
+      "top onboarding paths: first-3-event-type sequences per user, counted (bounded path domain)",
+      (s, dir) => userPaths(t(s, dir, "events")),
+      Some(
+        """WITH r AS (
+          |  SELECT user_id, event_type,
+          |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          |  FROM events),
+          |p AS (
+          |  SELECT user_id,
+          |         concat_ws('>', max(CASE WHEN rn = 1 THEN event_type END),
+          |                        max(CASE WHEN rn = 2 THEN event_type END),
+          |                        max(CASE WHEN rn = 3 THEN event_type END)) AS path
+          |  FROM r WHERE rn <= 3 GROUP BY user_id)
+          |SELECT path, count(*) AS n_users
+          |FROM p GROUP BY path ORDER BY n_users DESC, path""".stripMargin)),
+    GraftQuery("q_streaks",
+      "longest consecutive-active-day streak per user (gaps-and-islands via day minus row_number)",
+      (s, dir) => activityStreaks(t(s, dir, "events")),
+      Some(
+        """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+          |i AS (SELECT user_id, day,
+          |        day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS island
+          |      FROM days),
+          |g AS (SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2)
+          |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+          |       CAST(max(len) AS BIGINT) AS longest_streak
+          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
     GraftQuery("q_cusum_user",
       "per-user CUSUM monitoring vs a trained baseline (mu=50, slack=15): closed-form cum - running-min, integer micro-units",
       (s, dir) => eventCusum(t(s, dir, "events"), 50000000L, 15000000L),

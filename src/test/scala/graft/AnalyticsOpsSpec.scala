@@ -336,4 +336,38 @@ class AnalyticsOpsSpec extends SparkTestBase {
     val v2 = Similarity.pcaPowerIteration(g2)
     assert(v2(0) > 0 && math.abs(v2(0) - v2(1)) < 1e-9) // (1,1)/sqrt(2)
   }
+
+  test("user paths: first-3 sequences with short-user truncation, counted") {
+    def ev(id: Long, ts: String, user: Long, typ: String) =
+      (id, java.sql.Timestamp.valueOf(ts), user, typ, 1.0, "")
+    val events = Seq(
+      ev(1, "2024-01-01 08:00:00", 1, "view"),
+      ev(2, "2024-01-01 08:01:00", 1, "click"),
+      ev(3, "2024-01-01 08:02:00", 1, "purchase"),
+      ev(4, "2024-01-01 08:03:00", 1, "error"),     // beyond first 3: ignored
+      ev(5, "2024-01-01 09:00:00", 2, "view"),
+      ev(6, "2024-01-01 09:01:00", 2, "click"),
+      ev(7, "2024-01-01 09:02:00", 2, "purchase"),
+      ev(8, "2024-01-01 10:00:00", 3, "signup"))    // 1-event path
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.streaming.EventOps.userPaths(events).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("view>click>purchase", 2L), ("signup", 1L)))
+  }
+
+  test("activity streaks: gaps split islands, consecutive days merge") {
+    def ev(id: Long, ts: String, user: Long) =
+      (id, java.sql.Timestamp.valueOf(ts), user, "view", 1.0, "")
+    val events = Seq(
+      // user 1: days 1,2,3 then 7,8 -> longest 3, active 5
+      ev(1, "2024-01-01 08:00:00", 1), ev(2, "2024-01-02 08:00:00", 1),
+      ev(3, "2024-01-02 17:00:00", 1), ev(4, "2024-01-03 08:00:00", 1),
+      ev(5, "2024-01-07 08:00:00", 1), ev(6, "2024-01-08 08:00:00", 1),
+      // user 2: one day
+      ev(7, "2024-01-05 08:00:00", 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.streaming.EventOps.activityStreaks(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 5L, 3L), (2L, 1L, 1L)))
+  }
 }

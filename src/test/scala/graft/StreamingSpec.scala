@@ -205,6 +205,18 @@ class StreamingSpec extends SparkTestBase {
           (col("ts") + expr("INTERVAL 10 DAYS")).as("ts"))
       deliver(sentinel, tmp, in, "f2")
       q.processAllAvailable()
+      // the timeout path fires in the first micro-batch AFTER the
+      // watermark-advancing one; under scheduler load that no-data
+      // batch can lag processAllAvailable — poll bounded instead of
+      // flaking (normally already satisfied on the first check)
+      val want = EventOps.sessionStats(spark, sfDir)
+        .where(col("user_id") < 5).count()
+      val deadline = System.nanoTime() + 30L * 1000L * 1000L * 1000L
+      while (spark.table("graft_sess_stream").where(col("user_id") < 5)
+          .count() < want && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        q.processAllAvailable()
+      }
     } finally q.stop()
     val streamed = spark.table("graft_sess_stream")
       .where(col("user_id") < 5)

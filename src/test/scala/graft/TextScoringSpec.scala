@@ -172,4 +172,27 @@ class TextScoringSpec extends SparkTestBase {
       assert(b == exp, s"doc $id bucket")
     }
   }
+
+  test("zipf spectrum: planted bucket census matches a JVM mirror of the bit-quantized OLS") {
+    import spark.implicits._
+    // counts: one term x8 (bucket 3), two x4 (bucket 2), four x2
+    // (bucket 1), eight x1 (bucket 0)
+    val words =
+      Seq.fill(8)("t8") ++
+        Seq.tabulate(2)(i => s"f$i").flatMap(w => Seq.fill(4)(w)) ++
+        Seq.tabulate(4)(i => s"p$i").flatMap(w => Seq.fill(2)(w)) ++
+        Seq.tabulate(8)(i => s"s$i")
+    val docs = Seq((1L, words.mkString(" "), "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("zipf").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = TextOps.zipfSpectrum(spark, dir).head()
+    assert(row.getAs[Long]("vocab") == 15L)
+    assert(row.getAs[Long]("total_tf") == 8L + 8L + 8L + 8L)
+    assert(row.getAs[Long]("n_buckets") == 4L)
+    // mirror: (x, y) = (3,0) (2,1) (1,2) (0,3) -> perfect slope -1, r2 = 1
+    assert(row.getAs[Double]("slope") == -1.0)
+    assert(row.getAs[Double]("intercept") == 3.0)
+    assert(row.getAs[Double]("r2") == 1.0)
+  }
 }

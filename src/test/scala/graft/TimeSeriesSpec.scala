@@ -83,6 +83,24 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got.drop(12).exists(_.getAs[Int]("shift_flag") == 1))
   }
 
+  test("stl decompose: constant series has zero seasonal and residual; components reconstruct") {
+    val flat = ordersOf((1 to 14).map(d => (f"2024-01-$d%02d", 2.00)))
+    val r = TimeSeries.stlDecompose(flat).collect()
+    assert(r.length == 14)
+    r.foreach { row =>
+      assert(row.getAs[Double]("trend") == 200.0)
+      assert(row.getAs[Double]("seasonal") == 0.0)
+      assert(row.getAs[Double]("residual") == 0.0)
+    }
+    // varying series: trend + seasonal + residual ~ the observation
+    val vary = ordersOf((1 to 21).map(d => (f"2024-01-$d%02d", 1.00 + (d % 7) * 0.50)))
+    TimeSeries.stlDecompose(vary).collect().foreach { row =>
+      val recon = row.getAs[Double]("trend") + row.getAs[Double]("seasonal") +
+        row.getAs[Double]("residual")
+      assert(math.abs(recon - row.getAs[Long]("daily_cents").toDouble) < 1e-9)
+    }
+  }
+
   test("survival km: hand-computed 3-user life table with censoring") {
     // A converts at t=2, B censored at study end (t=4), C converts at t=0
     def ev(id: Long, ts: String, user: Long, typ: String) =
