@@ -33,6 +33,7 @@ object Catalog {
       graft.ext.Cleaning.queries ++
       graft.ext.TrainingPrep.queries ++
       graft.ext.TimeSeries.queries ++
+      graft.ext.RevenueOps.queries ++
       graft.ext.Similarity.queries ++
       graft.ext.GraphOps.queries ++
       graft.ext.MiningOps.queries ++

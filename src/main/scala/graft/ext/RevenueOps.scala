@@ -1,0 +1,300 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.GraftQuery
+import graft.engine.{GraftSession, Tables}
+
+/** Revenue / customer-base analytics: RFM segmentation, month-over-
+  * month growth, cohort lifetime value, inter-order gap distribution,
+  * and Wilson confidence intervals — the reporting family a warehouse
+  * serves daily.
+  *
+  * 100 TB design: every key reduces the corpus FIRST (per-customer /
+  * per-(nation, month) / per-(cohort, age) keyed aggregates, map-side
+  * combined), then works on the reduced relation; lag/cumsum windows
+  * partition per nation or cohort over bounded month domains, and
+  * quantile cuts ride a broadcast 1-row cross join (the
+  * surprisal-buckets pattern), never a global rank window.
+  */
+object RevenueOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(GraftSession.tuned(s), dir, n)
+
+  private def cents(c: Column): Column =
+    floor(c * 100 + 0.5).cast("long")
+
+  /** Exact percentile cut rounded through DECIMAL(18,6) — the
+    * established cross-engine bridge to DuckDB's `quantile_cont`.
+    */
+  private def pct(c: String, p: Double): Column =
+    expr(s"percentile($c, $p)").cast(DecimalType(18, 6)).cast(DoubleType)
+
+  // ---- RFM segmentation -----------------------------------------------
+
+  /** RFM segmentation (Hughes 1994): per customer, Recency = days
+    * since last order vs the dataset's reference day, Frequency =
+    * order count, Monetary = exact lifetime cents; each scored 1-3 by
+    * exact tercile cuts (3 best: most recent / most often / most
+    * spent), concatenated into the 27-cell segment label.
+    */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val per = orders.groupBy("o_custkey").agg(
+      max(to_date(col("o_orderdate"))).as("last_day"),
+      count(lit(1)).as("frequency"),
+      sum(cents(col("o_totalprice"))).as("monetary_cents"))
+    val ref = orders.agg(max(to_date(col("o_orderdate"))).as("ref_day"))
+    val base = per.crossJoin(broadcast(ref))
+      .select(col("o_custkey").as("custkey"),
+        datediff(col("ref_day"), col("last_day")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    val cuts = base.agg(
+      pct("recency_days", 0.3333).as("r33"), pct("recency_days", 0.6667).as("r66"),
+      pct("frequency", 0.3333).as("f33"), pct("frequency", 0.6667).as("f66"),
+      pct("monetary_cents", 0.3333).as("m33"), pct("monetary_cents", 0.6667).as("m66"))
+    val r = when(col("recency_days") <= col("r33"), 3)
+      .when(col("recency_days") <= col("r66"), 2).otherwise(1)
+    val f = when(col("frequency") <= col("f33"), 1)
+      .when(col("frequency") <= col("f66"), 2).otherwise(3)
+    val m = when(col("monetary_cents") <= col("m33"), 1)
+      .when(col("monetary_cents") <= col("m66"), 2).otherwise(3)
+    base.crossJoin(broadcast(cuts))
+      .select(col("custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        r.as("r_score"), f.as("f_score"), m.as("m_score"),
+        concat(r.cast("string"), f.cast("string"), m.cast("string"))
+          .as("segment"))
+      .orderBy("custkey")
+  }
+
+  // ---- month-over-month growth ----------------------------------------
+
+  /** Month-over-month revenue growth per nation: lag window over the
+    * bounded month domain within each nation; growth is one IEEE
+    * division of exact cents (null for each nation's first month).
+    */
+  def momGrowth(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nationkey"),
+        trunc(to_date(col("o_orderdate")), "month").as("month"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy("nationkey", "month").agg(sum("c").as("cents"))
+    val w = Window.partitionBy("nationkey").orderBy("month")
+    monthly
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .select(col("nationkey"), col("month"), col("cents"), col("prev_cents"),
+        ((col("cents") - col("prev_cents")).cast("double") /
+          col("prev_cents").cast("double")).as("growth"))
+      .orderBy("nationkey", "month")
+  }
+
+  // ---- cohort lifetime value ------------------------------------------
+
+  /** Cohort LTV curve: customers cohorted by first-order month; each
+    * (cohort, age-in-months) cell carries that month's revenue, the
+    * running cumulative, and cumulative revenue per cohort member —
+    * the triangle the retention view prices. Cumsum windows run per
+    * cohort over the bounded age domain.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        trunc(to_date(col("o_orderdate")), "month").as("month"),
+        cents(col("o_totalprice")).as("c"))
+    val firstOrder = orders.groupBy("o_custkey")
+      .agg(min(col("month")).as("cohort"))
+    val cohortSize = firstOrder.groupBy("cohort")
+      .agg(count(lit(1)).as("n_customers"))
+    val cells = orders.join(firstOrder, "o_custkey")
+      .select(col("cohort"),
+        floor(months_between(col("month"), col("cohort"))).cast("long").as("age"),
+        col("c"))
+      .groupBy("cohort", "age").agg(sum("c").as("revenue_cents"))
+    val w = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(cohortSize, "cohort")
+      .withColumn("cum_cents", sum(col("revenue_cents")).over(w))
+      .select(col("cohort"), col("age"), col("n_customers"),
+        col("revenue_cents"), col("cum_cents"),
+        (col("cum_cents").cast("double") / col("n_customers").cast("double"))
+          .as("ltv_per_user"))
+      .orderBy("cohort", "age")
+  }
+
+  // ---- inter-order gap distribution -----------------------------------
+
+  /** Distribution of gaps (whole days) between a customer's
+    * consecutive orders: per-customer lag window, then a
+    * domain-bounded histogram with exact shares — purchase-cadence
+    * profiling.
+    */
+  def interarrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("day"))
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(datediff(col("day"), col("prev")).cast("long").as("gap_days"))
+    val total = gaps.agg(count(lit(1)).as("total"))
+    gaps.groupBy("gap_days").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .select(col("gap_days"), col("n_pairs"),
+        (col("n_pairs").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy("gap_days")
+  }
+
+  // ---- Wilson confidence intervals ------------------------------------
+
+  /** 95% Wilson score interval (Wilson 1927) for each event type's
+    * high-value rate (value > 250) — the ranking-safe proportion CI
+    * (never leaves [0,1], sane at small n). Both engines evaluate the
+    * IDENTICAL expression tree over exact counts: one division for p,
+    * then IEEE mul/div/sqrt only (the oracle pins z to DOUBLE — a bare
+    * 1.96 literal is DECIMAL in DuckDB and squares exactly, one ulp
+    * off the double product).
+    */
+  def wilsonCi(s: SparkSession, dir: String): DataFrame = {
+    val z = lit(1.96)
+    val agg = t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") > 250).cast("long")).as("successes"))
+    val n = col("n").cast("double")
+    val p = col("successes").cast("double") / n
+    val denom = lit(1.0) + z * z / n
+    val center = p + z * z / (lit(2.0) * n)
+    val half = z * sqrt(p * (lit(1.0) - p) / n + z * z / (lit(4.0) * n * n))
+    agg.select(col("event_type"), col("n"), col("successes"),
+        p.as("p"),
+        ((center - half) / denom).as("ci_lo"),
+        ((center + half) / denom).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  // ---- registered queries ---------------------------------------------
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_rfm",
+      "RFM customer segmentation: exact tercile cuts (broadcast, no rank window), 27-cell segment labels",
+      rfm,
+      Some(
+        """WITH per AS (
+          |  SELECT o_custkey AS custkey,
+          |         max(CAST(o_orderdate AS DATE)) AS last_day,
+          |         count(*) AS frequency,
+          |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
+          |  FROM orders GROUP BY 1),
+          |ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+          |base AS (
+          |  SELECT custkey,
+          |         CAST(datediff('day', last_day, ref_day) AS BIGINT) AS recency_days,
+          |         frequency, monetary_cents
+          |  FROM per, ref),
+          |cuts AS (
+          |  SELECT CAST(CAST(quantile_cont(recency_days, 0.3333) AS DECIMAL(18,6)) AS DOUBLE) AS r33,
+          |         CAST(CAST(quantile_cont(recency_days, 0.6667) AS DECIMAL(18,6)) AS DOUBLE) AS r66,
+          |         CAST(CAST(quantile_cont(frequency, 0.3333) AS DECIMAL(18,6)) AS DOUBLE) AS f33,
+          |         CAST(CAST(quantile_cont(frequency, 0.6667) AS DECIMAL(18,6)) AS DOUBLE) AS f66,
+          |         CAST(CAST(quantile_cont(monetary_cents, 0.3333) AS DECIMAL(18,6)) AS DOUBLE) AS m33,
+          |         CAST(CAST(quantile_cont(monetary_cents, 0.6667) AS DECIMAL(18,6)) AS DOUBLE) AS m66
+          |  FROM base),
+          |sc AS (
+          |  SELECT custkey, recency_days, frequency, monetary_cents,
+          |         CASE WHEN recency_days <= r33 THEN 3 WHEN recency_days <= r66 THEN 2 ELSE 1 END AS r_score,
+          |         CASE WHEN frequency <= f33 THEN 1 WHEN frequency <= f66 THEN 2 ELSE 3 END AS f_score,
+          |         CASE WHEN monetary_cents <= m33 THEN 1 WHEN monetary_cents <= m66 THEN 2 ELSE 3 END AS m_score
+          |  FROM base, cuts)
+          |SELECT custkey, recency_days, frequency, monetary_cents,
+          |       r_score, f_score, m_score,
+          |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+          |FROM sc ORDER BY custkey""".stripMargin)),
+    GraftQuery("q_mom_growth",
+      "month-over-month revenue growth per nation (lag over the bounded month domain, exact cents)",
+      momGrowth,
+      Some(
+        """WITH m AS (
+          |  SELECT c.c_nationkey AS nationkey,
+          |         CAST(date_trunc('month', CAST(o.o_orderdate AS DATE)) AS DATE) AS month,
+          |         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          |  GROUP BY 1, 2)
+          |SELECT nationkey, month, cents,
+          |       lag(cents, 1) OVER (PARTITION BY nationkey ORDER BY month) AS prev_cents,
+          |       CAST(cents - lag(cents, 1) OVER (PARTITION BY nationkey ORDER BY month) AS DOUBLE) /
+          |         CAST(lag(cents, 1) OVER (PARTITION BY nationkey ORDER BY month) AS DOUBLE) AS growth
+          |FROM m ORDER BY nationkey, month""".stripMargin)),
+    GraftQuery("q_cohort_ltv",
+      "cohort lifetime-value triangle: first-order-month cohorts x age, cumulative revenue per member",
+      cohortLtv,
+      Some(
+        """WITH o AS (
+          |  SELECT o_custkey,
+          |         CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+          |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+          |  FROM orders),
+          |fo AS (SELECT o_custkey, min(month) AS cohort FROM o GROUP BY 1),
+          |cs AS (SELECT cohort, count(*) AS n_customers FROM fo GROUP BY 1),
+          |cells AS (
+          |  SELECT fo.cohort,
+          |         CAST(datediff('month', fo.cohort, o.month) AS BIGINT) AS age,
+          |         CAST(sum(o.c) AS BIGINT) AS revenue_cents
+          |  FROM o JOIN fo USING (o_custkey)
+          |  GROUP BY 1, 2),
+          |cum AS (
+          |  SELECT cohort, age, revenue_cents,
+          |         CAST(sum(revenue_cents) OVER (PARTITION BY cohort ORDER BY age
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+          |  FROM cells)
+          |SELECT cohort, age, n_customers, revenue_cents, cum_cents,
+          |       CAST(cum_cents AS DOUBLE) / CAST(n_customers AS DOUBLE) AS ltv_per_user
+          |FROM cum JOIN cs USING (cohort)
+          |ORDER BY cohort, age""".stripMargin)),
+    GraftQuery("q_interarrival",
+      "inter-order gap distribution: per-customer lag window, domain-bounded day histogram with exact shares",
+      interarrival,
+      Some(
+        """WITH g AS (
+          |  SELECT CAST(datediff('day',
+          |           lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+          |             ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+          |           CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+          |  FROM orders),
+          |gg AS (SELECT gap_days FROM g WHERE gap_days IS NOT NULL),
+          |tot AS (SELECT count(*) AS total FROM gg)
+          |SELECT gap_days, count(*) AS n_pairs,
+          |       CAST(count(*) AS DOUBLE) / CAST(any_value(total) AS DOUBLE) AS share
+          |FROM gg, tot GROUP BY gap_days ORDER BY gap_days""".stripMargin)),
+    GraftQuery("q_wilson_ci",
+      "95% Wilson score interval per event type's high-value rate (identical IEEE expression tree both engines)",
+      wilsonCi,
+      Some(
+        """WITH a AS (
+          |  SELECT event_type, count(*) AS n,
+          |         CAST(sum(CAST(value > 250 AS BIGINT)) AS BIGINT) AS successes
+          |  FROM events GROUP BY 1),
+          |d AS (
+          |  SELECT event_type, n, successes,
+          |         CAST(n AS DOUBLE) AS nd,
+          |         CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+          |         CAST(1.96 AS DOUBLE) AS z
+          |  FROM a)
+          |SELECT event_type, n, successes, p,
+          |       (p + z * z / (2.0 * nd) -
+          |        z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))) /
+          |       (1.0 + z * z / nd) AS ci_lo,
+          |       (p + z * z / (2.0 * nd) +
+          |        z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))) /
+          |       (1.0 + z * z / nd) AS ci_hi
+          |FROM d ORDER BY event_type""".stripMargin)),
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.RevenueOps
+
+/** Semantic pins for the revenue-analytics family: RFM scoring
+  * direction, MoM growth arithmetic, cohort LTV accumulation,
+  * inter-order gaps, Wilson interval properties.
+  */
+class RevenueOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeOrders(dir: String, rows: Seq[(Long, Long, Double, String)]): Unit =
+    rows.zipWithIndex.map { case ((key, cust, price, day), _) =>
+      (key, cust, "O", price, Timestamp.valueOf(s"$day 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+  test("rfm: best customer scores 333, worst 111, terciles split the planted trio") {
+    val dir = java.nio.file.Files.createTempDirectory("rfm").toString
+    // cust 1: recent + frequent + big; cust 2: middle; cust 3: stale + rare + small
+    writeOrders(dir, Seq(
+      (1L, 1L, 500.0, "2024-03-30"), (2L, 1L, 500.0, "2024-03-29"),
+      (3L, 1L, 500.0, "2024-03-28"),
+      (4L, 2L, 100.0, "2024-03-15"), (5L, 2L, 100.0, "2024-03-14"),
+      (6L, 3L, 10.0, "2024-01-01")))
+    val r = RevenueOps.rfm(spark, dir).collect()
+      .map(x => x.getAs[Long]("custkey") -> x.getAs[String]("segment")).toMap
+    assert(r(1L) == "333")
+    assert(r(3L) == "111")
+    assert(r(2L) == "222")
+  }
+
+  test("mom growth: planted two-month nation series has exact growth and null first month") {
+    val got = RevenueOps.momGrowth(spark, sfDir)
+      .where(col("prev_cents").isNotNull).collect()
+    assert(got.nonEmpty)
+    got.foreach { row =>
+      val want = (row.getAs[Long]("cents") - row.getAs[Long]("prev_cents")).toDouble /
+        row.getAs[Long]("prev_cents").toDouble
+      assert(row.getAs[Double]("growth") == want)
+    }
+    val first = RevenueOps.momGrowth(spark, sfDir)
+      .where(col("prev_cents").isNull).collect()
+    assert(first.forall(r => r.isNullAt(r.fieldIndex("growth"))))
+  }
+
+  test("cohort ltv: hand-computed two-cohort triangle accumulates per member") {
+    val dir = java.nio.file.Files.createTempDirectory("ltv").toString
+    // cohort Jan: custs 1,2 — Jan revenue 100+200, Feb revenue 50 (cust 1)
+    // cohort Feb: cust 3 — Feb revenue 300
+    writeOrders(dir, Seq(
+      (1L, 1L, 100.0, "2024-01-05"), (2L, 2L, 200.0, "2024-01-20"),
+      (3L, 1L, 50.0, "2024-02-10"), (4L, 3L, 300.0, "2024-02-15")))
+    val r = RevenueOps.cohortLtv(spark, dir).collect()
+      .map(x => (x.getAs[java.sql.Date]("cohort").toString, x.getAs[Long]("age")) ->
+        ((x.getAs[Long]("n_customers"), x.getAs[Long]("cum_cents"),
+          x.getAs[Double]("ltv_per_user")))).toMap
+    assert(r(("2024-01-01", 0L)) == ((2L, 30000L, 15000.0)))
+    assert(r(("2024-01-01", 1L)) == ((2L, 35000L, 17500.0)))
+    assert(r(("2024-02-01", 0L)) == ((1L, 30000L, 30000.0)))
+  }
+
+  test("interarrival: hand-computed gaps, shares sum to 1") {
+    val dir = java.nio.file.Files.createTempDirectory("gaps").toString
+    // cust 1: days 1, 3, 3, 10 -> gaps 2, 0, 7; cust 2: single order, no gap
+    writeOrders(dir, Seq(
+      (1L, 1L, 10.0, "2024-01-01"), (2L, 1L, 10.0, "2024-01-03"),
+      (3L, 1L, 10.0, "2024-01-03"), (4L, 1L, 10.0, "2024-01-10"),
+      (5L, 2L, 10.0, "2024-01-05")))
+    val r = RevenueOps.interarrival(spark, dir).collect()
+      .map(x => x.getAs[Long]("gap_days") ->
+        ((x.getAs[Long]("n_pairs"), x.getAs[Double]("share")))).toMap
+    assert(r.keySet == Set(0L, 2L, 7L))
+    assert(r(0L)._1 == 1L && r(2L)._1 == 1L && r(7L)._1 == 1L)
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
+  test("wilson ci: matches the JVM formula, stays in [0,1], brackets p") {
+    val rows = RevenueOps.wilsonCi(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val n = row.getAs[Long]("n").toDouble
+      val p = row.getAs[Long]("successes") / n
+      val z = 1.96
+      val denom = 1.0 + z * z / n
+      val center = p + z * z / (2.0 * n)
+      val half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+      assert(row.getAs[Double]("ci_lo") == (center - half) / denom)
+      assert(row.getAs[Double]("ci_hi") == (center + half) / denom)
+      assert(row.getAs[Double]("ci_lo") >= 0.0 && row.getAs[Double]("ci_hi") <= 1.0)
+      assert(row.getAs[Double]("ci_lo") <= p && p <= row.getAs[Double]("ci_hi"))
+    }
+  }
+}
