@@ -472,7 +472,72 @@ object ScaleOps {
     mergeAggregates(base, delta, "user_id").orderBy("user_id")
   }
 
+  /** Equi-join output-cardinality estimation from two count-min
+    * sketches (Cormode & Muthukrishnan 2005 §4.2): |A ⋈ B| = Σₖ aₖ·bₖ
+    * is estimated by the minimum over the d hash rows of the sketch
+    * inner product Σ_w cmsA[i][w]·cmsB[i][w] — an upper bound that is
+    * exact when no keys collide. The cost-based-optimizer primitive
+    * for 100 TB joins: each side reduces to a d×w counter grid
+    * (map-side-combined, mergeable, O(d·w) broadcastable), so the
+    * estimate costs two scans and NO cross-table shuffle, while the
+    * exact answer needs the key-partitioned join this estimate exists
+    * to size. Emitted side by side with the exact count so the
+    * one-sided guarantee (est ≥ exact) is oracle-checked arithmetic.
+    * Count products sum in BIGINT — beyond ~10⁹ rows per side move
+    * the two dot-product sums to DECIMAL(38,0), formula unchanged.
+    */
+  def joinSizeEstimate(s: SparkSession, dir: String,
+      depth: Int = 4, width: Long = 1024L): DataFrame = {
+    val a = graft.engine.Tables.load(graft.engine.GraftSession.tuned(s), dir, "events")
+      .select(col("user_id").as("key")).groupBy("key")
+      .agg(count(lit(1)).as("ca"))
+    val b = graft.engine.Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("key")).groupBy("key")
+      .agg(count(lit(1)).as("cb"))
+    def posCol(k: Column, i: Column): Column =
+      pmod(graft.functions.HashExprs.md5Uint32(
+        concat(k.cast("string"), lit(":"), i.cast("string"))), lit(width))
+    def cms(cnts: DataFrame, cName: String): DataFrame = cnts
+      .select(col("key"), col(cName),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .withColumn("pos", posCol(col("key"), col("i")))
+      .groupBy("i", "pos").agg(sum(col(cName)).as(cName))
+    val est = cms(a, "ca").join(cms(b, "cb"), Seq("i", "pos"))
+      .groupBy("i").agg(sum(col("ca") * col("cb")).as("dot"))
+      .agg(min(col("dot")).as("cms_est"))
+    val exact = a.join(b, "key")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_pairs"))
+    exact.crossJoin(broadcast(est)).select(
+      col("exact_pairs"), col("cms_est"),
+      (col("cms_est").cast("double") / col("exact_pairs").cast("double"))
+        .as("overestimate_ratio"))
+  }
+
   val queries: Seq[graft.GraftQuery] = Seq(
+    graft.GraftQuery("q_join_size_est",
+      "join-cardinality estimation from two count-min sketches (inner-product upper bound vs exact)",
+      (s, dir) => joinSizeEstimate(s, dir),
+      Some(
+        """WITH a AS (SELECT user_id AS key, count(*) AS ca FROM events GROUP BY 1),
+          |b AS (SELECT o_custkey AS key, count(*) AS cb FROM orders GROUP BY 1),
+          |cmsa AS (
+          |  SELECT t.i, ('0x' || substring(md5(CAST(key AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 25, 8))::BIGINT % 1024 AS pos,
+          |         CAST(sum(ca) AS BIGINT) AS ca
+          |  FROM a, range(4) t(i) GROUP BY 1, 2),
+          |cmsb AS (
+          |  SELECT t.i, ('0x' || substring(md5(CAST(key AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 25, 8))::BIGINT % 1024 AS pos,
+          |         CAST(sum(cb) AS BIGINT) AS cb
+          |  FROM b, range(4) t(i) GROUP BY 1, 2),
+          |dots AS (
+          |  SELECT cmsa.i, CAST(sum(cmsa.ca * cmsb.cb) AS BIGINT) AS dot
+          |  FROM cmsa JOIN cmsb ON cmsa.i = cmsb.i AND cmsa.pos = cmsb.pos
+          |  GROUP BY 1),
+          |est AS (SELECT CAST(min(dot) AS BIGINT) AS cms_est FROM dots),
+          |ex AS (SELECT COALESCE(CAST(sum(ca * cb) AS BIGINT), 0) AS exact_pairs
+          |       FROM a JOIN b USING (key))
+          |SELECT exact_pairs, cms_est,
+          |       CAST(cms_est AS DOUBLE) / CAST(exact_pairs AS DOUBLE) AS overestimate_ratio
+          |FROM ex, est""".stripMargin)),
     graft.GraftQuery("q_incremental_agg",
       "incremental aggregate maintenance: base+delta coalesce-sum merge == full recompute (algebraic aggregates)",
       incrementalAggQuery,

@@ -456,6 +456,56 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Per-event inter-arrival gap: micros since the user's previous
+    * event (first event emits nothing) — the engagement-cadence signal
+    * [[graft.ext.RevenueOps.interarrival]] histograms at the order
+    * grain. One per-user lag window on the high-cardinality key.
+    */
+  def eventGaps(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .where(col("prev_us").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        (col("ts_us") - col("prev_us")).as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Streaming twin of [[eventGaps]] (`flatMapGroupsWithState`): one
+    * output row per non-first event carrying the gap since the user's
+    * previous event. State is ONE long per user (the last event-time
+    * micros) — O(1) on an unbounded stream; the spec compares ==
+    * against the batch lag window. Per-trigger arrivals sort by
+    * (ts, event_id) in memory — one user's single-trigger slice, not
+    * the stream.
+    */
+  def streamingGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    eventStream(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, events, state) =>
+          val sorted = events.toArray.sortBy(e => (e._3, e._2))
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = sorted.flatMap { case (_, eid, ts) =>
+            val gap = if (last == Long.MinValue) None
+              else Some((user, eid, ts - last))
+            last = ts
+            gap
+          }
+          state.update(last)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "gap_us")
+  }
+
   /** Per-user one-sided CUSUM monitoring against a TRAINED baseline
     * (mu, slack in value micro-units) — the deployed-monitor shape of
     * [[graft.ext.TimeSeries.cusum]], which self-fits its baseline in a
@@ -1202,6 +1252,18 @@ object EventOps {
   }
 
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_event_gaps",
+      "per-event inter-arrival micros since the user's previous event (lag window; O(1)-state streaming twin)",
+      (s, dir) => eventGaps(t(s, dir, "events")),
+      Some(
+        """WITH g AS (
+          |  SELECT user_id, event_id,
+          |         epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+          |           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          |  FROM events)
+          |SELECT user_id, event_id, CAST(gap_us AS BIGINT) AS gap_us
+          |FROM g WHERE gap_us IS NOT NULL
+          |ORDER BY user_id, event_id""".stripMargin)),
     GraftQuery("q_user_paths",
       "top onboarding paths: first-3-event-type sequences per user, counted (bounded path domain)",
       (s, dir) => userPaths(t(s, dir, "events")),

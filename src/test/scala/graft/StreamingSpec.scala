@@ -373,6 +373,27 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.values.exists(_._2 == 1), "fixture drifts above the alarm threshold somewhere")
   }
 
+  test("streaming gaps == batch lag-window gaps exactly (one-long state)") {
+    val q = EventOps.streamingGaps(spark, sfDir).writeStream
+      .format("memory")
+      .queryName("graft_gaps_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_gaps_test")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val batch = EventOps.eventGaps(
+      graft.engine.Tables.load(spark, sfDir, "events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed.size == batch.size, "one row per non-first event on both paths")
+    assert(streamed == batch, "exact equality — same micros arithmetic")
+    assert(streamed.values.forall(_ >= 0L), "event-time order makes gaps non-negative")
+  }
+
   test("streaming twap: last running emission per user == batch TWAP exactly") {
     val q = EventOps.streamingTwap(spark, sfDir).writeStream
       .format("memory")
