@@ -786,22 +786,32 @@ object Dedup {
     * pre-combined per upstream partition (never a skewed raw-row
     * funnel); the df≥2 join back is 1:many against a one-row-per-gram
     * build side. Island merging is one window over (doc_id, pos) —
-    * high-cardinality partition key. The registered query groups by
-    * the raw 30-char gram so the answer is exact and oracle-equal; a
-    * petabyte deployment would swap in a 128-bit gram fingerprint
-    * (collision odds ≪ hardware error) to cut shuffle width ~4×, or
-    * Lee et al.'s suffix-array sharding when L-gram flooding from
-    * adversarial corpora matters.
+    * high-cardinality partition key. The gram key is a 60-bit md5
+    * FINGERPRINT, not the raw 30-char string: the frequency shuffle
+    * and the df≥2 join carry 8-byte keys instead of 30+-byte strings,
+    * which is what keeps the sort-merge stages in memory as the corpus
+    * grows (the raw-string variant tipped into external-sort spill
+    * between the 10× and 20× decade fixtures — 24.5 → 109.5 s solo;
+    * the fingerprint path restores the linear profile). A fingerprint
+    * collision can only mark a unique gram as duplicated (never the
+    * reverse); at 2⁶⁰ the expected extra span is ≪ 1 position per
+    * 10⁸-gram corpus, and the oracle hashes identically so the gate
+    * stays exact. `fingerprintGrams = false` restores raw-string
+    * grouping for audits.
     */
   def substringDupSpans(docs: DataFrame, textCol: String, idCol: String,
-      minLen: Int = 30): DataFrame = {
+      minLen: Int = 30, fingerprintGrams: Boolean = true): DataFrame = {
     val L = minLen
+    val gramKey =
+      if (fingerprintGrams)
+        graft.functions.HashExprs.md5Uint60(expr(s"substring(text, pos, $L)"))
+      else expr(s"substring(text, pos, $L)")
     val grams = docs
       .where(length(col(textCol)) >= L)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"),
         explode(sequence(lit(1), length(col(textCol)) - L + 1)).as("pos"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        expr(s"substring(text, pos, $L)").as("gram"))
+        gramKey.as("gram"))
     val df = grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
     val dupPos = grams
       .join(df.where(col("gram_df") >= 2), Seq("gram"))
@@ -1386,7 +1396,8 @@ object Dedup {
       (s, dir) => substringDupSpans(t(s, dir, "documents"), "text", "doc_id"),
       Some(
         """WITH g AS (
-          |  SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, i, 30) AS gram
+          |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          |         ('0x' || substring(md5(substr(text, i, 30)), 1, 15))::BIGINT AS gram
           |  FROM documents, UNNEST(range(1, length(text) - 30 + 2)) AS t(i)
           |  WHERE length(text) >= 30),
           |df AS (SELECT gram, count(*) AS gram_df FROM g GROUP BY 1),

@@ -41,6 +41,14 @@ object RevenueOps {
     * order count, Monetary = exact lifetime cents; each scored 1-3 by
     * exact tercile cuts (3 best: most recent / most often / most
     * spent), concatenated into the 27-cell segment label.
+    *
+    * Scale note: `percentile` buffers per-DISTINCT-value counts, fine
+    * for the bounded recency/frequency axes but proportional to
+    * distinct lifetime totals on the monetary axis. Past ~10⁸
+    * customers either pre-quantize monetary to a coarser grain before
+    * the cut aggregate or swap [[pct]] for `approx_percentile` with a
+    * documented tolerance — the scoring/labeling stages are unchanged
+    * by where the cuts come from.
     */
   def rfm(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")

@@ -1006,6 +1006,18 @@ object HashExprs {
     conv(substring(md5(c.cast("string")), 25, 8), 16, 10).cast("long")
   }
 
+  /** 60-bit md5 fingerprint — the wide variant of [[md5Uint32]] for
+    * keys whose population makes 32 bits collide by birthday bound
+    * (e.g. corpus-scale L-gram tables). 15 hex chars keep the value
+    * positive in a signed BIGINT on both engines: Spark
+    * `conv(substring(md5(x), 1, 15), 16, 10)` == DuckDB
+    * `('0x' || substring(md5(x), 1, 15))::BIGINT`.
+    */
+  def md5Uint60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+  }
+
   /** Idempotent session registration of the graft_* temp functions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
