@@ -537,7 +537,7 @@ object ScaleOps {
           |       FROM a JOIN b USING (key))
           |SELECT exact_pairs, cms_est,
           |       CAST(cms_est AS DOUBLE) / CAST(exact_pairs AS DOUBLE) AS overestimate_ratio
-          |FROM ex, est""".stripMargin)),
+          |FROM ex, est ORDER BY exact_pairs""".stripMargin)),
     graft.GraftQuery("q_incremental_agg",
       "incremental aggregate maintenance: base+delta coalesce-sum merge == full recompute (algebraic aggregates)",
       incrementalAggQuery,
