@@ -161,6 +161,32 @@ object RevenueOps {
       .orderBy("gap_days")
   }
 
+  // ---- revenue concentration (Pareto ratio) ---------------------------
+
+  /** Revenue concentration: the share of total revenue contributed by
+    * customers above the p80 lifetime-spend cut (the "80/20" check),
+    * plus the top cohort's size. The cut rides the percentile →
+    * DECIMAL(18,6) broadcast bridge (same caveat as [[rfm]]'s monetary
+    * axis at extreme scale); everything else is two exact conditional
+    * sums and single IEEE divisions.
+    */
+  def paretoShare(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(sum(cents(col("o_totalprice"))).as("m"))
+    val cut = per.agg(pct("m", 0.8).as("p80"))
+    per.crossJoin(broadcast(cut))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum((col("m") > col("p80")).cast("long")).as("n_top"),
+        sum("m").as("total_cents"),
+        sum(when(col("m") > col("p80"), col("m")).otherwise(0L)).as("top_cents"))
+      .select(col("n_customers"), col("n_top"), col("total_cents"), col("top_cents"),
+        (col("n_top").cast("double") / col("n_customers").cast("double"))
+          .as("top_customer_share"),
+        (col("top_cents").cast("double") / col("total_cents").cast("double"))
+          .as("top_revenue_share"))
+  }
+
   // ---- Wilson confidence intervals ------------------------------------
 
   /** 95% Wilson score interval (Wilson 1927) for each event type's
@@ -282,6 +308,25 @@ object RevenueOps {
           |SELECT gap_days, count(*) AS n_pairs,
           |       CAST(count(*) AS DOUBLE) / CAST(any_value(total) AS DOUBLE) AS share
           |FROM gg, tot GROUP BY gap_days ORDER BY gap_days""".stripMargin)),
+    GraftQuery("q_pareto_share",
+      "revenue concentration: share of revenue from customers above the p80 lifetime-spend cut",
+      paretoShare,
+      Some(
+        """WITH per AS (
+          |  SELECT o_custkey,
+          |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m
+          |  FROM orders GROUP BY 1),
+          |cut AS (SELECT CAST(CAST(quantile_cont(m, 0.8) AS DECIMAL(18,6)) AS DOUBLE) AS p80 FROM per),
+          |agg AS (
+          |  SELECT count(*) AS n_customers,
+          |         CAST(sum(CAST(m > p80 AS BIGINT)) AS BIGINT) AS n_top,
+          |         CAST(sum(m) AS BIGINT) AS total_cents,
+          |         CAST(sum(CASE WHEN m > p80 THEN m ELSE 0 END) AS BIGINT) AS top_cents
+          |  FROM per, cut)
+          |SELECT n_customers, n_top, total_cents, top_cents,
+          |       CAST(n_top AS DOUBLE) / CAST(n_customers AS DOUBLE) AS top_customer_share,
+          |       CAST(top_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS top_revenue_share
+          |FROM agg ORDER BY n_customers""".stripMargin)),
     GraftQuery("q_wilson_ci",
       "95% Wilson score interval per event type's high-value rate (identical IEEE expression tree both engines)",
       wilsonCi,

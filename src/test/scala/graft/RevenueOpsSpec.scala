@@ -96,4 +96,18 @@ class RevenueOpsSpec extends SparkTestBase {
       assert(row.getAs[Double]("ci_lo") <= p && p <= row.getAs[Double]("ci_hi"))
     }
   }
+
+  test("pareto share: planted heavy spender dominates; shares consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("pareto").toString
+    // 9 small customers at 10.00 each, one whale at 910.00 -> whale is
+    // above p80 and holds 91% of revenue
+    writeOrders(dir, (1L to 9L).map(i => (i, i, 10.0, "2024-01-05")) :+
+      (10L, 10L, 910.0, "2024-01-06"))
+    val r = RevenueOps.paretoShare(spark, dir).head()
+    assert(r.getAs[Long]("n_customers") == 10L)
+    assert(r.getAs[Long]("n_top") == 1L)
+    assert(r.getAs[Long]("total_cents") == 100000L)
+    assert(r.getAs[Long]("top_cents") == 91000L)
+    assert(r.getAs[Double]("top_revenue_share") == 0.91)
+  }
 }
