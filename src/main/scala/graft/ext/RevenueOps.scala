@@ -187,6 +187,35 @@ object RevenueOps {
           .as("top_revenue_share"))
   }
 
+  // ---- spend-decile concentration report ------------------------------
+
+  /** Lorenz-style decile report: customers bucketed by the nine exact
+    * decile cuts of lifetime spend (broadcast 1-row, same bridge as
+    * [[rfm]]); per decile, the customer count, revenue, and exact
+    * revenue share. Ties on a cut fall to the lower bucket on both
+    * engines (strict > against each cut).
+    */
+  def decileReport(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(sum(cents(col("o_totalprice"))).as("m"))
+    val cutCols = (1 to 9).map(i => pct("m", i / 10.0).as(s"d$i"))
+    val cuts = per.agg(cutCols.head, cutCols.tail: _*)
+    val decile = (1 to 9).foldLeft(lit(1)) {
+      case (acc, i) => acc + (col("m") > col(s"d$i")).cast("int")
+    }
+    val total = per.agg(sum("m").as("total_cents"))
+    per.crossJoin(broadcast(cuts))
+      .select(decile.as("decile"), col("m"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("m").as("revenue_cents"))
+      .crossJoin(broadcast(total))
+      .select(col("decile").cast("long").as("decile"),
+        col("n_customers"), col("revenue_cents"),
+        (col("revenue_cents").cast("double") / col("total_cents").cast("double"))
+          .as("revenue_share"))
+      .orderBy("decile")
+  }
+
   // ---- Wilson confidence intervals ------------------------------------
 
   /** 95% Wilson score interval (Wilson 1927) for each event type's
@@ -308,6 +337,36 @@ object RevenueOps {
           |SELECT gap_days, count(*) AS n_pairs,
           |       CAST(count(*) AS DOUBLE) / CAST(any_value(total) AS DOUBLE) AS share
           |FROM gg, tot GROUP BY gap_days ORDER BY gap_days""".stripMargin)),
+    GraftQuery("q_decile_report",
+      "Lorenz-style spend-decile concentration: customers bucketed by nine exact decile cuts, revenue shares",
+      decileReport,
+      Some(
+        """WITH per AS (
+          |  SELECT o_custkey,
+          |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m
+          |  FROM orders GROUP BY 1),
+          |cuts AS (
+          |  SELECT CAST(CAST(quantile_cont(m, 0.1) AS DECIMAL(18,6)) AS DOUBLE) AS d1,
+          |         CAST(CAST(quantile_cont(m, 0.2) AS DECIMAL(18,6)) AS DOUBLE) AS d2,
+          |         CAST(CAST(quantile_cont(m, 0.3) AS DECIMAL(18,6)) AS DOUBLE) AS d3,
+          |         CAST(CAST(quantile_cont(m, 0.4) AS DECIMAL(18,6)) AS DOUBLE) AS d4,
+          |         CAST(CAST(quantile_cont(m, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS d5,
+          |         CAST(CAST(quantile_cont(m, 0.6) AS DECIMAL(18,6)) AS DOUBLE) AS d6,
+          |         CAST(CAST(quantile_cont(m, 0.7) AS DECIMAL(18,6)) AS DOUBLE) AS d7,
+          |         CAST(CAST(quantile_cont(m, 0.8) AS DECIMAL(18,6)) AS DOUBLE) AS d8,
+          |         CAST(CAST(quantile_cont(m, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS d9
+          |  FROM per),
+          |b AS (
+          |  SELECT CAST(1 + CAST(m > d1 AS INT) + CAST(m > d2 AS INT) + CAST(m > d3 AS INT) +
+          |             CAST(m > d4 AS INT) + CAST(m > d5 AS INT) + CAST(m > d6 AS INT) +
+          |             CAST(m > d7 AS INT) + CAST(m > d8 AS INT) + CAST(m > d9 AS INT) AS BIGINT) AS decile,
+          |         m
+          |  FROM per, cuts),
+          |tot AS (SELECT CAST(sum(m) AS BIGINT) AS total_cents FROM per)
+          |SELECT decile, count(*) AS n_customers,
+          |       CAST(sum(m) AS BIGINT) AS revenue_cents,
+          |       CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) / CAST(any_value(total_cents) AS DOUBLE) AS revenue_share
+          |FROM b, tot GROUP BY decile ORDER BY decile""".stripMargin)),
     GraftQuery("q_pareto_share",
       "revenue concentration: share of revenue from customers above the p80 lifetime-spend cut",
       paretoShare,

@@ -110,4 +110,12 @@ class RevenueOpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("top_cents") == 91000L)
     assert(r.getAs[Double]("top_revenue_share") == 0.91)
   }
+
+  test("decile report: shares sum to 1 and revenue concentrates upward on the fixture") {
+    val rows = RevenueOps.decileReport(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("decile")).distinct.length == rows.length)
+    assert(math.abs(rows.map(_.getAs[Double]("revenue_share")).sum - 1.0) < 1e-12)
+    val shares = rows.sortBy(_.getAs[Long]("decile")).map(_.getAs[Double]("revenue_share"))
+    assert(shares.last > shares.head, "top spend decile out-earns the bottom one")
+  }
 }
