@@ -103,6 +103,31 @@ object RevenueOps {
       .orderBy("nationkey", "month")
   }
 
+  /** Year-over-year growth with calendar alignment: each (nation,
+    * month) cell against the SAME month one year earlier — a lag-12
+    * row offset would silently misalign on any gap month, so the
+    * comparison is an equi-join on the shifted month key instead.
+    * Left join keeps cells with no prior-year baseline (growth null).
+    */
+  def yoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nationkey"),
+        trunc(to_date(col("o_orderdate")), "month").as("month"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy("nationkey", "month").agg(sum("c").as("cents"))
+    val prior = monthly.select(col("nationkey"),
+      add_months(col("month"), 12).as("month"),
+      col("cents").as("prev_year_cents"))
+    monthly.join(prior, Seq("nationkey", "month"), "left")
+      .select(col("nationkey"), col("month"), col("cents"),
+        col("prev_year_cents"),
+        ((col("cents") - col("prev_year_cents")).cast("double") /
+          col("prev_year_cents").cast("double")).as("yoy_growth"))
+      .orderBy("nationkey", "month")
+  }
+
   // ---- cohort lifetime value ------------------------------------------
 
   /** Cohort LTV curve: customers cohorted by first-order month; each
@@ -296,6 +321,23 @@ object RevenueOps {
           |       CAST(cents - lag(cents, 1) OVER (PARTITION BY nationkey ORDER BY month) AS DOUBLE) /
           |         CAST(lag(cents, 1) OVER (PARTITION BY nationkey ORDER BY month) AS DOUBLE) AS growth
           |FROM m ORDER BY nationkey, month""".stripMargin)),
+    GraftQuery("q_yoy_growth",
+      "calendar-aligned year-over-year revenue growth per nation (shifted-month equi-join, gap-safe)",
+      yoyGrowth,
+      Some(
+        """WITH m AS (
+          |  SELECT c.c_nationkey AS nationkey,
+          |         CAST(date_trunc('month', CAST(o.o_orderdate AS DATE)) AS DATE) AS month,
+          |         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          |  GROUP BY 1, 2),
+          |p AS (SELECT nationkey, CAST(month + INTERVAL 12 MONTH AS DATE) AS month,
+          |             cents AS prev_year_cents FROM m)
+          |SELECT m.nationkey, m.month, m.cents, p.prev_year_cents,
+          |       CAST(m.cents - p.prev_year_cents AS DOUBLE) /
+          |         CAST(p.prev_year_cents AS DOUBLE) AS yoy_growth
+          |FROM m LEFT JOIN p ON m.nationkey = p.nationkey AND m.month = p.month
+          |ORDER BY m.nationkey, m.month""".stripMargin)),
     GraftQuery("q_cohort_ltv",
       "cohort lifetime-value triangle: first-order-month cohorts x age, cumulative revenue per member",
       cohortLtv,

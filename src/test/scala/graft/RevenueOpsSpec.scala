@@ -118,4 +118,22 @@ class RevenueOpsSpec extends SparkTestBase {
     val shares = rows.sortBy(_.getAs[Long]("decile")).map(_.getAs[Double]("revenue_share"))
     assert(shares.last > shares.head, "top spend decile out-earns the bottom one")
   }
+
+  test("yoy growth: calendar alignment skips gap months instead of misaligning") {
+    val dir = java.nio.file.Files.createTempDirectory("yoy").toString
+    // Jan-2023 100, Mar-2023 50 (gap Feb), Jan-2024 150: Jan-2024 aligns
+    // to Jan-2023 (+50%); Mar-2023 and Jan-2023 have no baseline
+    writeOrders(dir, Seq(
+      (1L, 1L, 100.0, "2023-01-10"), (2L, 1L, 50.0, "2023-03-10"),
+      (3L, 1L, 150.0, "2024-01-15")))
+    // customer table for the nation join
+    Seq((1L, "c", 7L, "BUILDING", 0.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val r = RevenueOps.yoyGrowth(spark, dir).collect()
+    val jan24 = r.find(_.getAs[java.sql.Date]("month").toString == "2024-01-01").get
+    assert(jan24.getAs[Long]("prev_year_cents") == 10000L)
+    assert(jan24.getAs[Double]("yoy_growth") == 0.5)
+    assert(r.count(x => x.isNullAt(x.fieldIndex("prev_year_cents"))) == 2)
+  }
 }
