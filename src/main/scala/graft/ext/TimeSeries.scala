@@ -113,6 +113,51 @@ object TimeSeries {
       .orderBy("lag")
   }
 
+  /** Ljung-Box portmanteau white-noise test over the daily revenue
+    * series (Ljung & Box 1978): Q = n(n+2)·Σ_{k≤h} r²ₖ/(n−k) with the
+    * same exact-integer r numerators/denominator as [[acf]]. The ≤h
+    * per-lag terms fold ascending-k through an ordered
+    * `aggregate(sort_array(collect_list))` so the double summation
+    * order is pinned (DuckDB mirrors with a cumulative window, which
+    * streams in the same order). The flag compares against the χ²(7)
+    * 95th percentile plan literal matching the default h = 7; a caller
+    * with a different maxLag should apply their own threshold to
+    * q_stat (the statistic itself is h-generic).
+    */
+  def ljungBox(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = dailyRevenue(orders)
+    val stats = daily.agg(count(lit(1)).as("n"), sum("cents").as("s"))
+    val dev = daily.crossJoin(broadcast(stats))
+      .select(col("day"), col("n"), (col("n") * col("cents") - col("s")).as("d"))
+    val den = dev
+      .agg(sum(col("d").cast(dec38) * col("d").cast(dec38)).as("den"))
+    val lagged = dev
+      .select(col("day"), col("n"), col("d"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .withColumn("tday", date_add(col("day"), col("lag")))
+    val terms = lagged
+      .join(dev.select(col("day").as("tday"), col("d").as("d2")), "tday")
+      .groupBy("lag")
+      .agg(first(col("n")).as("n"),
+        sum(col("d").cast(dec38) * col("d2").cast(dec38)).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n"),
+        ((col("num").cast("double") / col("den").cast("double")) *
+          (col("num").cast("double") / col("den").cast("double")) /
+          (col("n") - col("lag")).cast("double")).as("term"))
+    // chi2(7) 95th percentile = 14.067140 (plan literal)
+    terms
+      .agg(first(col("n")).as("n"),
+        count(lit(1)).as("h"),
+        aggregate(sort_array(collect_list(struct(col("lag"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("tsum"))
+      .select(col("n").as("n_days"), col("h"),
+        (col("n").cast("double") * (col("n") + 2L).cast("double") *
+          col("tsum")).as("q_stat"),
+        (col("n").cast("double") * (col("n") + 2L).cast("double") *
+          col("tsum") > 14.067140).cast("int").as("reject_white_noise"))
+  }
+
   // ---- CUSUM change-point ---------------------------------------------
 
   /** One-sided CUSUM upward-shift statistic over the daily revenue
@@ -291,6 +336,39 @@ object TimeSeries {
            |  FROM pairs GROUP BY lag)
            |SELECT lag, n_pairs, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
            |FROM nums, den ORDER BY lag""".stripMargin)),
+    GraftQuery("q_ljung_box",
+      "Ljung-Box white-noise portmanteau test at h=7 over daily revenue (ordered term fold, chi2 flag)",
+      (s, dir) => ljungBox(t(s, dir, "orders")),
+      Some(
+        s"""WITH daily AS ($dailySql),
+           |st AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s FROM daily),
+           |dev AS (SELECT day, n, CAST(n * cents - s AS BIGINT) AS d FROM daily, st),
+           |den AS (SELECT sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS den FROM dev),
+           |pairs AS (
+           |  SELECT l.lag, a.n, a.d AS d1, b.d AS d2
+           |  FROM (SELECT CAST(x AS BIGINT) AS lag FROM range(1, 8) t(x)) l
+           |  CROSS JOIN dev a
+           |  JOIN dev b ON b.day = a.day + CAST(l.lag AS INT)),
+           |nums AS (
+           |  SELECT lag, any_value(n) AS n,
+           |         sum(CAST(d1 AS HUGEINT) * CAST(d2 AS HUGEINT)) AS num
+           |  FROM pairs GROUP BY lag),
+           |terms AS (
+           |  SELECT lag, n,
+           |         (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) *
+           |         (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) /
+           |         CAST(n - lag AS DOUBLE) AS term
+           |  FROM nums, den),
+           |c AS (
+           |  SELECT n,
+           |         sum(term) OVER (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tsum,
+           |         count(*) OVER () AS h,
+           |         row_number() OVER (ORDER BY lag DESC) AS rn
+           |  FROM terms)
+           |SELECT n AS n_days, CAST(h AS BIGINT) AS h,
+           |       CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * tsum AS q_stat,
+           |       CAST(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * tsum > 14.067140 AS INT) AS reject_white_noise
+           |FROM c WHERE rn = 1 ORDER BY n_days""".stripMargin)),
     GraftQuery("q_cusum",
       "one-sided CUSUM change-point stat over daily revenue (closed-form cum - running-min, self-fit slack = sigma/2)",
       (s, dir) => cusum(t(s, dir, "orders")),

@@ -134,4 +134,19 @@ class TimeSeriesSpec extends SparkTestBase {
     }
     assert(r.forall(x => x.getAs[Long]("n_risk") >= x.getAs[Long]("n_events")))
   }
+
+  test("ljung-box: Q matches a JVM mirror from the same ACF terms; h counts present lags") {
+    val days = (1 to 20).map(d => (f"2024-01-$d%02d", 1.00 + (d % 3) * 0.50))
+    val orders = ordersOf(days)
+    val row = TimeSeries.ljungBox(orders, maxLag = 3).head()
+    val acf = TimeSeries.acf(orders, maxLag = 3).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("acf")).toMap
+    val n = 20.0
+    val q = n * (n + 2.0) * (1L to 3L).map(k => acf(k) * acf(k) / (n - k)).sum
+    assert(row.getAs[Long]("n_days") == 20L)
+    assert(row.getAs[Long]("h") == 3L)
+    assert(math.abs(row.getAs[Double]("q_stat") - q) < 1e-9)
+    // the planted period-3 series is emphatically not white noise
+    assert(row.getAs[Int]("reject_white_noise") == 1)
+  }
 }
