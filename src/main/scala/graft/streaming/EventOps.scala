@@ -36,6 +36,11 @@ final case class TypeQueueState(recent: Seq[String])
   * closed-form identity needs. O(1) per key on an unbounded stream. */
 final case class CusumState(cum: Long, runmin: Long)
 
+/** First ≤3 event types per user for the streaming path builder;
+  * `done` latches after the 3-path emits so late events are ignored.
+  * Hard-bounded 3-element state per key. */
+final case class PathState(types: Seq[String], done: Boolean)
+
 /** Running TWAP accumulators per user: last event's (epoch-micros,
   * milli-value) plus the exact numerator/denominator sums so far.
   * O(1) per key on an unbounded stream. */
@@ -437,6 +442,46 @@ object EventOps {
       .select(concat_ws(">", col("s1"), col("s2"), col("s3")).as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path"))
+  }
+
+  /** Streaming twin of [[userPaths]] for COMPLETED paths
+    * (`flatMapGroupsWithState`): accumulates each user's first three
+    * event types in a hard-bounded 3-element state and emits the
+    * joined "a>b>c" path once, when the third event arrives (then
+    * latches done). Only users reaching three events ever emit, so
+    * the spec compares the streamed path census against the batch
+    * key's 3-step subset. Per-trigger arrivals sort by (ts, event_id)
+    * in memory — one user's single-trigger slice, not the stream.
+    */
+  def streamingUserPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    eventStream(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type").cast("string").as("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PathState, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, events, state) =>
+          val sorted = events.toArray.sortBy(e => (e._3, e._2))
+          var st = state.getOption.getOrElse(PathState(Seq.empty, done = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+          sorted.foreach { case (_, _, _, typ) =>
+            if (!st.done) {
+              val types = st.types :+ typ
+              if (types.size == 3) {
+                out += ((user, types.mkString(">")))
+                st = PathState(types, done = true)
+              } else st = PathState(types, done = false)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("user_id", "path")
   }
 
   /** Longest consecutive-active-day streak per user — the classic

@@ -373,6 +373,29 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.values.exists(_._2 == 1), "fixture drifts above the alarm threshold somewhere")
   }
 
+  test("streaming user paths: completed 3-paths census == batch 3-step subset, one emit per user") {
+    val q = EventOps.streamingUserPaths(spark, sfDir).writeStream
+      .format("memory")
+      .queryName("graft_paths_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.table("graft_paths_test").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(emitted.map(_._1).distinct.length == emitted.length,
+      "at most one completed path per user")
+    val streamedCensus = emitted.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val batch = graft.streaming.EventOps.userPaths(
+      graft.engine.Tables.load(spark, sfDir, "events"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._1.count(_ == '>') == 2)
+      .toMap
+    assert(streamedCensus == batch,
+      "streamed completed-path counts equal the batch 3-step census")
+    assert(streamedCensus.nonEmpty)
+  }
+
   test("streaming gaps == batch lag-window gaps exactly (one-long state)") {
     val q = EventOps.streamingGaps(spark, sfDir).writeStream
       .format("memory")
