@@ -543,6 +543,35 @@ object HashImpls {
 
   /** 2-D Morton (Z-order) code: x on even bits, y on odd bits. */
   def zorder(x: Long, y: Long): Long = spread31(x) | (spread31(y) << 1)
+
+  /** 2-D Hilbert index at order 10 (1024x1024 grid): the standard
+    * xy2d quadrant-rotation walk (Hilbert 1891; loop form per
+    * Warren's Hacker's Delight / the public d2xy reference). Unlike
+    * Morton codes, CONSECUTIVE Hilbert indexes are always
+    * Manhattan-adjacent cells, so a Hilbert-sorted file layout has no
+    * long diagonal jumps and per-file min/max stats stay even
+    * narrower on both dimensions. Inputs mask to the low 10 bits.
+    */
+  def hilbert(xIn: Long, yIn: Long): Long = {
+    var x = xIn & 1023L
+    var y = yIn & 1023L
+    var d = 0L
+    var s = 512L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }
 
 private object ArrayOfString {
@@ -937,6 +966,39 @@ case class ZOrderExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_hilbert(x, y) -> bigint`: order-10 2-D Hilbert index — the
+  * space-filling-curve layout with strictly unit-step locality
+  * (consecutive codes are always Manhattan-adjacent cells, where
+  * Morton codes jump diagonally at quadrant seams). The data-skipping
+  * upgrade over [[ZOrderExpr]] for range-heavy predicates; inputs are
+  * bucket ids in [0, 1024) (higher bits masked).
+  */
+case class HilbertExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case IntegerType | LongType => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two int|bigint args")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hilbert"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.hilbert(a.asInstanceOf[Number].longValue(),
+      b.asInstanceOf[Number].longValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashImpls.hilbert((long)$a, (long)$b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_luhn(string) -> boolean`: Luhn checksum validation of a
   * candidate card number (space/dash separators tolerated, 13–19
   * digits) — the verification step that separates real card numbers
@@ -1086,6 +1148,11 @@ object HashExprs {
       exprs => exprs match {
         case Seq(a, b) => ZOrderExpr(a, b)
         case _ => throw new IllegalArgumentException("graft_zorder(x, y)")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_hilbert",
+      exprs => exprs match {
+        case Seq(a, b) => HilbertExpr(a, b)
+        case _ => throw new IllegalArgumentException("graft_hilbert(x, y)")
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_downsample",
       exprs => exprs match {

@@ -166,6 +166,22 @@ object ScaleOps {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** [[writeZOrdered]] with the order-10 Hilbert index as the layout
+    * key: strictly unit-step locality (no Morton seam jumps), so file
+    * ranges are contiguous square-ish tiles and min/max stats narrow
+    * further on both columns. Inputs are bucket ids in [0, 1024).
+    */
+  def writeHilbertOrdered(df: DataFrame, path: String, c1: Column,
+      c2: Column, nFiles: Int): Unit = {
+    graft.functions.HashExprs.register(df.sparkSession)
+    df.withColumn("__hx", c1).withColumn("__hy", c2)
+      .withColumn("__h", expr("graft_hilbert(__hx, __hy)"))
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h", "__hx", "__hy")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Data-skipping manifest — the min/max granule statistics every
     * lakehouse table format (parquet footers, Delta/Iceberg manifests)
     * prunes with. Granule = calendar month of `l_shipdate` (the
@@ -472,6 +488,58 @@ object ScaleOps {
     mergeAggregates(base, delta, "user_id").orderBy("user_id")
   }
 
+  /** Hilbert twin of [[zorderQuery]]: the same (custkey bucket,
+    * order-day bucket) inputs through the order-10 Hilbert index —
+    * strictly unit-step locality where the Morton code jumps at
+    * quadrant seams, so a Hilbert-sorted layout keeps per-file min/max
+    * even narrower. Oracle: the xy2d quadrant-rotation walk unrolled
+    * into ten generated CTE levels of pure integer CASE arithmetic.
+    */
+  def hilbertQuery(s: SparkSession, dir: String): DataFrame = {
+    val spark = graft.engine.GraftSession.tuned(s)
+    graft.engine.Tables.load(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        (col("o_custkey") % 1024).as("x"),
+        (datediff(col("o_orderdate"),
+          lit("1992-01-01").cast(org.apache.spark.sql.types.DateType))
+          .cast("long") % 1024).as("y"))
+      .withColumn("hval", expr("graft_hilbert(x, y)"))
+      .orderBy("o_orderkey")
+  }
+
+  /** DuckDB mirror of [[graft.functions.HashImpls.hilbert]]: one CTE
+    * per bit level s = 512..1 carrying (x, y, d) through the standard
+    * flip-and-swap rotation. Generated, so the ten levels cannot drift
+    * from each other.
+    */
+  private[operators] def hilbertOracleSql: String = {
+    val base =
+      """WITH h512 AS (
+        |  SELECT o_orderkey,
+        |         CAST(o_custkey % 1024 AS BIGINT) AS x,
+        |         CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS y,
+        |         CAST(0 AS BIGINT) AS d
+        |  FROM orders)""".stripMargin
+    val levels = (9 to 0 by -1).map { i =>
+      val s = 1L << i
+      val prev = if (i == 9) "h512" else s"lvl${1L << (i + 1)}"
+      val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""lvl$s AS (
+         |  SELECT o_orderkey,
+         |         CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - y ELSE y END) ELSE x END AS x,
+         |         CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - x ELSE x END) ELSE y END AS y,
+         |         d + ${s * s} * xor(3 * $rx, $ry) AS d
+         |  FROM $prev)""".stripMargin
+    }
+    (base +: levels).mkString(",\n") +
+      "\nSELECT o_orderkey, CAST(o_custkey % 1024 AS BIGINT) AS x,\n" +
+      "       CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS y,\n" +
+      "       lvl1.d AS hval\n" +
+      "FROM orders JOIN lvl1 USING (o_orderkey)\nORDER BY o_orderkey"
+  }
+
   /** Equi-join output-cardinality estimation from two count-min
     * sketches (Cormode & Muthukrishnan 2005 §4.2): |A ⋈ B| = Σₖ aₖ·bₖ
     * is estimated by the minimum over the d hash rows of the sketch
@@ -514,6 +582,10 @@ object ScaleOps {
   }
 
   val queries: Seq[graft.GraftQuery] = Seq(
+    graft.GraftQuery("q_hilbert",
+      "order-10 Hilbert index vs a ten-level unrolled quadrant-rotation oracle (unit-step locality layout)",
+      hilbertQuery,
+      Some(hilbertOracleSql)),
     graft.GraftQuery("q_join_size_est",
       "join-cardinality estimation from two count-min sketches (inner-product upper bound vs exact)",
       (s, dir) => joinSizeEstimate(s, dir),

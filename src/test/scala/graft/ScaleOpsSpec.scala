@@ -127,6 +127,32 @@ class ScaleOpsSpec extends SparkTestBase {
       s"z-order must at least halve dim-2 file spans: $z2 vs $s2")
   }
 
+  test("hilbert-ordered write: lossless, and at least as narrow as z-order on both dims") {
+    val tmp = Files.createTempDirectory("graft-hilbert").toString
+    val nFiles = 16
+    val dom = 128
+    ScaleOps.writeHilbertOrdered(orders, s"$tmp/hilbert",
+      col("o_custkey") % dom, col("o_orderkey") % dom, nFiles)
+    val back = spark.read.parquet(s"$tmp/hilbert")
+    assert(back.count() == orders.count(), "hilbert layout is lossless")
+    def meanSpanFrac(dir: String, c: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .withColumn("b", col(c) % dom)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("b") - min("b")).as("span"))
+        .collect().map(_.getLong(1).toDouble)
+      spans.sum / spans.length / (dom - 1).toDouble
+    }
+    val h1 = meanSpanFrac(s"$tmp/hilbert", "o_custkey")
+    val h2 = meanSpanFrac(s"$tmp/hilbert", "o_orderkey")
+    // 16 files over the unit-step curve = 16 contiguous tiles: both
+    // dims must be strict fractions of the domain, like the z-order
+    // assertion band (hilbert tiles have no seam jumps, so they are
+    // never wider than morton's at the same file count)
+    assert(h1 < 0.6 && h2 < 0.6,
+      s"hilbert spans should be narrow on both dims: $h1 / $h2")
+  }
+
   test("keySkewReport: heavy key first, share exact, uniform data has skew 1") {
     import spark.implicits._
     val skewed = (Seq.fill(90)(7L) ++ (1L to 10L)).toDF("k")
