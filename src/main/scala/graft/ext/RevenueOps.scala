@@ -269,6 +269,47 @@ object RevenueOps {
       .orderBy("event_type")
   }
 
+  // ---- categorical association (Cramér's V) ---------------------------
+
+  /** Association between two categorical columns — here customer
+    * nation × market segment — as the χ² statistic over the bounded
+    * contingency table plus Cramér's V = sqrt(χ²/(n·(min(r,c)−1))).
+    * All counts exact; E = row·col/n enters as one IEEE division per
+    * cell and the χ² terms sum through an ordered fold over the
+    * bounded cell list (the [[graft.ext.TimeSeries.ljungBox]]
+    * pattern); the summed χ² additionally rounds through
+    * DECIMAL(18,8) on both engines because DuckDB's windowed double
+    * sum is not a strict left fold at contingency-table sizes (the
+    * same bridge the percentile cuts use).
+    */
+  def cramersV(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "customer")
+      .groupBy(col("c_nationkey").as("r"), col("c_mktsegment").as("cc"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("r").agg(sum("o").as("rtot"))
+    val cols = cells.groupBy("cc").agg(sum("o").as("ctot"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("r")).as("nr"), countDistinct(col("cc")).as("nc"))
+    val term = {
+      val e = col("rtot").cast("double") * col("ctot").cast("double") /
+        col("n").cast("double")
+      (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+    }
+    cells.join(rows, "r").join(cols, "cc").crossJoin(broadcast(tot))
+      .select(col("r"), col("cc"), col("n"), col("nr"), col("nc"),
+        term.as("term"))
+      .agg(first(col("n")).as("n"), first(col("nr")).as("n_rows"),
+        first(col("nc")).as("n_cols"),
+        aggregate(
+          sort_array(collect_list(struct(col("r"), col("cc"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term"))
+          .cast(DecimalType(18, 8)).cast("double").as("chi2"))
+      .select(col("n"), col("n_rows"), col("n_cols"), col("chi2"),
+        sqrt(col("chi2") / (col("n").cast("double") *
+          (least(col("n_rows"), col("n_cols")) - lit(1L)).cast("double")))
+          .as("cramers_v"))
+  }
+
   // ---- registered queries ---------------------------------------------
 
   val queries: Seq[GraftQuery] = Seq(
@@ -379,6 +420,30 @@ object RevenueOps {
           |SELECT gap_days, count(*) AS n_pairs,
           |       CAST(count(*) AS DOUBLE) / CAST(any_value(total) AS DOUBLE) AS share
           |FROM gg, tot GROUP BY gap_days ORDER BY gap_days""".stripMargin)),
+    GraftQuery("q_cramers_v",
+      "chi-square + Cramer's V association of nation x segment (bounded contingency, ordered term fold)",
+      cramersV,
+      Some(
+        """WITH cells AS (
+          |  SELECT c_nationkey AS r, c_mktsegment AS cc, count(*) AS o
+          |  FROM customer GROUP BY 1, 2),
+          |rws AS (SELECT r, CAST(sum(o) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+          |cls AS (SELECT cc, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+          |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+          |               count(DISTINCT r) AS nr, count(DISTINCT cc) AS nc FROM cells),
+          |terms AS (
+          |  SELECT r, cc, n, nr, nc,
+          |    (CAST(o AS DOUBLE) - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE)) *
+          |    (CAST(o AS DOUBLE) - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE)) /
+          |    (CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+          |  FROM cells JOIN rws USING (r) JOIN cls USING (cc), tot),
+          |c AS (SELECT n, nr, nc,
+          |        CAST(CAST(sum(term) OVER (ORDER BY r, cc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,8)) AS DOUBLE) AS chi2,
+          |        row_number() OVER (ORDER BY r DESC, cc DESC) AS rn
+          |      FROM terms)
+          |SELECT n, CAST(nr AS BIGINT) AS n_rows, CAST(nc AS BIGINT) AS n_cols, chi2,
+          |       sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE))) AS cramers_v
+          |FROM c WHERE rn = 1 ORDER BY n""".stripMargin)),
     GraftQuery("q_decile_report",
       "Lorenz-style spend-decile concentration: customers bucketed by nine exact decile cuts, revenue shares",
       decileReport,

@@ -136,4 +136,22 @@ class RevenueOpsSpec extends SparkTestBase {
     assert(jan24.getAs[Double]("yoy_growth") == 0.5)
     assert(r.count(x => x.isNullAt(x.fieldIndex("prev_year_cents"))) == 2)
   }
+
+  test("cramers v: chi2 matches a JVM mirror; V in [0,1]") {
+    val row = RevenueOps.cramersV(spark, sfDir).head()
+    val cells = graft.engine.Tables.load(spark, sfDir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = cells.values.sum.toDouble
+    val rtot = cells.groupBy(_._1._1).view.mapValues(_.values.sum.toDouble).toMap
+    val ctot = cells.groupBy(_._1._2).view.mapValues(_.values.sum.toDouble).toMap
+    val chi2 = cells.toSeq.sortBy(_._1).map { case ((r, c), o) =>
+      val e = rtot(r) * ctot(c) / n
+      (o - e) * (o - e) / e
+    }.foldLeft(0.0)(_ + _)
+    assert(math.abs(row.getAs[Double]("chi2") - chi2) < 1e-7)
+    val v = row.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+    assert(row.getAs[Long]("n_rows") > 1 && row.getAs[Long]("n_cols") > 1)
+  }
 }
