@@ -141,7 +141,7 @@ class RevenueOpsSpec extends SparkTestBase {
     val row = RevenueOps.cramersV(spark, sfDir).head()
     val cells = graft.engine.Tables.load(spark, sfDir, "customer")
       .groupBy("c_nationkey", "c_mktsegment").count().collect()
-      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1)) -> r.getLong(2)).toMap
     val n = cells.values.sum.toDouble
     val rtot = cells.groupBy(_._1._1).view.mapValues(_.values.sum.toDouble).toMap
     val ctot = cells.groupBy(_._1._2).view.mapValues(_.values.sum.toDouble).toMap
