@@ -978,6 +978,73 @@ object EventOps {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Stationary distribution of the event-type Markov chain
+    * ([[transitionMatrix]]'s long-run complement): power iteration
+    * π' = πP unrolled `iters` times in exact integer micro-units
+    * (per-edge `(p·c) div ctot` — positive truncating division, so
+    * DuckDB's floor `//` matches), then ONE double normalization.
+    * The chain lives on the bounded event-type domain, so every
+    * iteration is a tiny broadcast-scale join; truncation leaks ≤ 1
+    * unit per in-edge per iteration identically on both engines.
+    */
+  def markovStationary(s: SparkSession, dir: String, iters: Int = 6): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val trans = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("c"))
+    val outT = trans.groupBy("src").agg(sum("c").as("ctot"))
+    val e = trans.join(broadcast(outT), "src")
+    val states = e.select(col("src").as("state"))
+      .union(e.select(col("dst"))).distinct()
+    var p = states.withColumn("p", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val nxt = e.join(p.withColumnRenamed("state", "src"), "src")
+        .select(col("dst").as("state"), expr("(p * c) div ctot").as("m"))
+        .groupBy("state").agg(sum(col("m")).as("m"))
+      p = states.join(nxt, Seq("state"), "left")
+        .select(col("state"), coalesce(col("m"), lit(0L)).as("p"))
+    }
+    val totp = p.agg(sum("p").as("tp"))
+    p.crossJoin(broadcast(totp))
+      .select(col("state"), col("p").as("pi_units"),
+        (col("p").cast("double") / col("tp").cast("double")).as("pi"))
+      .orderBy("state")
+  }
+
+  /** Generated DuckDB mirror of [[markovStationary]]: one CTE per
+    * iteration so the unroll count cannot drift between engines.
+    */
+  private[streaming] def markovOracleSql(iters: Int = 6): String = {
+    val base =
+      """WITH tr AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |e AS (SELECT prev_type AS src, event_type AS dst, count(*) AS c
+        |      FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |et AS (SELECT e.src, e.dst, e.c, CAST(t.ctot AS BIGINT) AS ctot
+        |       FROM e JOIN (SELECT src, sum(c) AS ctot FROM e GROUP BY 1) t USING (src)),
+        |st AS (SELECT src AS state FROM et UNION SELECT dst FROM et),
+        |p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS p FROM st)""".stripMargin
+    val iterations = (1 to iters).map { i =>
+      s"""p$i AS (
+         |  SELECT st.state,
+         |         COALESCE(CAST(sum((p${i - 1}.p * et.c) // et.ctot) AS BIGINT), 0) AS p
+         |  FROM st
+         |  LEFT JOIN et ON et.dst = st.state
+         |  LEFT JOIN p${i - 1} ON p${i - 1}.state = et.src
+         |  GROUP BY 1)""".stripMargin
+    }
+    (base +: iterations).mkString(",\n") +
+      s"""\n, tp AS (SELECT CAST(sum(p) AS BIGINT) AS tp FROM p$iters)
+         |SELECT state, p AS pi_units, CAST(p AS DOUBLE) / CAST(tp AS DOUBLE) AS pi
+         |FROM p$iters, tp ORDER BY state""".stripMargin
+  }
+
   /** Session-grain rollup of [[sessionize]]: events → labeled sessions
     * → one row per (user, session) with size and exact-micros duration.
     * The two windows and the final aggregation all hash on user_id, so
@@ -1297,6 +1364,10 @@ object EventOps {
   }
 
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_markov_stationary",
+      "stationary distribution of the event-type Markov chain (6 unrolled exact-integer power iterations)",
+      (s, dir) => markovStationary(s, dir),
+      Some(markovOracleSql())),
     GraftQuery("q_event_gaps",
       "per-event inter-arrival micros since the user's previous event (lag window; O(1)-state streaming twin)",
       (s, dir) => eventGaps(t(s, dir, "events")),

@@ -370,4 +370,39 @@ class AnalyticsOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, 5L, 3L), (2L, 1L, 1L)))
   }
+
+  test("markov stationary: planted 2-state chain converges to the known pi; units conserve-ish") {
+    // chain A->B always, B->A always: period-2, uniform average... use
+    // asymmetric: A->B always; B->A 1/3, B->B 2/3 -> pi = (1/4, 3/4)
+    def ev(id: Long, sec: Int, user: Long, typ: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"), user, typ, 1.0, "")
+    // one user walking the chain long enough that empirical counts ARE the matrix
+    val walk = "A" +: Array.fill(4)(Seq("B", "B", "B", "A")).flatten.toSeq
+    val events = walk.zipWithIndex.map { case (t, i) => ev(i + 1L, i, 1L, t) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("markov").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.streaming.EventOps.markovStationary(spark, dir, iters = 20).collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("pi")).toMap
+    // transition counts of the walk: A->B 4(wait recompute below), B->B/A per walk
+    // whatever the exact counts, pi must be a fixed point: compare against
+    // a JVM power iteration on the SAME empirical matrix
+    val pairs = walk.sliding(2).toSeq.map(p => (p(0), p(1)))
+    val states = walk.distinct.sorted
+    val c = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctot = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var p0 = states.map(_ -> 1000000L).toMap
+    (1 to 20).foreach { _ =>
+      p0 = states.map { s2 =>
+        s2 -> states.map { s1 =>
+          val cc = c.getOrElse((s1, s2), 0L)
+          if (cc == 0) 0L else (p0(s1) * cc) / ctot(s1)
+        }.sum
+      }.toMap
+    }
+    val tp = p0.values.sum.toDouble
+    states.foreach { st =>
+      assert(r(st) == p0(st) / tp, s"state $st: ${r(st)} vs ${p0(st) / tp}")
+    }
+  }
 }
