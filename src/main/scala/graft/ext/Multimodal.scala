@@ -285,7 +285,49 @@ object Multimodal {
       "asset_id", "simhash32", totalBits = 32, maxHamming = 3,
       maxBucket = Int.MaxValue)
 
+  /** Content-addressable storage dedup report: assets grouped by the
+    * md5 digest of their binary payload, rolled into the one-row
+    * savings summary a blob store publishes (copies beyond the first
+    * are storable as references). Digest grouping shuffles 16-byte
+    * keys once with map-side combine; the digest itself never leaves
+    * the aggregate.
+    */
+  def payloadDedupStats(docs: DataFrame): DataFrame =
+    assets(docs)
+      .select(md5(col("payload")).as("digest"),
+        col("meta.n_bytes").cast("long").as("nb"))
+      .groupBy("digest")
+      .agg(count(lit(1)).as("copies"), max(col("nb")).as("nb"))
+      .agg(sum(col("copies")).as("n_assets"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("copies") - 1).as("n_dup_copies"),
+        sum(col("copies") * col("nb")).as("bytes_total"),
+        sum(col("nb")).as("bytes_unique"))
+      .select(col("n_assets"), col("n_distinct"), col("n_dup_copies"),
+        col("bytes_total"), col("bytes_unique"),
+        (col("bytes_total") - col("bytes_unique")).as("bytes_saved"),
+        (col("bytes_unique").cast("double") / col("bytes_total").cast("double"))
+          .as("unique_fraction"))
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_payload_dedup",
+      "content-addressable dedup report: md5 payload digests, copy counts, exact bytes-saved accounting",
+      (s, dir) => payloadDedupStats(t(s, dir, "documents")),
+      Some(
+        """WITH a AS (
+          |  SELECT md5(coalesce(text, '')) AS digest,
+          |         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS nb
+          |  FROM documents),
+          |g AS (SELECT digest, count(*) AS copies, max(nb) AS nb FROM a GROUP BY 1),
+          |r AS (SELECT CAST(sum(copies) AS BIGINT) AS n_assets, count(*) AS n_distinct,
+          |        CAST(sum(copies - 1) AS BIGINT) AS n_dup_copies,
+          |        CAST(sum(copies * nb) AS BIGINT) AS bytes_total,
+          |        CAST(sum(nb) AS BIGINT) AS bytes_unique
+          |      FROM g)
+          |SELECT n_assets, n_distinct, n_dup_copies, bytes_total, bytes_unique,
+          |       bytes_total - bytes_unique AS bytes_saved,
+          |       CAST(bytes_unique AS DOUBLE) / CAST(bytes_total AS DOUBLE) AS unique_fraction
+          |FROM r ORDER BY n_assets""".stripMargin)),
     GraftQuery("q_phash_neardup",
       "multimodal perceptual-hash near-dup pairs (byte-shingle SimHash, chunk-blocked; XXH64 -> rows-only; blocking proven by q_phash_md5_twin)",
       phashPairs, None),

@@ -147,4 +147,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(expect.exists(_._4 > 0), "crafted text must exercise sign crossings")
     assert(!got.exists(_._1 == 8L), "sub-window asset must drop entirely")
   }
+
+  test("payload dedup: planted byte-identical assets counted, savings exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same bytes", "en", "web", 10L),
+      (2L, "same bytes", "en", "web", 10L),
+      (3L, "same bytes", "en", "web", 10L),
+      (4L, "unique one", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.ext.Multimodal.payloadDedupStats(docs).head()
+    assert(r.getAs[Long]("n_assets") == 4L)
+    assert(r.getAs[Long]("n_distinct") == 2L)
+    assert(r.getAs[Long]("n_dup_copies") == 2L)
+    assert(r.getAs[Long]("bytes_total") == 40L)
+    assert(r.getAs[Long]("bytes_unique") == 20L)
+    assert(r.getAs[Long]("bytes_saved") == 20L)
+    assert(r.getAs[Double]("unique_fraction") == 0.5)
+  }
 }
