@@ -242,6 +242,35 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Seasonality-aware daily anomaly flags: [[stlDecompose]]'s
+    * residuals scored as z-values against the residual distribution —
+    * the "unusual FOR a Monday" detector a raw daily z-score cannot
+    * express. Residual doubles (already bit-identical cross-engine)
+    * quantize to milli-cents, so the moments are exact integer sums
+    * (squares through DECIMAL(38,0)/HUGEINT) and z is one shared IEEE
+    * formula; flags fire at |z| > 3.
+    */
+  def seasonalAnomalies(orders: DataFrame): DataFrame = {
+    // residuals are in CENTS (daily-revenue scale), so milli-cent
+    // quantization is already far below any decision boundary; the
+    // squared sums still go through DECIMAL(38,0)/HUGEINT because a
+    // big day's residual alone squares past 2^63
+    val res = stlDecompose(orders)
+      .withColumn("ru", floor(col("residual") * 1000 + 0.5).cast("long"))
+    val m = res.agg(count(lit(1)).as("n"),
+      sum("ru").as("s1"),
+      sum(col("ru").cast(dec38) * col("ru").cast(dec38)).as("s2"))
+    val mean = col("s1").cast("double") / col("n").cast("double")
+    val varp = col("s2").cast("double") / col("n").cast("double") - mean * mean
+    res.crossJoin(broadcast(m))
+      .select(col("day"), col("daily_cents"), col("residual"),
+        when(varp <= 0.0, 0.0)
+          .otherwise((col("ru").cast("double") - mean) / sqrt(varp)).as("z"))
+      .select(col("day"), col("daily_cents"), col("residual"), col("z"),
+        (abs(col("z")) > 3.0).cast("int").as("is_anomaly"))
+      .orderBy("day")
+  }
+
   // ---- Kaplan-Meier survival ------------------------------------------
 
   /** Kaplan-Meier time-to-conversion with right censoring (Kaplan &
@@ -301,6 +330,30 @@ object TimeSeries {
     """SELECT CAST(o_orderdate AS DATE) AS day,
       |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
       |  FROM orders GROUP BY 1""".stripMargin
+
+  /** Shared oracle core for the STL family (no ORDER BY so wrappers
+    * can reuse it as a subquery).
+    */
+  private lazy val stlOracleCore: String =
+    s"""WITH daily AS ($dailySql),
+           |d AS (SELECT day, cents,
+           |        CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS day_num
+           |      FROM daily),
+           |t AS (SELECT day, cents, day_num,
+           |        CAST(count(*) OVER (ORDER BY day_num RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n7,
+           |        CAST(sum(cents) OVER (ORDER BY day_num RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS sum7
+           |      FROM d),
+           |e AS (SELECT day, cents, n7, sum7,
+           |        (n7 * cents - sum7) * (420 // n7) AS du,
+           |        CAST(dayofweek(day) AS BIGINT) AS dow
+           |      FROM t),
+           |s AS (SELECT dow, CAST(sum(du) AS DOUBLE) / CAST(count(*) * 420 AS DOUBLE) AS seasonal
+           |      FROM e GROUP BY dow)
+           |SELECT day, cents AS daily_cents,
+           |       CAST(sum7 AS DOUBLE) / CAST(n7 AS DOUBLE) AS trend,
+           |       seasonal,
+           |       CAST(du AS DOUBLE) / 420.0 - seasonal AS residual
+           |FROM e JOIN s USING (dow)""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_seasonality",
@@ -393,26 +446,30 @@ object TimeSeries {
     GraftQuery("q_stl_decompose",
       "classical additive trend/seasonal/residual decomposition of daily revenue (lcm-scaled exact integers)",
       (s, dir) => stlDecompose(t(s, dir, "orders")),
+      Some(stlOracleCore + " ORDER BY day")),
+    GraftQuery("q_seasonal_anomalies",
+      "seasonality-aware daily anomaly flags: STL residual z-scores from exact micro-unit moments, |z| > 3",
+      (s, dir) => seasonalAnomalies(t(s, dir, "orders")),
       Some(
-        s"""WITH daily AS ($dailySql),
-           |d AS (SELECT day, cents,
-           |        CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS day_num
-           |      FROM daily),
-           |t AS (SELECT day, cents, day_num,
-           |        CAST(count(*) OVER (ORDER BY day_num RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n7,
-           |        CAST(sum(cents) OVER (ORDER BY day_num RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS sum7
-           |      FROM d),
-           |e AS (SELECT day, cents, n7, sum7,
-           |        (n7 * cents - sum7) * (420 // n7) AS du,
-           |        CAST(dayofweek(day) AS BIGINT) AS dow
-           |      FROM t),
-           |s AS (SELECT dow, CAST(sum(du) AS DOUBLE) / CAST(count(*) * 420 AS DOUBLE) AS seasonal
-           |      FROM e GROUP BY dow)
-           |SELECT day, cents AS daily_cents,
-           |       CAST(sum7 AS DOUBLE) / CAST(n7 AS DOUBLE) AS trend,
-           |       seasonal,
-           |       CAST(du AS DOUBLE) / 420.0 - seasonal AS residual
-           |FROM e JOIN s USING (dow) ORDER BY day""".stripMargin)),
+        s"""WITH stl AS (SELECT * FROM ($stlOracleCore)),
+           |q AS (SELECT day, daily_cents, residual,
+           |        CAST(floor(residual * 1000 + 0.5) AS BIGINT) AS ru
+           |      FROM stl),
+           |m AS (SELECT count(*) AS n, CAST(sum(ru) AS BIGINT) AS s1,
+           |             sum(CAST(ru AS HUGEINT) * CAST(ru AS HUGEINT)) AS s2 FROM q),
+           |zz AS (
+           |  SELECT day, daily_cents, residual,
+           |         CASE WHEN (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+           |                    (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+           |                    (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) <= 0.0 THEN 0.0
+           |              ELSE (CAST(ru AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+           |                   sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+           |                        (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+           |                        (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) END AS z
+           |  FROM q, m)
+           |SELECT day, daily_cents, residual, z,
+           |       CAST(abs(z) > 3.0 AS INT) AS is_anomaly
+           |FROM zz ORDER BY day""".stripMargin)),
     GraftQuery("q_survival_km",
       "Kaplan-Meier time-to-first-purchase with right censoring (life table over the bounded duration-day domain)",
       (s, dir) => survivalKm(t(s, dir, "events")),

@@ -149,4 +149,18 @@ class TimeSeriesSpec extends SparkTestBase {
     // the planted period-3 series is emphatically not white noise
     assert(row.getAs[Int]("reject_white_noise") == 1)
   }
+
+  test("seasonal anomalies: planted weekday-pattern spike flags only the broken day") {
+    // perfect weekly pattern for 5 weeks, then one day at 10x
+    val d0 = java.time.LocalDate.parse("2024-01-01")
+    val days = (1 to 35).map { d =>
+      val base = 1.00 + (d % 7) * 0.50
+      (d0.plusDays(d - 1).toString, if (d == 31) base * 10 else base)
+    }
+    val r = TimeSeries.seasonalAnomalies(ordersOf(days)).collect()
+    val flagged = r.filter(_.getAs[Int]("is_anomaly") == 1)
+      .map(_.getAs[java.sql.Date]("day").toString).toSeq
+    assert(flagged.contains("2024-01-31"), s"spike day must flag: $flagged")
+    assert(flagged.size <= 3, s"pattern days must mostly stay quiet: $flagged")
+  }
 }
