@@ -1246,6 +1246,38 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Conversion-latency report over [[funnelUserTimes]]'s step
+    * instants: per funnel transition (view→click, click→purchase,
+    * view→purchase), the completing-user count, exact mean micros,
+    * and p50/p90 through the percentile→DECIMAL(18,6) cross-engine
+    * bridge. One user-grain pass, then three tiny aggregates stacked
+    * by UNION — the latency panel next to the funnel's reach counts.
+    */
+  def conversionLatency(s: SparkSession, dir: String): DataFrame = {
+    val ut = funnelUserTimes(s, dir)
+    def stage(name: String, from: Column, to: Column) = {
+      val d = ut.where(from >= 0L && to >= 0L)
+        .select((to - from).as("d_us"))
+      d.agg(count(lit(1)).as("n_users"),
+        (sum("d_us").cast("double") / count(lit(1)).cast("double"))
+          .as("mean_us"),
+        // DECIMAL(18,1), not the usual (18,6): micros magnitudes put
+        // six decimals past double precision, while the interpolation
+        // fractions are exact tenths — one decimal absorbs the ulp
+        // noise without ever straddling a real value
+        expr("percentile(d_us, 0.5)").cast(DecimalType(18, 1))
+          .cast("double").as("p50_us"),
+        expr("percentile(d_us, 0.9)").cast(DecimalType(18, 1))
+          .cast("double").as("p90_us"))
+        .select(lit(name).as("step"), col("n_users"), col("mean_us"),
+          col("p50_us"), col("p90_us"))
+    }
+    stage("view_to_click", col("t1_us"), col("t2_us"))
+      .unionAll(stage("click_to_purchase", col("t2_us"), col("t3_us")))
+      .unionAll(stage("view_to_purchase", col("t1_us"), col("t3_us")))
+      .orderBy("step")
+  }
+
   /** Streaming funnel state machine (`flatMapGroupsWithState`): the
     * streaming twin of [[funnel]]/[[funnelUserTimes]] — per-user
     * earliest strictly-ordered view→click→purchase completion with
@@ -1364,6 +1396,33 @@ object EventOps {
   }
 
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_conversion_latency",
+      "funnel conversion-latency panel: per step-pair completing users, exact mean micros, bridged p50/p90",
+      conversionLatency,
+      Some(
+        """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+          |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+          |s2 AS (SELECT ev.user_id, min(ts_us) AS t2 FROM ev JOIN s1 USING (user_id)
+          |       WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+          |s3 AS (SELECT ev.user_id, min(ts_us) AS t3 FROM ev JOIN s2 USING (user_id)
+          |       WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1),
+          |a AS (SELECT 'view_to_click' AS step, count(*) AS n_users,
+          |        CAST(sum(t2 - t1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_us,
+          |        CAST(CAST(quantile_cont(t2 - t1, 0.5) AS DECIMAL(18,1)) AS DOUBLE) AS p50_us,
+          |        CAST(CAST(quantile_cont(t2 - t1, 0.9) AS DECIMAL(18,1)) AS DOUBLE) AS p90_us
+          |      FROM s1 JOIN s2 USING (user_id)),
+          |b AS (SELECT 'click_to_purchase' AS step, count(*) AS n_users,
+          |        CAST(sum(t3 - t2) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_us,
+          |        CAST(CAST(quantile_cont(t3 - t2, 0.5) AS DECIMAL(18,1)) AS DOUBLE) AS p50_us,
+          |        CAST(CAST(quantile_cont(t3 - t2, 0.9) AS DECIMAL(18,1)) AS DOUBLE) AS p90_us
+          |      FROM s2 JOIN s3 USING (user_id)),
+          |c AS (SELECT 'view_to_purchase' AS step, count(*) AS n_users,
+          |        CAST(sum(t3 - t1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_us,
+          |        CAST(CAST(quantile_cont(t3 - t1, 0.5) AS DECIMAL(18,1)) AS DOUBLE) AS p50_us,
+          |        CAST(CAST(quantile_cont(t3 - t1, 0.9) AS DECIMAL(18,1)) AS DOUBLE) AS p90_us
+          |      FROM s1 JOIN s3 USING (user_id))
+          |SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+          |ORDER BY step""".stripMargin)),
     GraftQuery("q_markov_stationary",
       "stationary distribution of the event-type Markov chain (6 unrolled exact-integer power iterations)",
       (s, dir) => markovStationary(s, dir),

@@ -640,4 +640,20 @@ class StreamingSpec extends SparkTestBase {
       assert(math.abs(p - 1.0) < 1e-9, s"$src rows sum to $p")
     }
   }
+
+  test("conversion latency: counts match funnel reach, percentiles ordered, means positive") {
+    val r = graft.streaming.EventOps.conversionLatency(spark, sfDir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getAs[Double]("mean_us"),
+        x.getAs[Double]("p50_us"), x.getAs[Double]("p90_us")))).toMap
+    assert(r.keySet == Set("view_to_click", "click_to_purchase", "view_to_purchase"))
+    val ut = graft.streaming.EventOps.funnelUserTimes(spark, sfDir).collect()
+    val n2 = ut.count(_.getAs[Long]("t2_us") >= 0L)
+    val n3 = ut.count(_.getAs[Long]("t3_us") >= 0L)
+    assert(r("view_to_click")._1 == n2.toLong)
+    assert(r("click_to_purchase")._1 == n3.toLong)
+    assert(r("view_to_purchase")._1 == n3.toLong)
+    r.values.foreach { case (n, mean, p50, p90) =>
+      assert(n > 0 && mean > 0.0 && p50 <= p90)
+    }
+  }
 }
