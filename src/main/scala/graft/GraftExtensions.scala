@@ -106,5 +106,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(b, k) => DownsampleExpr(b, intLit(k, "k"))
         case _ => throw new IllegalArgumentException("graft_downsample(binary, k)")
       }))
+    ext.injectFunction((FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler", "graft_jaro_winkler(s1, s2) - Jaro-Winkler similarity in [0,1]"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => JaroWinklerExpr(a, b)
+        case _ => throw new IllegalArgumentException("graft_jaro_winkler(s1, s2)")
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_phash64"),
+      info("graft_phash64", "graft_phash64(binary) - 64-bit perceptual hash over byte 4-gram shingles"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(b) => Phash64Expr(b)
+        case _ => throw new IllegalArgumentException("graft_phash64(binary)")
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_pq_encode"),
+      info("graft_pq_encode", "graft_pq_encode(vec, codebooks) - packed product-quantization codes"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(v, cb) => PqEncodeExpr(v, cb)
+        case _ => throw new IllegalArgumentException("graft_pq_encode(vec, codebooks)")
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_hilbert"),
+      info("graft_hilbert", "graft_hilbert(x, y) - order-10 2-D Hilbert curve index"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(x, y) => HilbertExpr(x, y)
+        case _ => throw new IllegalArgumentException("graft_hilbert(x, y)")
+      }))
   }
 }

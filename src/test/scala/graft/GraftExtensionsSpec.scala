@@ -61,6 +61,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .select(expr("graft_zorder(x, y)")).head().getLong(0)
       assert(z == 27L)
 
+      // STRUCTURAL parity: every graft_* function the engine registers
+      // per-session must also be injected by the extension, so a
+      // library user via spark.sql.extensions never gets a subset.
+      // (Checked BEFORE HashExprs.register(s) below, which would mask
+      // missing injections with temp functions.) The shared test
+      // session carries the per-session registrations to compare with.
+      val engineFns = SparkTestBase.spark.sessionState.functionRegistry
+        .listFunction().map(_.funcName).filter(_.startsWith("graft_")).toSet
+      val injectedFns = s.sessionState.functionRegistry
+        .listFunction().map(_.funcName).filter(_.startsWith("graft_")).toSet
+      assert(engineFns.subsetOf(injectedFns),
+        s"extension is missing: ${engineFns -- injectedFns}")
+
       // same expression trees as the temp-function path => same values
       val viaRegistry = {
         graft.functions.HashExprs.register(s)
