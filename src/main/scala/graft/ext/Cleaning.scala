@@ -467,6 +467,49 @@ object Cleaning {
           .as("mean_bits"))
   }
 
+  /** Held-out LM evaluation — the train/test discipline the self-fit
+    * scores above deliberately skip: an add-1-smoothed unigram LM fits
+    * on the hash-held-IN 90% (doc_id % 10 ≠ 7) and scores the held-OUT
+    * 10%, so unseen-token mass is real (OOV tokens take the maximal
+    * add-1 surprisal) rather than impossible. Per held-out position,
+    * p(w) = (c(w)+1)/(T+V+1) bit-quantizes to
+    * floor(log2(T+V+1)) − floor(log2(c+1)) — exact BIGINT sums, the
+    * family's cross-engine-safe form (c = 0 for OOV makes the
+    * subtrahend exactly 0).
+    *
+    * 100 TB design: one vocabulary aggregate over the train split, a
+    * high-cardinality token join for scoring (AQE sizes broadcast vs
+    * SMJ), 1-row model constants broadcast; the split predicate is a
+    * row-local hash test, no materialized split tables.
+    */
+  def heldoutSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(TextOps.normalizeText(col("text")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val train = toks.where(col("doc_id") % 10 =!= 7)
+    val counts = train.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val model = counts.agg(
+      floor(log2(sum(col("cnt")) + count(lit(1)) + lit(1L)))
+        .cast("long").as("den_bits"),
+      count(lit(1)).as("vocab"))
+    toks.where(col("doc_id") % 10 === 7)
+      .join(counts, Seq("tok"), "left")
+      .crossJoin(broadcast(model))
+      .select(col("doc_id"),
+        (col("den_bits") -
+          floor(log2(coalesce(col("cnt"), lit(0L)) + lit(1L))).cast("long"))
+          .as("bits"),
+        (col("cnt").isNull).cast("long").as("oov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"),
+        sum("oov").as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_bits"))
+      .orderBy("doc_id")
+  }
+
   /** Order-2 extension of [[unigramSurprisal]]: score each document by
     * its mean CONDITIONAL bigram surprisal against the corpus's own
     * bigram LM — P(w₂|w₁) estimated as c(w₁w₂)/c(w₁·), both counts
@@ -1074,6 +1117,28 @@ object Cleaning {
            |       CAST(CAST(sum(bits) AS BIGINT) AS DOUBLE) /
            |         CAST(count(*) AS DOUBLE) AS mean_bits
            |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_heldout_surprisal",
+      "held-out LM eval: add-1-smoothed unigram model on the 90% split scores the held-out 10% with real OOV mass",
+      (s, dir) => heldoutSurprisal(s, dir),
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($normToksSql) AS tok FROM documents),
+           |tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+           |cnt AS (SELECT tok, count(*) AS cnt FROM tt WHERE doc_id % 10 <> 7 GROUP BY 1),
+           |model AS (
+           |  SELECT CAST(floor(log2(sum(cnt) + count(*) + 1)) AS BIGINT) AS den_bits
+           |  FROM cnt),
+           |sc AS (
+           |  SELECT t.doc_id,
+           |         m.den_bits - CAST(floor(log2(COALESCE(c.cnt, 0) + 1)) AS BIGINT) AS bits,
+           |         CAST(c.cnt IS NULL AS BIGINT) AS oov
+           |  FROM tt t LEFT JOIN cnt c USING (tok) CROSS JOIN model m
+           |  WHERE t.doc_id % 10 = 7)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |       CAST(sum(oov) AS BIGINT) AS n_oov,
+           |       CAST(sum(bits) AS BIGINT) AS sum_bits,
+           |       CAST(CAST(sum(bits) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bits
+           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_kn_surprisal", "interpolated Kneser-Ney bigram scoring (D=3/4 exact-integer form, bit-quantized): the CCNet/KenLM-style LM quality filter",
       knSurprisal,
       Some(

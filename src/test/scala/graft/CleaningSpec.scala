@@ -348,4 +348,25 @@ class CleaningSpec extends SparkTestBase {
     assert(math.abs(row.getAs[Double]("auc") - brute) < 1e-12,
       s"windowed identity ${row.getAs[Double]("auc")} vs brute $brute")
   }
+
+  test("heldout surprisal: OOV takes maximal add-1 bits, seen tokens reduce by floor(log2(c+1))") {
+    import spark.implicits._
+    // train docs (ids 1,2): "alpha" x3, "beta" x1 -> T=4, V=2, den = floor(log2(7)) = 2
+    // heldout doc 7: alpha beta gamma -> bits: alpha 2-2=0, beta 2-1=1, gamma(OOV) 2-0=2
+    val docs = Seq(
+      (1L, "alpha alpha beta", "en", "web", 16L),
+      (2L, "alpha", "en", "web", 5L),
+      (7L, "alpha beta gamma", "en", "web", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("heldout").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Cleaning.heldoutSurprisal(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("doc_id") == 7L)
+    assert(row.getAs[Long]("n_tokens") == 3L)
+    assert(row.getAs[Long]("n_oov") == 1L)
+    assert(row.getAs[Long]("sum_bits") == 0L + 1L + 2L)
+    assert(row.getAs[Double]("mean_bits") == 1.0)
+  }
 }
