@@ -873,7 +873,56 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Embedding-corpus health profile: the distribution of pairwise
+    * cosines over a deterministic offset pairing (vector i against
+    * vector i + n/2), bucketed at 0.1 grain — the collapse/anisotropy
+    * diagnostic (a healthy embedding space spreads the mass; cosines
+    * piling at ~1 mean the encoder collapsed). The pairing is one
+    * equi-join on a shifted id (n/2 rides a broadcast 1-row), so the
+    * profile costs one pass and n/2 native-cosine evaluations — never
+    * the O(n²) all-pairs matrix. Zero-norm vectors (NaN cosine) are
+    * excluded on both engines.
+    */
+  def cosineProfile(embeddings: DataFrame): DataFrame = {
+    val off = embeddings.agg((count(lit(1)) / 2).cast("long").as("off"))
+    val left = embeddings
+      .select(col("vec_id"), col("embedding").as("v1"))
+      .crossJoin(broadcast(off))
+      .select((col("vec_id") + col("off")).as("pair_id"), col("v1"))
+    val right = embeddings
+      .select(col("vec_id").as("pair_id"), col("embedding").as("v2"))
+    val cos = left.join(right, "pair_id")
+      .select(expr("graft_cosine(v1, v2)").as("cos"))
+      .where(!isnan(col("cos")))
+    val total = cos.agg(count(lit(1)).as("total"))
+    cos.select(floor(col("cos") * 10).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_pairs"),
+        (col("n_pairs").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy("bucket")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_cosine_profile",
+      "embedding-space health: pairwise-cosine histogram over the deterministic n/2-offset pairing (collapse diagnostic)",
+      (s, dir) => cosineProfile(t(s, dir, "embeddings")),
+      Some(
+        """WITH off AS (SELECT CAST(count(*) // 2 AS BIGINT) AS off FROM embeddings),
+          |l AS (SELECT vec_id + off AS pair_id, embedding AS v1 FROM embeddings, off),
+          |r AS (SELECT vec_id AS pair_id, embedding AS v2 FROM embeddings),
+          |c AS (
+          |  SELECT list_sum(list_transform(range(1, len(v1) + 1),
+          |           i -> CAST(v1[i] AS DOUBLE) * CAST(v2[i] AS DOUBLE))) /
+          |         (sqrt(list_sum(list_transform(v1, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          |          sqrt(list_sum(list_transform(v2, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+          |  FROM l JOIN r USING (pair_id)),
+          |cc AS (SELECT cos FROM c WHERE NOT isnan(cos)),
+          |tot AS (SELECT count(*) AS total FROM cc)
+          |SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket, count(*) AS n_pairs,
+          |       CAST(count(*) AS DOUBLE) / CAST(any_value(total) AS DOUBLE) AS share
+          |FROM cc, tot GROUP BY 1 ORDER BY bucket""".stripMargin)),
     GraftQuery("q_pca_project",
       "distributed PCA: Gram-matrix reduce + driver power iteration + broadcast dominant-component projection",
       (s, dir) => pcaProject(t(s, dir, "embeddings")),

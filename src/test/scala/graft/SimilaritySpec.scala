@@ -310,4 +310,17 @@ class SimilaritySpec extends SparkTestBase {
     val out = Similarity.hardNegatives(rows, stride = 41L).collect()
     assert(out.length == 1 && out.head.getLong(2) == 30L)
   }
+
+  test("cosine profile: planted aligned/orthogonal/opposed pairs land in the right buckets") {
+    import spark.implicits._
+    // 6 vectors, offset pairing n/2=3: (0,3) identical -> cos 1 (bucket 10),
+    // (1,4) orthogonal -> 0 (bucket 0), (2,5) opposed -> -1 (bucket -10)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 0), (4L, Array(0.0f, 1.0f), 0), (5L, Array(-1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.ext.Similarity.cosineProfile(vecs).collect()
+      .map(x => x.getAs[Long]("bucket") -> x.getAs[Long]("n_pairs")).toMap
+    assert(r == Map(10L -> 1L, 0L -> 1L, -10L -> 1L))
+  }
 }
