@@ -904,7 +904,44 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** Label-balance report for a training corpus: class counts reduce
+    * to the Herfindahl concentration Σpᵢ² and its inverse, the
+    * EFFECTIVE number of classes (Simpson/inverse-HHI diversity:
+    * (Σc)²/Σc²) — the imbalance diagnostic that, unlike entropy,
+    * needs no logarithm, so it stays one IEEE division of exact
+    * integer sums. A perfectly balanced k-class set scores exactly k;
+    * collapse toward one class drives it to 1.
+    */
+  def classBalance(embeddings: DataFrame): DataFrame = {
+    val counts = embeddings.groupBy("label").agg(count(lit(1)).as("c"))
+    counts.agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_classes"),
+        max(col("c")).as("max_class"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("n"), col("n_classes"), col("max_class"),
+        (col("s2").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("hhi"),
+        ((col("n").cast("double") * col("n").cast("double")) /
+          col("s2").cast("double")).as("effective_classes"),
+        (col("max_class").cast("double") / col("n").cast("double"))
+          .as("majority_share"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_class_balance",
+      "label-balance report: Herfindahl concentration + effective class count (log-free exact diversity)",
+      (s, dir) => classBalance(t(s, dir, "embeddings")),
+      Some(
+        """WITH c AS (SELECT label, count(*) AS c FROM embeddings GROUP BY 1),
+          |a AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS n_classes,
+          |             CAST(max(c) AS BIGINT) AS max_class,
+          |             CAST(sum(c * c) AS BIGINT) AS s2
+          |      FROM c)
+          |SELECT n, n_classes, max_class,
+          |       CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS hhi,
+          |       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(s2 AS DOUBLE) AS effective_classes,
+          |       CAST(max_class AS DOUBLE) / CAST(n AS DOUBLE) AS majority_share
+          |FROM a ORDER BY n""".stripMargin)),
     GraftQuery("q_cosine_profile",
       "embedding-space health: pairwise-cosine histogram over the deterministic n/2-offset pairing (collapse diagnostic)",
       (s, dir) => cosineProfile(t(s, dir, "embeddings")),

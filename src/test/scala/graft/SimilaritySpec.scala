@@ -323,4 +323,18 @@ class SimilaritySpec extends SparkTestBase {
       .map(x => x.getAs[Long]("bucket") -> x.getAs[Long]("n_pairs")).toMap
     assert(r == Map(10L -> 1L, 0L -> 1L, -10L -> 1L))
   }
+
+  test("class balance: balanced k classes score exactly k; collapse scores toward 1") {
+    import spark.implicits._
+    def vecs(labels: Seq[Int]) = labels.zipWithIndex
+      .map { case (l, i) => (i.toLong, Array(1.0f), l) }
+      .toDF("vec_id", "embedding", "label")
+    val bal = graft.ext.Similarity.classBalance(vecs(Seq(0, 0, 1, 1, 2, 2))).head()
+    assert(bal.getAs[Long]("n_classes") == 3L)
+    assert(bal.getAs[Double]("effective_classes") == 3.0)
+    assert(bal.getAs[Double]("hhi") == 1.0 / 3.0)
+    val skew = graft.ext.Similarity.classBalance(vecs(Seq(0, 0, 0, 0, 0, 1))).head()
+    assert(skew.getAs[Double]("effective_classes") < 1.5)
+    assert(skew.getAs[Double]("majority_share") == 5.0 / 6.0)
+  }
 }
