@@ -272,6 +272,34 @@ object TextOps {
           ((n * sxx - sx * sx) * (n * syy - sy * sy))).as("r2"))
   }
 
+  /** Training-mix token budget: per-source document and token totals
+    * with each source's share and the cumulative share in
+    * biggest-first order — the planning view a data-mixture design
+    * starts from (and the input the temperature/balanced mixers
+    * reweight). One corpus scan to source grain; the cumulative
+    * window runs over the bounded source domain.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"),
+        size(filter(split(normalizeText(col("text")), " "),
+          tk => tk =!= "")).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    val tot = d.agg(sum("n_tokens").as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens").desc, col("source"))
+      .rowsBetween(Long.MinValue, 0)
+    d.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total").cast("double"))
+          .as("token_share"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("cum_share"))
+      .orderBy(col("n_tokens").desc, col("source"))
+  }
+
   /** Count-min sketch over corpus term frequencies (Cormode &
     * Muthukrishnan 2005), checked against exact counts: build a
     * d=4 × w=1024 counter table from md5-derived positions, then
@@ -1028,6 +1056,22 @@ object TextOps {
            |         - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
            |         - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
            |FROM agg ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_token_budget",
+      "training-mix token budget: per-source doc/token totals, shares, and the cumulative share over the bounded source domain",
+      (s, dir) => tokenBudget(s, dir),
+      Some(
+        s"""WITH d AS (
+           |  SELECT source, count(*) AS n_docs,
+           |         CAST(sum(len(list_filter($duckNormToksSql, t -> t <> ''))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM d)
+           |SELECT source, n_docs, n_tokens,
+           |       CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
+           |       CAST(CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) /
+           |         CAST(total AS DOUBLE) AS cum_share
+           |FROM d, tot
+           |ORDER BY n_tokens DESC, source""".stripMargin)),
     GraftQuery("q_text_stats", "token/char counts incl. BPE-ish regex tokenizer",
       textStats,
       Some(

@@ -195,4 +195,15 @@ class TextScoringSpec extends SparkTestBase {
     assert(row.getAs[Double]("intercept") == 3.0)
     assert(row.getAs[Double]("r2") == 1.0)
   }
+
+  test("token budget: shares sum to 1, cum share ends at 1, ordering biggest-first") {
+    val rows = TextOps.tokenBudget(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-12)
+    assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-12)
+    val tokens = rows.map(_.getAs[Long]("n_tokens"))
+    assert(tokens.zip(tokens.tail).forall { case (a, b) => a >= b })
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+  }
 }
