@@ -927,7 +927,54 @@ object Similarity {
           .as("majority_share"))
   }
 
+  /** Per-label embedding-norm QC: mean and population std of the L2
+    * norms — the drift signal that catches encoder regressions (norms
+    * shifting or spreading per class) before retrieval quality
+    * visibly degrades. Norm doubles are cross-engine-identical (the
+    * strict left-fold Σx² then one IEEE sqrt), so micro-quantizing
+    * them makes the per-label moments exact integer sums; std comes
+    * from the shared clamped-variance formula.
+    */
+  def normReport(embeddings: DataFrame): DataFrame = {
+    val normU = floor(
+      sqrt(expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+        * 1000000 + 0.5).cast("long")
+    val mean = col("s1").cast("double") / col("n").cast("double")
+    val varp = greatest(
+      col("s2").cast("double") / col("n").cast("double") - mean * mean,
+      lit(0.0))
+    embeddings
+      .select(col("label"), normU.as("u"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("u").as("s1"),
+        sum(col("u").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("u").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("s2"))
+      .select(col("label"), col("n"),
+        (mean / 1e6).as("mean_norm"),
+        (sqrt(varp) / 1e6).as("std_norm"))
+      .orderBy("label")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_norm_report",
+      "per-label embedding L2-norm mean/std (encoder-drift QC, micro-quantized exact moments)",
+      (s, dir) => normReport(t(s, dir, "embeddings")),
+      Some(
+        """WITH u AS (
+          |  SELECT label,
+          |         CAST(floor(sqrt(list_sum(list_transform(embedding,
+          |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) AS u
+          |  FROM embeddings),
+          |m AS (SELECT label, count(*) AS n, CAST(sum(u) AS BIGINT) AS s1,
+          |             sum(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS s2
+          |      FROM u GROUP BY 1)
+          |SELECT label, n,
+          |       (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6 AS mean_norm,
+          |       sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+          |              (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+          |              (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) / 1e6 AS std_norm
+          |FROM m ORDER BY label""".stripMargin)),
     GraftQuery("q_class_balance",
       "label-balance report: Herfindahl concentration + effective class count (log-free exact diversity)",
       (s, dir) => classBalance(t(s, dir, "embeddings")),

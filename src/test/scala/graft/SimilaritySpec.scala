@@ -337,4 +337,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(skew.getAs[Double]("effective_classes") < 1.5)
     assert(skew.getAs[Double]("majority_share") == 5.0 / 6.0)
   }
+
+  test("norm report: hand-computed norms, zero std for identical-norm class") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(3.0f, 4.0f), 1),  // norm 5
+      (1L, Array(0.0f, 5.0f), 1),  // norm 5
+      (2L, Array(6.0f, 8.0f), 2))  // norm 10
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.ext.Similarity.normReport(vecs).collect()
+      .map(x => x.getInt(0) -> ((x.getAs[Long]("n"),
+        x.getAs[Double]("mean_norm"), x.getAs[Double]("std_norm")))).toMap
+    assert(r(1) == ((2L, 5.0, 0.0)))
+    assert(r(2)._2 == 10.0 && r(2)._3 == 0.0)
+  }
 }
