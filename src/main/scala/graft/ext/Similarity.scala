@@ -882,25 +882,39 @@ object Similarity {
     * profile costs one pass and n/2 native-cosine evaluations — never
     * the O(n²) all-pairs matrix. Zero-norm vectors (NaN cosine) are
     * excluded on both engines.
+    *
+    * PRECONDITION the output makes self-checking: the id-shift pairing
+    * only reaches full coverage when vec_ids are DENSE (0..n−1, as the
+    * embedding store writes them). On a sparse/non-contiguous id space
+    * the equi-join silently matches fewer pairs — so every bucket row
+    * carries `pair_coverage` = matched pairs / ⌊n/2⌋; a diagnostic read
+    * off a collapsed sample announces itself instead of masquerading as
+    * a full profile. (A rank-based pairing would be id-robust but costs
+    * a global row_number — a single-reducer sort at corpus scale — for
+    * a health check that doesn't need it.)
     */
   def cosineProfile(embeddings: DataFrame): DataFrame = {
     val off = embeddings.agg((count(lit(1)) / 2).cast("long").as("off"))
     val left = embeddings
       .select(col("vec_id"), col("embedding").as("v1"))
       .crossJoin(broadcast(off))
-      .select((col("vec_id") + col("off")).as("pair_id"), col("v1"))
+      .select((col("vec_id") + col("off")).as("pair_id"), col("v1"),
+        col("off"))
     val right = embeddings
       .select(col("vec_id").as("pair_id"), col("embedding").as("v2"))
     val cos = left.join(right, "pair_id")
-      .select(expr("graft_cosine(v1, v2)").as("cos"))
+      .select(expr("graft_cosine(v1, v2)").as("cos"), col("off"))
       .where(!isnan(col("cos")))
-    val total = cos.agg(count(lit(1)).as("total"))
+    val total = cos.agg(count(lit(1)).as("total"),
+      max(col("off")).as("half_n"))
     cos.select(floor(col("cos") * 10).cast("long").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
       .crossJoin(broadcast(total))
       .select(col("bucket"), col("n_pairs"),
         (col("n_pairs").cast("double") / col("total").cast("double"))
-          .as("share"))
+          .as("share"),
+        (col("total").cast("double") / col("half_n").cast("double"))
+          .as("pair_coverage"))
       .orderBy("bucket")
   }
 
@@ -1005,8 +1019,9 @@ object Similarity {
           |cc AS (SELECT cos FROM c WHERE NOT isnan(cos)),
           |tot AS (SELECT count(*) AS total FROM cc)
           |SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket, count(*) AS n_pairs,
-          |       CAST(count(*) AS DOUBLE) / CAST(any_value(total) AS DOUBLE) AS share
-          |FROM cc, tot GROUP BY 1 ORDER BY bucket""".stripMargin)),
+          |       CAST(count(*) AS DOUBLE) / CAST(any_value(total) AS DOUBLE) AS share,
+          |       CAST(any_value(total) AS DOUBLE) / CAST(any_value(off.off) AS DOUBLE) AS pair_coverage
+          |FROM cc, tot, off GROUP BY 1 ORDER BY bucket""".stripMargin)),
     GraftQuery("q_pca_project",
       "distributed PCA: Gram-matrix reduce + driver power iteration + broadcast dominant-component projection",
       (s, dir) => pcaProject(t(s, dir, "embeddings")),

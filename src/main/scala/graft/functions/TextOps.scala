@@ -244,8 +244,15 @@ object TextOps {
     * 64-bucket census — no corpus-wide ranking window, which a naive
     * rank-frequency Zipf fit would need.
     */
-  def zipfSpectrum(s: SparkSession, dir: String): DataFrame = {
-    val counts = t(s, dir, "documents")
+  def zipfSpectrum(s: SparkSession, dir: String): DataFrame =
+    zipfSpectrumOf(t(s, dir, "documents"))
+
+  /** df-level core of [[zipfSpectrum]] (needs a `text` column) —
+    * separable so the degenerate-corpus spec can drive it with a
+    * single-bucket vocabulary the fixture doesn't contain.
+    */
+  def zipfSpectrumOf(docs: DataFrame): DataFrame = {
+    val counts = docs
       .select(explode(split(normalizeText(col("text")), " ")).as("term"))
       .where(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("c"))
@@ -254,7 +261,13 @@ object TextOps {
       col("sx").cast("double"), col("sy").cast("double"))
     val (sxx, syy, sxy) = (col("sxx").cast("double"),
       col("syy").cast("double"), col("sxy").cast("double"))
-    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    // Degenerate-fit guard: a single log2 bucket (tiny or uniform-
+    // frequency corpus) zeroes the x-variance denominator, and a flat
+    // type count zeroes the y-variance factor of r² — NULLIF turns
+    // both into NULL (fit undefined) instead of NaN/Inf, identically
+    // in the DuckDB mirror. The denominators are exact doubles from
+    // integer sums, so the == 0 tests are exact.
+    val slope = (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, lit(0.0))
     counts
       .select(floor(log2(col("c"))).cast("long").as("x"))
       .groupBy("x").agg(count(lit(1)).as("types"))
@@ -269,7 +282,8 @@ object TextOps {
         slope.as("slope"),
         ((sy - slope * sx) / n).as("intercept"),
         (((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-          ((n * sxx - sx * sx) * (n * syy - sy * sy))).as("r2"))
+          nullif((n * sxx - sx * sx) * (n * syy - sy * sy), lit(0.0)))
+          .as("r2"))
   }
 
   /** Training-mix token budget: per-source document and token totals
@@ -1178,10 +1192,10 @@ object TextOps {
            |         CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy
            |  FROM xy)
            |SELECT vocab, total_tf, n_out AS n_buckets,
-           |       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           |       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+           |       (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS slope,
+           |       (sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx) / n AS intercept,
            |       ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-           |         ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+           |         NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0) AS r2
            |FROM st, m ORDER BY vocab""".stripMargin)),
     GraftQuery("q_term_stats", "corpus TF/DF term statistics (TF-IDF building block), top 20",
       termStats,

@@ -556,10 +556,11 @@ object ScaleOps {
     */
   def joinSizeEstimate(s: SparkSession, dir: String,
       depth: Int = 4, width: Long = 1024L): DataFrame = {
-    val a = graft.engine.Tables.load(graft.engine.GraftSession.tuned(s), dir, "events")
+    val tuned = graft.engine.GraftSession.tuned(s)
+    val a = graft.engine.Tables.load(tuned, dir, "events")
       .select(col("user_id").as("key")).groupBy("key")
       .agg(count(lit(1)).as("ca"))
-    val b = graft.engine.Tables.load(s, dir, "orders")
+    val b = graft.engine.Tables.load(tuned, dir, "orders")
       .select(col("o_custkey").as("key")).groupBy("key")
       .agg(count(lit(1)).as("cb"))
     def posCol(k: Column, i: Column): Column =
@@ -575,9 +576,12 @@ object ScaleOps {
       .agg(min(col("dot")).as("cms_est"))
     val exact = a.join(b, "key")
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_pairs"))
+    // Empty join ⇒ NULL ratio (not Inf/NaN), mirrored in the oracle.
     exact.crossJoin(broadcast(est)).select(
       col("exact_pairs"), col("cms_est"),
-      (col("cms_est").cast("double") / col("exact_pairs").cast("double"))
+      when(col("exact_pairs") === 0, lit(null).cast("double"))
+        .otherwise(col("cms_est").cast("double") /
+          col("exact_pairs").cast("double"))
         .as("overestimate_ratio"))
   }
 
@@ -608,7 +612,8 @@ object ScaleOps {
           |ex AS (SELECT COALESCE(CAST(sum(ca * cb) AS BIGINT), 0) AS exact_pairs
           |       FROM a JOIN b USING (key))
           |SELECT exact_pairs, cms_est,
-          |       CAST(cms_est AS DOUBLE) / CAST(exact_pairs AS DOUBLE) AS overestimate_ratio
+          |       CASE WHEN exact_pairs = 0 THEN NULL
+          |            ELSE CAST(cms_est AS DOUBLE) / CAST(exact_pairs AS DOUBLE) END AS overestimate_ratio
           |FROM ex, est ORDER BY exact_pairs""".stripMargin)),
     graft.GraftQuery("q_incremental_agg",
       "incremental aggregate maintenance: base+delta coalesce-sum merge == full recompute (algebraic aggregates)",

@@ -986,6 +986,11 @@ object EventOps {
     * The chain lives on the bounded event-type domain, so every
     * iteration is a tiny broadcast-scale join; truncation leaks ≤ 1
     * unit per in-edge per iteration identically on both engines.
+    * The p·c product runs in DECIMAL(38,0) (mirrored by HUGEINT in
+    * the oracle — the acf/ljungBox moment-sum recipe): p reaches
+    * |states|·10⁶ and c is a raw edge count, so a BIGINT product
+    * would wrap silently past c ≈ 2⁶³/p while DuckDB errored,
+    * diverging the engines exactly at 100 TB edge counts.
     */
   def markovStationary(s: SparkSession, dir: String, iters: Int = 6): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -1003,7 +1008,8 @@ object EventOps {
     var p = states.withColumn("p", lit(1000000L))
     for (_ <- 1 to iters) {
       val nxt = e.join(p.withColumnRenamed("state", "src"), "src")
-        .select(col("dst").as("state"), expr("(p * c) div ctot").as("m"))
+        .select(col("dst").as("state"),
+          expr("(CAST(p AS DECIMAL(38,0)) * c) div ctot").as("m"))
         .groupBy("state").agg(sum(col("m")).as("m"))
       p = states.join(nxt, Seq("state"), "left")
         .select(col("state"), coalesce(col("m"), lit(0L)).as("p"))
@@ -1033,7 +1039,7 @@ object EventOps {
     val iterations = (1 to iters).map { i =>
       s"""p$i AS (
          |  SELECT st.state,
-         |         COALESCE(CAST(sum((p${i - 1}.p * et.c) // et.ctot) AS BIGINT), 0) AS p
+         |         COALESCE(CAST(sum((CAST(p${i - 1}.p AS HUGEINT) * et.c) // et.ctot) AS BIGINT), 0) AS p
          |  FROM st
          |  LEFT JOIN et ON et.dst = st.state
          |  LEFT JOIN p${i - 1} ON p${i - 1}.state = et.src

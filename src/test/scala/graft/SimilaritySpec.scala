@@ -319,9 +319,24 @@ class SimilaritySpec extends SparkTestBase {
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
       (3L, Array(1.0f, 0.0f), 0), (4L, Array(0.0f, 1.0f), 0), (5L, Array(-1.0f, 0.0f), 0))
       .toDF("vec_id", "embedding", "label")
-    val r = graft.ext.Similarity.cosineProfile(vecs).collect()
+    val rows = graft.ext.Similarity.cosineProfile(vecs).collect()
+    val r = rows
       .map(x => x.getAs[Long]("bucket") -> x.getAs[Long]("n_pairs")).toMap
     assert(r == Map(10L -> 1L, 0L -> 1L, -10L -> 1L))
+    assert(rows.forall(_.getAs[Double]("pair_coverage") == 1.0))
+  }
+
+  test("cosine profile: sparse vec_ids surface as pair_coverage < 1, not a silent full-looking profile") {
+    import spark.implicits._
+    // ids 0..4 dense plus a gap at 10: off = 3, shifted ids 3,4 match,
+    // 5,6,7,13 don't -> 2 of 3 expected pairs
+    val vecs = Seq(0L, 1L, 2L, 3L, 4L, 10L)
+      .map(id => (id, Array(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = graft.ext.Similarity.cosineProfile(vecs).collect()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == 2L)
+    assert(rows.forall(r =>
+      math.abs(r.getAs[Double]("pair_coverage") - 2.0 / 3.0) < 1e-12))
   }
 
   test("class balance: balanced k classes score exactly k; collapse scores toward 1") {

@@ -196,6 +196,18 @@ class TextScoringSpec extends SparkTestBase {
     assert(row.getAs[Double]("r2") == 1.0)
   }
 
+  test("zipf spectrum: single-bucket degenerate corpus yields NULL fit, not NaN/Inf") {
+    import spark.implicits._
+    // every term appears exactly once -> one log2 bucket -> x-variance 0
+    val docs = Seq((1L, "alpha beta gamma delta", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val row = TextOps.zipfSpectrumOf(docs).head()
+    assert(row.getAs[Long]("n_buckets") == 1L)
+    assert(row.isNullAt(row.fieldIndex("slope")))
+    assert(row.isNullAt(row.fieldIndex("intercept")))
+    assert(row.isNullAt(row.fieldIndex("r2")))
+  }
+
   test("token budget: shares sum to 1, cum share ends at 1, ordering biggest-first") {
     val rows = TextOps.tokenBudget(spark, sfDir).collect()
     assert(rows.nonEmpty)
