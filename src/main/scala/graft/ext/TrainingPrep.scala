@@ -18,6 +18,8 @@ object TrainingPrep {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(GraftSession.tuned(s), dir, n)
 
+  private val normToks = TextOps.duckNormToksSql
+
   /** Overlapping token-window chunks: window `size` tokens, stride
     * `stride` (= size − overlap). One `explode` per doc; chunk text and
     * bounds are deterministic, so downstream packing is reproducible.
@@ -376,7 +378,98 @@ object TrainingPrep {
       .orderBy("doc_id")
   }
 
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): rank the RAW-corpus documents
+    * by how target-like their hashed-bigram profile is, and keep the
+    * top k. Per document the importance weight is the log-likelihood
+    * ratio of two add-one-smoothed bag-of-hashed-ngrams models —
+    * exactly DSIR's feature space (bigrams hashed into m buckets;
+    * md5-derived so DuckDB reproduces the bucketing) — and the log is
+    * BIT-QUANTIZED per bucket like the surprisal/domainShift family:
+    *
+    *   bits[b] = floor(log2((ct[b]+1)·(Nr+m))) − floor(log2((cr[b]+1)·(Nt+m)))
+    *   w(doc)  = Σ_b c_doc[b] · bits[b]    (exact BIGINT everywhere)
+    *
+    * so the ranking needs no IEEE ln and hash-compares across engines.
+    * The published method perturbs w with Gumbel noise before the
+    * top-k (sampling ∝ w without replacement); this implementation is
+    * the deterministic temperature→0 limit — rank by w, tie-break
+    * doc_id — because -ln(-ln u) is an IEEE transcendental the
+    * engines don't bit-agree on, and reproducible selection is what a
+    * production pipeline reruns.
+    *
+    * 100 TB shape: one tokenizing scan builds (doc, bucket) bigram
+    * positions; both corpus models come from ONE map-side-combined
+    * groupBy(bucket) with conditional sums (bounded m-row result); the
+    * per-doc weight join is against a BROADCAST m-row bits table (no
+    * shuffle by bucket); the only data-sized shuffle is the doc_id
+    * reduction, and the cut is TakeOrderedAndProject — never a global
+    * sort.
+    */
+  def dsirSample(docs: DataFrame, textCol: String, sliceCol: String,
+      focus: String, m: Long = 1024L, k: Int = 50): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), (col(sliceCol) === focus).as("in_t"),
+        split(TextOps.normalizeText(col(textCol)), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("in_t"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))"))
+        .as("g"))
+      .select(col("doc_id"), col("in_t"),
+        pmod(graft.functions.HashExprs.md5Uint32(col("g")), lit(m)).as("b"))
+    val bucketCounts = bg.groupBy("b")
+      .agg(sum(when(col("in_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("in_t"), 1L).otherwise(0L)).as("cr"))
+    val totals = bucketCounts.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val bits = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (floor(log2((col("ct") + lit(1L)) * (col("nr") + lit(m)))).cast("long") -
+          floor(log2((col("cr") + lit(1L)) * (col("nt") + lit(m)))).cast("long"))
+          .as("bits"))
+    bg.where(!col("in_t"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(bits), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_bits"))
+      .orderBy(col("sum_bits").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_dsir_sample",
+      "DSIR importance resampling: top-k raw docs by hashed-bigram target/raw log-likelihood ratio (bit-quantized exact)",
+      (s, dir) => dsirSample(t(s, dir, "documents"), "text", "source", "src1"),
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, source = 'src1' AS in_t, $normToks AS t FROM documents),
+           |bg AS (
+           |  SELECT doc_id, in_t, unnest(list_transform(range(1, len(t)),
+           |                 i -> t[i] || ' ' || t[i+1])) AS g
+           |  FROM toks WHERE len(t) >= 2),
+           |bb AS (
+           |  SELECT doc_id, in_t,
+           |         ('0x' || substring(md5(g), 25, 8))::BIGINT % 1024 AS b
+           |  FROM bg),
+           |bc AS (
+           |  SELECT b, CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           |         CAST(sum(CASE WHEN in_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+           |  FROM bb GROUP BY 1),
+           |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM bc),
+           |bits AS (
+           |  SELECT b, CAST(floor(log2((ct + 1) * (nr + 1024))) AS BIGINT) -
+           |            CAST(floor(log2((cr + 1) * (nt + 1024))) AS BIGINT) AS bits
+           |  FROM bc, tt),
+           |dc AS (SELECT doc_id, b, count(*) AS c FROM bb WHERE NOT in_t GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           |       CAST(sum(c * bits) AS BIGINT) AS sum_bits,
+           |       CAST(CAST(sum(c * bits) AS BIGINT) AS DOUBLE) /
+           |         CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS mean_bits
+           |FROM dc JOIN bits USING (b) GROUP BY doc_id
+           |ORDER BY sum_bits DESC, doc_id LIMIT 50""".stripMargin)),
     GraftQuery("q_top_p_sample",
       "per-source top-p (nucleus) selection: keep each domain's highest-mass head to p=1/2 of its mass, exact integer cut",
       (s, dir) => topPSample(t(s, dir, "documents")),

@@ -180,4 +180,26 @@ class TrainingPrepSpec extends SparkTestBase {
     assert(byN.map(_._5).toSeq == byN.map(_._5).sorted.toSeq,
       "target counts monotone in observed counts")
   }
+
+  test("DSIR: the raw doc written in the target's vocabulary outranks the off-target raw docs") {
+    import spark.implicits._
+    // target slice speaks "alpha beta gamma"; raw docs speak "foo bar
+    // baz" except doc 100, which is pure target vocabulary, and doc 101,
+    // which is half-and-half — ranking must come out 100, 101, then the
+    // off-target rest
+    val target = (0L to 4L).map(i =>
+      (i, "alpha beta gamma alpha beta gamma alpha beta", "en", "tgt", 1L))
+    val raw = Seq(
+      (100L, "alpha beta gamma alpha beta gamma alpha beta", "en", "raw", 1L),
+      (101L, "alpha beta foo bar alpha beta foo bar", "en", "raw", 1L)) ++
+      (102L to 110L).map(i => (i, "foo bar baz qux foo bar baz qux", "en", "raw", 1L))
+    val docs = (target ++ raw)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TrainingPrep.dsirSample(docs, "text", "source", "tgt", k = 3)
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).take(2).toSeq == Seq(100L, 101L))
+    assert(out(0).getAs[Long]("sum_bits") > out(1).getAs[Long]("sum_bits"))
+    // every selected doc is from the raw side
+    assert(out.forall(_.getAs[Long]("doc_id") >= 100L))
+  }
 }
