@@ -329,6 +329,82 @@ object GraphOps {
   def labelPropQuery(s: SparkSession, dir: String): DataFrame =
     labelPropagation(t(s, dir, "events"), iters = 3)
 
+  /** Bounded-round k-core peel (Matula & Beck 1983; the Batagelj-
+    * Zaversnik decomposition's single-k slice): iteratively delete
+    * nodes whose degree in the SURVIVING subgraph falls below k —
+    * deletions cascade, which is what distinguishes the core from a
+    * one-shot degree filter — and emit the survivors with their final
+    * in-core degree. `rounds` is a fixed unroll (each round is two
+    * semi-joins of the adjacency onto the surviving set plus one
+    * map-side-combined degree aggregate); on real graphs the peel
+    * fixpoints in a handful of rounds, and the bounded-round semantics
+    * ("the set after R peels") is itself well-defined and what the
+    * oracle mirrors — the CC checkpoint loop is the tool for an
+    * unbounded peel.
+    *
+    * 100 TB shape: no windows, no N²; each round shuffles the
+    * adjacency once on node and once on nbr (both high-cardinality
+    * keys), and the surviving-set join sides only shrink. Hub skew
+    * collapses into count partials like every other node aggregate in
+    * this family.
+    */
+  def kCoreOnEdges(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+    var surv = adj.select("node").distinct()
+    for (_ <- 1 to rounds) {
+      surv = adj
+        .join(surv, "node")
+        .join(surv.select(col("node").as("nbr")), "nbr")
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("node")
+    }
+    adj
+      .join(surv, "node")
+      .join(surv.select(col("node").as("nbr")), "nbr")
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+      .orderBy("node")
+  }
+
+  /** k-core of the undirected transition graph. k = 13 peels the
+    * sparse small-SF graph and is a no-op once the 100-page fixture
+    * graph saturates toward complete — the PLANTED spec, not the
+    * fixture, pins the cascade dynamics.
+    */
+  def kCore(events: DataFrame, k: Int = 13, rounds: Int = 4): DataFrame =
+    kCoreOnEdges(undirectedEdges(transitionEdges(events)), k, rounds)
+
+  def kCoreQuery(s: SparkSession, dir: String): DataFrame =
+    kCore(t(s, dir, "events"))
+
+  /** Generated DuckDB mirror of [[kCore]]: one CTE per peel round so
+    * the unroll count cannot drift between engines.
+    */
+  private[ext] def kCoreOracleSql(k: Int = 13, rounds: Int = 4): String = {
+    val base =
+      s"""$graphPrefixSql,
+         |und AS (
+         |  SELECT DISTINCT CAST(least(src, dst) AS INTEGER) AS a,
+         |                  CAST(greatest(src, dst) AS INTEGER) AS b
+         |  FROM edges WHERE src <> dst),
+         |adj AS (SELECT a AS node, b AS nbr FROM und
+         |        UNION ALL SELECT b, a FROM und),
+         |s0 AS (SELECT DISTINCT node FROM adj)""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s"""s$i AS (
+         |  SELECT adj.node FROM adj
+         |  JOIN s${i - 1} sv ON sv.node = adj.node
+         |  JOIN s${i - 1} sn ON sn.node = adj.nbr
+         |  GROUP BY adj.node HAVING count(*) >= $k)""".stripMargin
+    }
+    (base +: peels).mkString(",\n") +
+      s"""\nSELECT adj.node, count(*) AS core_deg
+         |FROM adj
+         |JOIN s$rounds sv ON sv.node = adj.node
+         |JOIN s$rounds sn ON sn.node = adj.nbr
+         |GROUP BY adj.node ORDER BY adj.node""".stripMargin
+  }
+
   /** Bounded-depth weighted reachability from the graph's least node,
     * as a RECURSIVE CTE (Spark 4's UnionLoop operator — UNION ALL
     * form, the only one Spark supports): per (node, depth ≤ 3), the
@@ -559,6 +635,10 @@ object GraphOps {
            |            ELSE 0.0 END AS lcc
            |FROM deg d LEFT JOIN per_node p ON d.node = p.node
            |ORDER BY d.node""".stripMargin)),
+    GraftQuery("q_kcore",
+      "bounded-round k-core peel (k=13, 4 rounds): cascading low-degree deletion, survivors with in-core degree",
+      (s, dir) => kCoreQuery(s, dir),
+      Some(kCoreOracleSql())),
     GraftQuery("q_label_propagation",
       "synchronous weighted label propagation (3 iterations, min-label tie-break) — transition-graph communities + sizes",
       (s, dir) => labelPropQuery(s, dir),

@@ -227,6 +227,24 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got == expect.toMap, s"reach paths diverge: got ${got.size} keys, expect ${expect.size}")
   }
 
+  test("k-core: pendant chain cascades off round by round, the clique survives with full degree") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} plus a pendant chain 4-5-6-7: a one-shot
+    // degree-2 filter keeps 5 and 6 (deg 2), but the 2-core peel
+    // cascades — 7 falls (deg 1), then 6, then 5 — leaving the clique
+    val clique = for {
+      a <- 1 to 4; b <- (a + 1) to 4
+    } yield (a, b)
+    val und = (clique ++ Seq((4, 5), (5, 6), (6, 7))).toDF("a", "b")
+    val out = GraphOps.kCoreOnEdges(und, k = 2, rounds = 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
+    // one round too few and the cascade is still mid-flight: 5 survives
+    val short = GraphOps.kCoreOnEdges(und, k = 2, rounds = 2).collect()
+      .map(_.getInt(0)).toSet
+    assert(short.contains(5) && !short.contains(6) && !short.contains(7))
+  }
+
   test("graph degrees: strengths are consistent with the edge list (sum out_w == sum in_w == sum w)") {
     val deg = GraphOps.graphDegrees(spark, sfDir)
     val sums = deg.agg(sum("out_w"), sum("in_w")).head()
