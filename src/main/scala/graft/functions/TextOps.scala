@@ -678,6 +678,91 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher 2009): fuse a LEXICAL ranking (document-level Okapi BM25
+    * for a fixed query-term set, [[bm25TopK]]'s exact scoring constants)
+    * with a SEMANTIC ranking (embedding cosine against the query
+    * vector, [[graft.ext.Similarity]]'s native cosine) by
+    * rrf(d) = Σ_lists 1/(60 + rank_list(d)) over each arm's top-`listK`
+    * — the standard production hybrid-search combiner, robust to the
+    * arms' incomparable score scales because only RANKS cross the
+    * fusion boundary. The fused score itself is IEEE-exact on both
+    * engines (integer ranks, one division and one addition per arm),
+    * so it IS emitted and hash-compared, unlike the raw BM25 double.
+    * The doc_id == vec_id alignment between the documents and
+    * embeddings tables is the fixture's contract (both are the same
+    * 0..n−1 corpus).
+    *
+    * Per-document BM25 sums its per-term scores in FIXED literal
+    * order (one conditional-max column per query term, added left to
+    * right), not a shuffle-ordered double sum — the cross-engine fold
+    * discipline every double on a compare path follows.
+    *
+    * 100 TB shape: the lexical arm filters the (doc, term) relation to
+    * the query terms BEFORE any scoring join (the tf aggregate's
+    * exchange is shared with the doc-length aggregate via
+    * ReuseExchange), both arms cut to top-listK with
+    * TakeOrderedAndProject — no corpus-wide sort — and every window
+    * runs on a ≤listK-row relation. The fusion join touches 2·listK
+    * rows regardless of corpus size.
+    */
+  def rrfFusion(s: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("spark", "join", "window"),
+      listK: Int = 100, k: Int = 20): DataFrame = {
+    val (k1, k1p1, oneMinusB, b) = (lit(1.2), lit(2.2), lit(0.25), lit(0.75))
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(normalizeText(col("text")), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val corpus = dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val qtf = tf.where(col("term").isin(queryTerms: _*))
+    val dfreq = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = qtf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl",
+        col("total_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .withColumn("idf",
+        log(lit(1.0) +
+          (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+            (col("df").cast(DoubleType) + lit(0.5))))
+      .withColumn("s",
+        col("idf") * (col("tf") * k1p1) /
+          (col("tf") + k1 *
+            (oneMinusB + b * col("dl").cast(DoubleType) / col("avgdl"))))
+    val termCols = queryTerms.map(qt =>
+      max(when(col("term") === qt, col("s"))).as(s"s_$qt"))
+    val lexScore = queryTerms.map(qt => coalesce(col(s"s_$qt"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val wLex = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val lexRanked = scored.groupBy("doc_id")
+      .agg(termCols.head, termCols.tail: _*)
+      .select(col("doc_id"), lexScore.as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(listK)
+      .withColumn("lex_rank", row_number().over(wLex))
+      .select("doc_id", "lex_rank")
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val wSem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("doc_id"))
+    val semRanked = emb.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        expr("graft_cosine(embedding, qv)").as("cos"))
+      .where(!isnan(col("cos")))
+      .orderBy(col("cos").desc, col("doc_id")).limit(listK)
+      .withColumn("sem_rank", row_number().over(wSem))
+      .select("doc_id", "sem_rank")
+    lexRanked.join(semRanked, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(k)
+  }
+
   /** Tokenizer-vocabulary coverage: build the top-V corpus vocabulary
     * (frequency-desc, term-asc tie-break — deterministic at the V
     * boundary) and report each document's out-of-vocabulary rate —
@@ -986,6 +1071,54 @@ object TextOps {
            |  FROM scored)
            |SELECT doc_id, rank, term, tf, df, dl FROM ranked
            |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
+    GraftQuery("q_rrf_fusion",
+      "hybrid retrieval: BM25 and embedding-cosine top-100 lists fused by reciprocal-rank 1/(60+r), top-20",
+      (s, dir) => rrfFusion(s, dir),
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($duckNormToksSql) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+           |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+           |qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'join', 'window')),
+           |dfreq AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1),
+           |sc AS (
+           |  SELECT qtf.doc_id, qtf.term,
+           |         ln(1.0 + (CAST(corpus.n_docs AS DOUBLE) - dfreq.df + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5)) *
+           |         (qtf.tf * 2.2) /
+           |         (qtf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+           |            (CAST(corpus.total_tokens AS DOUBLE) / CAST(corpus.n_docs AS DOUBLE)))) AS s
+           |  FROM qtf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
+           |perdoc AS (
+           |  SELECT doc_id,
+           |         max(CASE WHEN term = 'spark' THEN s END) AS s_spark,
+           |         max(CASE WHEN term = 'join' THEN s END) AS s_join,
+           |         max(CASE WHEN term = 'window' THEN s END) AS s_window
+           |  FROM sc GROUP BY 1),
+           |lex AS (
+           |  SELECT doc_id,
+           |         (COALESCE(s_spark, 0.0) + COALESCE(s_join, 0.0)) + COALESCE(s_window, 0.0) AS score
+           |  FROM perdoc),
+           |lexr AS (
+           |  SELECT doc_id, lex_rank FROM (
+           |    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS lex_rank
+           |    FROM lex) WHERE lex_rank <= 100),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |sims AS (
+           |  SELECT vec_id AS doc_id,
+           |    list_sum(list_transform(range(1, len(embedding) + 1),
+           |             i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) /
+           |    (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           |     sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           |  FROM embeddings, q),
+           |semr AS (
+           |  SELECT doc_id, sem_rank FROM (
+           |    SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS sem_rank
+           |    FROM sims WHERE NOT isnan(cos)) WHERE sem_rank <= 100)
+           |SELECT doc_id, lex_rank, sem_rank,
+           |       COALESCE(1.0 / (60 + lex_rank), 0.0) + COALESCE(1.0 / (60 + sem_rank), 0.0) AS rrf_score
+           |FROM lexr FULL JOIN semr USING (doc_id)
+           |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin)),
     GraftQuery("q_vocab_oov", "top-V vocabulary coverage: per-doc out-of-vocabulary rate vs the corpus top-100 terms",
       (s, dir) => vocabOov(s, dir),
       Some(

@@ -208,6 +208,25 @@ class TextScoringSpec extends SparkTestBase {
     assert(row.isNullAt(row.fieldIndex("r2")))
   }
 
+  test("RRF fusion: emitted score is exactly the reciprocal-rank sum, ordering is fused-score-desc") {
+    val rows = TextOps.rrfFusion(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(r.fieldIndex("lex_rank"))) None
+        else Some(r.getAs[Int]("lex_rank"))
+      val sem = if (r.isNullAt(r.fieldIndex("sem_rank"))) None
+        else Some(r.getAs[Int]("sem_rank"))
+      assert(lex.isDefined || sem.isDefined)
+      val expect = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        sem.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf_score") == expect, s"row $r")
+    }
+    val scores = rows.map(_.getAs[Double]("rrf_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // both arms contribute: at least one row carries each rank kind
+    assert(rows.exists(!_.isNullAt(1)) && rows.exists(!_.isNullAt(2)))
+  }
+
   test("token budget: shares sum to 1, cum share ends at 1, ordering biggest-first") {
     val rows = TextOps.tokenBudget(spark, sfDir).collect()
     assert(rows.nonEmpty)
