@@ -462,6 +462,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ composed ANN (Jégou, Douze & Schmid 2011 §V: the IVFADC
+    * system) — the billion-scale index layout: the IVF coarse
+    * quantizer prunes the search to the nProbe nearest lists, and
+    * WITHIN the probed lists the PQ-ADC scan ranks 8-byte codes
+    * instead of raw vectors, with an exact cosine re-rank on the
+    * shortlist. This implementation scores codes over the ORIGINAL
+    * vectors (IVF-Flat-PQ), not Jégou's per-list residuals — one
+    * shared codebook instead of numLists of them; the composition's
+    * recall at the fixture SFs is pinned by the exact-top-k oracle
+    * exactly like the LSH/IVF/PQ singles.
+    *
+    * 100 TB shape: both stages' 100 TB arguments compose — assignment
+    * and encoding are single row-local scans, probing prunes to
+    * nProbe/numLists of the corpus BEFORE the ADC scan reads its
+    * 8 bytes/row, the PQ sample/codebooks stay O(kSub·1000) driver-side,
+    * and the only corpus-sized shuffle is the shortlist
+    * TakeOrderedAndProject over the probed fraction.
+    */
+  def ivfPqTopK(emb: DataFrame, queryVecId: Long, k: Int,
+      numLists: Int = 16, nProbe: Int = 8, kmeansIters: Int = 3,
+      m: Int = 8, kSub: Int = 32, pqIters: Int = 3,
+      shortlist: Option[Int] = None): DataFrame = {
+    val centroids = kmeansCentroids(emb, numLists, kmeansIters)
+    val assigned = withIvfList(emb, centroids)
+    val qVec = emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }
+    def cos(c: Seq[Double]): Double = {
+      val dot = c.zip(qVec).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(c.map(x => x * x).sum) *
+        math.sqrt(qVec.map(x => x * x).sum))
+    }
+    val probes = centroids.sortBy { case (_, c) => -cos(c) }
+      .take(nProbe).map(_._1)
+    val probed = assigned
+      .where(col("ivf_list").isin(probes.toIndexedSeq: _*))
+      .drop("ivf_list")
+    // the query's own list is its nearest centroid — always probed, so
+    // pqTopK's query-vector fetch inside the probed subset succeeds
+    pqTopK(probed, queryVecId, k, m, kSub, pqIters, shortlist)
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor
     * vector, the most-cosine-similar vector carrying a DIFFERENT label
     * — the pair a triplet/InfoNCE loss learns the most from. Anchors
@@ -1092,6 +1136,10 @@ object Similarity {
     GraftQuery("q_ann_pq_topk",
       "product-quantization ADC top-k (8x32 L2 codebooks, 32x compression) + exact re-rank (oracle = exact top-k)",
       (s, dir) => pqTopK(t(s, dir, "embeddings"), queryVecId = 0L, k = 10),
+      Some(annOracleSql(k = 10))),
+    GraftQuery("q_ann_ivfpq_topk",
+      "IVF-PQ composed ANN (IVFADC layout): nProbe-pruned lists + 8-byte ADC scan + exact re-rank (oracle = exact top-k)",
+      (s, dir) => ivfPqTopK(t(s, dir, "embeddings"), queryVecId = 0L, k = 10),
       Some(annOracleSql(k = 10))),
     GraftQuery("q_embed_neardup", "embedding-cosine near-dup pairs, SRP-blocked + multiprobe (0.3 on near-orthogonal data -> rows-only; blocking proven by q_embed_planted_twin)",
       nearDupQuery, None),

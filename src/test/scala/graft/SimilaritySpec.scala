@@ -54,11 +54,14 @@ class SimilaritySpec extends SparkTestBase {
       val exact = ids(Similarity.bruteForceTopK(e, queryVecId = 0L, k = 10))
       val lsh = ids(Similarity.lshTopK(e, queryVecId = 0L, k = 10, probeRadius = 3))
       val ivf = ids(Similarity.ivfTopK(e, queryVecId = 0L, k = 10, nProbe = 8))
+      val ivfpq = ids(Similarity.ivfPqTopK(e, queryVecId = 0L, k = 10))
       val lshRecall = (lsh & exact).size / 10.0
       val ivfRecall = (ivf & exact).size / 10.0
-      info(s"recall@10 on $sf: lsh(r=3)=$lshRecall ivf(nProbe=8)=$ivfRecall")
+      val ivfpqRecall = (ivfpq & exact).size / 10.0
+      info(s"recall@10 on $sf: lsh(r=3)=$lshRecall ivf(nProbe=8)=$ivfRecall ivfpq=$ivfpqRecall")
       assert(lshRecall == 1.0, s"$sf LSH recall@10 $lshRecall != 1.0 (oracle gate relies on this)")
       assert(ivfRecall == 1.0, s"$sf IVF recall@10 $ivfRecall != 1.0 (oracle gate relies on this)")
+      assert(ivfpqRecall == 1.0, s"$sf IVF-PQ recall@10 $ivfpqRecall != 1.0 (oracle gate relies on this)")
     }
   }
 
