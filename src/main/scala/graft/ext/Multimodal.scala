@@ -309,7 +309,86 @@ object Multimodal {
         (col("bytes_unique").cast("double") / col("bytes_total").cast("double"))
           .as("unique_fraction"))
 
+  /** Magic-byte media-type sniffing — the trust-nothing ingest audit a
+    * multimodal pipeline runs before routing payloads to decoders:
+    * classify every binary payload by its LEADING BYTES (JPEG FFD8FF,
+    * PNG 89504E47, GIF 'GIF', RIFF/WAV, %PDF-, ZIP PK\003\004; else
+    * text) and cross-tabulate against the DECLARED kind, because
+    * upstream metadata lies and a mislabeled payload crashes or — worse
+    * — silently garbage-decodes. The fixture has no real media bytes,
+    * so the registered query INJECTS deterministic magic prefixes
+    * (doc_id % 7 picks the magic) and deliberately mislabels
+    * (doc_id % 5 picks the declared kind over a different cycle) — the
+    * sniffing expressions, the real artifact, see honest binary.
+    *
+    * 100 TB shape: pure row-local codegen — the sniff hexes only the
+    * FIRST 5 payload bytes (never the payload body; the oracle hexes
+    * the whole blob because DuckDB can't slice one, same first chars) —
+    * followed by one bounded (declared × sniffed) census aggregate.
+    */
+  def sniffReport(docs: DataFrame): DataFrame = {
+    val magics = Seq("FFD8FFE0", "89504E47", "47494638", "52494646",
+      "255044462D", "504B0304", "")
+    val kinds = Seq("image/jpeg", "image/png", "image/gif", "audio/wav",
+      "application/pdf")
+    val magic = magics.zipWithIndex.foldLeft(lit("")) { case (acc, (hexs, i)) =>
+      when(pmod(col("doc_id"), lit(7)) === i, lit(hexs)).otherwise(acc)
+    }
+    val declared = kinds.zipWithIndex.foldLeft(lit("")) { case (acc, (kind, i)) =>
+      when(pmod(col("doc_id"), lit(5)) === i, lit(kind)).otherwise(acc)
+    }
+    val pay = docs.select(
+      concat(unhex(magic),
+        encode(coalesce(col("text"), lit("")), "UTF-8")).as("payload"),
+      declared.as("declared_kind"))
+    val hexHead = hex(substring(col("payload"), 1, 5))
+    val sniffed =
+      when(substring(hexHead, 1, 6) === "FFD8FF", "image/jpeg")
+        .when(substring(hexHead, 1, 8) === "89504E47", "image/png")
+        .when(substring(hexHead, 1, 6) === "474946", "image/gif")
+        .when(substring(hexHead, 1, 8) === "52494646", "audio/wav")
+        .when(substring(hexHead, 1, 10) === "255044462D", "application/pdf")
+        .when(substring(hexHead, 1, 8) === "504B0304", "application/zip")
+        .otherwise("text/plain")
+    pay
+      .select(col("declared_kind"), sniffed.as("sniffed_kind"),
+        octet_length(col("payload")).as("nb"))
+      .groupBy("declared_kind", "sniffed_kind")
+      .agg(count(lit(1)).as("n"), sum(col("nb").cast("long")).as("total_bytes"))
+      .orderBy("declared_kind", "sniffed_kind")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_media_sniff",
+      "magic-byte media-type sniff vs declared kind: the metadata-lies ingest audit (injected deterministic magics)",
+      (s, dir) => sniffReport(t(s, dir, "documents")),
+      Some(
+        """WITH inj AS (
+          |  SELECT doc_id,
+          |    CASE doc_id % 7 WHEN 0 THEN 'FFD8FFE0' WHEN 1 THEN '89504E47'
+          |      WHEN 2 THEN '47494638' WHEN 3 THEN '52494646'
+          |      WHEN 4 THEN '255044462D' WHEN 5 THEN '504B0304' ELSE '' END AS magic,
+          |    CASE doc_id % 5 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+          |      WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+          |      ELSE 'application/pdf' END AS declared_kind,
+          |    COALESCE(text, '') AS txt
+          |  FROM documents),
+          |pay AS (
+          |  SELECT declared_kind, unhex(magic) || encode(txt) AS payload
+          |  FROM inj),
+          |sn AS (
+          |  SELECT declared_kind, CAST(octet_length(payload) AS INTEGER) AS nb,
+          |    CASE WHEN substring(hex(payload), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+          |         WHEN substring(hex(payload), 1, 8) = '89504E47' THEN 'image/png'
+          |         WHEN substring(hex(payload), 1, 6) = '474946' THEN 'image/gif'
+          |         WHEN substring(hex(payload), 1, 8) = '52494646' THEN 'audio/wav'
+          |         WHEN substring(hex(payload), 1, 10) = '255044462D' THEN 'application/pdf'
+          |         WHEN substring(hex(payload), 1, 8) = '504B0304' THEN 'application/zip'
+          |         ELSE 'text/plain' END AS sniffed_kind
+          |  FROM pay)
+          |SELECT declared_kind, sniffed_kind, count(*) AS n,
+          |       CAST(sum(nb) AS BIGINT) AS total_bytes
+          |FROM sn GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     GraftQuery("q_payload_dedup",
       "content-addressable dedup report: md5 payload digests, copy counts, exact bytes-saved accounting",
       (s, dir) => payloadDedupStats(t(s, dir, "documents")),

@@ -165,4 +165,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(r.getAs[Long]("bytes_saved") == 20L)
     assert(r.getAs[Double]("unique_fraction") == 0.5)
   }
+
+  test("media sniff: truthful, lying, and magicless payloads land in the right census cells") {
+    import spark.implicits._
+    // doc 0: magic jpeg (0%7), declared jpeg (0%5)  -> truthful
+    // doc 5: magic zip (5%7),  declared jpeg (5%5=0) -> metadata lie
+    // doc 6: no magic (6%7),   declared png (6%5=1)  -> sniffs text
+    val docs = Seq((0L, "aa", "en", "web", 2L), (5L, "bb", "en", "web", 2L),
+      (6L, "cc", "en", "web", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ext.Multimodal.sniffReport(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("total_bytes")))).toMap
+    assert(out == Map(
+      ("image/jpeg", "image/jpeg") -> ((1L, 6L)),           // 4 magic + 2 text bytes
+      ("image/jpeg", "application/zip") -> ((1L, 6L)),
+      ("image/png", "text/plain") -> ((1L, 2L))))
+  }
 }
