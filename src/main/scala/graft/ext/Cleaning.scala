@@ -823,6 +823,72 @@ object Cleaning {
       .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    * complement: a QI class can be large (k-safe) while every member
+    * shares ONE sensitive value, leaking it to anyone who can place a
+    * person in the class. Per quasi-identifier class (nation, segment):
+    * size, the number of DISTINCT sensitive values (the balance bucket
+    * [[kAnonymity]] coarsens on), a violates-l flag, and the table-level
+    * min l. Distinct-l-diversity — the countable variant; entropy-l
+    * needs logs the compare path avoids.
+    *
+    * 100 TB shape: one partial/final aggregate on the QI key with a
+    * distinct-count (two-phase under the hood, both phases map-side
+    * combined); the table-level min is a broadcast 1-row reduce.
+    */
+  def lDiversity(customer: DataFrame, l: Int = 3): DataFrame = {
+    val cls = customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("bal_bucket")).as("l_distinct"))
+    val g = cls.agg(min(col("l_distinct")).as("l_table"))
+    cls.crossJoin(broadcast(g))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        col("l_distinct"), (col("l_distinct") < l).cast("int").as(s"violates_l$l"),
+        col("l_table"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  /** Score-calibration (reliability) report for the hashed-feature
+    * quality classifier: bucket the per-doc score domain into
+    * fixed-width cells from the broadcast min/max (the [[graft.operators.TopK.skyline]]
+    * bucket census geometry) and emit, per cell, the population, the
+    * observed positive rate, and the mean score — the reliability
+    * diagram a ranking-quality gate reads (positive rate should climb
+    * with score; a flat or inverted band means the score doesn't
+    * discriminate there). All emitted doubles are single IEEE
+    * divisions of exact integer sums.
+    *
+    * 100 TB shape: score derivation reuses [[classifierRawScores]]'s
+    * one-scan aggregate; the range is a broadcast 1-row reduce and the
+    * report is one bounded `buckets`-cell census — nothing after the
+    * per-doc aggregate scales with the corpus.
+    */
+  def calibrationReport(s: SparkSession, dir: String,
+      buckets: Int = 10): DataFrame = {
+    val labeled = classifierRawScores(s, dir)
+      .join(t(s, dir, "documents")
+        .select(col("doc_id"), (col("lang") === "en").cast("long").as("y")),
+        "doc_id")
+      .select(col("y"),
+        floor(col("sum_milli").cast("double") / col("n_tokens").cast("double"))
+          .cast("long").as("score_milli"))
+    val rng = labeled.agg(min("score_milli").as("lo"), max("score_milli").as("hi"))
+    labeled.crossJoin(broadcast(rng))
+      .withColumn("bucket",
+        floor((col("score_milli") - col("lo")) * buckets /
+          (col("hi") - col("lo") + 1)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum(col("score_milli")).as("s"))
+      .select(col("bucket"), col("n"), col("pos"),
+        (col("pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean_score_milli"))
+      .orderBy("bucket")
+  }
+
   /** Expected Benford first-digit probabilities, computed ONCE in JVM
     * doubles and interpolated verbatim (17-significant-digit
     * round-trip) into BOTH the Spark literals and the DuckDB oracle —
@@ -1282,6 +1348,51 @@ object Cleaning {
            |       CAST(CAST(sum(w.w_milli) AS BIGINT) > 0 AS INT) AS keep
            |FROM b JOIN w USING (bucket)
            |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_l_diversity",
+      "l-diversity audit: distinct sensitive values per QI class + violation flags + table-level min l",
+      (s, dir) => lDiversity(t(s, dir, "customer")),
+      Some(
+        """WITH q AS (
+          |  SELECT c_nationkey, c_mktsegment,
+          |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+          |  FROM customer),
+          |cls AS (
+          |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+          |         CAST(count(DISTINCT bal_bucket) AS BIGINT) AS l_distinct
+          |  FROM q GROUP BY 1, 2),
+          |g AS (SELECT CAST(min(l_distinct) AS BIGINT) AS l_table FROM cls)
+          |SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
+          |       CAST(l_distinct < 3 AS INT) AS violates_l3, l_table
+          |FROM cls, g
+          |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+    GraftQuery("q_calibration",
+      "score-calibration reliability report: positive rate and mean score per fixed-width score bucket",
+      (s, dir) => calibrationReport(s, dir),
+      Some(
+        s"""WITH w AS (
+           |  SELECT CAST(t.i AS BIGINT) AS bucket,
+           |         (t.i * 2654435761) % 1000 - 500 AS w_milli
+           |  FROM range($classifierBuckets) t(i)),
+           |toks AS (
+           |  SELECT doc_id, unnest($normToksSql) AS tok FROM documents),
+           |b AS (
+           |  SELECT doc_id,
+           |         ('0x' || substring(md5(tok), 25, 8))::BIGINT % $classifierBuckets AS bucket
+           |  FROM toks),
+           |raw AS (
+           |  SELECT b.doc_id, count(*) AS n_tokens,
+           |         CAST(sum(w.w_milli) AS BIGINT) AS sum_milli
+           |  FROM b JOIN w USING (bucket) GROUP BY b.doc_id),
+           |lab AS (
+           |  SELECT CAST(d.lang = 'en' AS BIGINT) AS y,
+           |         CAST(floor(CAST(r.sum_milli AS DOUBLE) / CAST(r.n_tokens AS DOUBLE)) AS BIGINT) AS score_milli
+           |  FROM raw r JOIN documents d USING (doc_id)),
+           |rng AS (SELECT min(score_milli) AS lo, max(score_milli) AS hi FROM lab)
+           |SELECT CAST(floor((score_milli - lo) * 10 / (hi - lo + 1)) AS BIGINT) AS bucket,
+           |       count(*) AS n, CAST(sum(y) AS BIGINT) AS pos,
+           |       CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate,
+           |       CAST(CAST(sum(score_milli) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_score_milli
+           |FROM lab, rng GROUP BY 1 ORDER BY 1""".stripMargin)),
     GraftQuery("q_classifier_eval",
       "classifier evaluation: confusion matrix, precision/recall/F1, rank-sum AUC with mid-rank ties (exact integer counts)",
       classifierEval,

@@ -369,4 +369,31 @@ class CleaningSpec extends SparkTestBase {
     assert(row.getAs[Long]("sum_bits") == 0L + 1L + 2L)
     assert(row.getAs[Double]("mean_bits") == 1.0)
   }
+
+  test("l-diversity: a large-but-uniform QI class violates, a small-but-diverse one does not") {
+    import spark.implicits._
+    // class (0, A): 5 members, ALL in balance bucket 1 -> k-safe, l=1 leak
+    // class (1, B): 3 members, 3 distinct buckets -> l=3, no violation
+    val rows = (1 to 5).map(i => (i.toLong, 0, "A", 1500.0)) ++
+      Seq((10L, 1, "B", 500.0), (11L, 1, "B", 1500.0), (12L, 1, "B", 2500.0))
+    val cust = rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = Cleaning.lDiversity(cust).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getAs[Long]("class_size"), r.getAs[Long]("l_distinct"),
+          r.getAs[Int]("violates_l3")))).toMap
+    assert(out == Map((0, "A") -> ((5L, 1L, 1)), (1, "B") -> ((3L, 3L, 0))))
+  }
+
+  test("calibration report: buckets partition the corpus, rates bounded, means inside bucket spans") {
+    val rows = Cleaning.calibrationReport(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(r => (0L to 9L).contains(r.getAs[Long]("bucket"))))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(total == docs, s"census covers every scored doc ($total vs $docs)")
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("pos_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
 }
