@@ -310,6 +310,60 @@ object RevenueOps {
           .as("cramers_v"))
   }
 
+  /** Population Stability Index between two eras of the order-value
+    * distribution — the standard production drift gate (PSI < 0.1
+    * stable, > 0.25 act): bucket order cents into `buckets` fixed
+    * cells from the GLOBAL min/max, add-one-smooth both eras' bucket
+    * masses, and sum (pa − pb)·log-ratio per bucket. The log is
+    * BIT-QUANTIZED — bits = floor(log2((ca+1)(Nb+B))) −
+    * floor(log2((cb+1)(Na+B))), the surprisal/DSIR recipe — so every
+    * per-bucket term is ONE double product of an exact integer and two
+    * exact single-division shares ("PSI in bits"; natural-log PSI ≈
+    * bits·ln 2 with the same decision thresholds rescaled). The total
+    * is an ORDERED fold over the ≤B bucket rows through the
+    * DECIMAL(18,8) bridge (the cramersV discipline — never a
+    * shuffle-ordered double sum).
+    *
+    * 100 TB shape: one conditional-sum census per bucket (map-side
+    * combined, both eras in one scan), a broadcast 1-row range and a
+    * broadcast 1-row total; everything past the scan is B rows.
+    */
+  def psiDrift(s: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val split = lit("1998-01-01").cast("timestamp")
+    val base = t(s, dir, "orders")
+      .select((col("o_orderdate") < split).as("era_a"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val rng = base.agg(min("cents").as("lo"), max("cents").as("hi"))
+    val cells = base.crossJoin(broadcast(rng))
+      .withColumn("bucket",
+        floor((col("cents") - col("lo")) * buckets /
+          (col("hi") - col("lo") + 1)).cast("long"))
+      .groupBy("bucket")
+      .agg(sum(when(col("era_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("era_a"), 1L).otherwise(0L)).as("cb"))
+    val totals = cells.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val b = lit(buckets.toLong)
+    val terms = cells.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("ca"), col("cb"),
+        ((col("ca") + 1L).cast(DoubleType) /
+          (col("na") + b).cast(DoubleType)).as("pa"),
+        ((col("cb") + 1L).cast(DoubleType) /
+          (col("nb") + b).cast(DoubleType)).as("pb"),
+        (floor(log2((col("ca") + 1L) * (col("nb") + b))).cast("long") -
+          floor(log2((col("cb") + 1L) * (col("na") + b))).cast("long"))
+          .as("bits"))
+      .withColumn("term", (col("pa") - col("pb")) * col("bits"))
+    val total = terms.agg(
+      aggregate(
+        sort_array(collect_list(struct(col("bucket"), col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term"))
+        .cast(DecimalType(18, 8)).cast(DoubleType).as("psi_bits"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bucket"), col("ca"), col("cb"), col("pa"), col("pb"),
+        col("bits"), col("term"), col("psi_bits"))
+      .orderBy("bucket")
+  }
+
   // ---- registered queries ---------------------------------------------
 
   val queries: Seq[GraftQuery] = Seq(
@@ -420,6 +474,37 @@ object RevenueOps {
           |SELECT gap_days, count(*) AS n_pairs,
           |       CAST(count(*) AS DOUBLE) / CAST(any_value(total) AS DOUBLE) AS share
           |FROM gg, tot GROUP BY gap_days ORDER BY gap_days""".stripMargin)),
+    GraftQuery("q_psi_drift",
+      "Population Stability Index between order-value eras: bit-quantized log-ratio, ordered-fold total",
+      (s, dir) => psiDrift(s, dir),
+      Some(
+        """WITH base AS (
+          |  SELECT o_orderdate < TIMESTAMP '1998-01-01' AS era_a,
+          |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM orders),
+          |rng AS (SELECT min(cents) AS lo, max(cents) AS hi FROM base),
+          |cells AS (
+          |  SELECT CAST(floor((cents - lo) * 10 / (hi - lo + 1)) AS BIGINT) AS bucket,
+          |         CAST(sum(CASE WHEN era_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          |         CAST(sum(CASE WHEN era_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+          |  FROM base, rng GROUP BY 1),
+          |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM cells),
+          |terms AS (
+          |  SELECT bucket, ca, cb,
+          |         CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE) AS pa,
+          |         CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE) AS pb,
+          |         CAST(floor(log2((ca + 1) * (nb + 10))) AS BIGINT) -
+          |           CAST(floor(log2((cb + 1) * (na + 10))) AS BIGINT) AS bits
+          |  FROM cells, tot),
+          |t2 AS (SELECT *, (pa - pb) * bits AS term FROM terms),
+          |tt AS (
+          |  SELECT bucket, ca, cb, pa, pb, bits, term,
+          |         CAST(CAST(sum(term) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,8)) AS DOUBLE) AS cum,
+          |         row_number() OVER (ORDER BY bucket DESC) AS rn
+          |  FROM t2),
+          |total AS (SELECT cum AS psi_bits FROM tt WHERE rn = 1)
+          |SELECT bucket, ca, cb, pa, pb, bits, term, psi_bits
+          |FROM t2, total ORDER BY bucket""".stripMargin)),
     GraftQuery("q_cramers_v",
       "chi-square + Cramer's V association of nation x segment (bounded contingency, ordered term fold)",
       cramersV,

@@ -154,4 +154,23 @@ class RevenueOpsSpec extends SparkTestBase {
     assert(v >= 0.0 && v <= 1.0)
     assert(row.getAs[Long]("n_rows") > 1 && row.getAs[Long]("n_cols") > 1)
   }
+
+  test("PSI drift: identical eras score exactly 0, a shifted era scores positive") {
+    val stable = (1 to 6).map(i =>
+      (i.toLong, i.toLong, 100.0 * (i % 3 + 1),
+        if (i <= 3) "1996-01-01" else "1999-01-01"))
+    val dirS = java.nio.file.Files.createTempDirectory("psiS").toString
+    writeOrders(dirS, stable)
+    val s0 = RevenueOps.psiDrift(spark, dirS).collect()
+    assert(s0.nonEmpty)
+    assert(s0.forall(_.getAs[Double]("psi_bits") == 0.0),
+      "identical per-bucket masses must cancel exactly")
+    // era A all cheap, era B all expensive -> mass moved across buckets
+    val shifted = (1 to 3).map(i => (i.toLong, i.toLong, 100.0, "1996-01-01")) ++
+      (4 to 6).map(i => (i.toLong, i.toLong, 900.0, "1999-01-01"))
+    val dirD = java.nio.file.Files.createTempDirectory("psiD").toString
+    writeOrders(dirD, shifted)
+    val s1 = RevenueOps.psiDrift(spark, dirD).collect()
+    assert(s1.head.getAs[Double]("psi_bits") > 0.0, "drift must score positive")
+  }
 }
