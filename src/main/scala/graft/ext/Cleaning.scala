@@ -510,6 +510,58 @@ object Cleaning {
       .orderBy("doc_id")
   }
 
+  /** Held-out STUPID BACKOFF bigram scoring (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the smoothing
+    * built FOR MapReduce-scale LMs: no discount mass bookkeeping, just
+    * "use the bigram if seen, else a penalized unigram"): fit on the
+    * 90% hash split, score the held-out 10%. Seen bigrams cost
+    * floor(log2 c1)−floor(log2 c12) bits ([[bigramSurprisal]]'s exact
+    * form); unseen bigrams back off to the add-one unigram with a
+    * DYADIC penalty — +1 bit, i.e. α = 0.5 standing in for Brants'
+    * 0.4, because log2(0.4) is not an integer and the dyadic-EWMA
+    * convention keeps every emitted sum exact BIGINT. Emits the
+    * backoff count per doc — the "how novel is this doc's phrasing"
+    * signal alongside the surprisal itself.
+    *
+    * 100 TB shape: [[bigramSurprisal]]'s geometry plus one more
+    * vocabulary-sized aggregate (second-token counts); scoring joins
+    * are string-keyed with AQE choosing the strategy; the only other
+    * shuffle is the doc_id reduction.
+    */
+  def backoffSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val bg = bigramPositions(s, dir)
+    val train = bg.where(col("doc_id") % 10 =!= 7)
+    val c12 = train.groupBy("g").agg(count(lit(1)).as("c12"))
+    val c1 = train.select(substring_index(col("g"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = train.select(substring_index(col("g"), " ", -1).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("c2"))
+    val totals = train.agg(count(lit(1)).as("tt"))
+    bg.where(col("doc_id") % 10 === 7)
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+      .join(c12, Seq("g"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(c2, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        when(col("c12").isNotNull,
+          floor(log2(col("c1"))).cast("long") -
+            floor(log2(col("c12"))).cast("long"))
+          .otherwise(lit(1L) + floor(log2(col("tt") + 1L)).cast("long") -
+            floor(log2(coalesce(col("c2"), lit(0L)) + 1L)).cast("long"))
+          .as("bits"),
+        col("c12").isNull.cast("long").as("backoff"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("backoff").as("n_backoff"),
+        sum("bits").as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+        col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_bits"))
+      .orderBy("doc_id")
+  }
+
   /** Order-2 extension of [[unigramSurprisal]]: score each document by
     * its mean CONDITIONAL bigram surprisal against the corpus's own
     * bigram LM — P(w₂|w₁) estimated as c(w₁w₂)/c(w₁·), both counts
@@ -1348,6 +1400,44 @@ object Cleaning {
            |       CAST(CAST(sum(w.w_milli) AS BIGINT) > 0 AS INT) AS keep
            |FROM b JOIN w USING (bucket)
            |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_backoff_surprisal",
+      "held-out stupid-backoff bigram scoring (dyadic +1-bit backoff penalty, add-one unigram floor)",
+      (s, dir) => backoffSurprisal(s, dir),
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, $normToksSql AS t FROM documents),
+           |bg AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+           |                 i -> t[i] || ' ' || t[i+1])) AS g
+           |  FROM toks WHERE len(t) >= 2),
+           |tr AS (SELECT * FROM bg WHERE doc_id % 10 <> 7),
+           |c12 AS (SELECT g, count(*) AS c12 FROM tr GROUP BY 1),
+           |c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1 FROM tr GROUP BY 1),
+           |c2 AS (SELECT split_part(g, ' ', 2) AS w2, count(*) AS c2 FROM tr GROUP BY 1),
+           |tot AS (SELECT count(*) AS tt FROM tr),
+           |held AS (
+           |  SELECT bg.doc_id, bg.g,
+           |         split_part(bg.g, ' ', 1) AS w1, split_part(bg.g, ' ', 2) AS w2
+           |  FROM bg WHERE doc_id % 10 = 7),
+           |scored AS (
+           |  SELECT h.doc_id,
+           |         CASE WHEN c12.c12 IS NOT NULL
+           |              THEN CAST(floor(log2(c1.c1)) AS BIGINT) -
+           |                   CAST(floor(log2(c12.c12)) AS BIGINT)
+           |              ELSE 1 + CAST(floor(log2(tt + 1)) AS BIGINT) -
+           |                   CAST(floor(log2(COALESCE(c2.c2, 0) + 1)) AS BIGINT) END AS bits,
+           |         CAST(c12.c12 IS NULL AS BIGINT) AS backoff
+           |  FROM held h
+           |  LEFT JOIN c12 USING (g)
+           |  LEFT JOIN c1 USING (w1)
+           |  LEFT JOIN c2 USING (w2)
+           |  CROSS JOIN tot)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |       CAST(sum(backoff) AS BIGINT) AS n_backoff,
+           |       CAST(sum(bits) AS BIGINT) AS sum_bits,
+           |       CAST(CAST(sum(bits) AS BIGINT) AS DOUBLE) /
+           |         CAST(count(*) AS DOUBLE) AS mean_bits
+           |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_l_diversity",
       "l-diversity audit: distinct sensitive values per QI class + violation flags + table-level min l",
       (s, dir) => lDiversity(t(s, dir, "customer")),

@@ -370,6 +370,28 @@ class CleaningSpec extends SparkTestBase {
     assert(row.getAs[Double]("mean_bits") == 1.0)
   }
 
+  test("stupid backoff: seen bigrams use the conditional, unseen back off at +1 bit with add-1 unigram") {
+    import spark.implicits._
+    // train doc 1: bigrams "alpha beta" x2, "beta alpha" x1 -> tt=3
+    // c1: alpha=2 beta=1; c2: beta=2 alpha=1
+    // held doc 7: "alpha beta" seen -> floor(log2 2)-floor(log2 2)=0 bits
+    //             "beta gamma" unseen -> 1 + floor(log2 4) - floor(log2 1) = 3 bits
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "en", "web", 21L),
+      (7L, "alpha beta gamma", "en", "web", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("backoff").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Cleaning.backoffSurprisal(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("doc_id") == 7L)
+    assert(row.getAs[Long]("n_bigrams") == 2L)
+    assert(row.getAs[Long]("n_backoff") == 1L)
+    assert(row.getAs[Long]("sum_bits") == 3L)
+    assert(row.getAs[Double]("mean_bits") == 1.5)
+  }
+
   test("l-diversity: a large-but-uniform QI class violates, a small-but-diverse one does not") {
     import spark.implicits._
     // class (0, A): 5 members, ALL in balance bucket 1 -> k-safe, l=1 leak
