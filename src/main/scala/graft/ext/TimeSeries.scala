@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.GraftQuery
 import graft.engine.{GraftSession, Tables}
@@ -326,6 +326,48 @@ object TimeSeries {
   // ---- registered queries ---------------------------------------------
 
   /** Shared daily-series SQL fragment for the oracles. */
+  /** Theil-Sen robust trend of the daily revenue series (Theil 1950,
+    * Sen 1968): slope = MEDIAN of all pairwise slopes
+    * (yⱼ−yᵢ)/(xⱼ−xᵢ), intercept = median residual at that slope —
+    * the 29%-breakdown-point line OLS ([[graft.operators.RelationalOps]]'s
+    * linreg) cannot give: one corrupted billing day drags a
+    * least-squares fit but not a median of millions of pair slopes.
+    * Both medians cross the DECIMAL(18,6) percentile bridge (the RFM
+    * cut discipline), and each slope is ONE IEEE division of exact
+    * integer deltas, so the compare path carries no fold-order hazard.
+    * Like rankStats, construction runs one eager driver job (the
+    * slope median) so the residual pass can use it as a plan literal.
+    *
+    * 100 TB shape: the corpus collapses to the bounded day grain in
+    * one map-side-combined aggregate BEFORE the quadratic pair
+    * fan-out, which is (days choose 2) — 2.9M pairs for the fixture's
+    * ~2.4k days, 6.7M for a decade — independent of row count. The
+    * pair join broadcasts one copy of the bounded series (nested-loop
+    * on a bounded side, never a corpus cartesian). Past ~30k days the
+    * d² pair volume outgrows one percentile buffer — sample pairs or
+    * use Siegel's per-point median-of-medians there.
+    */
+  def theilSen(orders: DataFrame): DataFrame = {
+    val xy = dailyRevenue(orders)
+      .select(datediff(col("day"), lit("1992-01-01").cast("date"))
+        .cast("long").as("x"), col("cents").as("y"))
+    val slopes = xy.select(col("x").as("x1"), col("y").as("y1"))
+      .join(broadcast(xy.select(col("x").as("x2"), col("y").as("y2"))),
+        col("x1") < col("x2"))
+      .select(((col("y2") - col("y1")).cast(DoubleType) /
+        (col("x2") - col("x1")).cast(DoubleType)).as("slope"))
+    val m = slopes.agg(count(lit(1)).as("n_pairs"),
+      expr("percentile(slope, 0.5)").cast(DecimalType(18, 6))
+        .cast(DoubleType).as("slope_cpd")).head()
+    val (nPairs, slope) = (m.getLong(0), m.getDouble(1))
+    xy.select((col("y") - lit(slope) * col("x")).as("r"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("percentile(r, 0.5)").cast(DecimalType(18, 6))
+          .cast(DoubleType).as("intercept_cents"))
+      .select(lit(nPairs).as("n_pairs"), col("n_days"),
+        lit(slope).as("slope_cents_per_day"), col("intercept_cents"))
+  }
+
   private val dailySql =
     """SELECT CAST(o_orderdate AS DATE) AS day,
       |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
@@ -356,6 +398,28 @@ object TimeSeries {
            |FROM e JOIN s USING (dow)""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_theil_sen",
+      "Theil-Sen robust daily-revenue trend: median pairwise slope + median-residual intercept (DECIMAL bridge)",
+      (s, dir) => theilSen(t(s, dir, "orders")),
+      Some(
+        s"""WITH daily AS ($dailySql),
+           |xy AS (
+           |  SELECT CAST(datediff('day', DATE '1992-01-01', day) AS BIGINT) AS x, cents AS y
+           |  FROM daily),
+           |sl AS (
+           |  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+           |  FROM xy a JOIN xy b ON a.x < b.x),
+           |m AS (
+           |  SELECT count(*) AS n_pairs,
+           |         CAST(CAST(quantile_cont(slope, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS slope_cpd
+           |  FROM sl),
+           |res AS (SELECT y - (SELECT slope_cpd FROM m) * x AS r FROM xy),
+           |i AS (
+           |  SELECT count(*) AS n_days,
+           |         CAST(CAST(quantile_cont(r, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS intercept_cents
+           |  FROM res)
+           |SELECT n_pairs, n_days, slope_cpd AS slope_cents_per_day, intercept_cents
+           |FROM m, i ORDER BY n_pairs""".stripMargin)),
     GraftQuery("q_seasonality",
       "day-of-week seasonal index of daily revenue (exact cents sums, one IEEE division per mean)",
       (s, dir) => seasonality(t(s, dir, "orders")),

@@ -163,4 +163,23 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(flagged.contains("2024-01-31"), s"spike day must flag: $flagged")
     assert(flagged.size <= 3, s"pattern days must mostly stay quiet: $flagged")
   }
+
+  test("Theil-Sen: one corrupted day cannot move the median slope off the planted line") {
+    // y = 10x + 5 cents on nine consecutive days, except day index 4
+    // is corrupted to 1000 cents. 28 of 36 pair slopes are exactly 10
+    // -> median slope 10; residual median sits on the clean line.
+    val base = java.time.LocalDate.parse("1995-01-01")
+    val rows = (0 to 8).map { i =>
+      val cents = if (i == 4) 1000L else 10L * i + 5L
+      (base.plusDays(i).toString, cents / 100.0)
+    }
+    val r = TimeSeries.theilSen(ordersOf(rows)).head()
+    assert(r.getAs[Long]("n_pairs") == 36L)
+    assert(r.getAs[Long]("n_days") == 9L)
+    assert(r.getAs[Double]("slope_cents_per_day") == 10.0)
+    // x is datediff from 1992-01-01: 1995-01-01 -> 1096. Clean residual
+    // = 10i + 5 - 10(1096 + i) = 5 - 10960; the outlier residual is
+    // higher, so the median stays on the clean line.
+    assert(r.getAs[Double]("intercept_cents") == 5.0 - 10960.0)
+  }
 }
