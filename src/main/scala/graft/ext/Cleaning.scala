@@ -27,6 +27,19 @@ object Cleaning {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(GraftSession.tuned(s), dir, n)
 
+  /** Row-local 10-way HASH fold of doc_id for train/held-out splits:
+    * pmod(md5Uint32(doc_id), 10). A raw `doc_id % 10` is unbiased only
+    * on dense sequential ids — on any clustered or structured id space
+    * (sharded allocators, snowflake ids) a modulo split is biased, so
+    * fold assignment hashes first. DuckDB mirror: [[foldSql]].
+    */
+  private def docFold: Column =
+    pmod(graft.functions.HashExprs.md5Uint32(col("doc_id")), lit(10))
+
+  /** DuckDB mirror of [[docFold]] — same md5 window as md5Uint32. */
+  private val foldSql =
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 10"
+
   // ---- PII redaction ---------------------------------------------------
 
   /** Redaction patterns (applied in this order: emails first so the
@@ -469,7 +482,7 @@ object Cleaning {
 
   /** Held-out LM evaluation — the train/test discipline the self-fit
     * scores above deliberately skip: an add-1-smoothed unigram LM fits
-    * on the hash-held-IN 90% (doc_id % 10 ≠ 7) and scores the held-OUT
+    * on the hash-held-IN 90% (md5 fold of doc_id ≠ 7) and scores the held-OUT
     * 10%, so unseen-token mass is real (OOV tokens take the maximal
     * add-1 surprisal) rather than impossible. Per held-out position,
     * p(w) = (c(w)+1)/(T+V+1) bit-quantizes to
@@ -487,13 +500,13 @@ object Cleaning {
       .select(col("doc_id"),
         explode(split(TextOps.normalizeText(col("text")), " ")).as("tok"))
       .where(col("tok") =!= "")
-    val train = toks.where(col("doc_id") % 10 =!= 7)
+    val train = toks.where(docFold =!= 7)
     val counts = train.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val model = counts.agg(
       floor(log2(sum(col("cnt")) + count(lit(1)) + lit(1L)))
         .cast("long").as("den_bits"),
       count(lit(1)).as("vocab"))
-    toks.where(col("doc_id") % 10 === 7)
+    toks.where(docFold === 7)
       .join(counts, Seq("tok"), "left")
       .crossJoin(broadcast(model))
       .select(col("doc_id"),
@@ -530,14 +543,14 @@ object Cleaning {
     */
   def backoffSurprisal(s: SparkSession, dir: String): DataFrame = {
     val bg = bigramPositions(s, dir)
-    val train = bg.where(col("doc_id") % 10 =!= 7)
+    val train = bg.where(docFold =!= 7)
     val c12 = train.groupBy("g").agg(count(lit(1)).as("c12"))
     val c1 = train.select(substring_index(col("g"), " ", 1).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val c2 = train.select(substring_index(col("g"), " ", -1).as("w2"))
       .groupBy("w2").agg(count(lit(1)).as("c2"))
     val totals = train.agg(count(lit(1)).as("tt"))
-    bg.where(col("doc_id") % 10 === 7)
+    bg.where(docFold === 7)
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .withColumn("w2", substring_index(col("g"), " ", -1))
       .join(c12, Seq("g"), "left")
@@ -749,8 +762,13 @@ object Cleaning {
       count(lit(1)).as("v"))
     counts.crossJoin(broadcast(totals))
       .select(col("tok"), col("cp"), col("cq"),
-        (floor(log2((col("cp") + 1L) * (col("nq") + col("v")))).cast("long") -
-          floor(log2((col("cq") + 1L) * (col("np") + col("v")))).cast("long"))
+        // DECIMAL(38,0)-widened products (HUGEINT in the oracle): a
+        // BIGINT (cp+1)*(nq+V) wraps silently past 2^63 at 100 TB-era
+        // token counts while DuckDB raises — see psiDrift.
+        (floor(log2((col("cp") + 1L).cast(dec38) *
+            (col("nq") + col("v")))).cast("long") -
+          floor(log2((col("cq") + 1L).cast(dec38) *
+            (col("np") + col("v")))).cast("long"))
           .as("bits"))
       .withColumn("weighted_bits", (col("cp") + 1L) * col("bits"))
       .orderBy(col("weighted_bits").desc, col("tok"))
@@ -1242,7 +1260,7 @@ object Cleaning {
         s"""WITH toks AS (
            |  SELECT doc_id, unnest($normToksSql) AS tok FROM documents),
            |tt AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-           |cnt AS (SELECT tok, count(*) AS cnt FROM tt WHERE doc_id % 10 <> 7 GROUP BY 1),
+           |cnt AS (SELECT tok, count(*) AS cnt FROM tt WHERE $foldSql <> 7 GROUP BY 1),
            |model AS (
            |  SELECT CAST(floor(log2(sum(cnt) + count(*) + 1)) AS BIGINT) AS den_bits
            |  FROM cnt),
@@ -1251,7 +1269,7 @@ object Cleaning {
            |         m.den_bits - CAST(floor(log2(COALESCE(c.cnt, 0) + 1)) AS BIGINT) AS bits,
            |         CAST(c.cnt IS NULL AS BIGINT) AS oov
            |  FROM tt t LEFT JOIN cnt c USING (tok) CROSS JOIN model m
-           |  WHERE t.doc_id % 10 = 7)
+           |  WHERE ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 25, 8))::BIGINT % 10 = 7)
            |SELECT doc_id, count(*) AS n_tokens,
            |       CAST(sum(oov) AS BIGINT) AS n_oov,
            |       CAST(sum(bits) AS BIGINT) AS sum_bits,
@@ -1321,11 +1339,11 @@ object Cleaning {
            |               CAST(sum(cq) AS BIGINT) AS nq,
            |               count(*) AS v FROM counts)
            |SELECT tok, cp, cq,
-           |       CAST(floor(log2((cp + 1) * (nq + v))) AS BIGINT) -
-           |       CAST(floor(log2((cq + 1) * (np + v))) AS BIGINT) AS bits,
+           |       CAST(floor(log2(CAST(cp + 1 AS HUGEINT) * (nq + v))) AS BIGINT) -
+           |       CAST(floor(log2(CAST(cq + 1 AS HUGEINT) * (np + v))) AS BIGINT) AS bits,
            |       (cp + 1) *
-           |       (CAST(floor(log2((cp + 1) * (nq + v))) AS BIGINT) -
-           |        CAST(floor(log2((cq + 1) * (np + v))) AS BIGINT)) AS weighted_bits
+           |       (CAST(floor(log2(CAST(cp + 1 AS HUGEINT) * (nq + v))) AS BIGINT) -
+           |        CAST(floor(log2(CAST(cq + 1 AS HUGEINT) * (np + v))) AS BIGINT)) AS weighted_bits
            |FROM counts CROSS JOIN tot
            |ORDER BY weighted_bits DESC, tok LIMIT 20""".stripMargin)),
     GraftQuery("q_data_quality_report", "expectation-suite validation: per-rule checked/violation counts + pass flags (one scan + one keyed aggregate)",
@@ -1410,7 +1428,7 @@ object Cleaning {
            |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
            |                 i -> t[i] || ' ' || t[i+1])) AS g
            |  FROM toks WHERE len(t) >= 2),
-           |tr AS (SELECT * FROM bg WHERE doc_id % 10 <> 7),
+           |tr AS (SELECT * FROM bg WHERE $foldSql <> 7),
            |c12 AS (SELECT g, count(*) AS c12 FROM tr GROUP BY 1),
            |c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1 FROM tr GROUP BY 1),
            |c2 AS (SELECT split_part(g, ' ', 2) AS w2, count(*) AS c2 FROM tr GROUP BY 1),
@@ -1418,7 +1436,7 @@ object Cleaning {
            |held AS (
            |  SELECT bg.doc_id, bg.g,
            |         split_part(bg.g, ' ', 1) AS w1, split_part(bg.g, ' ', 2) AS w2
-           |  FROM bg WHERE doc_id % 10 = 7),
+           |  FROM bg WHERE $foldSql = 7),
            |scored AS (
            |  SELECT h.doc_id,
            |         CASE WHEN c12.c12 IS NOT NULL

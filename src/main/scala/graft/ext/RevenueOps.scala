@@ -349,8 +349,14 @@ object RevenueOps {
           (col("na") + b).cast(DoubleType)).as("pa"),
         ((col("cb") + 1L).cast(DoubleType) /
           (col("nb") + b).cast(DoubleType)).as("pb"),
-        (floor(log2((col("ca") + 1L) * (col("nb") + b))).cast("long") -
-          floor(log2((col("cb") + 1L) * (col("na") + b))).cast("long"))
+        // Products widened to DECIMAL(38,0) (HUGEINT in the oracle):
+        // a BIGINT (ca+1)*(nb+B) wraps silently past 2^63 under
+        // non-ANSI Spark at 100 TB-era counts, while DuckDB raises —
+        // the markovStationary silent-divergence class.
+        (floor(log2((col("ca") + 1L).cast(DecimalType(38, 0)) *
+            (col("nb") + b))).cast("long") -
+          floor(log2((col("cb") + 1L).cast(DecimalType(38, 0)) *
+            (col("na") + b))).cast("long"))
           .as("bits"))
       .withColumn("term", (col("pa") - col("pb")) * col("bits"))
     val total = terms.agg(
@@ -493,8 +499,8 @@ object RevenueOps {
           |  SELECT bucket, ca, cb,
           |         CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE) AS pa,
           |         CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE) AS pb,
-          |         CAST(floor(log2((ca + 1) * (nb + 10))) AS BIGINT) -
-          |           CAST(floor(log2((cb + 1) * (na + 10))) AS BIGINT) AS bits
+          |         CAST(floor(log2(CAST(ca + 1 AS HUGEINT) * (nb + 10))) AS BIGINT) -
+          |           CAST(floor(log2(CAST(cb + 1 AS HUGEINT) * (na + 10))) AS BIGINT) AS bits
           |  FROM cells, tot),
           |t2 AS (SELECT *, (pa - pb) * bits AS term FROM terms),
           |tt AS (

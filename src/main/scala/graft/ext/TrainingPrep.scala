@@ -423,8 +423,15 @@ object TrainingPrep {
     val totals = bucketCounts.agg(sum("ct").as("nt"), sum("cr").as("nr"))
     val bits = bucketCounts.crossJoin(broadcast(totals))
       .select(col("b"),
-        (floor(log2((col("ct") + lit(1L)) * (col("nr") + lit(m)))).cast("long") -
-          floor(log2((col("cr") + lit(1L)) * (col("nt") + lit(m)))).cast("long"))
+        // DECIMAL(38,0)-widened products (HUGEINT in the oracle): a
+        // BIGINT (ct+1)*(nr+m) wraps silently past 2^63 at 100 TB-era
+        // bigram counts while DuckDB raises — see psiDrift.
+        (floor(log2((col("ct") + lit(1L))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            (col("nr") + lit(m)))).cast("long") -
+          floor(log2((col("cr") + lit(1L))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            (col("nt") + lit(m)))).cast("long"))
           .as("bits"))
     bg.where(!col("in_t"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
@@ -460,8 +467,8 @@ object TrainingPrep {
            |  FROM bb GROUP BY 1),
            |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM bc),
            |bits AS (
-           |  SELECT b, CAST(floor(log2((ct + 1) * (nr + 1024))) AS BIGINT) -
-           |            CAST(floor(log2((cr + 1) * (nt + 1024))) AS BIGINT) AS bits
+           |  SELECT b, CAST(floor(log2(CAST(ct + 1 AS HUGEINT) * (nr + 1024))) AS BIGINT) -
+           |            CAST(floor(log2(CAST(cr + 1 AS HUGEINT) * (nt + 1024))) AS BIGINT) AS bits
            |  FROM bc, tt),
            |dc AS (SELECT doc_id, b, count(*) AS c FROM bb WHERE NOT in_t GROUP BY 1, 2)
            |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,

@@ -740,7 +740,14 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id"))
     val lexRanked = scored.groupBy("doc_id")
       .agg(termCols.head, termCols.tail: _*)
-      .select(col("doc_id"), lexScore.as("score"))
+      // DECIMAL(18,6) bridge BEFORE ranking (the Theil-Sen/RFM
+      // convention): the per-doc BM25 sum rides a natural-log
+      // transcendental (Spark log vs DuckDB ln, neither correctly
+      // rounded), so last-ulp differences could flip adjacent
+      // lex_rank values; ranks must derive from engine-identical
+      // values, with doc_id breaking the quantized ties.
+      .select(col("doc_id"),
+        lexScore.cast(DecimalType(18, 6)).cast(DoubleType).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(listK)
       .withColumn("lex_rank", row_number().over(wLex))
       .select("doc_id", "lex_rank")
@@ -1097,7 +1104,7 @@ object TextOps {
            |  FROM sc GROUP BY 1),
            |lex AS (
            |  SELECT doc_id,
-           |         (COALESCE(s_spark, 0.0) + COALESCE(s_join, 0.0)) + COALESCE(s_window, 0.0) AS score
+           |         CAST(CAST((COALESCE(s_spark, 0.0) + COALESCE(s_join, 0.0)) + COALESCE(s_window, 0.0) AS DECIMAL(18,6)) AS DOUBLE) AS score
            |  FROM perdoc),
            |lexr AS (
            |  SELECT doc_id, lex_rank FROM (

@@ -351,19 +351,19 @@ class CleaningSpec extends SparkTestBase {
 
   test("heldout surprisal: OOV takes maximal add-1 bits, seen tokens reduce by floor(log2(c+1))") {
     import spark.implicits._
-    // train docs (ids 1,2): "alpha" x3, "beta" x1 -> T=4, V=2, den = floor(log2(7)) = 2
-    // heldout doc 7: alpha beta gamma -> bits: alpha 2-2=0, beta 2-1=1, gamma(OOV) 2-0=2
+    // train docs (ids 1,2 — md5 folds 5,2): "alpha" x3, "beta" x1 -> T=4, V=2, den = floor(log2(7)) = 2
+    // heldout doc 17 (md5 fold 7): alpha beta gamma -> bits: alpha 2-2=0, beta 2-1=1, gamma(OOV) 2-0=2
     val docs = Seq(
       (1L, "alpha alpha beta", "en", "web", 16L),
       (2L, "alpha", "en", "web", 5L),
-      (7L, "alpha beta gamma", "en", "web", 16L))
+      (17L, "alpha beta gamma", "en", "web", 16L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = java.nio.file.Files.createTempDirectory("heldout").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val r = Cleaning.heldoutSurprisal(spark, dir).collect()
     assert(r.length == 1)
     val row = r.head
-    assert(row.getAs[Long]("doc_id") == 7L)
+    assert(row.getAs[Long]("doc_id") == 17L)
     assert(row.getAs[Long]("n_tokens") == 3L)
     assert(row.getAs[Long]("n_oov") == 1L)
     assert(row.getAs[Long]("sum_bits") == 0L + 1L + 2L)
@@ -372,20 +372,20 @@ class CleaningSpec extends SparkTestBase {
 
   test("stupid backoff: seen bigrams use the conditional, unseen back off at +1 bit with add-1 unigram") {
     import spark.implicits._
-    // train doc 1: bigrams "alpha beta" x2, "beta alpha" x1 -> tt=3
+    // train doc 1 (md5 fold 5): bigrams "alpha beta" x2, "beta alpha" x1 -> tt=3
     // c1: alpha=2 beta=1; c2: beta=2 alpha=1
-    // held doc 7: "alpha beta" seen -> floor(log2 2)-floor(log2 2)=0 bits
+    // held doc 17 (md5 fold 7): "alpha beta" seen -> floor(log2 2)-floor(log2 2)=0 bits
     //             "beta gamma" unseen -> 1 + floor(log2 4) - floor(log2 1) = 3 bits
     val docs = Seq(
       (1L, "alpha beta alpha beta", "en", "web", 21L),
-      (7L, "alpha beta gamma", "en", "web", 16L))
+      (17L, "alpha beta gamma", "en", "web", 16L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = java.nio.file.Files.createTempDirectory("backoff").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val r = Cleaning.backoffSurprisal(spark, dir).collect()
     assert(r.length == 1)
     val row = r.head
-    assert(row.getAs[Long]("doc_id") == 7L)
+    assert(row.getAs[Long]("doc_id") == 17L)
     assert(row.getAs[Long]("n_bigrams") == 2L)
     assert(row.getAs[Long]("n_backoff") == 1L)
     assert(row.getAs[Long]("sum_bits") == 3L)
