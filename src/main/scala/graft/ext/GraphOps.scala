@@ -366,6 +366,65 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** TRUE k-core: peel to the FIXPOINT, not a fixed round count. The
+    * bounded unroll above computes "the survivor set after R peels" —
+    * well-defined, but NOT the k-core on graphs whose deletion cascade
+    * runs deeper than R (a pendant chain of length R+1 under-peels).
+    * This is the [[Dedup.connectedComponents]] checkpointed-loop shape
+    * applied to the peel: iterate the same two semi-joins + degree
+    * aggregate until the survivor count stops changing. Because each
+    * round's survivors are a SUBSET of the previous round's (a node
+    * with in-core degree ≥ k also appeared in the prior surviving
+    * set), count equality ⟺ set equality — convergence is one O(1)
+    * driver count per round, never a set-difference join.
+    *
+    * 100 TB shape: identical per-round geometry to [[kCoreOnEdges]]
+    * (adjacency persisted once; the surviving-set sides only shrink),
+    * plus the CC loop's lineage discipline — each round's survivor set
+    * is materialized with a lineage cut (reliable checkpoint when the
+    * caller configured a dir, else local) so the self-referencing plan
+    * cannot grow with the cascade depth, and superseded rounds'
+    * blocks are released eagerly. Rounds are data-bounded: a
+    * non-converged round deletes ≥ 1 node, so the loop runs at most
+    * |V| rounds (and on real graphs a handful).
+    */
+  def kCoreFixpointOnEdges(und: DataFrame, k: Int,
+      maxRounds: Int = 10000): DataFrame = {
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+      .persist()
+    def cut(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var surv = cut(adj.select("node").distinct())
+    var n = surv.count()
+    var converged = n == 0L
+    var it = 0
+    while (!converged && it < maxRounds) {
+      val next = cut(adj
+        .join(surv, "node")
+        .join(surv.select(col("node").as("nbr")), "nbr")
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("node"))
+      val m = next.count()
+      converged = m == n
+      surv.unpersist()
+      surv = next; n = m; it += 1
+    }
+    require(converged, s"kCoreFixpoint did not converge in $maxRounds rounds")
+    // the returned plan rebuilds the adjacency expression UNPERSISTED
+    // (one cheap scan) so the loop's cached blocks can be released now
+    // instead of leaking for the session
+    adj.unpersist()
+    val adjOut = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+    adjOut
+      .join(surv, "node")
+      .join(surv.select(col("node").as("nbr")), "nbr")
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+      .orderBy("node")
+  }
+
   /** k-core of the undirected transition graph. k = 13 peels the
     * sparse small-SF graph and is a no-op once the 100-page fixture
     * graph saturates toward complete — the PLANTED spec, not the
@@ -377,21 +436,34 @@ object GraphOps {
   def kCoreQuery(s: SparkSession, dir: String): DataFrame =
     kCore(t(s, dir, "events"))
 
+  /** Fixpoint k-core of the transition graph — the exact semantics;
+    * [[kCore]] stays registered as the cheap bounded-round variant.
+    */
+  def kCoreFixpointQuery(s: SparkSession, dir: String): DataFrame =
+    kCoreFixpointOnEdges(
+      undirectedEdges(transitionEdges(t(s, dir, "events"))), 13)
+
   /** Generated DuckDB mirror of [[kCore]]: one CTE per peel round so
     * the unroll count cannot drift between engines.
     */
-  private[ext] def kCoreOracleSql(k: Int = 13, rounds: Int = 4): String = {
+  private[ext] def kCoreOracleSql(k: Int = 13, rounds: Int = 4,
+      materialized: Boolean = false): String = {
+    // each s_i references s_{i-1} TWICE: DuckDB inlines plain CTEs, so
+    // a deep unroll expands 2^rounds without AS MATERIALIZED (measured:
+    // the 128-round fixpoint oracle exhausts file handles un-hinted,
+    // runs in ~1 s materialized)
+    val m = if (materialized) "MATERIALIZED " else ""
     val base =
       s"""$graphPrefixSql,
          |und AS (
          |  SELECT DISTINCT CAST(least(src, dst) AS INTEGER) AS a,
          |                  CAST(greatest(src, dst) AS INTEGER) AS b
          |  FROM edges WHERE src <> dst),
-         |adj AS (SELECT a AS node, b AS nbr FROM und
+         |adj AS $m(SELECT a AS node, b AS nbr FROM und
          |        UNION ALL SELECT b, a FROM und),
-         |s0 AS (SELECT DISTINCT node FROM adj)""".stripMargin
+         |s0 AS $m(SELECT DISTINCT node FROM adj)""".stripMargin
     val peels = (1 to rounds).map { i =>
-      s"""s$i AS (
+      s"""s$i AS $m(
          |  SELECT adj.node FROM adj
          |  JOIN s${i - 1} sv ON sv.node = adj.node
          |  JOIN s${i - 1} sn ON sn.node = adj.nbr
@@ -404,6 +476,19 @@ object GraphOps {
          |JOIN s$rounds sn ON sn.node = adj.nbr
          |GROUP BY adj.node ORDER BY adj.node""".stripMargin
   }
+
+  /** DuckDB mirror of [[kCoreFixpointQuery]]: the peel unrolled to a
+    * PROVEN fixpoint bound. A non-converged round deletes ≥ 1 node and
+    * converged rounds are idempotent, so `bound ≥ |V|` rounds compute
+    * exactly the fixpoint — the events fixture's page domain is 100
+    * nodes at every SF (props.k ∈ 0..99), so 128 rounds is a strict
+    * over-bound. (DuckDB's recursive CTE can't express a SHRINKING
+    * set: UNION recursion accumulates rows, so a peeled node would
+    * wrongly persist in the result — measured, not assumed.)
+    */
+  private[ext] def kCoreFixpointOracleSql(k: Int = 13,
+      bound: Int = 128): String =
+    kCoreOracleSql(k, bound, materialized = true)
 
   /** Bounded-depth weighted reachability from the graph's least node,
     * as a RECURSIVE CTE (Spark 4's UnionLoop operator — UNION ALL
@@ -639,6 +724,10 @@ object GraphOps {
       "bounded-round k-core peel (k=13, 4 rounds): cascading low-degree deletion, survivors with in-core degree",
       (s, dir) => kCoreQuery(s, dir),
       Some(kCoreOracleSql())),
+    GraftQuery("q_kcore_fixpoint",
+      "exact k-core (k=13): checkpointed peel loop to the fixpoint; oracle unrolled to the 100-node domain bound",
+      (s, dir) => kCoreFixpointQuery(s, dir),
+      Some(kCoreFixpointOracleSql())),
     GraftQuery("q_label_propagation",
       "synchronous weighted label propagation (3 iterations, min-label tie-break) — transition-graph communities + sizes",
       (s, dir) => labelPropQuery(s, dir),

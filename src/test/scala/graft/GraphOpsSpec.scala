@@ -245,6 +245,51 @@ class GraphOpsSpec extends SparkTestBase {
     assert(short.contains(5) && !short.contains(6) && !short.contains(7))
   }
 
+  test("k-core fixpoint: a cascade deeper than the 4-round unroll peels completely") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} plus a pendant chain 4-5-6-...-12: the 2-core
+    // deletion cascade is 8 rounds deep (12 falls, then 11, ... then 5)
+    // — provably past the bounded unroll — while the clique survives
+    val clique = for {
+      a <- 1 to 4; b <- (a + 1) to 4
+    } yield (a, b)
+    val chain = (4 to 11).map(i => (i, i + 1))
+    val und = (clique ++ chain).toDF("a", "b")
+    // the bounded 4-round unroll under-peels: mid-cascade survivors remain
+    val bounded = GraphOps.kCoreOnEdges(und, k = 2, rounds = 4).collect()
+      .map(_.getInt(0)).toSet
+    assert(bounded.exists(_ > 4), s"cascade not deep enough: $bounded")
+    // the fixpoint peels the whole chain and keeps exactly the clique
+    val fix = GraphOps.kCoreFixpointOnEdges(und, k = 2).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fix == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L), s"got $fix")
+  }
+
+  test("fixture k-core fixpoint matches a plain-JVM iterative-peel mirror") {
+    val und = GraphOps.undirectedEdges(GraphOps.transitionEdges(
+      spark.read.parquet(s"$sfDir/events.parquet")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    // JVM mirror: peel nodes of degree < k until stable, then report
+    // each survivor's degree within the surviving set
+    val k = 13
+    val adj = scala.collection.mutable.Map.empty[Int, Set[Int]]
+    und.foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, Set.empty) + b
+      adj(b) = adj.getOrElse(b, Set.empty) + a
+    }
+    var surv = adj.keySet.toSet
+    var changed = true
+    while (changed) {
+      val next = surv.filter(n => (adj(n) & surv).size >= k)
+      changed = next != surv
+      surv = next
+    }
+    val expect = surv.map(n => n -> (adj(n) & surv).size.toLong).toMap
+    val fix = GraphOps.kCoreFixpointQuery(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fix == expect, s"fixpoint ${fix.size} keys vs mirror ${expect.size}")
+  }
+
   test("graph degrees: strengths are consistent with the edge list (sum out_w == sum in_w == sum w)") {
     val deg = GraphOps.graphDegrees(spark, sfDir)
     val sums = deg.agg(sum("out_w"), sum("in_w")).head()
