@@ -182,4 +182,31 @@ class TimeSeriesSpec extends SparkTestBase {
     // higher, so the median stays on the clean line.
     assert(r.getAs[Double]("intercept_cents") == 5.0 - 10960.0)
   }
+
+  test("Siegel repeated median: robust to the planted outlier and matches a JVM mirror") {
+    // same planted series as the Theil-Sen spec: each clean anchor's
+    // per-point slope median is exactly 10 (7 of its 8 slopes are 10),
+    // and the corrupted anchor's deviant median is voted down by the
+    // outer median — the repeated-median 50% breakdown in action
+    val base = java.time.LocalDate.parse("1995-01-01")
+    val rows = (0 to 8).map { i =>
+      val cents = if (i == 4) 1000L else 10L * i + 5L
+      (base.plusDays(i).toString, cents / 100.0)
+    }
+    val r = TimeSeries.siegelTrend(ordersOf(rows)).head()
+    assert(r.getAs[Long]("n_points") == 9L)
+    assert(r.getAs[Long]("n_days") == 9L)
+    assert(r.getAs[Double]("slope_cents_per_day") == 10.0)
+    assert(r.getAs[Double]("intercept_cents") == 5.0 - 10960.0)
+    // JVM mirror of the repeated median on the same integer series
+    val cents = (0 to 8).map(i => if (i == 4) 1000.0 else 10.0 * i + 5.0)
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val mirror = med((0 to 8).map { i =>
+      med((0 to 8).filter(_ != i).map(j => (cents(j) - cents(i)) / (j - i)))
+    })
+    assert(r.getAs[Double]("slope_cents_per_day") == mirror)
+  }
 }
