@@ -276,12 +276,15 @@ object Multimodal {
       "asset_id")
 
   /** md5-pHash blocking twin: pigeonhole-blocked pairs == DuckDB's
-    * brute-force O(n²) Hamming scan (corpus capped at asset_id < 500 —
-    * the whole table at the correctness SF — like the text twin).
+    * brute-force O(n²) Hamming scan over the WHOLE asset table. The
+    * r6-era asset_id < 500 cap is gone: re-measured, the full oracle
+    * is sub-second at every SF (5000 assets at sf0.1 → 12.5M Hamming
+    * comparisons), so the twin now certifies the blocking at the
+    * largest local SF too.
     */
   def phashMd5Twin(s: SparkSession, dir: String): DataFrame =
     Dedup.hammingBlockedPairs(
-      md5Phash32(assets(t(s, dir, "documents").where(col("doc_id") < 500))),
+      md5Phash32(assets(t(s, dir, "documents"))),
       "asset_id", "simhash32", totalBits = 32, maxHamming = 3,
       maxBucket = Int.MaxValue)
 
@@ -418,7 +421,7 @@ object Multimodal {
           |  SELECT doc_id AS asset_id, hex(encode(coalesce(text, ''))) AS hx,
           |         octet_length(encode(coalesce(text, ''))) AS n
           |  FROM documents
-          |  WHERE doc_id < 500 AND octet_length(encode(coalesce(text, ''))) >= 4),
+          |  WHERE octet_length(encode(coalesce(text, ''))) >= 4),
           |tk AS (
           |  SELECT DISTINCT asset_id, substring(hx, CAST(t.i * 2 + 1 AS INT), 8) AS tok
           |  FROM a, unnest(range(0, n - 3, 2)) AS t(i)),
