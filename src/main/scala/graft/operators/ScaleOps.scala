@@ -329,12 +329,26 @@ object ScaleOps {
     * Equality with the digest's position-set semantics and the
     * zero-false-negative sweep are spec-pinned in ScaleOpsSpec.
     */
+  /** Hard ceiling on a built filter's driver footprint: 2³³ bits =
+    * 1 GiB of words. A Bloom build is INHERENTLY an O(m) driver
+    * materialization (the array is what gets broadcast), so past this
+    * point the operator must fail loudly instead of OOMing the driver
+    * mid-collect — at 8 bits/key the ceiling is ~10⁹ distinct keys;
+    * beyond that a broadcast bitmap is the wrong semi-join tool
+    * (shuffle the join or shard the filter).
+    */
+  val maxBloomBits: Long = 1L << 33
+
   def buildBloom(keys: DataFrame, keyCol: String, bitsPerKey: Int = 8,
-      kHashes: Int = 4): (Long, Array[Long]) = {
+      kHashes: Int = 4, maxBits: Long = maxBloomBits): (Long, Array[Long]) = {
     val distinct = keys.select(col(keyCol).cast("string").as("kstr")).distinct()
     val m = distinct.agg(count(lit(1)).as("nk"))
       .select(expr(s"((nk * $bitsPerKey + 63) div 64) * 64").cast("long"))
       .head().getLong(0)
+    require(m <= maxBits,
+      s"buildBloom: $m bits (${m / 8 / (1L << 20)} MiB) exceeds the " +
+        s"$maxBits-bit driver ceiling — too many distinct keys " +
+        "for a broadcastable Bloom; use a shuffle semi-join instead")
     val words = distinct
       .select(col("kstr"), explode(sequence(lit(0), lit(kHashes - 1))).as("i"))
       .select(bloomPos(col("kstr"), col("i"), lit(m)).as("pos"))

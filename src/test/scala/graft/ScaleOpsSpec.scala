@@ -343,4 +343,15 @@ class ScaleOpsSpec extends SparkTestBase {
       .where(ScaleOps.bloomMightContain(m, words, 4, col("p"))).count()
     assert(fpN.toDouble / n <= 0.15, s"fp rate ${fpN.toDouble / n}")
   }
+
+  test("buildBloom: an over-ceiling filter fails loudly instead of OOMing the driver") {
+    // the fixture's distinct keys at 8 bits/key need more than 64 bits,
+    // so a 64-bit ceiling must trip the guard BEFORE any O(m) collect
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.buildBloom(customer, "c_custkey", maxBits = 64L)
+    }
+    assert(e.getMessage.contains("driver ceiling"), e.getMessage)
+    // and the production ceiling is the documented constant
+    assert(ScaleOps.maxBloomBits == (1L << 33))
+  }
 }
