@@ -361,7 +361,70 @@ object Multimodal {
       .orderBy("declared_kind", "sniffed_kind")
   }
 
+  /** Documents fixture with REAL image-format headers planted onto the
+    * payload bytes: doc_id % 3 picks JPEG (SOI + the 16-byte JFIF APP0
+    * + a VARIABLE-length COM segment the parser must walk over + SOF0
+    * carrying the planted dims per ITU-T T.81), PNG (8-byte signature
+    * + IHDR chunk per RFC 2083), or no header (raw text bytes). The
+    * planted width/height derive from doc_id ALONE, so the oracle
+    * re-derives ground truth independently of any byte parsing — a
+    * walker bug (wrong segment skip, wrong offset, endian swap)
+    * cannot agree with the gate by construction.
+    */
+  def plantedImageAssets(docs: DataFrame): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val w = pmod(col("doc_id"), lit(1009)) + lit(16)
+    val h = pmod(col("doc_id"), lit(997)) + lit(16)
+    val comLen = pmod(col("doc_id"), lit(23)).cast("int")
+    val jpegHex = concat(
+      // SOI + JFIF APP0 (len 16)
+      lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+        "0048" + "0048" + "0000"),
+      // COM segment: variable-length comment the walker must skip
+      lit("FFFE"), lpad(hex(comLen + lit(2)), 4, "0"),
+      repeat(lit("58"), comLen),
+      // SOF0 (len 17): precision 8, HEIGHT then WIDTH, 3 components
+      lit("FFC0" + "0011" + "08"), lpad(hex(h), 4, "0"),
+      lpad(hex(w), 4, "0"), lit("03" + "011100" + "021101" + "031101"))
+    val pngHex = concat(
+      // signature + IHDR length(13) + "IHDR" + WIDTH then HEIGHT
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      // bit depth 8, color type 6, compression/filter/interlace 0
+      lit("0806000000"))
+    val hdr = when(pmod(col("doc_id"), lit(3)) === 0, jpegHex)
+      .when(pmod(col("doc_id"), lit(3)) === 1, pngHex)
+      .otherwise(lit(""))
+    docs.select(col("doc_id").as("asset_id"),
+      concat(unhex(hdr), encode(txt, "UTF-8")).as("payload"))
+  }
+
+  /** Per-asset image dimensions via the native [[graft.functions
+    * .ImageDimsExpr]] header parse — NULL dims for non-image payloads.
+    * Row-local codegen; one scan, no shuffle.
+    */
+  def imageDimsQuery(s: SparkSession, dir: String): DataFrame =
+    plantedImageAssets(t(s, dir, "documents"))
+      .select(col("asset_id"), expr("graft_image_dims(payload)").as("dims"))
+      .select(col("asset_id"),
+        when(col("dims") >= 0, shiftright(col("dims"), 32).cast("int"))
+          .as("width"),
+        when(col("dims") >= 0,
+          col("dims").bitwiseAND(lit(0xffffffffL)).cast("int"))
+          .as("height"))
+      .orderBy("asset_id")
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_image_dims",
+      "JPEG SOF marker-walk + PNG IHDR dimension parse over planted real-format headers (native codegen expression; doc_id-derived oracle)",
+      imageDimsQuery,
+      Some(
+        """SELECT doc_id AS asset_id,
+          |       CASE WHEN doc_id % 3 IN (0, 1)
+          |            THEN CAST(doc_id % 1009 + 16 AS INT) END AS width,
+          |       CASE WHEN doc_id % 3 IN (0, 1)
+          |            THEN CAST(doc_id % 997 + 16 AS INT) END AS height
+          |FROM documents ORDER BY asset_id""".stripMargin)),
     GraftQuery("q_media_sniff",
       "magic-byte media-type sniff vs declared kind: the metadata-lies ingest audit (injected deterministic magics)",
       (s, dir) => sniffReport(t(s, dir, "documents")),

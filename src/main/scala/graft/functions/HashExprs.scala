@@ -572,6 +572,53 @@ object HashImpls {
     }
     d
   }
+
+  /** Image header dimension parse — REAL format structure, not magic
+    * sniffing: a JPEG marker-segment WALK to the first SOF frame
+    * header (any SOF0–SOF15 except DHT/JPG/DAC per ITU-T T.81 §B.1.4;
+    * height then width, big-endian 16-bit at offsets 3/5 of the frame
+    * segment) and the PNG 8-byte signature + IHDR chunk (width then
+    * height, big-endian 32-bit at offsets 16/20 per RFC 2083 §4.1.1).
+    * Returns (width << 32) | height, or −1 when the payload is not a
+    * parseable JPEG/PNG — truncated headers, bad segment lengths and
+    * marker desync all land on −1 rather than garbage dims. One tight
+    * loop over raw bytes, no hex string.
+    */
+  def imageDims(b: Array[Byte]): Long = {
+    def u8(i: Int): Int = b(i) & 0xff
+    val n = b.length
+    if (n >= 24 &&
+        u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4e && u8(3) == 0x47 &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R') {
+      val w = (u8(16).toLong << 24) | (u8(17) << 16) | (u8(18) << 8) | u8(19)
+      val h = (u8(20).toLong << 24) | (u8(21) << 16) | (u8(22) << 8) | u8(23)
+      if (w <= 0 || h <= 0) -1L else (w << 32) | h
+    } else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var off = 2
+      var guard = 0
+      while (off + 4 <= n && guard < 1024) {
+        guard += 1
+        if (u8(off) != 0xff) return -1L
+        val marker = u8(off + 1)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // SOF segment: len(2) precision(1) height(2) width(2) ...
+          if (off + 9 > n) return -1L
+          val h = (u8(off + 5) << 8) | u8(off + 6)
+          val w = (u8(off + 7) << 8) | u8(off + 8)
+          return if (w <= 0 || h <= 0) -1L else (w.toLong << 32) | h
+        }
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) off += 2
+        else {
+          val len = (u8(off + 2) << 8) | u8(off + 3)
+          if (len < 2) return -1L
+          off += 2 + len
+        }
+      }
+      -1L
+    } else -1L
+  }
 }
 
 private object ArrayOfString {
@@ -596,6 +643,29 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.simhash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** `graft_image_dims(binary) -> bigint` — (width << 32) | height from
+  * a JPEG SOF or PNG IHDR header, −1 if unparseable; see
+  * [[HashImpls.imageDims]].
+  */
+case class ImageDimsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_image_dims"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpls.imageDims(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.imageDims($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDimsExpr =
     copy(child = newChild)
 }
 
@@ -1087,6 +1157,8 @@ object HashExprs {
       exprs => SimHash64Expr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_phash64",
       exprs => Phash64Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_image_dims",
+      exprs => ImageDimsExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_norm_text",
       exprs => NormalizeTextExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",

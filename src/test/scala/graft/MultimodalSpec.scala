@@ -182,4 +182,49 @@ class MultimodalSpec extends SparkTestBase {
       ("image/jpeg", "application/zip") -> ((1L, 6L)),
       ("image/png", "text/plain") -> ((1L, 2L))))
   }
+
+  test("imageDims: JPEG SOF walk and PNG IHDR parse real header structures") {
+    import graft.functions.HashImpls.imageDims
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(java.lang.Integer.parseInt(_, 16).toByte).toArray
+    // JPEG: SOI + APP0(16) + COM(5) + SOF0 with h=0x0102, w=0x0304
+    val jpeg = hx("FFD8 FFE0 0010 4A46494600 0101 00 0048 0048 0000" +
+      "FFFE 0005 585858" +
+      "FFC0 0011 08 0102 0304 03 011100 021101 031101")
+    assert(imageDims(jpeg) == (0x0304L << 32 | 0x0102L),
+      "width from SOF bytes 7-8, height from 5-6")
+    // SOF2 (progressive) is a frame header too
+    val jpeg2 = hx("FFD8 FFC2 0011 08 0010 0020 03 011100 021101 031101")
+    assert(imageDims(jpeg2) == (0x20L << 32 | 0x10L))
+    // DHT (C4) is NOT a frame header — the walker must skip it
+    val jpegDht = hx("FFD8 FFC4 0003 00 FFC0 0011 08 0001 0002 03 011100 021101 031101")
+    assert(imageDims(jpegDht) == (2L << 32 | 1L))
+    // marker desync, truncation, bad length -> -1, never garbage
+    assert(imageDims(hx("FFD8 00C0 0011")) == -1L)
+    assert(imageDims(hx("FFD8 FFE0")) == -1L)
+    assert(imageDims(hx("FFD8 FFFE 0001 FFC0")) == -1L)
+    assert(imageDims("plain text".getBytes("UTF-8")) == -1L)
+    assert(imageDims(Array.emptyByteArray) == -1L)
+    // PNG: signature + IHDR, width 0x0000_0141, height 0x0000_00F0
+    val png = hx("89504E470D0A1A0A 0000000D 49484452 00000141 000000F0 0806000000")
+    assert(imageDims(png) == (0x141L << 32 | 0xF0L))
+    // corrupt signature byte -> -1
+    val bad = png.clone(); bad(6) = 0x00
+    assert(imageDims(bad) == -1L)
+  }
+
+  test("q_image_dims: planted headers round-trip the doc_id-derived dims; text rows are NULL") {
+    val out = graft.ext.Multimodal.imageDimsQuery(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 3 == 2) {
+        assert(r.isNullAt(1) && r.isNullAt(2), s"doc $id must not parse")
+      } else {
+        assert(r.getInt(1) == (id % 1009 + 16).toInt, s"width of $id")
+        assert(r.getInt(2) == (id % 997 + 16).toInt, s"height of $id")
+      }
+    }
+  }
 }
