@@ -83,23 +83,7 @@ object MiningOps {
     */
   def typoPairs(entities: DataFrame, idCol: String, nameCol: String): DataFrame = {
     val names = entities.select(col(idCol).as("id"), col(nameCol).as("name"))
-    val dnames = names.select("name").distinct()
-    // variants join on their 8-byte hash, not the variant STRING — the
-    // hashedShingleSets discipline (narrower shuffle; a hash collision
-    // only adds a false candidate, which the levenshtein verify kills)
-    val variants = dnames.select(col("name"), explode(expr(
-      """array_distinct(transform(
-        |  concat(array(name),
-        |    transform(sequence(1, length(name)),
-        |      i -> concat(substring(name, 1, i - 1),
-        |                  substring(name, i + 1, length(name) - i)))),
-        |  v -> xxhash64(v)))""".stripMargin))
-      .as("vh"))
-    val namePairs = variants.select(col("name").as("na"), col("vh"))
-      .join(variants.select(col("name").as("nb"), col("vh")), Seq("vh"))
-      .where(col("na") < col("nb"))
-      .select("na", "nb").distinct()
-      .where(levenshtein(col("na"), col("nb")) === 1)
+    val namePairs = typoNamePairs(names.select("name").distinct())
     namePairs
       .join(names.select(col("id").as("ia"), col("name").as("na")), "na")
       .join(names.select(col("id").as("ib"), col("name").as("nb")), "nb")
@@ -111,7 +95,67 @@ object MiningOps {
       .orderBy("ida", "idb")
   }
 
+  /** The name-pair core of [[typoPairs]], over a DISTINCT-name
+    * relation: SymSpell deletion-neighborhood blocking + levenshtein
+    * verify, emitting (na, nb) with na < nb. Variants join on their
+    * 8-byte xxhash64, not the variant STRING — the hashedShingleSets
+    * discipline (narrower shuffle; a hash collision only adds a false
+    * candidate, which the levenshtein verify kills).
+    */
+  def typoNamePairs(dnames: DataFrame): DataFrame = {
+    val variants = dnames.select(col("name"), explode(expr(
+      """array_distinct(transform(
+        |  concat(array(name),
+        |    transform(sequence(1, length(name)),
+        |      i -> concat(substring(name, 1, i - 1),
+        |                  substring(name, i + 1, length(name) - i)))),
+        |  v -> xxhash64(v)))""".stripMargin))
+      .as("vh"))
+    variants.select(col("name").as("na"), col("vh"))
+      .join(variants.select(col("name").as("nb"), col("vh")), Seq("vh"))
+      .where(col("na") < col("nb"))
+      .select("na", "nb").distinct()
+      .where(levenshtein(col("na"), col("nb")) === 1)
+  }
+
+  /** BOUNDED-output twin of [[typoPairs]]: the same blocking + verify
+    * pipeline, but the id-level pair expansion is replaced by exact
+    * COUNTING — per name-length bucket, the number of distinct
+    * edit-distance-1 name pairs and the number of id pairs they expand
+    * to (cnt_a · cnt_b, summed). On fixtures whose replicated names
+    * pair quadratically in replica count (the ScaleGen decade gates),
+    * the exact key's cost is dominated by EMITTING the answer; this
+    * key measures the same computation with output bounded by the
+    * name-length domain, so decade totals reflect compute, not I/O.
+    */
+  def typoPairStats(entities: DataFrame, nameCol: String): DataFrame = {
+    val counts = entities.select(col(nameCol).as("name"))
+      .groupBy("name").agg(count(lit(1)).as("cnt"))
+    typoNamePairs(counts.select("name"))
+      .join(counts.select(col("name").as("na"), col("cnt").as("ca")), "na")
+      .join(counts.select(col("name").as("nb"), col("cnt").as("cb")), "nb")
+      .groupBy(length(col("na")).cast("int").as("name_len"))
+      .agg(count(lit(1)).as("n_name_pairs"),
+        sum(col("ca") * col("cb")).as("n_id_pairs"))
+      .orderBy("name_len")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_typo_pair_stats",
+      "bounded-output typo-pair census: per name-length, distinct edit-1 name pairs + the id-pair count they expand to",
+      (s, dir) => typoPairStats(t(s, dir, "customer"), "c_name"),
+      Some(
+        """WITH dn AS (SELECT c_name AS name, count(*) AS cnt
+          |            FROM customer GROUP BY 1),
+          |np AS (
+          |  SELECT a.name AS na, a.cnt AS ca, b.cnt AS cb
+          |  FROM dn a JOIN dn b ON a.name < b.name
+          |  WHERE abs(length(a.name) - length(b.name)) <= 1
+          |    AND levenshtein(a.name, b.name) = 1)
+          |SELECT CAST(length(na) AS INT) AS name_len,
+          |       count(*) AS n_name_pairs,
+          |       CAST(sum(ca * cb) AS BIGINT) AS n_id_pairs
+          |FROM np GROUP BY 1 ORDER BY 1""".stripMargin)),
     GraftQuery("q_typo_pairs",
       "edit-distance-1 entity pairs via SymSpell deletion-neighborhood blocking (exact recall, levenshtein verify)",
       (s, dir) => typoPairs(t(s, dir, "customer"), "c_custkey", "c_name"),

@@ -70,6 +70,11 @@ class MiningOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = (for (a <- 1L to 50L; b <- 51L to 53L) yield (a, b)).toSet
     assert(got == want, s"expected the 150 cross pairs, got ${got.size}")
+    // the bounded-output census must COUNT exactly what the exact key
+    // EMITS: one distinct name pair expanding to the 150 id pairs
+    val stats = MiningOps.typoPairStats(ents, "c_name").collect()
+    assert(stats.map(_.getAs[Long]("n_name_pairs")).sum == 1L)
+    assert(stats.map(_.getAs[Long]("n_id_pairs")).sum == 150L)
   }
 
   test("jaro-winkler expression: pinned reference vectors (incl. the DuckDB empty-string and boost-threshold conventions)") {
