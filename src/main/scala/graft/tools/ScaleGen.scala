@@ -64,9 +64,14 @@ object ScaleGen {
     def span(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1
 
-    // rotations are distinct only for 1..26 replicas (i=26 would repeat
-    // the identity and plant byte-identical cross-replica duplicates)
-    require(reps >= 1 && reps <= 26, s"replicas must be in 1..26: $reps")
+    // per-replica text transforms must be DISTINCT or replicas plant
+    // byte-identical cross-replica duplicates. The affine alphabet
+    // permutation σ_i(p) = (a·p + b) mod 26 (a coprime to 26, 12
+    // choices × 26 shifts = 312 distinct permutations; i < 26 keeps
+    // a = 1, i.e. the original Caesar rotation, so sf1/sf2 fixtures
+    // regenerate byte-identically) preserves token boundaries, lengths
+    // and per-doc shingle counts exactly like the rotation did.
+    require(reps >= 1 && reps <= 312, s"replicas must be in 1..312: $reps")
 
     // dims copy as-is: facts grow, dims don't (lineitem keeps its
     // p_partkey/s_suppkey ranges, so the copied dims stay FK-complete)
@@ -87,9 +92,27 @@ object ScaleGen {
     // precedent: perturb what would otherwise be byte-equal twins)
     val alphaC = "abcdefghijklmnopqrstuvwxyz"
     val digitsC = "0123456789"
+    // replica i's letter permutation: affine (a·p + b) mod 26 over
+    // letter positions — a cycles the 12 residues coprime to 26 every
+    // 26 replicas, so all 312 (a, b) pairs are distinct; a(0..25) = 1
+    // reproduces the original Caesar rotation byte-for-byte
+    val coprimes26 = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def permL(i: Int): String = {
+      val (a, b) = (coprimes26(i / 26 % 12), i % 26)
+      (0 until 26).map(p => alphaC((a * p + b) % 26)).mkString
+    }
+    // digit permutation: affine mod 10 (a coprime to 10 — 40 distinct
+    // pairs; the letter permutation already separates replicas beyond
+    // that, so pure-digit shingles colliding between i and i+40 is the
+    // same known residual the rotation had at i and i+10)
+    val coprimes10 = Seq(1, 3, 7, 9)
+    def permD(i: Int): String = {
+      val (a, b) = (coprimes10(i / 10 % 4), i % 10)
+      (0 until 10).map(p => digitsC((a * p + b) % 10)).mkString
+    }
     wr(replicate(cust)((d, i) => {
-      val rotL = alphaC.drop(i % 26) + alphaC.take(i % 26)
-      val rotD = digitsC.drop(i % 10) + digitsC.take(i % 10)
+      val rotL = permL(i)
+      val rotD = permD(i)
       d.withColumn("c_custkey", col("c_custkey") + lit(i * custSpan))
         .withColumn("c_name",
           if (i == 0) col("c_name")
@@ -141,8 +164,8 @@ object ScaleGen {
     val docs = rd("documents")
     val docSpan = span(docs, "doc_id")
     wr(replicate(docs)((d, i) => {
-      val rotL = alphaC.drop(i % 26) + alphaC.take(i % 26)
-      val rotD = digitsC.drop(i % 10) + digitsC.take(i % 10)
+      val rotL = permL(i)
+      val rotD = permD(i)
       d.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
         .withColumn("text", translate(col("text"),
           alphaC + alphaC.toUpperCase + digitsC,

@@ -71,11 +71,30 @@ class ScaleGenSpec extends SparkTestBase {
       s"max cluster size changed: $baseMax -> $repMax (within-cluster pair volume must stay constant)")
   }
 
-  test("reps outside 1..26 are rejected (27 would repeat the identity rotation)") {
+  test("reps outside 1..312 are rejected (313 would repeat an affine permutation)") {
     // an independent path: the validation must fire before any Spark
     // work, so this test must not touch the lazily-generated `dst`
     val bad = java.nio.file.Files.createTempDirectory("graft-scalegen-bad").toString
-    intercept[IllegalArgumentException] { ScaleGen.run(spark, sfDir, bad, 27) }
+    intercept[IllegalArgumentException] { ScaleGen.run(spark, sfDir, bad, 313) }
     intercept[IllegalArgumentException] { ScaleGen.run(spark, sfDir, bad, 0) }
+  }
+
+  test("affine text permutations are pairwise distinct across 40 replicas") {
+    // replicas 26..39 exercise the a != 1 residues the Caesar rotation
+    // never reached: no two replicas may share a letter permutation,
+    // and each must be a bijection (translate cannot merge letters)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val coprimes26 = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def permL(i: Int): String = {
+      val (a, b) = (coprimes26(i / 26 % 12), i % 26)
+      (0 until 26).map(p => alpha((a * p + b) % 26)).mkString
+    }
+    val perms = (0 until 40).map(permL)
+    assert(perms.distinct.size == 40, "letter permutations must not repeat")
+    perms.foreach(p => assert(p.toSet.size == 26, s"not a bijection: $p"))
+    // i < 26 must reproduce the original Caesar rotation byte-for-byte
+    (0 until 26).foreach { i =>
+      assert(permL(i) == alpha.drop(i) + alpha.take(i), s"replica $i drifted")
+    }
   }
 }
