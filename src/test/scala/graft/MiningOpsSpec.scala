@@ -77,6 +77,32 @@ class MiningOpsSpec extends SparkTestBase {
     assert(stats.map(_.getAs[Long]("n_id_pairs")).sum == 150L)
   }
 
+  test("edit1 == (levenshtein == 1) on exhaustive short strings and random name-like pairs") {
+    import graft.functions.HashImpls.edit1
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // exhaustive over the alphabet {a,b} up to length 3: every pair,
+    // including both empty-string sides and double-substitutions
+    val short = (0 to 3).flatMap(n =>
+      (0 until (1 << n)).map(m => (0 until n).map(i =>
+        if (((m >> i) & 1) == 1) 'b' else 'a').mkString))
+    for (x <- short; y <- short)
+      assert(edit1(x, y) == (lev(x, y) == 1), s"'$x' vs '$y'")
+    // random digit-suffix names (the fixture's typo structure)
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val x = "Customer#" + (0 until 9).map(_ => rnd.nextInt(10)).mkString
+      val y = "Customer#" + (0 until (9 + rnd.nextInt(2))).map(_ => rnd.nextInt(10)).mkString
+      assert(edit1(x, y) == (lev(x, y) == 1), s"'$x' vs '$y'")
+    }
+  }
+
   test("jaro-winkler expression: pinned reference vectors (incl. the DuckDB empty-string and boost-threshold conventions)") {
     import spark.implicits._
     graft.functions.HashExprs.register(spark)
