@@ -813,8 +813,14 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         gramKey.as("gram"))
     val df = grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    // the frequency side is PINNED to a shuffle (merge) join: its true
+    // size is corpus-scale (distinct dup grams), but AQE's post-filter
+    // selectivity estimate can fall under the broadcast threshold and
+    // trigger a driver-side collect of the whole relation (measured at
+    // sf5: 1 GiB of task results -> maxResultSize abort). A gram-keyed
+    // shuffle is the correct 100 TB shape regardless of estimate.
     val dupPos = grams
-      .join(df.where(col("gram_df") >= 2), Seq("gram"))
+      .join(df.where(col("gram_df") >= 2).hint("merge"), Seq("gram"))
       .select("doc_id", "pos")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
