@@ -130,5 +130,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(x, y) => HilbertExpr(x, y)
         case _ => throw new IllegalArgumentException("graft_hilbert(x, y)")
       }))
+    ext.injectFunction((FunctionIdentifier("graft_image_dims"),
+      info("graft_image_dims", "graft_image_dims(binary) - (width<<32)|height from a JPEG SOF / PNG IHDR header, -1 if unparseable"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(b) => ImageDimsExpr(b)
+        case _ => throw new IllegalArgumentException("graft_image_dims(binary)")
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_edit1"),
+      info("graft_edit1", "graft_edit1(s1, s2) - true iff levenshtein distance is exactly 1"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => Edit1Expr(a, b)
+        case _ => throw new IllegalArgumentException("graft_edit1(s1, s2)")
+      }))
   }
 }

@@ -361,6 +361,80 @@ object Multimodal {
       .orderBy("declared_kind", "sniffed_kind")
   }
 
+  /** Content-defined chunking (the Rabin/LBFS window-hash family;
+    * Muthitacharoen et al. 2001): a chunk boundary opens at byte
+    * position i iff the 4-byte window starting there hashes to
+    * 0 mod `maskMod` — boundaries derive from CONTENT, so an insertion
+    * shifts only the chunks it touches, which is why storage and
+    * training-corpus dedup chunk this way instead of at fixed offsets
+    * (a 1-byte prefix edit re-aligns every fixed block but only ONE
+    * cdc chunk). Window hash = the engine-portable md5Uint32 recipe
+    * over the window's hex form, so the WHOLE pipeline — boundary
+    * rule, chunk spans, chunk digests — is DuckDB-mirrorable and the
+    * gate checks it end to end (the phash-twin discipline). No
+    * min/max chunk clamp: that variant (FastCDC normalization) gates
+    * boundaries on the running chunk length, a sequential dependence
+    * both engines would have to unroll; the plain window rule is the
+    * published baseline and fully declarative.
+    *
+    * 100 TB shape: chunking is ONE row-local pass (HOF transform +
+    * filter over window positions inside the row — no per-position
+    * explode, the payload string is never duplicated); the census is
+    * one groupBy on 16-byte digests, map-side combined.
+    */
+  def cdcChunks(docs: DataFrame, maskMod: Int = 64): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    docs
+      .select(col("doc_id").as("asset_id"),
+        hex(encode(txt, "UTF-8")).as("hx"),
+        octet_length(txt).as("n"))
+      .where(col("n") >= 4)
+      .withColumn("bpos", expr(
+        s"""CASE WHEN n - 3 >= 2 THEN
+           |  filter(transform(sequence(2, n - 3),
+           |    i -> CASE WHEN CAST(conv(substring(md5(substring(hx,
+           |           (i - 1) * 2 + 1, 8)), 25, 8), 16, 10) AS BIGINT)
+           |           % $maskMod = 0 THEN i END),
+           |    x -> x IS NOT NULL)
+           |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin))
+      .select(col("asset_id"), col("hx"),
+        posexplode(expr(
+          """zip_with(concat(array(1), bpos), concat(bpos, array(n + 1)),
+            |  (s, e) -> struct(s AS cs, e - s AS cl))""".stripMargin))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("asset_id"), col("chunk_idx"),
+        col("c.cs").as("c_start"), col("c.cl").as("c_len"),
+        md5(expr("substring(hx, (c.cs - 1) * 2 + 1, c.cl * 2)"))
+          .as("digest"))
+  }
+
+  /** Per-asset chunking report: how the content-defined boundaries cut
+    * each payload.
+    */
+  def cdcChunkQuery(s: SparkSession, dir: String): DataFrame =
+    cdcChunks(t(s, dir, "documents"))
+      .orderBy("asset_id", "chunk_idx")
+
+  /** Corpus-level chunk-dedup census — [[payloadDedupStats]] at CDC
+    * chunk grain, where cross-document overlap that whole-payload
+    * digests can never see (shared boilerplate, shifted copies)
+    * becomes dedupable storage.
+    */
+  def cdcDedupStats(docs: DataFrame, maskMod: Int = 64): DataFrame =
+    cdcChunks(docs, maskMod)
+      .groupBy("digest")
+      .agg(count(lit(1)).as("copies"), max(col("c_len")).as("cl"))
+      .agg(sum(col("copies")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("copies") - 1).as("n_dup_copies"),
+        sum(col("copies") * col("cl")).cast("long").as("bytes_total"),
+        sum(col("cl")).cast("long").as("bytes_unique"))
+      .select(col("n_chunks"), col("n_distinct"), col("n_dup_copies"),
+        col("bytes_total"), col("bytes_unique"),
+        (col("bytes_total") - col("bytes_unique")).as("bytes_saved"),
+        (col("bytes_unique").cast("double") / col("bytes_total").cast("double"))
+          .as("unique_fraction"))
+
   /** Documents fixture with REAL image-format headers planted onto the
     * payload bytes: doc_id % 3 picks JPEG (SOI + the 16-byte JFIF APP0
     * + a VARIABLE-length COM segment the parser must walk over + SOF0
@@ -414,7 +488,61 @@ object Multimodal {
           .as("height"))
       .orderBy("asset_id")
 
+  /** Shared oracle prefix: chunk relation in DuckDB (mirrors
+    * [[cdcChunks]] — same boundary rule, spans, digests).
+    */
+  private val cdcChunkSql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS asset_id, hex(encode(coalesce(text, ''))) AS hx,
+      |         octet_length(encode(coalesce(text, ''))) AS n
+      |  FROM documents
+      |  WHERE octet_length(encode(coalesce(text, ''))) >= 4),
+      |b AS (
+      |  SELECT asset_id, hx, n,
+      |         CASE WHEN n - 3 >= 2 THEN
+      |           list_filter(list_transform(range(2, n - 2),
+      |             i -> CASE WHEN ('0x' || substring(md5(substring(hx,
+      |                    CAST((i - 1) * 2 + 1 AS INT), 8)), 25, 8))::BIGINT
+      |                    % 64 = 0 THEN CAST(i AS INT) END),
+      |             x -> x IS NOT NULL)
+      |         ELSE [] END AS bpos
+      |  FROM a),
+      |c AS (
+      |  SELECT asset_id, hx,
+      |         list_prepend(CAST(1 AS INT), bpos) AS starts,
+      |         list_append(bpos, CAST(n + 1 AS INT)) AS ends
+      |  FROM b),
+      |ch AS (
+      |  SELECT asset_id, CAST(t.i - 1 AS INT) AS chunk_idx,
+      |         starts[CAST(t.i AS INT)] AS c_start,
+      |         ends[CAST(t.i AS INT)] - starts[CAST(t.i AS INT)] AS c_len,
+      |         md5(substring(hx,
+      |           CAST((starts[CAST(t.i AS INT)] - 1) * 2 + 1 AS INT),
+      |           CAST((ends[CAST(t.i AS INT)] - starts[CAST(t.i AS INT)]) * 2 AS INT))) AS digest
+      |  FROM c, unnest(range(1, len(starts) + 1)) AS t(i))""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_content_chunks",
+      "content-defined chunking (window-hash Rabin-style, md5 recipe): per-asset chunk spans + digests",
+      cdcChunkQuery,
+      Some(cdcChunkSql +
+        "\nSELECT asset_id, chunk_idx, c_start, c_len, digest FROM ch" +
+        "\nORDER BY asset_id, chunk_idx")),
+    GraftQuery("q_chunk_dedup",
+      "chunk-grain dedup census over content-defined chunks: copies, unique bytes, savings",
+      (s, dir) => cdcDedupStats(t(s, dir, "documents")),
+      Some(cdcChunkSql + """,
+        |g AS (SELECT digest, count(*) AS copies, max(c_len) AS cl
+        |      FROM ch GROUP BY 1)
+        |SELECT CAST(sum(copies) AS BIGINT) AS n_chunks,
+        |       count(*) AS n_distinct,
+        |       CAST(sum(copies - 1) AS BIGINT) AS n_dup_copies,
+        |       CAST(sum(copies * cl) AS BIGINT) AS bytes_total,
+        |       CAST(sum(cl) AS BIGINT) AS bytes_unique,
+        |       CAST(sum(copies * cl) - sum(cl) AS BIGINT) AS bytes_saved,
+        |       CAST(CAST(sum(cl) AS BIGINT) AS DOUBLE) /
+        |         CAST(CAST(sum(copies * cl) AS BIGINT) AS DOUBLE) AS unique_fraction
+        |FROM g ORDER BY n_chunks""".stripMargin)),
     GraftQuery("q_image_dims",
       "JPEG SOF marker-walk + PNG IHDR dimension parse over planted real-format headers (native codegen expression; doc_id-derived oracle)",
       imageDimsQuery,

@@ -183,6 +183,37 @@ class MultimodalSpec extends SparkTestBase {
       ("image/png", "text/plain") -> ((1L, 2L))))
   }
 
+  test("content-defined chunking: spans tile the payload; a prefix edit re-aligns, fixed blocks would not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val body = (1 to 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, body, "en", "web", body.length.toLong),
+      // 3-byte insertion at the front: every fixed-offset block would
+      // change, but CDC boundaries derive from content, so all chunks
+      // after the first boundary must be byte-identical to doc 1's
+      (2L, "xyz" + body, "en", "web", body.length + 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ch = graft.ext.Multimodal.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    // spans tile each payload exactly: starts contiguous, lens sum to n
+    Seq(1L -> body.length, 2L -> (body.length + 3)).foreach { case (id, n) =>
+      val spans = ch.filter(_._1 == id).sortBy(_._2)
+      assert(spans.head._3 == 1, "first chunk starts at byte 1")
+      spans.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"gap in doc $id")
+        case _ =>
+      }
+      assert(spans.map(_._4).sum == n, s"doc $id spans must cover all $n bytes")
+    }
+    // content-defined re-alignment: past the first boundary the chunk
+    // digest streams coincide
+    val d1 = ch.filter(_._1 == 1L).sortBy(_._2).map(_._5).drop(1)
+    val d2 = ch.filter(_._1 == 2L).sortBy(_._2).map(_._5).drop(1)
+    assert(d1.nonEmpty && d1.sameElements(d2),
+      s"downstream chunks must re-align: ${d1.length} vs ${d2.length}")
+  }
+
   test("imageDims: JPEG SOF walk and PNG IHDR parse real header structures") {
     import graft.functions.HashImpls.imageDims
     def hx(s: String): Array[Byte] =
