@@ -37,6 +37,7 @@ object Catalog {
       graft.ext.Similarity.queries ++
       graft.ext.GraphOps.queries ++
       graft.ext.MiningOps.queries ++
+      graft.ext.WebOps.queries ++
       graft.ext.Multimodal.queries ++
       graft.streaming.EventOps.queries
 
