@@ -195,7 +195,94 @@ object WebOps {
       .orderBy("host", "wave")
   }
 
+  /** Deterministic planted MESSY URL: mixed-case scheme/host, www
+    * prefix, explicit default port, utm tracking params, unsorted query
+    * keys, trailing slash, and a fragment — every normalization hazard
+    * crawl dedup must erase.
+    */
+  private def plantedMessyUrl: Column =
+    concat(
+      lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/"),
+      col("lang"), lit("/doc-"), col("doc_id").cast("string"),
+      lit("/?utm_source=feed&b="), (col("doc_id") % 5).cast("string"),
+      lit("&utm_campaign=c"), (col("doc_id") % 3).cast("string"),
+      lit("&a="), (col("doc_id") % 7).cast("string"), lit("#sec-2"))
+
+  private val plantedMessyUrlSql: String =
+    "'HTTPS://WWW.' || upper(source) || '.Example.COM:443/' || lang || " +
+      "'/doc-' || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b=' || " +
+      "CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=c' || " +
+      "CAST(doc_id % 3 AS VARCHAR) || '&a=' || CAST(doc_id % 7 AS VARCHAR) " +
+      "|| '#sec-2'"
+
+  /** URL canonicalization — the crawl-dedup prerequisite (two fetches of
+    * the same resource must collapse to one key before any content
+    * dedup runs): lowercase scheme+host, strip `www.` and default
+    * ports, drop the fragment, strip tracking (`utm_*`) params, SORT
+    * the surviving query params, strip the trailing slash. The query
+    * rewrite runs on higher-order array functions (`filter` lambda +
+    * `array_sort` + `array_join`) — codegen-friendly, row-local, zero
+    * shuffles; the oracle mirrors with DuckDB list lambdas so both
+    * engines canonicalize identically.
+    */
+  def urlCanon(documents: DataFrame): DataFrame = {
+    val noFrag = regexp_replace(plantedMessyUrl, lit("#.*$"), lit(""))
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)),
+        lit(":443$"), lit("")),
+      lit("^www\\."), lit(""))
+    val rawPath = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val path = when(regexp_replace(rawPath, lit("/+$"), lit("")) === "", lit("/"))
+      .otherwise(regexp_replace(rawPath, lit("/+$"), lit("")))
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val rawParams = split(query, "&")
+    val kept = array_sort(filter(rawParams,
+      p => !p.startsWith("utm_") && p =!= ""))
+    val qstr = array_join(kept, "&")
+    val canon = concat(scheme, lit("://"), host, path,
+      when(qstr === "", lit("")).otherwise(concat(lit("?"), qstr)))
+    documents
+      .select(
+        col("doc_id"),
+        plantedMessyUrl.as("url"),
+        canon.as("canon"),
+        (size(rawParams) - size(kept)).as("n_dropped_params"))
+      .orderBy("doc_id")
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_url_canon",
+      "URL canonicalization (case, www, default port, fragment, utm params, param sort, trailing slash) via higher-order array lambdas; DuckDB list lambdas mirror",
+      (s, dir) => urlCanon(t(s, dir, "documents")),
+      Some(
+        s"""WITH u AS (SELECT doc_id, $plantedMessyUrlSql AS url FROM documents),
+           |p AS (
+           |  SELECT doc_id, url,
+           |    regexp_replace(url, '#.*$$', '') AS nofrag
+           |  FROM u),
+           |c AS (
+           |  SELECT doc_id, url,
+           |    lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+           |    regexp_replace(regexp_replace(
+           |      lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?#]+)', 1)),
+           |      ':443$$', ''), '^www\\.', '') AS host,
+           |    CASE WHEN regexp_replace(regexp_extract(nofrag,
+           |           '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$$', '') = ''
+           |         THEN '/'
+           |         ELSE regexp_replace(regexp_extract(nofrag,
+           |           '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$$', '') END AS path,
+           |    str_split(regexp_extract(nofrag, '\\?([^#]*)', 1), '&') AS rawp,
+           |    list_sort(list_filter(
+           |      str_split(regexp_extract(nofrag, '\\?([^#]*)', 1), '&'),
+           |      x -> NOT starts_with(x, 'utm_') AND x <> '')) AS kept
+           |  FROM p)
+           |SELECT doc_id, url,
+           |       scheme || '://' || host || path ||
+           |         CASE WHEN len(kept) = 0 THEN ''
+           |              ELSE '?' || array_to_string(kept, '&') END AS canon,
+           |       CAST(len(rawp) - len(kept) AS INT) AS n_dropped_params
+           |FROM c ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_url_parse",
       "parse_url host/path/query-param decomposition vs a DuckDB RE2 re-parse of the same planted URLs",
       (s, dir) => urlParse(t(s, dir, "documents")),

@@ -76,6 +76,25 @@ class WebOpsSpec extends SparkTestBase {
       "d6.example.org" -> ((1L, 1L, "en"))))
   }
 
+  test("urlCanon: case, www, port, fragment, utm, sort, trailing slash all normalize") {
+    val d = docs((42L, "x", "en", "src3", 10L))
+    val row = WebOps.urlCanon(d).collect().head
+    assert(row.getAs[String]("url") ==
+      "HTTPS://WWW.SRC3.Example.COM:443/en/doc-42/?utm_source=feed&b=2&utm_campaign=c0&a=0#sec-2")
+    assert(row.getAs[String]("canon") ==
+      "https://src3.example.com/en/doc-42?a=0&b=2")
+    assert(row.getAs[Int]("n_dropped_params") == 2)
+  }
+
+  test("urlCanon: two messy spellings of one resource share a canon key") {
+    // same doc_id ⇒ same canon regardless of the planted mess — the
+    // dedup-key property; different doc_id ⇒ different canon
+    val d = docs((7L, "x", "en", "srcA", 1L), (8L, "x", "en", "srcA", 1L))
+    val canons = WebOps.urlCanon(d).collect().map(_.getAs[String]("canon"))
+    assert(canons.distinct.length == 2)
+    assert(canons.forall(c => c.startsWith("https://srca.example.com/en/doc-")))
+  }
+
   test("crawlFrontier: each wave touches a host at most once, priority order holds") {
     val d = docs(
       (1L, "x", "en", "srcA", 100L),
