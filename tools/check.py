@@ -27,7 +27,12 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
+    import time, os
+    t0 = time.time()
+    progress = os.environ.get("CHECK_PROGRESS")
     for name in sorted(oracle):
+        if progress:
+            print(f"[{time.time() - t0:7.1f}s] {name}", file=sys.stderr, flush=True)
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             results[name] = "NO SPARK OUTPUT"
