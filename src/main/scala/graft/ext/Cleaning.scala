@@ -1042,6 +1042,55 @@ object Cleaning {
       .limit(1)
   }
 
+  /** Tie-corrected two-sample Mann-Whitney U over doc lengths (en vs
+    * rest) — the nonparametric sibling of [[ksTest]]: does one group
+    * stochastically dominate the other? Exact-integer construction in
+    * the [[ksTest]] value-census shape: the corpus collapses to per-
+    * value (c1, c2) counts, midranks come from a cumulative window over
+    * the VALUE DOMAIN (distinct lengths — thousands, never the corpus),
+    * and ties are handled with DOUBLE-midranks (2·B(v)+c(v)+1, always
+    * integer) so rank sums stay exact integers until the final shared
+    * IEEE tree. Products are widened to DECIMAL(38,0) / HUGEINT
+    * (the psiDrift overflow rule: Σ c1·dmid is O(N²), past 2^63 at
+    * ~3e9 rows) and the z-score is ONE mirrored expression tree over
+    * exact operands — correctly-rounded IEEE ops on identical inputs
+    * are engine-identical.
+    */
+  def mannWhitney(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = docs
+      .select(col("n_chars").as("v"),
+        (col("lang") === "en").cast("long").as("en"))
+      .groupBy("v")
+      .agg(sum(col("en")).as("c1"), sum(lit(1L) - col("en")).as("c2"))
+      .withColumn("c", col("c1") + col("c2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = b
+      .withColumn("before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("dmid", lit(2L) * col("before") + col("c") + lit(1L))
+    val agg = ranked.agg(
+      sum(col("c1")).as("n1"),
+      sum(col("c2")).as("n2"),
+      sum(col("c1").cast(dec) * col("dmid").cast(dec)).as("two_r1"),
+      sum(col("c").cast(dec) * col("c").cast(dec) * col("c").cast(dec) -
+        col("c").cast(dec)).as("tie_sum"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nn = n1d + n2d
+    val u = (col("two_r1") - col("n1").cast(dec) * (col("n1") + lit(1L)).cast(dec))
+      .cast("double") / lit(2.0)
+    val mu = n1d * n2d / lit(2.0)
+    val varr = (n1d * n2d / lit(12.0)) *
+      ((nn + lit(1.0)) - col("tie_sum").cast("double") / (nn * (nn - lit(1.0))))
+    agg.select(
+      col("n1"), col("n2"),
+      u.as("u_stat"),
+      ((u - mu) / sqrt(varr)).as("z"))
+      .orderBy("n1")
+  }
+
   /** Quantile normalization of a per-document covariate WITHIN its
     * source domain — the mixing-prep transform that puts every domain's
     * score scale on a common uniform [0,1] footing before a global
@@ -1147,6 +1196,37 @@ object Cleaning {
           |           CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS ks_stat
           |FROM c, t
           |ORDER BY ks_stat DESC, ks_at_bucket LIMIT 1""".stripMargin)),
+    GraftQuery("q_mann_whitney",
+      "tie-corrected two-sample Mann-Whitney U over doc lengths (en vs rest): exact double-midrank integers, DECIMAL/HUGEINT widening, one shared IEEE z tree",
+      (s, dir) => mannWhitney(t(s, dir, "documents")),
+      Some(
+        """WITH b AS (
+          |  SELECT n_chars AS v,
+          |         CAST(sum(CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS c1,
+          |         CAST(sum(CAST(lang <> 'en' AS BIGINT)) AS BIGINT) AS c2
+          |  FROM documents GROUP BY 1),
+          |r AS (
+          |  SELECT v, c1, c2, c1 + c2 AS c,
+          |         COALESCE(CAST(sum(c1 + c2) OVER (ORDER BY v
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+          |           0) AS before
+          |  FROM b),
+          |a AS (
+          |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+          |         CAST(sum(c2) AS BIGINT) AS n2,
+          |         sum(CAST(c1 AS HUGEINT) * (2 * before + c + 1)) AS two_r1,
+          |         sum(CAST(c AS HUGEINT) * c * c - c) AS tie_sum
+          |  FROM r)
+          |SELECT n1, n2,
+          |       CAST(two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat,
+          |       (CAST(two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0 -
+          |          CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+          |         sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) *
+          |           ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) -
+          |             CAST(tie_sum AS DOUBLE) /
+          |             ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+          |              (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))) AS z
+          |FROM a ORDER BY n1""".stripMargin)),
     GraftQuery("q_quantile_norm",
       "within-source quantile normalization to uniform [0,1] (mid-rank CDF over the distinct-value domain)",
       (s, dir) => quantileNorm(t(s, dir, "documents")),

@@ -8,6 +8,30 @@ import graft.ext.Cleaning
 class CleaningSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("mannWhitney: hand-computed U and tie-corrected z on a crafted corpus") {
+    // group en = {1, 2}, group rest = {2, 3}
+    // midranks: 1→1, 2→2.5 (tie), 3→4; R1 = 3.5, U1 = 3.5 - 3 = 0.5
+    // tie_sum = (1³-1)+(2³-2)+(1³-1) = 6
+    // var = (4/12)·((4+1) - 6/(4·3)) = (1/3)·4.5 = 1.5
+    // z = (0.5 - 2)/sqrt(1.5) = -1.5/1.2247448713915890...
+    val d = Seq(
+      (1L, "en", 1L), (2L, "en", 2L), (3L, "fr", 2L), (4L, "fr", 3L))
+      .toDF("doc_id", "lang", "n_chars")
+    val r = Cleaning.mannWhitney(d).collect().head
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Double]("u_stat") == 0.5)
+    assert(math.abs(r.getAs[Double]("z") - (-1.5 / math.sqrt(1.5))) < 1e-12)
+  }
+
+  test("mannWhitney: identical distributions give U = n1*n2/2 and z = 0") {
+    val d = (1L to 20L).flatMap(i =>
+      Seq((i, "en", i % 5), (100 + i, "fr", i % 5)))
+      .toDF("doc_id", "lang", "n_chars")
+    val r = Cleaning.mannWhitney(d).collect().head
+    assert(r.getAs[Double]("u_stat") == 20.0 * 20.0 / 2.0)
+    assert(math.abs(r.getAs[Double]("z")) < 1e-12)
+  }
+
   test("redactPii scrubs emails, IPv4s, and phones; clean text unchanged") {
     val rows = Seq(
       "mail bob.smith+x@corp.example.org now",
