@@ -64,6 +64,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, n) => ShingleHashExpr(a, intLit(n, "n"), dedupe = false)
         case _ => throw new IllegalArgumentException("graft_shingle_hashes_all(arr, n)")
       }))
+    ext.injectFunction((FunctionIdentifier("graft_cdc_boundaries"),
+      info("graft_cdc_boundaries", "graft_cdc_boundaries(binary, maskMod) - content-defined chunk boundary positions"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(b, m) => CdcBoundariesExpr(b, intLit(m, "maskMod"))
+        case _ => throw new IllegalArgumentException("graft_cdc_boundaries(binary, maskMod)")
+      }))
     ext.injectFunction((FunctionIdentifier("graft_winnow"),
       info("graft_winnow", "graft_winnow(array<bigint>, w) - winnowing fingerprint selection"),
       (exprs: Seq[Expression]) => exprs match {

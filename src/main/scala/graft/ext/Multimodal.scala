@@ -377,26 +377,27 @@ object Multimodal {
     * both engines would have to unroll; the plain window rule is the
     * published baseline and fully declarative.
     *
-    * 100 TB shape: chunking is ONE row-local pass (HOF transform +
-    * filter over window positions inside the row — no per-position
-    * explode, the payload string is never duplicated); the census is
-    * one groupBy on 16-byte digests, map-side combined.
+    * 100 TB shape: chunking is ONE row-local pass — the native
+    * codegen'd [[graft.functions.CdcBoundariesExpr]] walks the raw
+    * payload bytes once with a reused window buffer and a thread-local
+    * MD5 (bit-identical to the declarative HOF/md5Uint32 recipe the
+    * DuckDB oracle still runs, but without the per-position
+    * substring/conv string churn that dominated the sf5 decade run —
+    * this is the §2.11 escalation rule: builtin → codegen'd native
+    * expression when the builtin formulation is the measured
+    * bottleneck). No per-position explode, the payload string is never
+    * duplicated; the census is one groupBy on 16-byte digests,
+    * map-side combined.
     */
   def cdcChunks(docs: DataFrame, maskMod: Int = 64): DataFrame = {
     val txt = coalesce(col("text"), lit(""))
     docs
       .select(col("doc_id").as("asset_id"),
         hex(encode(txt, "UTF-8")).as("hx"),
+        encode(txt, "UTF-8").as("bin"),
         octet_length(txt).as("n"))
       .where(col("n") >= 4)
-      .withColumn("bpos", expr(
-        s"""CASE WHEN n - 3 >= 2 THEN
-           |  filter(transform(sequence(2, n - 3),
-           |    i -> CASE WHEN CAST(conv(substring(md5(substring(hx,
-           |           (i - 1) * 2 + 1, 8)), 25, 8), 16, 10) AS BIGINT)
-           |           % $maskMod = 0 THEN i END),
-           |    x -> x IS NOT NULL)
-           |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin))
+      .withColumn("bpos", expr(s"graft_cdc_boundaries(bin, $maskMod)"))
       .select(col("asset_id"), col("hx"),
         posexplode(expr(
           """zip_with(concat(array(1), bpos), concat(bpos, array(n + 1)),

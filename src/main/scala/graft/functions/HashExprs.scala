@@ -603,6 +603,49 @@ object HashImpls {
     }
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX_UPPER = "0123456789ABCDEF".getBytes("US-ASCII")
+
+  /** Content-defined chunk boundary positions — the single-pass JVM
+    * replica of the SQL window-hash recipe in `Multimodal.cdcChunks`
+    * (boundary at 1-based position i, 2 ≤ i ≤ n−3, when
+    * `md5(substring(hex(payload), (i−1)*2+1, 8))`'s last four digest
+    * bytes, read as a uint32, land on 0 mod `maskMod`). Semantics are
+    * BIT-IDENTICAL to the HOF-array formulation (the DuckDB oracle
+    * still runs the SQL recipe and the gate hash-compares), but the
+    * hot loop builds each 8-char uppercase-hex window in a reused
+    * buffer and digests it with a thread-local MD5 — no per-position
+    * substring/conv string churn, no O(n) array-of-arrays. This is the
+    * per-byte cost that dominated the CDC keys at sf5.
+    */
+  def cdcBoundaries(bytes: Array[Byte], maskMod: Int): ArrayData = {
+    val n = bytes.length
+    if (n < 5) return new GenericArrayData(Array.empty[Int])
+    val md = md5Local.get()
+    val hexW = new Array[Byte](8)
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 2
+    while (i <= n - 3) {
+      var k = 0
+      while (k < 4) {
+        val v = bytes(i - 1 + k) & 0xff // window = 1-based bytes i..i+3
+        hexW(2 * k) = HEX_UPPER(v >>> 4)
+        hexW(2 * k + 1) = HEX_UPPER(v & 15)
+        k += 1
+      }
+      md.reset()
+      val d = md.digest(hexW)
+      val tail = ((d(12) & 0xffL) << 24) | ((d(13) & 0xffL) << 16) |
+        ((d(14) & 0xffL) << 8) | (d(15) & 0xffL)
+      if (tail % maskMod == 0L) out += i
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Image header dimension parse — REAL format structure, not magic
     * sniffing: a JPEG marker-segment WALK to the first SOF frame
     * header (any SOF0–SOF15 except DHT/JPG/DAC per ITU-T T.81 §B.1.4;
@@ -731,6 +774,30 @@ case class ImageDimsExpr(child: Expression) extends UnaryExpression {
   * canonical normalization every text pipeline runs first, as one
   * codegen'd JVM loop instead of two chained regexes.
   */
+/** `graft_cdc_boundaries(binary, maskMod) -> array<int>` — see
+  * [[HashImpls.cdcBoundaries]].
+  */
+case class CdcBoundariesExpr(child: Expression, maskMod: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_cdc_boundaries"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashImpls.cdcBoundaries(input.asInstanceOf[Array[Byte]], maskMod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashImpls.cdcBoundaries($c, $maskMod)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundariesExpr =
+    copy(child = newChild)
+}
+
 /** `graft_phash64(binary) -> bigint` — see [[HashImpls.phash64]]. */
 case class Phash64Expr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -1238,6 +1305,12 @@ object HashExprs {
         case Seq(arr, Literal(n: Int, IntegerType)) => ShingleHashExpr(arr, n, dedupe = false)
         case _ => throw new IllegalArgumentException(
           "graft_shingle_hashes_all(array<string>, n literal int)")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_cdc_boundaries",
+      exprs => exprs match {
+        case Seq(b, Literal(m: Int, IntegerType)) => CdcBoundariesExpr(b, m)
+        case _ => throw new IllegalArgumentException(
+          "graft_cdc_boundaries(binary, maskMod literal int)")
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
       exprs => exprs match {

@@ -183,6 +183,29 @@ class MultimodalSpec extends SparkTestBase {
       ("image/png", "text/plain") -> ((1L, 2L))))
   }
 
+  test("graft_cdc_boundaries: native single-pass equals the declarative HOF/md5 recipe on the fixture") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val txt = coalesce(col("text"), lit(""))
+    val base = docs.select(col("doc_id"),
+        hex(encode(txt, "UTF-8")).as("hx"),
+        encode(txt, "UTF-8").as("bin"),
+        octet_length(txt).as("n"))
+      .where(col("n") >= 4)
+    val cmp = base.select(col("doc_id"),
+      expr("graft_cdc_boundaries(bin, 64)").as("fast"),
+      expr(
+        """CASE WHEN n - 3 >= 2 THEN
+          |  filter(transform(sequence(2, n - 3),
+          |    i -> CASE WHEN CAST(conv(substring(md5(substring(hx,
+          |           (i - 1) * 2 + 1, 8)), 25, 8), 16, 10) AS BIGINT)
+          |           % 64 = 0 THEN i END),
+          |    x -> x IS NOT NULL)
+          |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin).as("slow"))
+    assert(cmp.count() > 0)
+    val bad = cmp.where(not(col("fast") <=> col("slow"))).count()
+    assert(bad == 0, s"$bad rows diverge between native and HOF boundary recipes")
+  }
+
   test("content-defined chunking: spans tile the payload; a prefix edit re-aligns, fixed blocks would not") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
