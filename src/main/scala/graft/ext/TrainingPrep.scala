@@ -203,6 +203,43 @@ object TrainingPrep {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Dataset-release shard manifest: the reproducibility artifact a
+    * training-data release ships next to its shards — per shard, the
+    * row count, byte mass, id range, and an ORDER-INVARIANT content
+    * digest, so a consumer can re-verify any shard (and the whole
+    * release) without trusting file ordering. Shard assignment is a
+    * pure hash of doc_id (mirrorable, unlike range-partitioner
+    * internals); the content digest folds each document's md5Uint60
+    * content fingerprint with XOR — commutative, overflow-free at any
+    * corpus size — alongside a plain sum of the
+    * 32-bit fingerprint variant (Σ uint32 stays inside BIGINT to
+    * ~2×10⁹ rows per shard; past that the sum arm needs the
+    * DECIMAL(38,0) widening rule — the XOR fold never does).
+    *
+    * 100 TB shape: one map-side-combined aggregate on the shard key —
+    * the manifest is O(numShards) rows however large the corpus.
+    */
+  def shardManifest(docs: DataFrame, numShards: Int = 16): DataFrame = {
+    import graft.functions.HashExprs
+    docs
+      .select(
+        pmod(HashExprs.md5Uint32(
+          concat(lit("s:"), col("doc_id").cast("string"))), lit(numShards.toLong))
+          .as("shard_id"),
+        col("doc_id"), col("n_chars"),
+        HashExprs.md5Uint60(coalesce(col("text"), lit(""))).as("h"),
+        HashExprs.md5Uint32(coalesce(col("text"), lit(""))).as("h32"))
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        expr("bit_xor(h)").as("digest_xor"),
+        sum(col("h32")).as("digest_sum"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("shard_id")
+  }
+
   /** Sequence packing: assign documents (in deterministic corpus order)
     * to fixed-token-budget batches by running total — the packing stage
     * that turns a shuffled corpus into fixed-size training batches. A
@@ -566,6 +603,24 @@ object TrainingPrep {
           |             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 100 AS b
           |      FROM documents)
           |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_shard_manifest",
+      "dataset-release shard manifest: per-shard counts, byte mass, id range, order-invariant XOR + sum content digests over md5 fingerprints",
+      (s, dir) => shardManifest(t(s, dir, "documents")),
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, n_chars,
+          |         ('0x' || substring(md5('s:' || CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 16 AS shard_id,
+          |         ('0x' || substring(md5(coalesce(text, '')), 1, 15))::BIGINT AS h,
+          |         ('0x' || substring(md5(coalesce(text, '')), 25, 8))::BIGINT AS h32
+          |  FROM documents)
+          |SELECT shard_id,
+          |       count(*) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |       bit_xor(h) AS digest_xor,
+          |       CAST(sum(h32) AS BIGINT) AS digest_sum,
+          |       min(doc_id) AS min_doc,
+          |       max(doc_id) AS max_doc
+          |FROM d GROUP BY shard_id ORDER BY shard_id""".stripMargin)),
     GraftQuery("q_weighted_sample", "quality-weighted deterministic subsample (integer md5 threshold, map-only)",
       (s, dir) => weightedSample(t(s, dir, "documents")),
       Some(

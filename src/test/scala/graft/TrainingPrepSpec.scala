@@ -54,6 +54,34 @@ class TrainingPrepSpec extends SparkTestBase {
     assert(frac > 0.10 && frac < 0.45, s"sample fraction $frac far from 25%")
   }
 
+  test("shard manifest: order-invariant digests, counts conserve the corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m1 = TrainingPrep.shardManifest(docs).collect()
+    // reorder + repartition the input: manifest must be identical
+    val shuffled = docs.orderBy(org.apache.spark.sql.functions.rand(7)).repartition(7)
+    val m2 = TrainingPrep.shardManifest(shuffled).collect()
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq,
+      "manifest must not depend on row order or partitioning")
+    assert(m1.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(m1.length > 1 && m1.length <= 16)
+  }
+
+  test("shard manifest: single-doc shard digest equals that doc's fingerprint") {
+    import spark.implicits._
+    val one = Seq((42L, "hello shard", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val row = TrainingPrep.shardManifest(one).collect().head
+    val h = one.select(
+      graft.functions.HashExprs.md5Uint60(org.apache.spark.sql.functions.col("text")))
+      .as[Long].head()
+    val h32 = one.select(
+      graft.functions.HashExprs.md5Uint32(org.apache.spark.sql.functions.col("text")))
+      .as[Long].head()
+    assert(row.getAs[Long]("digest_xor") == h)
+    assert(row.getAs[Long]("digest_sum") == h32)
+    assert(row.getAs[Long]("n_docs") == 1L)
+  }
+
   test("shard writer: disjoint sorted key ranges replay the global order") {
     val tmp = Files.createTempDirectory("graft-shards").toString
     TrainingPrep.writeTrainingShards(docs, s"$tmp/shards", numShards = 4)
