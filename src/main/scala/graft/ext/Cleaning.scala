@@ -1082,12 +1082,23 @@ object Cleaning {
     val u = (col("two_r1") - col("n1").cast(dec) * (col("n1") + lit(1L)).cast(dec))
       .cast("double") / lit(2.0)
     val mu = n1d * n2d / lit(2.0)
+    // Degenerate-input guard (r8 ADVICE): all values tied, or an empty
+    // en/rest group, makes varr exactly 0 (or its tie term 0/0), and
+    // z = (u-mu)/sqrt(varr) becomes an IEEE NaN/Inf artifact whose
+    // cross-engine hash behavior is undefined (DuckDB even orders NaN
+    // above +inf). The tie denominator nn·(nn−1) is NULLed when 0 and
+    // z is emitted only when varr > 0 — a finite-number comparison
+    // both engines evaluate identically; the varr > 0 tree is
+    // unchanged from the unguarded version, so real-data hashes are
+    // bit-identical.
+    val tieDen = nn * (nn - lit(1.0))
     val varr = (n1d * n2d / lit(12.0)) *
-      ((nn + lit(1.0)) - col("tie_sum").cast("double") / (nn * (nn - lit(1.0))))
+      ((nn + lit(1.0)) -
+        col("tie_sum").cast("double") / when(tieDen =!= 0.0, tieDen))
     agg.select(
       col("n1"), col("n2"),
       u.as("u_stat"),
-      ((u - mu) / sqrt(varr)).as("z"))
+      when(varr > 0.0, (u - mu) / sqrt(varr)).as("z"))
       .orderBy("n1")
   }
 
@@ -1216,17 +1227,20 @@ object Cleaning {
           |         CAST(sum(c2) AS BIGINT) AS n2,
           |         sum(CAST(c1 AS HUGEINT) * (2 * before + c + 1)) AS two_r1,
           |         sum(CAST(c AS HUGEINT) * c * c - c) AS tie_sum
-          |  FROM r)
-          |SELECT n1, n2,
-          |       CAST(two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat,
-          |       (CAST(two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0 -
-          |          CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
-          |         sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) *
+          |  FROM r),
+          |s AS (
+          |  SELECT n1, n2,
+          |         CAST(two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat,
+          |         CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0 AS mu,
+          |         (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) *
           |           ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) -
           |             CAST(tie_sum AS DOUBLE) /
-          |             ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
-          |              (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))) AS z
-          |FROM a ORDER BY n1""".stripMargin)),
+          |             NULLIF((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+          |              (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0), 0.0)) AS varr
+          |  FROM a)
+          |SELECT n1, n2, u_stat,
+          |       CASE WHEN varr > 0.0 THEN (u_stat - mu) / sqrt(varr) END AS z
+          |FROM s ORDER BY n1""".stripMargin)),
     GraftQuery("q_quantile_norm",
       "within-source quantile normalization to uniform [0,1] (mid-rank CDF over the distinct-value domain)",
       (s, dir) => quantileNorm(t(s, dir, "documents")),

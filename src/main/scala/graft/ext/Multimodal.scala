@@ -278,9 +278,14 @@ object Multimodal {
   /** md5-pHash blocking twin: pigeonhole-blocked pairs == DuckDB's
     * brute-force O(n²) Hamming scan over the WHOLE asset table. The
     * r6-era asset_id < 500 cap is gone: re-measured, the full oracle
-    * is sub-second at every SF (5000 assets at sf0.1 → 12.5M Hamming
-    * comparisons), so the twin now certifies the blocking at the
-    * largest local SF too.
+    * is sub-second at every LOCAL CORRECTNESS SF (5000 assets at
+    * sf0.1 → 12.5M Hamming comparisons), so the twin certifies the
+    * blocking at the largest local SF too. Scope (r8 ADVICE): the
+    * TWIN'S ORACLE is intentionally O(n²) and is only meant to run at
+    * the correctness SFs — at replicated decade SFs (~250k assets at
+    * sf5) it would be ~3e10 comparisons. The Spark side stays blocked
+    * and decade-benchable; only the DuckDB mirror is gate-scoped, the
+    * same split as the other brute-force mirrors (BASELINE.md r8).
     */
   def phashMd5Twin(s: SparkSession, dir: String): DataFrame =
     Dedup.hammingBlockedPairs(

@@ -375,7 +375,17 @@ object TimeSeries {
     // runs through the SAME Spark cast on a 1-row plan, so the
     // compare-path value is unchanged.
     val nPairs = slopes.count()
-    require(nPairs > 0, "theilSen needs at least two distinct days")
+    // Degenerate input (fewer than two distinct days → zero slope
+    // pairs) stays QUERYABLE (r8 ADVICE): return the same schema with
+    // null slope/intercept instead of throwing, matching what a SQL
+    // engine's percentile-over-empty would produce. Real calendars
+    // never hit this; the guard exists so ad-hoc slices don't crash.
+    if (nPairs == 0) {
+      return xy.agg(count(lit(1)).as("n_days"))
+        .select(lit(0L).as("n_pairs"), col("n_days"),
+          lit(null).cast(DoubleType).as("slope_cents_per_day"),
+          lit(null).cast(DoubleType).as("intercept_cents"))
+    }
     val (loIdx, hiIdx) = ((nPairs - 1) / 2, nPairs / 2)
     val picks = slopes.orderBy("slope").select("slope").rdd
       .zipWithIndex().filter { case (_, i) => i == loIdx || i == hiIdx }

@@ -211,10 +211,16 @@ object TrainingPrep {
     * pure hash of doc_id (mirrorable, unlike range-partitioner
     * internals); the content digest folds each document's md5Uint60
     * content fingerprint with XOR — commutative, overflow-free at any
-    * corpus size — alongside a plain sum of the
-    * 32-bit fingerprint variant (Σ uint32 stays inside BIGINT to
-    * ~2×10⁹ rows per shard; past that the sum arm needs the
-    * DECIMAL(38,0) widening rule — the XOR fold never does).
+    * corpus size — alongside an ADDITIVE checksum of the 32-bit
+    * fingerprint variant: Σ h32 computed in DECIMAL(38,0) (HUGEINT in
+    * the oracle) per the psiDrift overflow rule, then reduced mod 2⁶⁰
+    * to a BIGINT. A bare BIGINT Σ uint32 wraps silently past ~2×10⁹
+    * rows per shard under non-ANSI Spark while DuckDB widens — the
+    * markovStationary silent-divergence class; the explicit widened
+    * sum + modulus is exact and engine-identical at ANY corpus size,
+    * and the mod-2⁶⁰ reduction is the standard additive-checksum form
+    * (order-invariant, BIGINT-stable for the gate's dtype-sensitive
+    * row hash). The XOR fold never needs widening.
     *
     * 100 TB shape: one map-side-combined aggregate on the shard key —
     * the manifest is O(numShards) rows however large the corpus.
@@ -234,7 +240,8 @@ object TrainingPrep {
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
         expr("bit_xor(h)").as("digest_xor"),
-        sum(col("h32")).as("digest_sum"),
+        (sum(col("h32").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          % lit(1152921504606846976L)).cast("long").as("digest_sum"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
       .orderBy("shard_id")
@@ -260,14 +267,57 @@ object TrainingPrep {
     * Bucketing is a pure function of doc_id (not spark_partition_id or
     * sampling), so both passes agree and task retries are stable.
     */
-  def sequencePack(docs: DataFrame, budget: Int, numBuckets: Int = 0): DataFrame = {
-    val spark = docs.sparkSession
+  def sequencePack(docs: DataFrame, budget: Int, numBuckets: Int = 0): DataFrame =
+    packTokenCounts(
+      docs
+        .withColumn("n_tokens", size(split(TextOps.normalizeText(col("text")), " ")))
+        .select(col("doc_id"), col("n_tokens")),
+      budget, numBuckets)
+
+  /** [[sequencePack]] with REAL tokenizer counts: the per-doc token
+    * mass is the BPE piece count under the `iters` learned merges
+    * (the [[graft.functions.TextOps.bpeEncodeStats]] vocabulary-join
+    * geometry — words collapse to a (word → n_pieces) table once,
+    * docs aggregate their words' piece counts), not the whitespace
+    * proxy. Whitespace packing under-fills batches exactly where BPE
+    * fertility is high (rare words, non-English), which is what a
+    * fixed-compute training batch actually pays for; packing on piece
+    * counts makes batch token mass the real invariant. Docs with no
+    * alphanumeric tokens pack at mass 0 (left join + coalesce), same
+    * as their whitespace-count behavior on empty text.
+    *
+    * 100 TB shape: training is vocabulary-bounded (see bpeTrainCore),
+    * the doc↔vocab join is the one extra shuffle, and the prefix sum
+    * reuses the two-pass [[packTokenCounts]] core — no new
+    * single-task stage.
+    */
+  def sequencePackBpe(docs: DataFrame, budget: Int, iters: Int = 3,
+      numBuckets: Int = 0): DataFrame = {
+    val (vocab, _) = TextOps.bpeTrainCore(docs, iters)
+    val pieces = vocab.select(col("w"), size(col("syms")).as("n_pieces"))
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(split(TextOps.normalizeText(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .join(pieces, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("n_pieces").cast("long")).as("nt"))
+    val toks = docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nt"), lit(0L)).cast("int").as("n_tokens"))
+    packTokenCounts(toks, budget, numBuckets)
+  }
+
+  /** Two-pass prefix-sum packing core shared by [[sequencePack]] and
+    * [[sequencePackBpe]]: `toks` is any (doc_id, n_tokens) relation;
+    * batch = floor(tokens_before / budget) in global doc_id order.
+    */
+  private def packTokenCounts(toks: DataFrame, budget: Int,
+      numBuckets: Int): DataFrame = {
+    val spark = toks.sparkSession
     val parts =
       if (numBuckets > 0) numBuckets
       else spark.sessionState.conf.numShufflePartitions
-    val toks = docs
-      .withColumn("n_tokens", size(split(TextOps.normalizeText(col("text")), " ")))
-      .select(col("doc_id"), col("n_tokens"))
 
     // Deterministic, order-preserving bucket id from the doc_id key range.
     // Exact min/max costs one cheap scan; dense ids (the common case for a
@@ -557,6 +607,24 @@ object TrainingPrep {
           |       CAST(floor(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
           |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS INTEGER) AS batch_id
           |FROM tok ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_sequence_pack_bpe",
+      "token-budget batch packing on REAL BPE piece counts (3 learned merges) instead of the whitespace proxy",
+      (s, dir) => sequencePackBpe(t(s, dir, "documents"), budget = 4096),
+      Some(
+        s"""WITH ${TextOps.bpeOracleCtes},
+           |pieces AS (SELECT w, len(syms) AS n_pieces FROM v3),
+           |dw AS (
+           |  SELECT doc_id, unnest(${TextOps.duckNormToksSql}) AS w FROM documents),
+           |cnt0 AS (
+           |  SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS nt
+           |  FROM dw JOIN pieces USING (w) WHERE w <> '' GROUP BY doc_id),
+           |cnt AS (
+           |  SELECT d.doc_id, COALESCE(nt, 0) AS n_tokens
+           |  FROM (SELECT doc_id FROM documents) d LEFT JOIN cnt0 USING (doc_id))
+           |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           |       CAST(floor(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS INTEGER) AS batch_id
+           |FROM cnt ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_histogram", "width_bucket length histogram (one-scan distribution profile)",
       histogramQuery,
       // this DuckDB build lacks width_bucket; same arithmetic inline
@@ -617,7 +685,7 @@ object TrainingPrep {
           |       count(*) AS n_docs,
           |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
           |       bit_xor(h) AS digest_xor,
-          |       CAST(sum(h32) AS BIGINT) AS digest_sum,
+          |       CAST(sum(CAST(h32 AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS digest_sum,
           |       min(doc_id) AS min_doc,
           |       max(doc_id) AS max_doc
           |FROM d GROUP BY shard_id ORDER BY shard_id""".stripMargin)),

@@ -578,10 +578,26 @@ object HashImpls {
     * shorter matches the longer with one gap. One O(n) pass, no DP
     * matrix — measured ~30× cheaper than the general levenshtein on
     * the typo-pair verify path, where every candidate is within ±1
-    * length by construction. Char-level (BMP) comparison, matching
-    * levenshtein semantics on the ASCII entity names it verifies.
+    * length by construction. Unicode-correct: Spark's levenshtein
+    * counts CODE POINTS, not UTF-16 chars, so any input containing a
+    * surrogate pair routes through a code-point-array variant of the
+    * same two-pointer walk (r8 ADVICE: the char-level fast path alone
+    * disagrees with levenshtein on supplementary-plane strings —
+    * e.g. "𝕏" vs "Y" is distance 1 by code points but 2 by chars).
+    * The surrogate scan is a branch-predictable pass over chars the
+    * loops read anyway; ASCII hot-path cost is unchanged.
     */
   def edit1(sa: String, sb: String): Boolean = {
+    var i = 0
+    while (i < sa.length) {
+      if (Character.isHighSurrogate(sa.charAt(i))) return edit1Cp(sa, sb)
+      i += 1
+    }
+    i = 0
+    while (i < sb.length) {
+      if (Character.isHighSurrogate(sb.charAt(i))) return edit1Cp(sa, sb)
+      i += 1
+    }
     val la = sa.length
     val lb = sb.length
     if (la == lb) {
@@ -599,6 +615,35 @@ object HashImpls {
       while (i < s.length && s.charAt(i) == l.charAt(i)) i += 1
       var j = i
       while (j < s.length && s.charAt(j) == l.charAt(j + 1)) j += 1
+      j == s.length
+    }
+  }
+
+  /** Code-point-array slow path of [[edit1]] — identical two-pointer
+    * algorithm over `codePoints()`, taken only when a surrogate pair
+    * is present, so levenshtein's code-point metric is matched on
+    * supplementary-plane input too.
+    */
+  private def edit1Cp(sa: String, sb: String): Boolean = {
+    val a = sa.codePoints().toArray
+    val b = sb.codePoints().toArray
+    val la = a.length
+    val lb = b.length
+    if (la == lb) {
+      var i = 0
+      var diff = 0
+      while (i < la && diff <= 1) {
+        if (a(i) != b(i)) diff += 1
+        i += 1
+      }
+      diff == 1
+    } else if (math.abs(la - lb) != 1) false
+    else {
+      val (s, l) = if (la < lb) (a, b) else (b, a)
+      var i = 0
+      while (i < s.length && s(i) == l(i)) i += 1
+      var j = i
+      while (j < s.length && s(j) == l(j + 1)) j += 1
       j == s.length
     }
   }
@@ -769,11 +814,6 @@ case class ImageDimsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `graft_norm_text(string) -> string`: single-pass lower + strip +
-  * space-collapse + trim (see [[HashImpls.normalizeText]]) — the
-  * canonical normalization every text pipeline runs first, as one
-  * codegen'd JVM loop instead of two chained regexes.
-  */
 /** `graft_cdc_boundaries(binary, maskMod) -> array<int>` — see
   * [[HashImpls.cdcBoundaries]].
   */
@@ -818,6 +858,11 @@ case class Phash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_norm_text(string) -> string`: single-pass lower + strip +
+  * space-collapse + trim (see [[HashImpls.normalizeText]]) — the
+  * canonical normalization every text pipeline runs first, as one
+  * codegen'd JVM loop instead of two chained regexes.
+  */
 case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

@@ -533,7 +533,7 @@ object TextOps {
        |                       ELSE list_concat(acc, x) END) AS syms, cnt
        |  FROM $prevV CROSS JOIN t$n t)""".stripMargin
 
-  private lazy val bpeOracleCtes: String =
+  private[graft] lazy val bpeOracleCtes: String =
     s"""v0 AS (
        |  SELECT w, list_transform(range(1, length(w) + 1),
        |           i -> substring(w, i, 1)) AS syms, cnt FROM (

@@ -78,6 +78,8 @@ class TrainingPrepSpec extends SparkTestBase {
       graft.functions.HashExprs.md5Uint32(org.apache.spark.sql.functions.col("text")))
       .as[Long].head()
     assert(row.getAs[Long]("digest_xor") == h)
+    // digest_sum = Σ h32 mod 2^60 (widened additive checksum); a single
+    // uint32 fingerprint is far below the modulus, so it passes through
     assert(row.getAs[Long]("digest_sum") == h32)
     assert(row.getAs[Long]("n_docs") == 1L)
   }
@@ -146,6 +148,28 @@ class TrainingPrepSpec extends SparkTestBase {
         .collect().map(r => (Option(r.get(0)), r.getInt(1), r.getInt(2))).toSeq.sortBy(_._2)
     val first = runOnce()
     assert(runOnce() == first, "null-id batch assignment not run-stable")
+  }
+
+  test("BPE sequence packing: piece counts dominate word counts, batches contiguous") {
+    val packed = TrainingPrep.sequencePackBpe(docs, budget = 4096).collect()
+    assert(packed.length == docs.count())
+    // every word is at least one BPE piece, so per-doc piece mass must
+    // dominate the whitespace token mass used by plain sequencePack
+    val words = TrainingPrep.sequencePack(docs, budget = 4096).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    packed.foreach { r =>
+      assert(r.getInt(1) >= words(r.getLong(0)),
+        s"doc ${r.getLong(0)}: BPE pieces ${r.getInt(1)} < words ${words(r.getLong(0))}")
+    }
+    // batch ids are the contiguous floor-prefix partition starting at 0
+    val batches = packed.map(_.getInt(2)).distinct.sorted
+    assert(batches.head == 0 && batches.sameElements(batches.head to batches.last))
+    // replaying the prefix sum in doc_id order reproduces batch ids
+    var acc = 0L
+    packed.sortBy(_.getLong(0)).foreach { r =>
+      assert(r.getInt(2) == (acc / 4096).toInt)
+      acc += r.getInt(1)
+    }
   }
 
   test("weighted sample: key-stable, and keep rate rises with doc length") {
