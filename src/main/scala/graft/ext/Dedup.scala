@@ -1177,9 +1177,15 @@ object Dedup {
       |           CAST(span_idx * 8 + 8 AS BIGINT)), ' ') AS span
       |  FROM idx)""".stripMargin
 
-  /** Shared oracle fragment: brute-force directed containment pairs
-    * (trigram shingles, all |A∩B|/|A| values in `directed`). Shared by
-    * the q_containment_join oracle and GraphOps' doc-quote PageRank.
+  /** Shared oracle fragment: exact directed containment pairs (trigram
+    * shingles, all |A∩B|/|A| values in `directed`). Shared by the
+    * q_containment_join oracle and GraphOps' doc-quote PageRank.
+    * Inverted-index formulation (see [[bruteForcePairsSql]]): the
+    * per-pair shingle match count IS |A∩B| over list_distinct lists,
+    * and `ov` only ever needed pairs with c > 0, so it is identical to
+    * the r1–r8 brute-force cross join (equality verified column-wise
+    * at sf0.001/0.01) while making the oracle sf0.1-budget-feasible
+    * (the r8 patient run needed 282 s for q_containment_join alone).
     */
   private[ext] val containmentCteSql: String =
     """sets AS (
@@ -1190,18 +1196,22 @@ object Dedup {
       |  FROM (SELECT doc_id,
       |          string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
       |        FROM documents)),
+      |stok AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sets),
       |ov AS (
-      |  SELECT a.doc_id AS ida, b.doc_id AS idb,
-      |         len(list_intersect(a.shingles, b.shingles)) AS c,
-      |         len(a.shingles) AS na, len(b.shingles) AS nb
-      |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.shingles, b.shingles)) > 0),
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c,
+      |         any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM stok a JOIN stok b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
       |directed AS (
       |  SELECT ida AS sub_id, idb AS sup_id,
       |         CAST(c AS DOUBLE) / CAST(na AS DOUBLE) AS containment FROM ov
       |  UNION ALL
       |  SELECT idb, ida, CAST(c AS DOUBLE) / CAST(nb AS DOUBLE) FROM ov)""".stripMargin
 
+  // edges via the same inverted-index reformulation as
+  // bruteForcePairsSql (identical pair set — only empty intersections
+  // are skipped, jaccard 0 < 0.5): the recursive closure dominated the
+  // r8 patient runs (2180 s) mostly through the O(n²) edge scan.
   private val componentsCteSql: String =
     """WITH RECURSIVE sets AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
@@ -1210,12 +1220,15 @@ object Dedup {
       |  FROM (SELECT doc_id,
       |          string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
       |        FROM documents)
+      |), stok AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sets
+      |), cand AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c,
+      |         any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM stok a JOIN stok b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
       |), edges AS (
-      |  SELECT a.doc_id AS id1, b.doc_id AS id2
-      |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-      |  WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
-      |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-      |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+      |  SELECT id1, id2 FROM cand
+      |  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
       |), sym AS (SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges),
       |nodes AS (SELECT DISTINCT a AS id FROM sym),
       |reach(id, r) AS (
@@ -1225,10 +1238,20 @@ object Dedup {
       |),
       |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
-  /** Shared brute-force O(n²) exact-Jaccard oracle over word n-gram
-    * shingle sets: the pair list q_minhash_neardup (n=2, probabilistic
-    * recall + data-gap argument) and q_setsim_join (n=3, exact recall by
-    * the prefix lemma) must reproduce.
+  /** Shared exact all-pairs Jaccard oracle over word n-gram shingle
+    * sets: the pair list q_minhash_neardup (n=2, probabilistic recall +
+    * data-gap argument) and q_setsim_join (n=3, exact recall by the
+    * prefix lemma) must reproduce. Computed via an INVERTED-INDEX
+    * formulation (unnest shingles, equi-join on the shingle, count the
+    * co-occurrences per pair): |A∩B| = the per-pair match count because
+    * shingle lists are list_distinct, and the only pairs skipped are
+    * those with EMPTY intersection — jaccard 0, below any positive
+    * threshold — so the output is identical to the r1–r8 brute-force
+    * O(n²) cross join (EXCEPT-ALL-verified both ways at sf0.001/0.01,
+    * and the r8 brute mirror certified sf0.1 before the rewrite). The
+    * reformulation makes the ORACLE side scale like the engine side
+    * (Σ df² candidate mass, seconds at sf0.1 vs 690+ s brute) so the
+    * full-surface sf0.1 certification fits the per-key budget.
     */
   private def bruteForcePairsSql(n: Int, threshold: Double = 0.5): String =
     s"""WITH sets AS (
@@ -1239,14 +1262,17 @@ object Dedup {
        |  FROM (SELECT doc_id,
        |          string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
        |        FROM documents)
-       |)
-       |SELECT a.doc_id AS id1, b.doc_id AS id2,
-       |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-       |       len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-       |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-       |WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
-       |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-       |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= $threshold
+       |),
+       |tok AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sets),
+       |ov AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c,
+       |         any_value(a.n) AS na, any_value(b.n) AS nb
+       |  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id1, id2,
+       |       CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+       |FROM ov
+       |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= $threshold
        |ORDER BY id1, id2""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(

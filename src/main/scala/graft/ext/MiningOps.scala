@@ -158,27 +158,58 @@ object MiningOps {
     GraftQuery("q_typo_pair_stats",
       "bounded-output typo-pair census: per name-length, distinct edit-1 name pairs + the id-pair count they expand to",
       (s, dir) => typoPairStats(t(s, dir, "customer"), "c_name"),
+      // Oracle = the same deletion-neighborhood CANDIDATE set the SQL
+      // below derives for q_typo_pairs (exact recall by the SymSpell
+      // lemma — a theorem, not a heuristic, so no coverage is lost vs
+      // the r1–r8 brute-force name cross join; verified equal at
+      // sf0.001/0.01), then DuckDB's own levenshtein verify. Makes the
+      // oracle scale like the engine (name-length-linear variant join
+      // vs O(names²) cross) so sf0.1 certification fits the budget.
       Some(
         """WITH dn AS (SELECT c_name AS name, count(*) AS cnt
           |            FROM customer GROUP BY 1),
+          |v AS (SELECT name, unnest(list_distinct(list_append(
+          |        list_transform(range(1, length(name) + 1),
+          |          i -> substring(name, 1, i - 1) || substring(name, i + 1)),
+          |        name))) AS vv FROM dn),
           |np AS (
-          |  SELECT a.name AS na, a.cnt AS ca, b.cnt AS cb
-          |  FROM dn a JOIN dn b ON a.name < b.name
-          |  WHERE abs(length(a.name) - length(b.name)) <= 1
-          |    AND levenshtein(a.name, b.name) = 1)
+          |  SELECT DISTINCT a.name AS na, b.name AS nb
+          |  FROM v a JOIN v b ON a.vv = b.vv AND a.name < b.name
+          |  WHERE levenshtein(a.name, b.name) = 1),
+          |wp AS (
+          |  SELECT np.na, ca.cnt AS ca, cb.cnt AS cb
+          |  FROM np JOIN dn ca ON ca.name = np.na
+          |          JOIN dn cb ON cb.name = np.nb)
           |SELECT CAST(length(na) AS INT) AS name_len,
           |       count(*) AS n_name_pairs,
           |       CAST(sum(ca * cb) AS BIGINT) AS n_id_pairs
-          |FROM np GROUP BY 1 ORDER BY 1""".stripMargin)),
+          |FROM wp GROUP BY 1 ORDER BY 1""".stripMargin)),
     GraftQuery("q_typo_pairs",
       "edit-distance-1 entity pairs via SymSpell deletion-neighborhood blocking (exact recall, levenshtein verify)",
       (s, dir) => typoPairs(t(s, dir, "customer"), "c_custkey", "c_name"),
+      // Deletion-neighborhood mirror of the r1–r8 brute-force id cross
+      // join (EXCEPT-ALL-equal at both gate SFs): candidates = name
+      // pairs sharing a single-deletion variant (or the name itself) —
+      // recall 1.0 for levenshtein = 1 by the SymSpell lemma — then
+      // DuckDB's levenshtein verifies and the id expansion replays the
+      // Spark side's least/greatest ordering. Identical-name id pairs
+      // are distance 0 and never enter np, exactly as in the engine.
       Some(
-        """SELECT a.c_custkey AS ida, b.c_custkey AS idb,
-          |       a.c_name AS name_a, b.c_name AS name_b
-          |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-          |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
-          |  AND levenshtein(a.c_name, b.c_name) = 1
+        """WITH dn AS (SELECT DISTINCT c_name AS name FROM customer),
+          |v AS (SELECT name, unnest(list_distinct(list_append(
+          |        list_transform(range(1, length(name) + 1),
+          |          i -> substring(name, 1, i - 1) || substring(name, i + 1)),
+          |        name))) AS vv FROM dn),
+          |np AS (
+          |  SELECT DISTINCT a.name AS na, b.name AS nb
+          |  FROM v a JOIN v b ON a.vv = b.vv AND a.name < b.name
+          |  WHERE levenshtein(a.name, b.name) = 1)
+          |SELECT least(a.c_custkey, b.c_custkey) AS ida,
+          |       greatest(a.c_custkey, b.c_custkey) AS idb,
+          |       CASE WHEN a.c_custkey < b.c_custkey THEN np.na ELSE np.nb END AS name_a,
+          |       CASE WHEN a.c_custkey < b.c_custkey THEN np.nb ELSE np.na END AS name_b
+          |FROM np JOIN customer a ON a.c_name = np.na
+          |        JOIN customer b ON b.c_name = np.nb
           |ORDER BY ida, idb""".stripMargin)),
     GraftQuery("q_itemset_pairs",
       "market-basket pair mining: top-20 co-purchased part pairs with support, confidence, lift",
