@@ -48,6 +48,19 @@ object TrainingPipeline {
     * @param sampleCap      [[TrainingPrep.weightedKeep]] length cap
     * @param packBudget     tokens per training batch
     * @param numShards      train-split shard files
+    * @param urlDedupCol    when set, the named column holds the fetch
+    *                       URL and stage 0 keeps ONE doc (min doc_id)
+    *                       per [[WebOps.canonicalUrl]] key — the
+    *                       crawl-dedup prerequisite (utm variants,
+    *                       case/port/fragment noise) applied BEFORE any
+    *                       content work is spent on refetches
+    * @param chunkDupMaxFrac when set, docs whose duplicated-CDC-chunk
+    *                       byte fraction is ≥ this threshold die after
+    *                       exact dedup: a chunk's first occurrence
+    *                       (min doc_id) is canonical, and a doc mostly
+    *                       made of chunks first seen in earlier docs is
+    *                       a shifted/boilerplate copy whole-payload
+    *                       digests can never see
     * @param reportCounts   false skips the intermediate count jobs
     *                       (fields report −1); output counts and the
     *                       id-uniqueness gate always run (cheap — they
@@ -60,12 +73,19 @@ object TrainingPipeline {
       sampleCap: Long = 1000L,
       packBudget: Int = 512,
       numShards: Int = 4,
+      urlDedupCol: Option[String] = None,
+      chunkDupMaxFrac: Option[Double] = None,
       reportCounts: Boolean = true)
 
+  /** `afterUrlDedup` / `afterChunkDedup` report −1 when the stage is
+    * off (or reportCounts is false), mirroring the other gated counts.
+    */
   final case class Report(
       input: Long,
+      afterUrlDedup: Long,
       afterQuality: Long,
       afterExactDedup: Long,
+      afterChunkDedup: Long,
       afterNearDup: Long,
       afterSample: Long,
       trainDocs: Long,
@@ -86,11 +106,27 @@ object TrainingPipeline {
     // path, and Spark 4's ANSI default would change cast semantics
     graft.engine.GraftSession.tuned(docs.sparkSession)
 
+    // -- stage 0 (optional): URL-canonical crawl dedup ------------------
+    // One doc per canonical URL, min doc_id wins — a window over the
+    // high-cardinality canonical key (one shuffle, no self-join), the
+    // same keep-one geometry as exact dedup below. Runs FIRST: a
+    // refetch costs nothing downstream if it dies before redaction.
+    val crawlDeduped = cfg.urlDedupCol match {
+      case None => docs
+      case Some(urlCol) =>
+        val wu = Window.partitionBy("__cu").orderBy("doc_id")
+        docs
+          .withColumn("__cu", WebOps.canonicalUrl(col(urlCol)))
+          .withColumn("__rn", row_number().over(wu))
+          .where(col("__rn") === 1)
+          .drop("__cu", "__rn")
+    }
+
     // -- stages 1–2: redact + row-local and corpus-level quality gates --
     // n_chars is recomputed AFTER redaction: the gates, the weighted
     // sample, and every downstream consumer of the clean corpus must
     // score the text actually shipped, not the pre-redaction length
-    val redacted = docs
+    val redacted = crawlDeduped
       .withColumn("text", Cleaning.redactPii(col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))
     val rowLocal = redacted.where(
@@ -119,15 +155,42 @@ object TrainingPipeline {
     // stages 4-8 under try/finally: the persist above must not outlive
     // this call when a gate (e.g. the doc_id-uniqueness require) throws
     try {
+    // -- stage 3.5 (optional): CDC chunk-grain dedup ---------------------
+    // Kills the shifted/boilerplate copies exact dedup is blind to:
+    // chunk the persisted corpus once (row-local codegen'd boundary
+    // walk), assign each digest's first occurrence (min doc_id) as
+    // owner via ONE window over the high-cardinality digest, then one
+    // map-side-combined per-doc agg of not-first-seen bytes. A doc
+    // whose duplicated fraction ≥ the threshold dies; the owner doc of
+    // every chunk survives by construction (its own bytes are never
+    // "duplicated"), so the stage is deterministic and never empties a
+    // content class. Docs under the 4-byte chunking floor produce no
+    // chunks and are kept (absent from the removal list).
+    val chunkDeduped = cfg.chunkDupMaxFrac match {
+      case None => exact
+      case Some(maxFrac) =>
+        val wd = Window.partitionBy("digest")
+        val heavyDup = Multimodal.cdcChunks(exact)
+          .select(col("asset_id"), col("c_len"), col("digest"))
+          .withColumn("__owner", min(col("asset_id")).over(wd))
+          .groupBy(col("asset_id").as("doc_id"))
+          .agg((sum(when(col("__owner") < col("asset_id"), col("c_len"))
+            .otherwise(lit(0L))).cast("double") /
+            sum(col("c_len")).cast("double")).as("__dup_frac"))
+          .where(col("__dup_frac") >= maxFrac)
+          .select("doc_id")
+        exact.join(heavyDup, Seq("doc_id"), "left_anti")
+    }
+
     // -- stage 4: near-dup keep-one over the MinHash+LSH cluster graph --
     // pair generation re-scans the (persisted) corpus — inherent to
     // LSH, bounded by the bucketed candidate space, never N².
-    val pairs = Dedup.minhashNearDupPairs(exact, "text", "doc_id",
+    val pairs = Dedup.minhashNearDupPairs(chunkDeduped, "text", "doc_id",
       threshold = cfg.nearDupThreshold, sorted = false)
     val removed = Dedup.connectedComponents(pairs.select("id1", "id2"))
       .where(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
-    val nearDeduped = exact.join(removed, Seq("doc_id"), "left_anti")
+    val nearDeduped = chunkDeduped.join(removed, Seq("doc_id"), "left_anti")
 
     // -- stage 5: quality-weighted sample + materialize the clean corpus --
     val sampled = nearDeduped.where(TrainingPrep.weightedKeep(cfg.sampleCap))
@@ -165,8 +228,14 @@ object TrainingPipeline {
 
     Report(
       input = if (cfg.reportCounts) docs.count() else -1L,
+      afterUrlDedup =
+        if (cfg.reportCounts && cfg.urlDedupCol.isDefined)
+          crawlDeduped.count() else -1L,
       afterQuality = if (cfg.reportCounts) quality.count() else -1L,
       afterExactDedup = if (cfg.reportCounts) exact.count() else -1L,
+      afterChunkDedup =
+        if (cfg.reportCounts && cfg.chunkDupMaxFrac.isDefined)
+          chunkDeduped.count() else -1L,
       afterNearDup = if (cfg.reportCounts) nearDeduped.count() else -1L,
       afterSample = idCheck.getLong(0),
       trainDocs = trainN, valDocs = valN, testDocs = testN,

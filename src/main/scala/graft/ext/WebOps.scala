@@ -226,7 +226,32 @@ object WebOps {
     * engines canonicalize identically.
     */
   def urlCanon(documents: DataFrame): DataFrame = {
-    val noFrag = regexp_replace(plantedMessyUrl, lit("#.*$"), lit(""))
+    val rawParams = rawQueryParams(plantedMessyUrl)
+    documents
+      .select(
+        col("doc_id"),
+        plantedMessyUrl.as("url"),
+        canonicalUrl(plantedMessyUrl).as("canon"),
+        (size(rawParams) - size(keptQueryParams(rawParams)))
+          .as("n_dropped_params"))
+      .orderBy("doc_id")
+  }
+
+  private def rawQueryParams(url: Column): Column =
+    split(regexp_extract(regexp_replace(url, lit("#.*$"), lit("")),
+      "\\?([^#]*)", 1), "&")
+
+  private def keptQueryParams(rawParams: Column): Column =
+    array_sort(filter(rawParams, p => !p.startsWith("utm_") && p =!= ""))
+
+  /** Canonical form of an arbitrary URL column — the reusable, purely
+    * row-local core of [[urlCanon]], also the key of the
+    * [[TrainingPipeline]] crawl-dedup stage: lowercase scheme+host,
+    * strip `www.` / `:443`, drop the fragment, drop `utm_*` params,
+    * sort survivors, strip the trailing slash.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, lit("#.*$"), lit(""))
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
     val host = regexp_replace(
       regexp_replace(lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)),
@@ -235,20 +260,9 @@ object WebOps {
     val rawPath = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
     val path = when(regexp_replace(rawPath, lit("/+$"), lit("")) === "", lit("/"))
       .otherwise(regexp_replace(rawPath, lit("/+$"), lit("")))
-    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
-    val rawParams = split(query, "&")
-    val kept = array_sort(filter(rawParams,
-      p => !p.startsWith("utm_") && p =!= ""))
-    val qstr = array_join(kept, "&")
-    val canon = concat(scheme, lit("://"), host, path,
+    val qstr = array_join(keptQueryParams(rawQueryParams(url)), "&")
+    concat(scheme, lit("://"), host, path,
       when(qstr === "", lit("")).otherwise(concat(lit("?"), qstr)))
-    documents
-      .select(
-        col("doc_id"),
-        plantedMessyUrl.as("url"),
-        canon.as("canon"),
-        (size(rawParams) - size(kept)).as("n_dropped_params"))
-      .orderBy("doc_id")
   }
 
   def queries: Seq[GraftQuery] = Seq(

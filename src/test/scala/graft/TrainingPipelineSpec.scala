@@ -84,6 +84,65 @@ class TrainingPipelineSpec extends SparkTestBase {
     assert(trainIds2 == trainIds)
   }
 
+  test("pipeline: URL-canonical crawl dedup and CDC chunk dedup kill their planted dups") {
+    // Three planted docs, each engineered to die (or survive) at ONE
+    // specific optional stage:
+    //   A (900001) — donor text + 300 LONG (~30-char) shared-payload
+    //     tokens; messy URL (case, www, :443, utm params, fragment).
+    //     Survives everything: cap-saturated, first occurrence.
+    //   U (900002) — unique cap-saturated text, but a URL that
+    //     canonicalizes EQUAL to A's → must die at stage 0 (min doc_id
+    //     wins), and nothing else could remove it (unique content,
+    //     P(keep)=1).
+    //   S (900003) — 500 SHORT junk tokens + A's text: byte-wise ~75%
+    //     duplicated CDC chunks (dies at the chunk stage) while its
+    //     bigram-shingle Jaccard vs A is ~0.4 < the 0.5 near-dup
+    //     threshold — so the near-dup stage CANNOT be what kills it.
+    val base = docs.limit(200)
+      .withColumn("url",
+        concat(lit("https://example.com/d/"), col("doc_id")))
+    val donor = base.orderBy("doc_id").limit(1).collect().head
+    val filler = (0 until 300)
+      .map(i => f"sharedpayloadtokennumber$i%04dpadpadpad").mkString(" ")
+    val aText = donor.getAs[String]("text") + " " + filler
+    val junk = (0 until 500).map(i => s"j$i").mkString(" ")
+    def planted(id: Long, text: String, url: String) =
+      Seq((id, text, donor.getAs[String]("lang"),
+        donor.getAs[String]("source"), text.length.toLong, url))
+        .toDF("doc_id", "text", "lang", "source", "n_chars", "url")
+    val uText = (0 until 400).map(i => s"uniqvocab$i").mkString(" ")
+    val corpus = base
+      .unionByName(planted(900001L, aText,
+        "HTTPS://WWW.Example.COM:443/page/1?utm_source=feed&a=1#top"))
+      .unionByName(planted(900002L, uText,
+        "https://example.com/page/1?a=1"))
+      .unionByName(planted(900003L, junk + " " + aText,
+        "https://example.com/unique/s"))
+
+    val cfg = TrainingPipeline.Config(maxAbsZ = 1e9,
+      urlDedupCol = Some("url"), chunkDupMaxFrac = Some(0.6))
+    val out = Files.createTempDirectory("graft-pipeline-crawl").toString
+    val r = TrainingPipeline.run(corpus, out, cfg)
+
+    assert(r.input == 203L)
+    assert(r.afterUrlDedup == 202L,
+      "exactly the planted utm-variant refetch must die at stage 0")
+    assert(r.afterChunkDedup < r.afterExactDedup,
+      "the planted shifted copy must die at the chunk stage")
+    assert(r.afterChunkDedup >= r.afterNearDup)
+
+    val cleanIds = spark.read.parquet(s"$out/clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds(900001L), "first-occurrence A must survive " +
+      "(its chunks are self-owned; donor overlap is far below the cut)")
+    assert(!cleanIds(900002L), "canonical-URL refetch U must die")
+    assert(!cleanIds(900003L), "shifted chunk-copy S must die")
+
+    // rerun-determinism holds with both optional stages on
+    val out2 = Files.createTempDirectory("graft-pipeline-crawl2").toString
+    assert(TrainingPipeline.run(corpus, out2, cfg) == r)
+  }
+
   test("pipeline: duplicate doc_id in the corpus fails the uniqueness gate") {
     // two DIFFERENT cap-saturated texts sharing one id: both certainly
     // survive every stage (distinct content, P(keep)=1), so the clean
