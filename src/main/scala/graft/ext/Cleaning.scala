@@ -677,9 +677,16 @@ object Cleaning {
       .join(byW2, "w2")
       .crossJoin(broadcast(nbt))
       .select(col("doc_id"),
-        (floor(log2(lit(4L) * col("c1") * col("nbt"))).cast("long") -
-          floor(log2((lit(4L) * col("c12") - lit(3L)) * col("nbt") +
-            lit(3L) * col("n1p") * col("n1pr"))).cast("long")).as("bits"))
+        // DECIMAL(38,0)-widened products (HUGEINT in the oracle): the
+        // c1·nbt / n1p·n1pr count products cross 2^63 at 100 TB-era
+        // bigram counts and a BIGINT multiply wraps silently while
+        // DuckDB raises — the psiDrift/dsirSample widening rule.
+        (floor(log2(lit(4L) * col("c1").cast("decimal(38,0)") *
+          col("nbt"))).cast("long") -
+          floor(log2((lit(4L) * col("c12").cast("decimal(38,0)") - lit(3L)) *
+            col("nbt") +
+            lit(3L) * col("n1p").cast("decimal(38,0)") * col("n1pr")))
+            .cast("long")).as("bits"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("sum_bits"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
@@ -1388,8 +1395,8 @@ object Cleaning {
            |nbt AS (SELECT count(*) AS nbt FROM types),
            |b AS (
            |  SELECT bg.doc_id,
-           |         CAST(floor(log2(4 * c1 * nbt)) AS BIGINT) -
-           |         CAST(floor(log2((4 * c12 - 3) * nbt + 3 * n1p * n1pr)) AS BIGINT) AS bits
+           |         CAST(floor(log2(4 * CAST(c1 AS HUGEINT) * nbt)) AS BIGINT) -
+           |         CAST(floor(log2((4 * CAST(c12 AS HUGEINT) - 3) * nbt + 3 * CAST(n1p AS HUGEINT) * n1pr)) AS BIGINT) AS bits
            |  FROM bg JOIN types USING (g)
            |  JOIN w1t USING (w1) JOIN w2t USING (w2) CROSS JOIN nbt)
            |SELECT doc_id, count(*) AS n_bigrams,

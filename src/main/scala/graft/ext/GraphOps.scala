@@ -113,11 +113,12 @@ object GraphOps {
     * a hub points at good authorities, an authority is pointed at by
     * good hubs. Because the update is LINEAR, per-iteration
     * normalization only rescales — so the unrolled iterations run in
-    * EXACT BIGINT arithmetic (h₀=1; a₁=in-weight; h₁=Σw·a₁; a₂=Σw·h₁)
-    * and ONE double division at the end normalizes each score to its
-    * max. Values grow multiplicatively with iteration count — two
-    * iterations stay far under BIGINT on any realistic weight scale;
-    * deeper unrolls should switch the sums to DECIMAL(38,0).
+    * EXACT DECIMAL(38,0) arithmetic (h₀=1; a₁=in-weight; h₁=Σw·a₁;
+    * a₂=Σw·h₁; HUGEINT in the oracle) and ONE double division at the
+    * end normalizes each score to its max. Values grow
+    * multiplicatively with iteration count (h₁ ≤ (Σw)² crosses 2⁶³
+    * near 3×10⁹ events), so the sums never live in BIGINT and the
+    * unit scores emit as DOUBLE.
     *
     * 100 TB shape: same as PageRank — each iteration is one src-keyed
     * join plus one map-side-combined dst aggregate; hub skew reduces
@@ -128,21 +129,30 @@ object GraphOps {
     val nodes = events
       .select(get_json_object(col("props"), "$.k").cast("int").as("node"))
       .where(col("node").isNotNull).distinct()
+    // DECIMAL(38,0) iteration sums (HUGEINT in the oracle) and DOUBLE
+    // unit outputs: scores grow multiplicatively per unrolled
+    // iteration (h₁ ≤ (Σw)², past 2⁶³ near 3×10⁹ events), so neither
+    // the accumulation nor the unit columns may live in BIGINT — the
+    // psiDrift widening rule applied at the 100 TB design point.
     val a1 = e.groupBy(col("dst").as("node")).agg(sum(col("w")).as("a"))
     val h1 = e.join(a1.withColumnRenamed("node", "dst"), "dst")
-      .groupBy(col("src").as("node")).agg(sum(col("w") * col("a")).as("h"))
+      .groupBy(col("src").as("node"))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("a")).as("h"))
     val a2 = e.join(h1.withColumnRenamed("node", "src"), "src")
-      .groupBy(col("dst").as("node")).agg(sum(col("w") * col("h")).as("a"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("h")).as("a"))
     val scored = nodes
       .join(h1, Seq("node"), "left")
       .join(a2, Seq("node"), "left")
       .select(col("node"),
-        coalesce(col("h"), lit(0L)).as("h1_units"),
-        coalesce(col("a"), lit(0L)).as("a2_units"))
+        coalesce(col("h"), lit(0L).cast("decimal(38,0)")).as("h1_units"),
+        coalesce(col("a"), lit(0L).cast("decimal(38,0)")).as("a2_units"))
     val maxes = scored.agg(max(col("h1_units")).as("mh"),
       max(col("a2_units")).as("ma"))
     scored.crossJoin(broadcast(maxes))
-      .select(col("node"), col("h1_units"), col("a2_units"),
+      .select(col("node"),
+        col("h1_units").cast("double").as("h1_units"),
+        col("a2_units").cast("double").as("a2_units"),
         (col("h1_units").cast("double") / col("mh").cast("double")).as("hub_score"),
         (col("a2_units").cast("double") / col("ma").cast("double")).as("auth_score"))
       .orderBy("node")
@@ -616,26 +626,26 @@ object GraphOps {
            |${iterSql("r2", "r3")}
            |SELECT node, CAST(r AS BIGINT) AS rank_units FROM r3 ORDER BY node""".stripMargin)),
     GraftQuery("q_hits",
-      "HITS hubs/authorities (2 unrolled linear iterations, exact BIGINT, one end normalization) over the transition graph",
+      "HITS hubs/authorities (2 unrolled linear iterations, exact DECIMAL(38,0)/HUGEINT, one end normalization) over the transition graph",
       (s, dir) => hits(t(s, dir, "events")),
       Some(
         s"""$graphPrefixSql,
-           |a1 AS (SELECT dst AS node, CAST(sum(w) AS BIGINT) AS a FROM edges GROUP BY 1),
-           |h1 AS (SELECT e.src AS node, CAST(sum(e.w * a1.a) AS BIGINT) AS h
+           |a1 AS (SELECT dst AS node, sum(w) AS a FROM edges GROUP BY 1),
+           |h1 AS (SELECT e.src AS node, sum(CAST(e.w AS HUGEINT) * a1.a) AS h
            |       FROM edges e JOIN a1 ON e.dst = a1.node GROUP BY 1),
-           |a2 AS (SELECT e.dst AS node, CAST(sum(e.w * h1.h) AS BIGINT) AS a
+           |a2 AS (SELECT e.dst AS node, sum(CAST(e.w AS HUGEINT) * h1.h) AS a
            |       FROM edges e JOIN h1 ON e.src = h1.node GROUP BY 1),
            |scored AS (
            |  SELECT n.node,
-           |         coalesce(h1.h, 0) AS h1_units,
-           |         coalesce(a2.a, 0) AS a2_units
+           |         CAST(coalesce(h1.h, 0) AS DOUBLE) AS h1_units,
+           |         CAST(coalesce(a2.a, 0) AS DOUBLE) AS a2_units
            |  FROM nodes n
            |  LEFT JOIN h1 ON n.node = h1.node
            |  LEFT JOIN a2 ON n.node = a2.node),
            |m AS (SELECT max(h1_units) AS mh, max(a2_units) AS ma FROM scored)
            |SELECT node, h1_units, a2_units,
-           |       CAST(h1_units AS DOUBLE) / CAST(mh AS DOUBLE) AS hub_score,
-           |       CAST(a2_units AS DOUBLE) / CAST(ma AS DOUBLE) AS auth_score
+           |       h1_units / mh AS hub_score,
+           |       a2_units / ma AS auth_score
            |FROM scored, m ORDER BY node""".stripMargin)),
     GraftQuery("q_pagerank_docs",
       "document-quote-graph PageRank: citation-style importance prior over containment-join quote edges (sup cites sub), exact integer micro-units",

@@ -149,8 +149,13 @@ object MiningOps {
       .join(counts.select(col("name").as("na"), col("cnt").as("ca")), "na")
       .join(counts.select(col("name").as("nb"), col("cnt").as("cb")), "nb")
       .groupBy(length(col("na")).cast("int").as("name_len"))
+      // DECIMAL(38,0) pair-count products (HUGEINT in the oracle),
+      // DOUBLE output: Σ(ca·cb) is a pair CARDINALITY — heavy name
+      // duplication puts it past 2⁶³ at corpus scale, so neither the
+      // accumulation nor the output column lives in BIGINT.
       .agg(count(lit(1)).as("n_name_pairs"),
-        sum(col("ca") * col("cb")).as("n_id_pairs"))
+        sum(col("ca").cast("decimal(38,0)") * col("cb"))
+          .cast("double").as("n_id_pairs"))
       .orderBy("name_len")
   }
 
@@ -182,7 +187,7 @@ object MiningOps {
           |          JOIN dn cb ON cb.name = np.nb)
           |SELECT CAST(length(na) AS INT) AS name_len,
           |       count(*) AS n_name_pairs,
-          |       CAST(sum(ca * cb) AS BIGINT) AS n_id_pairs
+          |       CAST(sum(CAST(ca AS HUGEINT) * cb) AS DOUBLE) AS n_id_pairs
           |FROM wp GROUP BY 1 ORDER BY 1""".stripMargin)),
     GraftQuery("q_typo_pairs",
       "edit-distance-1 entity pairs via SymSpell deletion-neighborhood blocking (exact recall, levenshtein verify)",

@@ -975,7 +975,9 @@ object Similarity {
     counts.agg(sum(col("c")).as("n"),
         count(lit(1)).as("n_classes"),
         max(col("c")).as("max_class"),
-        sum(col("c") * col("c")).as("s2"))
+        // DECIMAL(38,0): one dominant class puts c² past 2⁶³ at
+        // ~3×10⁹ rows; the oracle's HUGEINT sum was always exact.
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
       .select(col("n"), col("n_classes"), col("max_class"),
         (col("s2").cast("double") /
           (col("n").cast("double") * col("n").cast("double"))).as("hhi"),

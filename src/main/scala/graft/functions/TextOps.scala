@@ -949,8 +949,13 @@ object TextOps {
       .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
       .crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
-        (floor(log2(col("c_ab") * col("n_tok"))).cast(LongType) -
-          floor(log2(col("c_a") * col("c_b"))).cast(LongType)).as("pmi_bits"))
+        // DECIMAL(38,0)-widened products (HUGEINT in the oracle):
+        // c_ab·n_tok and c_a·c_b cross 2^63 at 100 TB-era token
+        // counts — the psiDrift/dsirSample widening rule.
+        (floor(log2(col("c_ab").cast("decimal(38,0)") * col("n_tok")))
+          .cast(LongType) -
+          floor(log2(col("c_a").cast("decimal(38,0)") * col("c_b")))
+            .cast(LongType)).as("pmi_bits"))
       .orderBy(col("c_ab").desc, col("w1"), col("w2"))
       .limit(k)
   }
@@ -973,8 +978,8 @@ object TextOps {
            |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
            |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni)
            |SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
-           |       CAST(floor(log2(c_ab * n_tok)) AS BIGINT) -
-           |       CAST(floor(log2(ua.c * ub.c)) AS BIGINT) AS pmi_bits
+           |       CAST(floor(log2(CAST(c_ab AS HUGEINT) * n_tok)) AS BIGINT) -
+           |       CAST(floor(log2(CAST(ua.c AS HUGEINT) * ub.c)) AS BIGINT) AS pmi_bits
            |FROM pc JOIN uni ua ON pc.w1 = ua.w
            |        JOIN uni ub ON pc.w2 = ub.w, n
            |ORDER BY c_ab DESC, w1, w2 LIMIT 40""".stripMargin)),

@@ -603,7 +603,8 @@ object RelationalOps {
   }
 
   /** A+: statistical aggregates (mean / variance / stddev) computed
-    * from EXACT integer moments: n, Σx, Σx² accumulate as longs
+    * from EXACT integer moments: n, Σx, Σx² accumulate exactly (the
+    * squared moment in DECIMAL(38,0), matching the oracle's HUGEINT)
     * (order-independent), then one division and one sqrt. IEEE pins
     * the four basic ops and sqrt to exact rounding, so the derived
     * doubles are
@@ -615,14 +616,21 @@ object RelationalOps {
     t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
       .groupBy("l_returnflag")
+      // Σq² and the (nΣq² − (Σq)²) formula run in DECIMAL(38,0) —
+      // exact like the oracle's HUGEINT path at ANY corpus size,
+      // where a BIGINT (Σq)² wraps past ~3×10¹³ rows (the psiDrift
+      // widening rule); one correctly-rounded cast to double at the
+      // end keeps the outputs bit-identical.
       .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
-        sum(col("q") * col("q")).as("sumsq_q"))
+        sum(col("q").cast("decimal(38,0)") * col("q")).as("sumsq_q"))
       .select(
         col("l_returnflag"), col("n"), col("sum_q"),
         (col("sum_q").cast("double") / col("n").cast("double")).as("mean_q"),
-        sqrt(((col("n") * col("sumsq_q") - col("sum_q") * col("sum_q"))
+        sqrt(((col("n") * col("sumsq_q") -
+          col("sum_q").cast("decimal(38,0)") * col("sum_q"))
           .cast("double")) /
-          ((col("n") * (col("n") - 1)).cast("double"))).as("stddev_q"))
+          ((col("n").cast("decimal(38,0)") * (col("n") - 1))
+            .cast("double"))).as("stddev_q"))
       .orderBy("l_returnflag")
 
   /** J+: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — NULL
@@ -716,11 +724,15 @@ object RelationalOps {
         col("l_quantity").cast("long").as("x"),
         col("l_linenumber").cast("long").as("y"))
       .groupBy("l_returnflag")
+      // moment accumulations in DECIMAL(38,0) (the oracle's sums are
+      // HUGEINT already): Σx², Σxy wrap BIGINT at 100 TB-era row
+      // counts; the double formula below is unchanged — each widened
+      // sum still converts to double exactly once.
       .agg(count(lit(1)).as("n"),
         sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
       .select(
         col("l_returnflag"), col("n"),
         ((n * sxy - sx * sy) / (n * n)).as("covar_pop"),
@@ -734,11 +746,11 @@ object RelationalOps {
     * from the [[corrCovar]] exact-integer-moment regime: slope =
     * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n,
     * r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²)). Moments
-    * are exact BIGINT sums in one map-side-combined aggregate (x =
-    * quantity ≤ 50, y = whole dollars — y² sums stay far under 2⁶³ at
-    * any fixture scale; a 100 TB run moves the moment sums to
-    * DECIMAL(38,0), the formula is unchanged); each engine evaluates
-    * the IDENTICAL double formula once over identical integers.
+    * are exact sums in one map-side-combined aggregate — the product
+    * moments in DECIMAL(38,0) (y = whole dollars: a BIGINT Σy² wraps
+    * near 10⁹ rows, far below the 100 TB design point; the oracle's
+    * HUGEINT sums were always exact); each engine evaluates the
+    * IDENTICAL double formula once over identical integers.
     */
   def linReg(s: SparkSession, dir: String): DataFrame = {
     val (n, sx, sy) = (col("n").cast("double"),
@@ -751,11 +763,14 @@ object RelationalOps {
         col("l_quantity").cast("long").as("x"),
         floor(col("l_extendedprice")).cast("long").as("y"))
       .groupBy("l_returnflag")
+      // DECIMAL(38,0) moment sums (oracle: HUGEINT): Σy² at
+      // whole-dollar magnitudes wraps BIGINT near ~10⁹ rows — far
+      // below the 100 TB design point. Formula unchanged (doubles).
       .agg(count(lit(1)).as("n"),
         sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
       .select(
         col("l_returnflag"), col("n"),
         slope.as("slope"),
@@ -766,8 +781,8 @@ object RelationalOps {
   }
 
   /** A+: population skewness + excess kurtosis from raw integer
-    * moments, same regime as [[corrCovar]]: Σx..Σx⁴ accumulate as
-    * longs (order-independent), each sum converts to double once
+    * moments, same regime as [[corrCovar]]: Σx..Σx⁴ accumulate exactly
+    * in DECIMAL(38,0) (order-independent), each sum converts to double once
     * (identical correctly-rounded conversion on both engines), and the
     * central-moment formulas below use only IEEE-pinned ops in the
     * exact tree shape the oracle mirrors. Built-in skewness()/
@@ -785,10 +800,14 @@ object RelationalOps {
     t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
       .groupBy("l_returnflag")
+      // DECIMAL(38,0) raw moments (oracle: HUGEINT): Σx⁴ has only
+      // ~2.4× headroom inside BIGINT at a 100 TB lineitem even with
+      // x ≤ 50 — widen at the design point, don't document the cliff.
       .agg(count(lit(1)).as("n"), sum("x").as("s1"),
-        sum(col("x") * col("x")).as("s2"),
-        sum(col("x") * col("x") * col("x")).as("s3"),
-        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"),
+        sum(col("x").cast("decimal(38,0)") * col("x") * col("x")).as("s3"),
+        sum(col("x").cast("decimal(38,0)") * col("x") * col("x") * col("x"))
+          .as("s4"))
       .select(col("l_returnflag"), col("n"),
         (m3 / (sqrt(m2) * m2)).as("skew_pop"),
         (m4 / (m2 * m2) - lit(3.0)).as("kurt_excess"))

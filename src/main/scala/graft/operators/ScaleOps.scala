@@ -565,8 +565,8 @@ object ScaleOps {
     * exact answer needs the key-partitioned join this estimate exists
     * to size. Emitted side by side with the exact count so the
     * one-sided guarantee (est ≥ exact) is oracle-checked arithmetic.
-    * Count products sum in BIGINT — beyond ~10⁹ rows per side move
-    * the two dot-product sums to DECIMAL(38,0), formula unchanged.
+    * Count products sum in DECIMAL(38,0) (HUGEINT in the oracle) and
+    * the counts emit as DOUBLE — overflow-free at any corpus size.
     */
   def joinSizeEstimate(s: SparkSession, dir: String,
       depth: Int = 4, width: Long = 1024L): DataFrame = {
@@ -585,14 +585,22 @@ object ScaleOps {
         explode(sequence(lit(0), lit(depth - 1))).as("i"))
       .withColumn("pos", posCol(col("key"), col("i")))
       .groupBy("i", "pos").agg(sum(col(cName)).as(cName))
+    // DECIMAL(38,0) dot products (HUGEINT in the oracle) and DOUBLE
+    // outputs: Σ(ca·cb) IS the join cardinality — a skewed key pair
+    // puts it past 2⁶³ long before 100 TB, so neither the accumulation
+    // nor the output column may live in BIGINT (the psiDrift widening
+    // rule). Both engines round the same exact integer to double.
     val est = cms(a, "ca").join(cms(b, "cb"), Seq("i", "pos"))
-      .groupBy("i").agg(sum(col("ca") * col("cb")).as("dot"))
+      .groupBy("i")
+      .agg(sum(col("ca").cast("decimal(38,0)") * col("cb")).as("dot"))
       .agg(min(col("dot")).as("cms_est"))
     val exact = a.join(b, "key")
-      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_pairs"))
+      .agg(coalesce(sum(col("ca").cast("decimal(38,0)") * col("cb")),
+        lit(0L).cast("decimal(38,0)")).as("exact_pairs"))
     // Empty join ⇒ NULL ratio (not Inf/NaN), mirrored in the oracle.
     exact.crossJoin(broadcast(est)).select(
-      col("exact_pairs"), col("cms_est"),
+      col("exact_pairs").cast("double").as("exact_pairs"),
+      col("cms_est").cast("double").as("cms_est"),
       when(col("exact_pairs") === 0, lit(null).cast("double"))
         .otherwise(col("cms_est").cast("double") /
           col("exact_pairs").cast("double"))
@@ -619,15 +627,15 @@ object ScaleOps {
           |         CAST(sum(cb) AS BIGINT) AS cb
           |  FROM b, range(4) t(i) GROUP BY 1, 2),
           |dots AS (
-          |  SELECT cmsa.i, CAST(sum(cmsa.ca * cmsb.cb) AS BIGINT) AS dot
+          |  SELECT cmsa.i, sum(CAST(cmsa.ca AS HUGEINT) * cmsb.cb) AS dot
           |  FROM cmsa JOIN cmsb ON cmsa.i = cmsb.i AND cmsa.pos = cmsb.pos
           |  GROUP BY 1),
-          |est AS (SELECT CAST(min(dot) AS BIGINT) AS cms_est FROM dots),
-          |ex AS (SELECT COALESCE(CAST(sum(ca * cb) AS BIGINT), 0) AS exact_pairs
+          |est AS (SELECT CAST(min(dot) AS DOUBLE) AS cms_est FROM dots),
+          |ex AS (SELECT CAST(COALESCE(sum(CAST(ca AS HUGEINT) * cb), 0) AS DOUBLE) AS exact_pairs
           |       FROM a JOIN b USING (key))
           |SELECT exact_pairs, cms_est,
           |       CASE WHEN exact_pairs = 0 THEN NULL
-          |            ELSE CAST(cms_est AS DOUBLE) / CAST(exact_pairs AS DOUBLE) END AS overestimate_ratio
+          |            ELSE cms_est / exact_pairs END AS overestimate_ratio
           |FROM ex, est ORDER BY exact_pairs""".stripMargin)),
     graft.GraftQuery("q_incremental_agg",
       "incremental aggregate maintenance: base+delta coalesce-sum merge == full recompute (algebraic aggregates)",

@@ -214,8 +214,10 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(got.nonEmpty)
     got.foreach { r =>
       val n = r.getAs[Int]("node")
-      assert(r.getAs[Long]("h1_units") == h1.getOrElse(n, 0L))
-      assert(r.getAs[Long]("a2_units") == a2.getOrElse(n, 0L))
+      // unit scores are DOUBLE now (they outgrow BIGINT at corpus
+      // scale); fixture values are « 2⁵³ so the comparison is exact
+      assert(r.getAs[Double]("h1_units") == h1.getOrElse(n, 0L).toDouble)
+      assert(r.getAs[Double]("a2_units") == a2.getOrElse(n, 0L).toDouble)
     }
     assert(got.map(_.getAs[Double]("hub_score")).max == 1.0)
     assert(got.map(_.getAs[Double]("auth_score")).max == 1.0)

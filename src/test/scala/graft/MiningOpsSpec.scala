@@ -74,7 +74,9 @@ class MiningOpsSpec extends SparkTestBase {
     // EMITS: one distinct name pair expanding to the 150 id pairs
     val stats = MiningOps.typoPairStats(ents, "c_name").collect()
     assert(stats.map(_.getAs[Long]("n_name_pairs")).sum == 1L)
-    assert(stats.map(_.getAs[Long]("n_id_pairs")).sum == 150L)
+    // n_id_pairs is DOUBLE (the pair cardinality outgrows BIGINT at
+    // corpus scale); exact here — 150 « 2⁵³
+    assert(stats.map(_.getAs[Double]("n_id_pairs")).sum == 150.0)
   }
 
   test("edit1 == (levenshtein == 1) on exhaustive short strings and random name-like pairs") {
