@@ -494,6 +494,33 @@ object Multimodal {
           .as("height"))
       .orderBy("asset_id")
 
+  /** Per-doc duplicated-CDC-chunk byte stats — the scoring core of the
+    * [[TrainingPipeline]] chunk-dedup stage, registered standalone so
+    * the stage's semantics are oracle-gated, not just spec-covered: a
+    * chunk digest's first occurrence (min asset_id) is canonical, and
+    * a doc's `dup_frac` is the fraction of its bytes living in chunks
+    * first seen in an EARLIER doc (shifted copies, shared boilerplate).
+    *
+    * 100 TB shape: one row-local codegen'd chunking pass, ONE window
+    * over the high-cardinality 16-byte digest for ownership, one
+    * map-side-combined per-doc byte agg — no self-join, nothing
+    * corpus-scale broadcast. Docs under the 4-byte chunking floor
+    * produce no chunks and are absent (the pipeline keeps them).
+    */
+  def chunkDupStats(docs: DataFrame, maskMod: Int = 64): DataFrame = {
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("digest")
+    cdcChunks(docs, maskMod)
+      .select(col("asset_id"), col("c_len"), col("digest"))
+      .withColumn("__owner", min(col("asset_id")).over(wd))
+      .groupBy(col("asset_id").as("doc_id"))
+      .agg(sum(when(col("__owner") < col("asset_id"), col("c_len"))
+        .otherwise(lit(0L))).as("dup_bytes"),
+        sum(col("c_len")).as("total_bytes"))
+      .select(col("doc_id"), col("dup_bytes"), col("total_bytes"),
+        (col("dup_bytes").cast("double") / col("total_bytes").cast("double"))
+          .as("dup_frac"))
+  }
+
   /** Shared oracle prefix: chunk relation in DuckDB (mirrors
     * [[cdcChunks]] — same boundary rule, spans, digests).
     */
@@ -534,6 +561,20 @@ object Multimodal {
       Some(cdcChunkSql +
         "\nSELECT asset_id, chunk_idx, c_start, c_len, digest FROM ch" +
         "\nORDER BY asset_id, chunk_idx")),
+    GraftQuery("q_chunk_dup_docs",
+      "per-doc duplicated-CDC-chunk byte fraction (first occurrence = min asset_id owns a digest) — the TrainingPipeline chunk-dedup stage's scoring core",
+      (s, dir) => chunkDupStats(t(s, dir, "documents")).orderBy("doc_id"),
+      Some(cdcChunkSql + """,
+        |own AS (SELECT digest, min(asset_id) AS owner FROM ch GROUP BY 1),
+        |pd AS (
+        |  SELECT ch.asset_id AS doc_id,
+        |         CAST(sum(CASE WHEN own.owner < ch.asset_id
+        |                       THEN ch.c_len ELSE 0 END) AS BIGINT) AS dup_bytes,
+        |         CAST(sum(ch.c_len) AS BIGINT) AS total_bytes
+        |  FROM ch JOIN own USING (digest) GROUP BY 1)
+        |SELECT doc_id, dup_bytes, total_bytes,
+        |       CAST(dup_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE) AS dup_frac
+        |FROM pd ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_chunk_dedup",
       "chunk-grain dedup census over content-defined chunks: copies, unique bytes, savings",
       (s, dir) => cdcDedupStats(t(s, dir, "documents")),

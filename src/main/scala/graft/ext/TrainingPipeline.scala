@@ -169,15 +169,8 @@ object TrainingPipeline {
     val chunkDeduped = cfg.chunkDupMaxFrac match {
       case None => exact
       case Some(maxFrac) =>
-        val wd = Window.partitionBy("digest")
-        val heavyDup = Multimodal.cdcChunks(exact)
-          .select(col("asset_id"), col("c_len"), col("digest"))
-          .withColumn("__owner", min(col("asset_id")).over(wd))
-          .groupBy(col("asset_id").as("doc_id"))
-          .agg((sum(when(col("__owner") < col("asset_id"), col("c_len"))
-            .otherwise(lit(0L))).cast("double") /
-            sum(col("c_len")).cast("double")).as("__dup_frac"))
-          .where(col("__dup_frac") >= maxFrac)
+        val heavyDup = Multimodal.chunkDupStats(exact)
+          .where(col("dup_frac") >= maxFrac)
           .select("doc_id")
         exact.join(heavyDup, Seq("doc_id"), "left_anti")
     }

@@ -237,6 +237,52 @@ object WebOps {
       .orderBy("doc_id")
   }
 
+  /** Planted REFETCH population: ~97 docs per source share a resource
+    * (path keyed by doc_id % 97) while per-fetch noise varies — scheme
+    * case, www, :443, trailing slash, a rotating utm param, and a
+    * fragment — so canonicalization must collapse each resource's
+    * refetches to ONE key. The surviving param `a` derives from the
+    * RESOURCE (not the doc), as a stable param would in a real crawl.
+    */
+  private def plantedRefetchUrl: Column =
+    concat(
+      lit("HTTPS://"),
+      when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      upper(col("source")), lit(".Example.COM"),
+      when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+      lit("/r/"), (col("doc_id") % 97).cast("string"),
+      when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
+      lit("?utm_source=s"), (col("doc_id") % 5).cast("string"),
+      lit("&a="), ((col("doc_id") % 97) % 7).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit("")))
+
+  private val plantedRefetchUrlSql: String =
+    "'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END || " +
+      "upper(source) || '.Example.COM' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END || " +
+      "'/r/' || CAST(doc_id % 97 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END || " +
+      "'?utm_source=s' || CAST(doc_id % 5 AS VARCHAR) || " +
+      "'&a=' || CAST((doc_id % 97) % 7 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END"
+
+  /** Canonical-URL keep-one (min doc_id wins) over the planted refetch
+    * population — the registered, oracle-gated form of
+    * [[TrainingPipeline]] stage 0: ONE `row_number` window over the
+    * high-cardinality canonical key, no self-join.
+    */
+  def urlDedup(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canon").orderBy("doc_id")
+    documents
+      .select(col("doc_id"), plantedRefetchUrl.as("url"))
+      .withColumn("canon", canonicalUrl(col("url")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("doc_id"), col("url"), col("canon"))
+      .orderBy("doc_id")
+  }
+
   private def rawQueryParams(url: Column): Column =
     split(regexp_extract(regexp_replace(url, lit("#.*$"), lit("")),
       "\\?([^#]*)", 1), "&")
@@ -265,38 +311,62 @@ object WebOps {
       when(qstr === "", lit("")).otherwise(concat(lit("?"), qstr)))
   }
 
+  /** DuckDB CTE chain canonicalizing `urlSql` for every document —
+    * yields relation `c(doc_id, url, scheme, host, path, rawp, kept)`;
+    * project [[canonProjSql]] for the canonical string. Shared by the
+    * q_url_canon and q_url_dedup oracles so both mirror ONE
+    * normalization recipe.
+    */
+  private def canonCteSql(urlSql: String): String =
+    s"""u AS (SELECT doc_id, $urlSql AS url FROM documents),
+       |p AS (
+       |  SELECT doc_id, url,
+       |    regexp_replace(url, '#.*$$', '') AS nofrag
+       |  FROM u),
+       |c AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+       |    regexp_replace(regexp_replace(
+       |      lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?#]+)', 1)),
+       |      ':443$$', ''), '^www\\.', '') AS host,
+       |    CASE WHEN regexp_replace(regexp_extract(nofrag,
+       |           '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$$', '') = ''
+       |         THEN '/'
+       |         ELSE regexp_replace(regexp_extract(nofrag,
+       |           '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$$', '') END AS path,
+       |    str_split(regexp_extract(nofrag, '\\?([^#]*)', 1), '&') AS rawp,
+       |    list_sort(list_filter(
+       |      str_split(regexp_extract(nofrag, '\\?([^#]*)', 1), '&'),
+       |      x -> NOT starts_with(x, 'utm_') AND x <> '')) AS kept
+       |  FROM p)""".stripMargin
+
+  private val canonProjSql: String =
+    """scheme || '://' || host || path ||
+      |  CASE WHEN len(kept) = 0 THEN ''
+      |       ELSE '?' || array_to_string(kept, '&') END""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_url_canon",
       "URL canonicalization (case, www, default port, fragment, utm params, param sort, trailing slash) via higher-order array lambdas; DuckDB list lambdas mirror",
       (s, dir) => urlCanon(t(s, dir, "documents")),
       Some(
-        s"""WITH u AS (SELECT doc_id, $plantedMessyUrlSql AS url FROM documents),
-           |p AS (
-           |  SELECT doc_id, url,
-           |    regexp_replace(url, '#.*$$', '') AS nofrag
-           |  FROM u),
-           |c AS (
-           |  SELECT doc_id, url,
-           |    lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
-           |    regexp_replace(regexp_replace(
-           |      lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?#]+)', 1)),
-           |      ':443$$', ''), '^www\\.', '') AS host,
-           |    CASE WHEN regexp_replace(regexp_extract(nofrag,
-           |           '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$$', '') = ''
-           |         THEN '/'
-           |         ELSE regexp_replace(regexp_extract(nofrag,
-           |           '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$$', '') END AS path,
-           |    str_split(regexp_extract(nofrag, '\\?([^#]*)', 1), '&') AS rawp,
-           |    list_sort(list_filter(
-           |      str_split(regexp_extract(nofrag, '\\?([^#]*)', 1), '&'),
-           |      x -> NOT starts_with(x, 'utm_') AND x <> '')) AS kept
-           |  FROM p)
+        s"""WITH ${canonCteSql(plantedMessyUrlSql)}
            |SELECT doc_id, url,
-           |       scheme || '://' || host || path ||
-           |         CASE WHEN len(kept) = 0 THEN ''
-           |              ELSE '?' || array_to_string(kept, '&') END AS canon,
+           |       $canonProjSql AS canon,
            |       CAST(len(rawp) - len(kept) AS INT) AS n_dropped_params
            |FROM c ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_url_dedup",
+      "canonical-URL keep-one crawl dedup (min doc_id per canonical key) over a planted refetch population — the TrainingPipeline stage-0 geometry, oracle-gated",
+      (s, dir) => urlDedup(t(s, dir, "documents")),
+      Some(
+        s"""WITH ${canonCteSql(plantedRefetchUrlSql)},
+           |k AS (SELECT doc_id, url, $canonProjSql AS canon FROM c),
+           |r AS (SELECT doc_id, url, canon,
+           |             row_number() OVER (PARTITION BY canon
+           |                                ORDER BY doc_id) AS rn
+           |      FROM k)
+           |SELECT doc_id, url, canon FROM r WHERE rn = 1
+           |ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_url_parse",
       "parse_url host/path/query-param decomposition vs a DuckDB RE2 re-parse of the same planted URLs",
       (s, dir) => urlParse(t(s, dir, "documents")),
