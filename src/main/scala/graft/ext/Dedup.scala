@@ -438,8 +438,11 @@ object Dedup {
     val docFreq = tok.groupBy("sh").agg(count(lit(1)).as("df"))
     // rarity-ordered shingle list per doc; prefix = the rarest
     // |A| − ⌈t·|A|⌉ + 1 (≥ 1 for any non-empty set)
+    // docFreq is the shingle-type census (corpus-scale): pin SMJ so
+    // AQE never broadcast-builds it (the q_substring_dup_spans
+    // gram-frequency lesson, re-hit by this operator at the sf10 gate)
     val ordered = tok
-      .join(docFreq, "sh")
+      .join(docFreq.hint("merge"), "sh")
       .groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("o"))
       .select(col(idCol), expr("transform(o, x -> x.sh)").as("oshs"))
@@ -457,15 +460,21 @@ object Dedup {
     val supSide = Blocking.pruneGroups(
       tok.select(col(idCol).as("sup_id"), col("n").as("nsup"), col("sh")),
       hot, Seq("sh"))
-    val cands = subSide.join(supSide, Seq("sh"))
+    // sup side carries every (doc, shingle) token — corpus-scale; and
+    // the verify joins pull the corpus-scale shingle-ARRAY relation
+    // (fat rows): pin SMJ on all three, a broadcast build of any of
+    // them OOMs at decade SFs
+    val cands = subSide.join(supSide.hint("merge"), Seq("sh"))
       .where(col("sub_id") =!= col("sup_id"))
       .where(col("nsup").cast("double") >=
         lit(threshold) * col("nsub").cast("double"))
       .select("sub_id", "sup_id")
       .distinct()
     val verified = cands
-      .join(sets.select(col(idCol).as("sub_id"), col("shs").as("sh1")), "sub_id")
-      .join(sets.select(col(idCol).as("sup_id"), col("shs").as("sh2")), "sup_id")
+      .join(sets.select(col(idCol).as("sub_id"), col("shs").as("sh1"))
+        .hint("merge"), "sub_id")
+      .join(sets.select(col(idCol).as("sup_id"), col("shs").as("sh2"))
+        .hint("merge"), "sup_id")
       .select(col("sub_id"), col("sup_id"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(col("sh1")).cast("double")).as("containment"))

@@ -173,10 +173,17 @@ object GraphOps {
     * map-side-combined iteration (quote-hub skew reduces to partials).
     */
   def docPageRank(docs: DataFrame, iters: Int = 3): DataFrame = {
+    // localCheckpoint: unlike the event-transition graphs (where the
+    // A/B in pageRankOnGraph showed persist is a net loss), these
+    // edges cost a full containment join — without the cut, exchange
+    // reuse is not guaranteed across the unrolled iterations and the
+    // sf10 gate measured the join recomputed per round (~5× the
+    // operator's own cost). Materialize once, iterate on the result.
     val edges = Dedup
       .containmentJoin(docs, "text", "doc_id", sorted = false)
       .select(col("sup_id").as("src"), col("sub_id").as("dst"),
         lit(1L).as("w"))
+      .localCheckpoint()
     val nodes = docs.select(col("doc_id").as("node")).distinct()
     pageRankOnGraph(edges, nodes, iters)
       .select(col("node").as("doc_id"), col("rank_units"))

@@ -84,9 +84,14 @@ object MiningOps {
   def typoPairs(entities: DataFrame, idCol: String, nameCol: String): DataFrame = {
     val names = entities.select(col(idCol).as("id"), col(nameCol).as("name"))
     val namePairs = typoNamePairs(names.select("name").distinct())
+    // the id relation scales with the corpus — pin SMJ so AQE's
+    // post-blocking estimate can never try to BUILD it as a broadcast
+    // (the q_substring_dup_spans sf5 lesson, re-hit at the sf10 gate)
     namePairs
-      .join(names.select(col("id").as("ia"), col("name").as("na")), "na")
-      .join(names.select(col("id").as("ib"), col("name").as("nb")), "nb")
+      .join(names.select(col("id").as("ia"), col("name").as("na"))
+        .hint("merge"), "na")
+      .join(names.select(col("id").as("ib"), col("name").as("nb"))
+        .hint("merge"), "nb")
       .select(
         least(col("ia"), col("ib")).as("ida"),
         greatest(col("ia"), col("ib")).as("idb"),
@@ -122,8 +127,11 @@ object MiningOps {
     // general levenshtein: the verify dropped from ~30 s to ~1 s at
     // sf2's 19.5M candidates) — so the distinct's shuffle carries only
     // the true pairs
+    // both sides are the corpus-scale variant relation: pin SMJ (a
+    // broadcast build of ~L×names rows OOMs the driver at decade SFs)
     variants.select(col("name").as("na"), col("vh"))
-      .join(variants.select(col("name").as("nb"), col("vh")), Seq("vh"))
+      .join(variants.select(col("name").as("nb"), col("vh"))
+        .hint("merge"), Seq("vh"))
       .where(col("na") < col("nb"))
       .where(expr("graft_edit1(na, nb)"))
       .select("na", "nb").distinct()
@@ -145,9 +153,14 @@ object MiningOps {
     val counts = entities.select(col(nameCol).as("name"))
       .groupBy("name").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+    // counts is the distinct-name relation (corpus-scale): pin SMJ on
+    // both expansion joins — AQE broadcast-built it at the sf10 gate
+    // and exhausted driver memory
     typoNamePairs(counts.select("name"))
-      .join(counts.select(col("name").as("na"), col("cnt").as("ca")), "na")
-      .join(counts.select(col("name").as("nb"), col("cnt").as("cb")), "nb")
+      .join(counts.select(col("name").as("na"), col("cnt").as("ca"))
+        .hint("merge"), "na")
+      .join(counts.select(col("name").as("nb"), col("cnt").as("cb"))
+        .hint("merge"), "nb")
       .groupBy(length(col("na")).cast("int").as("name_len"))
       // DECIMAL(38,0) pair-count products (HUGEINT in the oracle),
       // DOUBLE output: Σ(ca·cb) is a pair CARDINALITY — heavy name
