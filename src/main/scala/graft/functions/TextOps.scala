@@ -162,6 +162,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher quality-filter rule set (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A1.1) — the published heuristic battery production
+    * crawl-cleaning pipelines apply verbatim: word-count window, mean
+    * word length window, symbol-to-word ratio (# and ellipsis), bullet-
+    * and ellipsis-line fractions, alphabetic-word fraction, and the
+    * ≥2-of-8 English stop-word requirement. Emitted as the raw rule
+    * values plus the conjunctive verdict so downstream mixes can gate
+    * on individual rules.
+    *
+    * 100 TB shape: entirely row-local (HOF array lambdas + replace
+    * arithmetic — no regexp explode, no shuffle, no UDF); the oracle
+    * recomputes every rule with DuckDB list lambdas, and every ratio is
+    * ONE integer/integer division so the doubles are bit-identical.
+    */
+  def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val nw = col("__nw")
+    docs
+      .withColumn("__t", coalesce(col("text"), lit("")))
+      .withColumn("__w", expr("filter(split(__t, '\\\\s+'), x -> x <> '')"))
+      .withColumn("__wl", expr("transform(__w, x -> lower(x))"))
+      .withColumn("__ls", split(col("__t"), "\n"))
+      .withColumn("__nw", size(col("__w")).cast("long"))
+      .withColumn("__wlen",
+        expr("aggregate(__w, 0L, (a, x) -> a + length(x))"))
+      .withColumn("__nsym", expr(
+        "CAST(length(__t) - length(replace(__t, '#', '')) AS BIGINT) + " +
+          "CAST((length(__t) - length(replace(__t, '...', ''))) div 3 AS BIGINT)"))
+      .select(
+        col("doc_id"),
+        nw.as("n_words"),
+        (col("__wlen").cast("double") / nullif(nw, lit(0L))).as("mean_word_len"),
+        (col("__nsym").cast("double") / nullif(nw, lit(0L))).as("symbol_ratio"),
+        (size(expr("filter(__ls, l -> l rlike '^\\\\s*[-*•]')")).cast("double") /
+          size(col("__ls")).cast("double")).as("bullet_frac"),
+        (size(expr("filter(__ls, l -> l rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$')")).cast("double") /
+          size(col("__ls")).cast("double")).as("ellipsis_frac"),
+        (size(expr("filter(__w, x -> x rlike '[A-Za-z]')")).cast("double") /
+          nullif(nw, lit(0L))).as("alpha_word_frac"),
+        expr("size(filter(array('the','be','to','of','and','that','have','with'), " +
+          "sw -> array_contains(__wl, sw)))").cast("long").as("n_stop_hits"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
+        col("alpha_word_frac"), col("n_stop_hits"),
+        coalesce(
+          col("n_words").between(50L, 100000L) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("symbol_ratio") < 0.1 &&
+            col("bullet_frac") < 0.9 &&
+            col("ellipsis_frac") < 0.3 &&
+            col("alpha_word_frac") > 0.8 &&
+            col("n_stop_hits") >= 2L,
+          lit(false)).as("pass"))
+      .orderBy("doc_id")
+  }
+
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(t(s, dir, "documents"))
+
   /** Winnowing (rolling-hash) document fingerprints: positional 3-gram
     * hashes → per-window minima (w=4) → fingerprint set. Row-local via
     * the native graft_* expressions; emitted as a count + stable digest
@@ -1265,6 +1324,45 @@ object TextOps {
           |            WHEN len(regexp_extract_all(text, '\b(el|la|los|de|que|y)\b')) >= len(regexp_extract_all(text, '\b(le|la|les|des|est|et)\b')) THEN 'es'
           |            ELSE 'fr' END AS predicted_lang
           |FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents) ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_gopher_rules",
+      "Gopher quality-filter battery (Rae et al. 2021 A1.1): word-count/mean-word-length windows, symbol ratio, bullet/ellipsis line fractions, alphabetic-word fraction, 2-of-8 stop words; per-rule values + conjunctive verdict",
+      gopherRules,
+      Some(
+        """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+          |w AS (SELECT doc_id, t,
+          |        list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS ws,
+          |        str_split(t, chr(10)) AS ls
+          |      FROM d),
+          |m AS (SELECT doc_id,
+          |        CAST(len(ws) AS BIGINT) AS n_words,
+          |        CAST(len(ls) AS BIGINT) AS n_lines,
+          |        CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS wlen,
+          |        CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) +
+          |          CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS nsym,
+          |        CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS nbul,
+          |        CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS nell,
+          |        CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS nalpha,
+          |        CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+          |          sw -> list_contains(list_transform(ws, x -> lower(x)), sw))) AS BIGINT) AS n_stop_hits
+          |      FROM w),
+          |r AS (SELECT doc_id, n_words,
+          |        CAST(wlen AS DOUBLE) / nullif(n_words, 0) AS mean_word_len,
+          |        CAST(nsym AS DOUBLE) / nullif(n_words, 0) AS symbol_ratio,
+          |        CAST(nbul AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_frac,
+          |        CAST(nell AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_frac,
+          |        CAST(nalpha AS DOUBLE) / nullif(n_words, 0) AS alpha_word_frac,
+          |        n_stop_hits
+          |      FROM m)
+          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+          |       ellipsis_frac, alpha_word_frac, n_stop_hits,
+          |       coalesce(n_words BETWEEN 50 AND 100000
+          |                AND mean_word_len BETWEEN 3.0 AND 10.0
+          |                AND symbol_ratio < 0.1
+          |                AND bullet_frac < 0.9
+          |                AND ellipsis_frac < 0.3
+          |                AND alpha_word_frac > 0.8
+          |                AND n_stop_hits >= 2, false) AS pass
+          |FROM r ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_quality_score", "length/punct/stopword quality scoring",
       qualityScore,
       Some(

@@ -36,6 +36,48 @@ class TextScoringSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("gopher rules: each rule trips on its crafted doc; a clean doc passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    // one doc per rule, engineered to fail EXACTLY that rule relative
+    // to the passing doc's shape (plus the passing doc itself)
+    val passText = (("the be to of and that have with " * 7).trim)  // 56 words, all alpha, len 2-4... mean len < 3!
+    // mean word length of the stopword set is (3+2+2+2+3+4+4+4)/8 = 3.0
+    // — exactly the lower bound, BETWEEN keeps it. All 8 stop words hit.
+    val docs = Seq(
+      (1L, passText),                               // passes every rule
+      (2L, "short doc"),                            // n_words < 50
+      (3L, ("- bullet line\n" * 10) + passText),    // bullet_frac — 10/11 lines > 0.9? 10/11=0.909 > 0.9 trips
+      (4L, ("trailing dots...\n" * 5) + passText),  // ellipsis_frac 5/6 > 0.3
+      (5L, passText + " " + ("### " * 20).trim),    // symbols: 60 '#' / 76 words > 0.1
+      (6L, passText + " " + ("42 99 " * 30).trim)   // 60 numeric words / 116 -> alpha frac 56/116 < 0.8
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TextOps.gopherRulesOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("pass"), s"doc 1 must pass: ${got(1L)}")
+    assert(got(1L).getAs[Long]("n_words") == 56L)
+    assert(got(1L).getAs[Double]("mean_word_len") == 3.0)
+    assert(got(1L).getAs[Long]("n_stop_hits") == 8L)
+    assert(!got(2L).getAs[Boolean]("pass") &&
+      got(2L).getAs[Long]("n_words") == 2L)
+    assert(!got(3L).getAs[Boolean]("pass") &&
+      got(3L).getAs[Double]("bullet_frac") > 0.9)
+    assert(!got(4L).getAs[Boolean]("pass") &&
+      got(4L).getAs[Double]("ellipsis_frac") > 0.3)
+    assert(!got(5L).getAs[Boolean]("pass") &&
+      got(5L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!got(6L).getAs[Boolean]("pass") &&
+      got(6L).getAs[Double]("alpha_word_frac") < 0.8)
+    // empty text: every per-word ratio NULL, verdict FALSE (not NULL)
+    val empty = TextOps.gopherRulesOf(
+      Seq((9L, "")).toDF("doc_id", "text")).collect().head
+    assert(empty.getAs[Long]("n_words") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("mean_word_len")))
+    assert(!empty.getAs[Boolean]("pass"))
+  }
+
   test("readability: hand-computed Flesch on a crafted two-sentence doc") {
     import spark.implicits._
     val docs = Seq((1L, "The cat sat. It ran!")).toDF("doc_id", "text")
