@@ -1284,7 +1284,70 @@ object Dedup {
        |WHERE CAST(c AS DOUBLE) / (na + nb - c) >= $threshold
        |ORDER BY id1, id2""".stripMargin
 
+  /** C4-style LINE-grain corpus dedup with document reassembly
+    * (Raffel et al. 2020 dedup lines/spans repeated across the crawl;
+    * this is the line-grain variant): a non-blank line occurring
+    * anywhere else in the corpus survives only at its FIRST occurrence
+    * (min (doc_id, line_idx)); blank lines are structural and always
+    * kept; each doc is reassembled from its surviving lines in
+    * original order. Complements the token-window ([[spanDedupStats]])
+    * and byte ([[Multimodal.chunkDupStats]]) grains.
+    *
+    * 100 TB shape: one row-local line explode, ONE `row_number` window
+    * over the high-cardinality line key (exact dedup geometry — the
+    * line string must ship once per occurrence regardless), one
+    * doc-keyed reassembly aggregate, one SMJ-pinned doc-keyed join
+    * back (both sides corpus-scale — never broadcast).
+    */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), "\n"))
+          .as(Seq("line_idx", "line")))
+      .withColumn("line_idx", col("line_idx").cast("long"))
+    val w = Window.partitionBy("line").orderBy("doc_id", "line_idx")
+    val kept = lines
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 || trim(col("line")) === "")
+    val reassembled = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      expr("concat_ws('\n', transform(" +
+        "sort_array(collect_list(struct(line_idx, line))), x -> x.line))")
+        .as("new_text"))
+    lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(reassembled.hint("merge"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q_line_dedup",
+      "C4-style line-grain corpus dedup + reassembly: non-blank repeated lines survive only at their first (doc_id, line_idx) occurrence; docs rebuilt from surviving lines",
+      (s, dir) => lineDedup(t(s, dir, "documents")),
+      Some(
+        """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+          |ls AS (SELECT doc_id, str_split(t, chr(10)) AS ll FROM d),
+          |l AS (SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS line_idx,
+          |             ll[CAST(t.i AS INT)] AS line
+          |      FROM ls, unnest(range(1, len(ll) + 1)) AS t(i)),
+          |r AS (SELECT doc_id, line_idx, line,
+          |        row_number() OVER (PARTITION BY line
+          |                           ORDER BY doc_id, line_idx) AS rn
+          |      FROM l),
+          |k AS (SELECT doc_id, line_idx, line FROM r
+          |      WHERE rn = 1 OR trim(line) = ''),
+          |a AS (SELECT doc_id, count(*) AS n_kept,
+          |        coalesce(string_agg(line, chr(10) ORDER BY line_idx), '')
+          |          AS new_text
+          |      FROM k GROUP BY 1),
+          |n AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY 1)
+          |SELECT n.doc_id, n.n_lines,
+          |       coalesce(a.n_kept, 0) AS n_kept,
+          |       coalesce(a.new_text, '') AS new_text
+          |FROM n LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_dedup_exact", "exact dedup via content-hash groupBy",
       exactDedup,
       Some(

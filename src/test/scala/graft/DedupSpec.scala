@@ -28,6 +28,27 @@ class DedupSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("keep")).sorted.toSeq == Seq(0L, 2L, 4L))
   }
 
+  test("line dedup: repeated lines survive only at first occurrence, blanks kept, order preserved") {
+    val docs = Seq(
+      (1L, "alpha one\nshared boilerplate\nalpha two"),
+      (2L, "beta one\nshared boilerplate\n\nbeta two"),   // dup line + a blank
+      (3L, "shared boilerplate"),                          // doc that is ONLY the dup line
+      (4L, "gamma\n\n\ngamma tail")                        // multiple blanks all kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("new_text"))).toMap
+    // doc 1 owns the shared line (first occurrence) — fully intact
+    assert(got(1L) == ((3L, 3L, "alpha one\nshared boilerplate\nalpha two")))
+    // doc 2 loses the shared line, keeps its blank, order preserved
+    assert(got(2L) == ((4L, 3L, "beta one\n\nbeta two")))
+    // doc 3 loses its only line — empty reassembly, not a missing row
+    assert(got(3L) == ((1L, 0L, "")))
+    // blanks are structural: every one survives
+    assert(got(4L) == ((4L, 4L, "gamma\n\n\ngamma tail")))
+  }
+
   test("minhash near-dup finds planted near-duplicates and skips unrelated docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again until dawn"
     val nearDup = base.replace("dawn", "dusk") // 1-word edit
