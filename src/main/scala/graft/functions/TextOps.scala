@@ -221,6 +221,105 @@ object TextOps {
   def gopherRules(s: SparkSession, dir: String): DataFrame =
     gopherRulesOf(t(s, dir, "documents"))
 
+  /** Gopher REPETITION-removal battery (Rae et al. 2021 A1.1, table
+    * A1) — the intra-document half that pairs with [[gopherRulesOf]]:
+    * duplicate-line fraction and duplicate-line CHARACTER fraction
+    * (non-blank raw lines; occurrences beyond each line's first),
+    * top-{2,3,4}-gram character fractions (most frequent normalized
+    * n-gram's occurrence chars over normalized chars; ties broken
+    * deterministically toward the lexicographically LARGEST gram on
+    * both engines), and the duplicate-5-gram character fraction as
+    * OCCURRENCE MASS (all occurrences of 5-grams appearing ≥2 times —
+    * an upper bound of the paper's position-deduped variant; the
+    * difference only matters for self-overlapping grams, and the
+    * bound direction makes the filter strictly more conservative).
+    * Thresholds are the paper's: 0.30 / 0.20 / 0.20 / 0.18 / 0.16 /
+    * 0.15; docs too short to form a gram fail closed (NULL → false),
+    * consistent with [[gopherRulesOf]]'s empty-text rule.
+    *
+    * 100 TB shape: per-doc grains only — five map-side-combinable
+    * (doc, unit) aggregates reduced to per-doc rows, then SMJ-pinned
+    * doc-keyed joins (every side is corpus-scale; the sf10 broadcast
+    * lesson). All products inside the sums are doc-local (≤ doc
+    * chars), see OverflowAuditSpec's allowlist bound.
+    */
+  def gopherRepetitionOf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("__t"),
+        normalizeText(col("text")).as("__norm"))
+      .withColumn("__nc", length(col("__norm")).cast("long"))
+      .withColumn("__tk", expr("filter(split(__norm, ' '), x -> x <> '')"))
+    val lstat = base
+      .select(col("doc_id"),
+        explode(expr("filter(split(__t, '\n'), l -> trim(l) <> '')")).as("line"))
+      .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_lines"),
+        count(lit(1)).as("__ndist"),
+        sum(col("c") * length(col("line")).cast("long")).as("__lchars"),
+        sum((col("c") - 1) * length(col("line")).cast("long")).as("__dlchars"))
+      .select(col("doc_id"), col("n_lines"),
+        ((col("n_lines") - col("__ndist")).cast("double") /
+          col("n_lines").cast("double")).as("dup_line_frac"),
+        (col("__dlchars").cast("double") / nullif(col("__lchars"), lit(0L)))
+          .as("dup_line_char_frac"))
+    // ONE tokenize+explode pass emits every n ∈ {2..5} gram tagged
+    // with its n (a row-local flatten), so the corpus is normalized
+    // and scanned once, not once per n; the (doc, n, g) census subtree
+    // is shared by the top-gram and dup-mass reductions.
+    val counts = base
+      .select(col("doc_id"), col("__nc"), explode(expr(
+        """flatten(transform(array(2, 3, 4, 5), n ->
+          |  CASE WHEN size(__tk) >= n
+          |    THEN transform(sequence(0, size(__tk) - n),
+          |           i -> struct(n AS n, concat_ws(' ', slice(__tk, i + 1, n)) AS g))
+          |    ELSE CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>) END))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("__nc"), col("p.n").as("n"), col("p.g").as("g"))
+      .groupBy(col("doc_id"), col("__nc"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val tops = counts
+      .groupBy("doc_id", "n")
+      .agg(max(struct(col("c"), col("g"))).as("m"),
+        first(col("__nc")).as("__nc"))
+      .select(col("doc_id"), col("n"),
+        ((col("m.c") * length(col("m.g")).cast("long")).cast("double") /
+          nullif(col("__nc"), lit(0L))).as("frac"))
+      .groupBy("doc_id")
+      .agg(max(when(col("n") === 2, col("frac"))).as("top2_char_frac"),
+        max(when(col("n") === 3, col("frac"))).as("top3_char_frac"),
+        max(when(col("n") === 4, col("frac"))).as("top4_char_frac"))
+    val dup5 = counts.where(col("n") === 5)
+      .groupBy("doc_id")
+      .agg(sum(when(col("c") >= 2, col("c") * length(col("g")).cast("long"))
+        .otherwise(lit(0L))).as("__d5"),
+        first(col("__nc")).as("__nc"))
+      .select(col("doc_id"),
+        (col("__d5").cast("double") / nullif(col("__nc"), lit(0L)))
+          .as("dup5_char_frac"))
+    base.select(col("doc_id"))
+      .join(lstat.hint("merge"), Seq("doc_id"), "left")
+      .join(tops.hint("merge"), Seq("doc_id"), "left")
+      .join(dup5.hint("merge"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        col("dup_line_frac"), col("dup_line_char_frac"),
+        col("top2_char_frac"), col("top3_char_frac"), col("top4_char_frac"),
+        col("dup5_char_frac"),
+        coalesce(
+          col("dup_line_frac") <= 0.30 &&
+            col("dup_line_char_frac") <= 0.20 &&
+            col("top2_char_frac") <= 0.20 &&
+            col("top3_char_frac") <= 0.18 &&
+            col("top4_char_frac") <= 0.16 &&
+            col("dup5_char_frac") <= 0.15,
+          lit(false)).as("pass"))
+      .orderBy("doc_id")
+  }
+
+  def gopherRepetition(s: SparkSession, dir: String): DataFrame =
+    gopherRepetitionOf(t(s, dir, "documents"))
+
   /** Winnowing (rolling-hash) document fingerprints: positional 3-gram
     * hashes → per-window minima (w=4) → fingerprint set. Row-local via
     * the native graft_* expressions; emitted as a count + stable digest
@@ -1324,6 +1423,72 @@ object TextOps {
           |            WHEN len(regexp_extract_all(text, '\b(el|la|los|de|que|y)\b')) >= len(regexp_extract_all(text, '\b(le|la|les|des|est|et)\b')) THEN 'es'
           |            ELSE 'fr' END AS predicted_lang
           |FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents) ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_gopher_repetition",
+      "Gopher repetition-removal battery (Rae 2021 A1.1/table A1): dup-line + dup-line-char fractions, top-{2,3,4}-gram char fractions, dup-5-gram occurrence-mass fraction, paper thresholds",
+      gopherRepetition,
+      Some {
+        def gramCte(n: Int, rel: String): String =
+          s"""g$n AS (
+             |  SELECT doc_id, nc, unnest(CASE WHEN len(tk) >= $n
+             |    THEN list_transform(range(0, len(tk) - $n + 1),
+             |           i -> array_to_string(list_slice(tk, CAST(i + 1 AS INT), CAST(i + $n AS INT)), ' '))
+             |    ELSE [] END) AS g
+             |  FROM $rel),
+             |c$n AS (SELECT doc_id, nc, g, count(*) AS c FROM g$n GROUP BY 1, 2, 3)""".stripMargin
+        def topCte(n: Int): String =
+          s"""t$n AS (
+             |  SELECT doc_id,
+             |    CAST(c * length(g) AS DOUBLE) / nullif(nc, 0) AS top${n}_char_frac
+             |  FROM (SELECT doc_id, nc, g, c, row_number() OVER (
+             |          PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+             |        FROM c$n)
+             |  WHERE rn = 1)""".stripMargin
+        s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS t0,
+           |             $duckNormSql AS nrm FROM documents),
+           |b AS (SELECT doc_id, t0,
+           |        CAST(length(nrm) AS BIGINT) AS nc,
+           |        list_filter(string_split(nrm, ' '), x -> x <> '') AS tk
+           |      FROM d),
+           |ln AS (SELECT doc_id,
+           |         unnest(list_filter(str_split(t0, chr(10)), l -> trim(l) <> '')) AS line
+           |       FROM b),
+           |lc AS (SELECT doc_id, line, count(*) AS c FROM ln GROUP BY 1, 2),
+           |ls AS (SELECT doc_id,
+           |         CAST(sum(c) AS BIGINT) AS n_lines,
+           |         CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_line_frac,
+           |         CAST(sum((c - 1) * length(line)) AS DOUBLE) /
+           |           nullif(CAST(sum(c * length(line)) AS BIGINT), 0) AS dup_line_char_frac
+           |       FROM lc GROUP BY 1),
+           |${gramCte(2, "b")},
+           |${topCte(2)},
+           |${gramCte(3, "b")},
+           |${topCte(3)},
+           |${gramCte(4, "b")},
+           |${topCte(4)},
+           |${gramCte(5, "b")},
+           |d5 AS (SELECT doc_id,
+           |         CAST(sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS DOUBLE) /
+           |           nullif(any_value(nc), 0) AS dup5_char_frac
+           |       FROM c5 GROUP BY 1)
+           |SELECT b.doc_id,
+           |       coalesce(ls.n_lines, 0) AS n_lines,
+           |       ls.dup_line_frac, ls.dup_line_char_frac,
+           |       t2.top2_char_frac, t3.top3_char_frac, t4.top4_char_frac,
+           |       d5.dup5_char_frac,
+           |       coalesce(ls.dup_line_frac <= 0.30
+           |                AND ls.dup_line_char_frac <= 0.20
+           |                AND t2.top2_char_frac <= 0.20
+           |                AND t3.top3_char_frac <= 0.18
+           |                AND t4.top4_char_frac <= 0.16
+           |                AND d5.dup5_char_frac <= 0.15, false) AS pass
+           |FROM b
+           |LEFT JOIN ls USING (doc_id)
+           |LEFT JOIN t2 USING (doc_id)
+           |LEFT JOIN t3 USING (doc_id)
+           |LEFT JOIN t4 USING (doc_id)
+           |LEFT JOIN d5 USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }),
     GraftQuery("q_gopher_rules",
       "Gopher quality-filter battery (Rae et al. 2021 A1.1): word-count/mean-word-length windows, symbol ratio, bullet/ellipsis line fractions, alphabetic-word fraction, 2-of-8 stop words; per-rule values + conjunctive verdict",
       gopherRules,

@@ -50,6 +50,11 @@ class OverflowAuditSpec extends SparkTestBase {
       ("bits ∈ [−127, 127] (floor-log2 difference of DECIMAL(38,0)-" +
         "widened ratios) and c ≤ the doc's bigram count: the per-doc " +
         "Σ(c·bits) is ≤ 127 × doc length, a row-local bound"),
+    "q_gopher_repetition" ->
+      ("every Σ(c·len) / Σ((c−1)·len) is grouped PER DOCUMENT and " +
+        "bounded by that doc's character count (a line/gram occurrence " +
+        "contributes at most its own chars) — doc-local, like " +
+        "q_dsir_sample"),
     "q_zipf" ->
       ("x = floor(log2(term freq)) ≤ 63, y = floor(log2(type count)) " +
         "≤ 63, and there are ≤ 64 log2 buckets: every moment sum is " +

@@ -78,6 +78,37 @@ class TextScoringSpec extends SparkTestBase {
     assert(!empty.getAs[Boolean]("pass"))
   }
 
+  test("gopher repetition: hand-computed fractions on crafted repeat patterns") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1: 3 lines, one repeated -> dup_line_frac = 1/3;
+      //   line chars: "abc x"(5)*2 + "unique line z"(13) = 23 total,
+      //   dup chars = 5 -> dup_line_char_frac = 5/23
+      (1L, "abc x\nunique line z\nabc x"),
+      // doc 2: tokens "w w w q" (norm chars 7): top 2-gram "w w" c=2
+      //   len=3 -> 6/7; top3 "w w w" c=1 len=5 -> 5/7; top4 "w w w q"
+      //   c=1 len=7 -> 7/7; <5 tokens -> dup5 NULL -> pass false
+      (2L, "w w w q"),
+      // doc 3: "a b c d e a b c d e" (19 chars): every 5-gram distinct?
+      //   5-grams: "a b c d e"(2 occurrences at 0 and 5), others 1 ->
+      //   dup5 = 2*9/19
+      (3L, "a b c d e a b c d e")
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRepetitionOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_lines") == 3L)
+    assert(got(1L).getAs[Double]("dup_line_frac") == 1.0 / 3.0)
+    assert(got(1L).getAs[Double]("dup_line_char_frac") == 5.0 / 23.0)
+    assert(got(2L).getAs[Double]("top2_char_frac") == 6.0 / 7.0)
+    assert(got(2L).getAs[Double]("top3_char_frac") == 5.0 / 7.0)
+    assert(got(2L).getAs[Double]("top4_char_frac") == 7.0 / 7.0)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("dup5_char_frac")))
+    assert(!got(2L).getAs[Boolean]("pass"),
+      "NULL dup5 must fail closed")
+    assert(got(3L).getAs[Double]("dup5_char_frac") == 18.0 / 19.0)
+    assert(!got(3L).getAs[Boolean]("pass"))
+  }
+
   test("readability: hand-computed Flesch on a crafted two-sentence doc") {
     import spark.implicits._
     val docs = Seq((1L, "The cat sat. It ran!")).toDF("doc_id", "text")
