@@ -266,6 +266,12 @@ object WebOps {
       "'&a=' || CAST((doc_id % 97) % 7 AS VARCHAR) || " +
       "CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END"
 
+  /** The refetch-population URL column, for the streaming twin
+    * ([[graft.streaming.EventOps.streamingUrlDedup]]) to derive the
+    * same canonical keys the batch operator dedups.
+    */
+  private[graft] def refetchUrl: Column = plantedRefetchUrl
+
   /** Canonical-URL keep-one (min doc_id wins) over the planted refetch
     * population — the registered, oracle-gated form of
     * [[TrainingPipeline]] stage 0: ONE `row_number` window over the

@@ -853,6 +853,34 @@ object EventOps {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
   }
 
+  /** Streaming crawl-frontier dedup: canonical-URL keep-first over the
+    * document fetch stream with watermark-bounded state — the
+    * streaming twin of [[graft.ext.WebOps.urlDedup]] (a live crawler
+    * must suppress refetches as URLs arrive and cannot hold every
+    * canonical key forever; `dropDuplicatesWithinWatermark` evicts
+    * keys older than the watermark). Within the state window the FIRST
+    * arrival per canonical key survives; arrival order inside a
+    * micro-batch is not a total order, so the spec pins SET equality
+    * of surviving canonical keys against the batch twin (the surviving
+    * RESOURCE set is identical; the winning doc_id may differ), plus
+    * exact count equality.
+    */
+  def streamingUrlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tuned(spark)
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .withColumn("url", graft.ext.WebOps.refetchUrl)
+      .withColumn("canon", graft.ext.WebOps.canonicalUrl(col("url")))
+      .withColumn("fetch_ts",
+        timestamp_seconds(lit(1600000000L) + col("doc_id")))
+      .withWatermark("fetch_ts", "2 hours")
+      .dropDuplicatesWithinWatermark("canon")
+      .select(col("doc_id"), col("canon"))
+  }
+
   /** Stream-static enrichment join: the event stream joined to a static
     * dimension (per-user profile derived once in batch). The static side
     * is re-read per micro-batch by Spark; at scale it broadcasts when

@@ -89,6 +89,26 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.toSet == batchKeys)
   }
 
+  test("streaming crawl dedup: surviving canonical-URL set == batch twin") {
+    val q = EventOps.streamingUrlDedup(spark, sfDir).writeStream
+      .format("memory")
+      .queryName("graft_urldedup_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_urldedup_test")
+      .select("canon").collect().map(_.getString(0))
+    // keep-FIRST: exactly one survivor per canonical resource
+    assert(streamed.length == streamed.distinct.length)
+    // the surviving RESOURCE set equals the batch twin's (the winning
+    // doc_id may differ — micro-batch arrival is not a total order)
+    val batchCanon = graft.ext.WebOps
+      .urlDedup(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .select("canon").collect().map(_.getString(0)).toSet
+    assert(streamed.toSet == batchCanon)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join == batch attribution join") {
     val q = EventOps.streamingAttribution(spark, sfDir).writeStream
       .format("memory")
