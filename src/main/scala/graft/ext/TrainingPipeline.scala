@@ -54,6 +54,14 @@ object TrainingPipeline {
     *                       crawl-dedup prerequisite (utm variants,
     *                       case/port/fragment noise) applied BEFORE any
     *                       content work is spent on refetches
+    * @param gopherQuality  when true, stage 2.5 applies BOTH published
+    *                       Gopher A1.1 batteries ([[graft.functions.
+    *                       TextOps.gopherRulesOf]] quality rules and
+    *                       [[graft.functions.TextOps.
+    *                       gopherRepetitionOf]] repetition rules) to
+    *                       the post-redaction text; docs failing
+    *                       either battery die before any dedup work
+    *                       is spent on them
     * @param chunkDupMaxFrac when set, docs whose duplicated-CDC-chunk
     *                       byte fraction is ≥ this threshold die after
     *                       exact dedup: a chunk's first occurrence
@@ -74,6 +82,7 @@ object TrainingPipeline {
       packBudget: Int = 512,
       numShards: Int = 4,
       urlDedupCol: Option[String] = None,
+      gopherQuality: Boolean = false,
       chunkDupMaxFrac: Option[Double] = None,
       reportCounts: Boolean = true)
 
@@ -84,6 +93,7 @@ object TrainingPipeline {
       input: Long,
       afterUrlDedup: Long,
       afterQuality: Long,
+      afterGopher: Long,
       afterExactDedup: Long,
       afterChunkDedup: Long,
       afterNearDup: Long,
@@ -139,13 +149,28 @@ object TrainingPipeline {
           .where(abs(col("z")) > cfg.maxAbsZ)
           .select(col("doc_id")), Seq("doc_id"), "left_anti")
 
+    // -- stage 2.5 (optional): the published Gopher A1.1 batteries ----
+    // Both run on the POST-REDACTION text (the shipped corpus is what
+    // gets scored); each emits a per-doc verdict, applied as an
+    // SMJ-pinned left-semi (both sides corpus-scale — never broadcast
+    // the survivor list).
+    val gophered =
+      if (!cfg.gopherQuality) quality
+      else quality
+        .join(graft.functions.TextOps.gopherRulesOf(quality)
+          .where(col("pass")).select("doc_id")
+          .hint("merge"), Seq("doc_id"), "left_semi")
+        .join(graft.functions.TextOps.gopherRepetitionOf(quality)
+          .where(col("pass")).select("doc_id")
+          .hint("merge"), Seq("doc_id"), "left_semi")
+
     // -- stage 3: exact dedup on the 128-bit content fingerprint (min id
     // wins). A window over the high-cardinality fingerprint — one
     // shuffle, no self-join. md5, not a 64-bit hash: at multi-billion-doc
     // scale 64-bit birthday collisions would silently delete distinct
     // docs; 128-bit keeps that probability negligible.
     val w = Window.partitionBy("__th").orderBy("doc_id")
-    val exact = quality
+    val exact = gophered
       .withColumn("__th", TextOps.fingerprint(col("text")))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
@@ -225,6 +250,8 @@ object TrainingPipeline {
         if (cfg.reportCounts && cfg.urlDedupCol.isDefined)
           crawlDeduped.count() else -1L,
       afterQuality = if (cfg.reportCounts) quality.count() else -1L,
+      afterGopher =
+        if (cfg.reportCounts && cfg.gopherQuality) gophered.count() else -1L,
       afterExactDedup = if (cfg.reportCounts) exact.count() else -1L,
       afterChunkDedup =
         if (cfg.reportCounts && cfg.chunkDupMaxFrac.isDefined)

@@ -143,6 +143,36 @@ class TrainingPipelineSpec extends SparkTestBase {
     assert(TrainingPipeline.run(corpus, out2, cfg) == r)
   }
 
+  test("pipeline: gopher stage kills the repetitive doc, keeps the clean one") {
+    // G-good: 150 DISTINCT 8-char words + 2 stop words — passes both
+    //   batteries (mean len ~7.9, no repetition, cap-saturated).
+    // G-bad: 10 identical boilerplate lines + a DIFFERENT 150-word
+    //   vocabulary tail — passes the quality battery (words/length/
+    //   stopwords fine) but dup_line_frac = 10/11 >> 0.30 fails the
+    //   repetition battery. Disjoint vocab from G-good keeps Jaccard
+    //   ~0, so near-dup cannot be what kills it; cap saturation rules
+    //   out the sampler. ONLY the gopher stage can remove it.
+    def vocabText(prefix: String) =
+      "the and " + (1 to 150).map(i => f"$prefix$i%03dxx").mkString(" ")
+    def planted(id: Long, text: String) =
+      Seq((id, text, "en", "web", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = docs.limit(50)
+      .unionByName(planted(900031L, vocabText("word")))
+      .unionByName(planted(900032L,
+        ("some repeated boilerplate line\n" * 10) + vocabText("zword")))
+
+    val cfg = TrainingPipeline.Config(maxAbsZ = 1e9, gopherQuality = true)
+    val out = Files.createTempDirectory("graft-pipeline-gopher").toString
+    val r = TrainingPipeline.run(corpus, out, cfg)
+    assert(r.afterGopher < r.afterQuality,
+      "the gopher stage must remove at least the planted repetitive doc")
+    val cleanIds = spark.read.parquet(s"$out/clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds(900031L), "the clean planted doc must survive gopher")
+    assert(!cleanIds(900032L), "the repetitive doc must die at gopher")
+  }
+
   test("pipeline: duplicate doc_id in the corpus fails the uniqueness gate") {
     // two DIFFERENT cap-saturated texts sharing one id: both certainly
     // survive every stage (distinct content, P(keep)=1), so the clean
