@@ -225,7 +225,8 @@ object TextOps {
     * A1) — the intra-document half that pairs with [[gopherRulesOf]]:
     * duplicate-line fraction and duplicate-line CHARACTER fraction
     * (non-blank raw lines; occurrences beyond each line's first),
-    * top-{2,3,4}-gram character fractions (most frequent normalized
+    * their PARAGRAPH-grain twins (units split on blank lines, same
+    * census), top-{2,3,4}-gram character fractions (most frequent normalized
     * n-gram's occurrence chars over normalized chars; ties broken
     * deterministically toward the lexicographically LARGEST gram on
     * both engines), and the duplicate-5-gram character fraction as
@@ -233,8 +234,9 @@ object TextOps {
     * an upper bound of the paper's position-deduped variant; the
     * difference only matters for self-overlapping grams, and the
     * bound direction makes the filter strictly more conservative).
-    * Thresholds are the paper's: 0.30 / 0.20 / 0.20 / 0.18 / 0.16 /
-    * 0.15; docs too short to form a gram fail closed (NULL → false),
+    * Thresholds are the paper's: 0.30 / 0.20 (lines), 0.30 / 0.20
+    * (paragraphs), 0.20 / 0.18 / 0.16 (top grams), 0.15 (dup 5-gram);
+    * docs too short to form a gram fail closed (NULL → false),
     * consistent with [[gopherRulesOf]]'s empty-text rule.
     *
     * 100 TB shape: per-doc grains only — five map-side-combinable
@@ -249,20 +251,24 @@ object TextOps {
         normalizeText(col("text")).as("__norm"))
       .withColumn("__nc", length(col("__norm")).cast("long"))
       .withColumn("__tk", expr("filter(split(__norm, ' '), x -> x <> '')"))
-    val lstat = base
+    // lines and paragraphs share one duplicate-unit census shape
+    def unitStat(splitRe: String, unit: String, nCol: String) = base
       .select(col("doc_id"),
-        explode(expr("filter(split(__t, '\n'), l -> trim(l) <> '')")).as("line"))
-      .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
+        explode(expr(s"filter(split(__t, '$splitRe'), u -> trim(u) <> '')"))
+          .as("u"))
+      .groupBy("doc_id", "u").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
-        sum(col("c")).as("n_lines"),
+        sum(col("c")).as(nCol),
         count(lit(1)).as("__ndist"),
-        sum(col("c") * length(col("line")).cast("long")).as("__lchars"),
-        sum((col("c") - 1) * length(col("line")).cast("long")).as("__dlchars"))
-      .select(col("doc_id"), col("n_lines"),
-        ((col("n_lines") - col("__ndist")).cast("double") /
-          col("n_lines").cast("double")).as("dup_line_frac"),
-        (col("__dlchars").cast("double") / nullif(col("__lchars"), lit(0L)))
-          .as("dup_line_char_frac"))
+        sum(col("c") * length(col("u")).cast("long")).as("__uchars"),
+        sum((col("c") - 1) * length(col("u")).cast("long")).as("__dchars"))
+      .select(col("doc_id"), col(nCol),
+        ((col(nCol) - col("__ndist")).cast("double") /
+          col(nCol).cast("double")).as(s"dup_${unit}_frac"),
+        (col("__dchars").cast("double") / nullif(col("__uchars"), lit(0L)))
+          .as(s"dup_${unit}_char_frac"))
+    val lstat = unitStat("\n", "line", "n_lines")
+    val pstat = unitStat("\n{2,}", "para", "n_paras")
     // ONE tokenize+explode pass emits every n ∈ {2..5} gram tagged
     // with its n (a row-local flatten), so the corpus is normalized
     // and scanned once, not once per n; the (doc, n, g) census subtree
@@ -299,16 +305,20 @@ object TextOps {
           .as("dup5_char_frac"))
     base.select(col("doc_id"))
       .join(lstat.hint("merge"), Seq("doc_id"), "left")
+      .join(pstat.hint("merge"), Seq("doc_id"), "left")
       .join(tops.hint("merge"), Seq("doc_id"), "left")
       .join(dup5.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         col("dup_line_frac"), col("dup_line_char_frac"),
+        col("dup_para_frac"), col("dup_para_char_frac"),
         col("top2_char_frac"), col("top3_char_frac"), col("top4_char_frac"),
         col("dup5_char_frac"),
         coalesce(
           col("dup_line_frac") <= 0.30 &&
             col("dup_line_char_frac") <= 0.20 &&
+            col("dup_para_frac") <= 0.30 &&
+            col("dup_para_char_frac") <= 0.20 &&
             col("top2_char_frac") <= 0.20 &&
             col("top3_char_frac") <= 0.18 &&
             col("top4_char_frac") <= 0.16 &&
@@ -1459,6 +1469,16 @@ object TextOps {
            |         CAST(sum((c - 1) * length(line)) AS DOUBLE) /
            |           nullif(CAST(sum(c * length(line)) AS BIGINT), 0) AS dup_line_char_frac
            |       FROM lc GROUP BY 1),
+           |pn AS (SELECT doc_id,
+           |         unnest(list_filter(regexp_split_to_array(t0, '\n{2,}'),
+           |                            p -> trim(p) <> '')) AS para
+           |       FROM b),
+           |pc AS (SELECT doc_id, para, count(*) AS c FROM pn GROUP BY 1, 2),
+           |ps AS (SELECT doc_id,
+           |         CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_para_frac,
+           |         CAST(sum((c - 1) * length(para)) AS DOUBLE) /
+           |           nullif(CAST(sum(c * length(para)) AS BIGINT), 0) AS dup_para_char_frac
+           |       FROM pc GROUP BY 1),
            |${gramCte(2, "b")},
            |${topCte(2)},
            |${gramCte(3, "b")},
@@ -1473,16 +1493,20 @@ object TextOps {
            |SELECT b.doc_id,
            |       coalesce(ls.n_lines, 0) AS n_lines,
            |       ls.dup_line_frac, ls.dup_line_char_frac,
+           |       ps.dup_para_frac, ps.dup_para_char_frac,
            |       t2.top2_char_frac, t3.top3_char_frac, t4.top4_char_frac,
            |       d5.dup5_char_frac,
            |       coalesce(ls.dup_line_frac <= 0.30
            |                AND ls.dup_line_char_frac <= 0.20
+           |                AND ps.dup_para_frac <= 0.30
+           |                AND ps.dup_para_char_frac <= 0.20
            |                AND t2.top2_char_frac <= 0.20
            |                AND t3.top3_char_frac <= 0.18
            |                AND t4.top4_char_frac <= 0.16
            |                AND d5.dup5_char_frac <= 0.15, false) AS pass
            |FROM b
            |LEFT JOIN ls USING (doc_id)
+           |LEFT JOIN ps USING (doc_id)
            |LEFT JOIN t2 USING (doc_id)
            |LEFT JOIN t3 USING (doc_id)
            |LEFT JOIN t4 USING (doc_id)

@@ -92,7 +92,11 @@ class TextScoringSpec extends SparkTestBase {
       // doc 3: "a b c d e a b c d e" (19 chars): every 5-gram distinct?
       //   5-grams: "a b c d e"(2 occurrences at 0 and 5), others 1 ->
       //   dup5 = 2*9/19
-      (3L, "a b c d e a b c d e")
+      (3L, "a b c d e a b c d e"),
+      // doc 4: paragraphs (blank-line separated): "para one" x2 +
+      //   "other" -> dup_para_frac = 1/3, char frac = 8/(8+8+5);
+      //   LINE grain sees the same three non-blank lines -> same fracs
+      (4L, "para one\n\npara one\n\nother")
     ).toDF("doc_id", "text")
     val got = TextOps.gopherRepetitionOf(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -107,6 +111,12 @@ class TextScoringSpec extends SparkTestBase {
       "NULL dup5 must fail closed")
     assert(got(3L).getAs[Double]("dup5_char_frac") == 18.0 / 19.0)
     assert(!got(3L).getAs[Boolean]("pass"))
+    assert(got(1L).getAs[Double]("dup_para_frac") == 0.0,
+      "single-paragraph doc has no paragraph dups")
+    assert(got(4L).getAs[Double]("dup_para_frac") == 1.0 / 3.0)
+    assert(got(4L).getAs[Double]("dup_para_char_frac") == 8.0 / 21.0)
+    assert(got(4L).getAs[Double]("dup_line_frac") == 1.0 / 3.0)
+    assert(!got(4L).getAs[Boolean]("pass"))
   }
 
   test("readability: hand-computed Flesch on a crafted two-sentence doc") {
