@@ -225,6 +225,54 @@ object TrainingPrep {
     * 100 TB shape: one map-side-combined aggregate on the shard key —
     * the manifest is O(numShards) rows however large the corpus.
     */
+  /** One-row corpus DATASHEET (Gebru et al. 2021, "Datasheets for
+    * Datasets") — the structural summary a dataset release publishes
+    * next to its [[shardManifest]]: size (docs / whitespace tokens /
+    * chars), language spread (distinct langs, dominant language and
+    * its share — ties broken toward the lexicographically largest
+    * lang identically on both engines), exact-duplicate fraction
+    * (md5-content grain) and blank-doc fraction.
+    *
+    * Plan shape: THREE column-pruned corpus scans (plain sums; a
+    * distinct-hash count; the language census) combined by broadcast
+    * crossJoins of 1-row/1-group results — deliberately NOT one
+    * mixed count-distinct aggregate, which would plan as a 3× Expand
+    * over the corpus (the q_term_stats no-Expand rule); a datasheet
+    * runs once per release, so three pruned scans beat one tripled
+    * scan.
+    */
+  def corpusDatasheet(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      coalesce(col("text"), lit("")).as("t"), col("lang"))
+      .withColumn("tok",
+        size(expr("filter(split(graft_norm_text(t), ' '), x -> x <> '')"))
+          .cast("long"))
+    val main = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("tok")).as("total_tokens"),
+      sum(length(col("t")).cast("long")).as("total_chars"),
+      sum(when(trim(col("t")) === "", 1L).otherwise(0L)).as("__nblank"))
+    val dist = base.select(md5(col("t")).as("h")).distinct()
+      .agg(count(lit(1)).as("__ndist"))
+    val langs = base.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_langs"),
+        max(struct(col("c"), col("lang"))).as("m"))
+    main.crossJoin(broadcast(dist)).crossJoin(broadcast(langs))
+      .select(
+        col("n_docs"), col("n_langs"),
+        col("m.lang").as("top_lang"),
+        (col("m.c").cast("double") / col("n_docs").cast("double"))
+          .as("top_lang_share"),
+        col("total_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_doc_tokens"),
+        col("total_chars"),
+        ((col("n_docs") - col("__ndist")).cast("double") /
+          col("n_docs").cast("double")).as("exact_dup_frac"),
+        (col("__nblank").cast("double") / col("n_docs").cast("double"))
+          .as("blank_doc_frac"))
+  }
+
   def shardManifest(docs: DataFrame, numShards: Int = 16): DataFrame = {
     import graft.functions.HashExprs
     docs
@@ -671,6 +719,35 @@ object TrainingPrep {
           |             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 100 AS b
           |      FROM documents)
           |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_corpus_datasheet",
+      "one-row corpus datasheet (Gebru 2021): docs/tokens/chars, language spread + dominant share, exact-dup and blank-doc fractions",
+      (s, dir) => corpusDatasheet(t(s, dir, "documents")),
+      Some(
+        """WITH b AS (
+          |  SELECT coalesce(text, '') AS t, lang,
+          |    CAST(len(list_filter(string_split(
+          |      trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+          |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+          |      x -> x <> '')) AS BIGINT) AS tok
+          |  FROM documents),
+          |m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |        CAST(sum(tok) AS BIGINT) AS total_tokens,
+          |        CAST(sum(length(t)) AS BIGINT) AS total_chars,
+          |        CAST(sum(CASE WHEN trim(t) = '' THEN 1 ELSE 0 END) AS BIGINT) AS nblank
+          |      FROM b),
+          |dd AS (SELECT CAST(count(DISTINCT md5(t)) AS BIGINT) AS ndist FROM b),
+          |lc AS (SELECT lang, count(*) AS c FROM b GROUP BY 1),
+          |ll AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM lc),
+          |tl AS (SELECT lang AS top_lang, CAST(c AS BIGINT) AS topc
+          |       FROM lc ORDER BY c DESC, lang DESC LIMIT 1)
+          |SELECT n_docs, n_langs, top_lang,
+          |       CAST(topc AS DOUBLE) / n_docs AS top_lang_share,
+          |       total_tokens,
+          |       CAST(total_tokens AS DOUBLE) / n_docs AS mean_doc_tokens,
+          |       total_chars,
+          |       CAST(n_docs - ndist AS DOUBLE) / n_docs AS exact_dup_frac,
+          |       CAST(nblank AS DOUBLE) / n_docs AS blank_doc_frac
+          |FROM m, dd, ll, tl""".stripMargin)),
     GraftQuery("q_shard_manifest",
       "dataset-release shard manifest: per-shard counts, byte mass, id range, order-invariant XOR + sum content digests over md5 fingerprints",
       (s, dir) => shardManifest(t(s, dir, "documents")),

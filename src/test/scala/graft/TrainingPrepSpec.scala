@@ -254,4 +254,27 @@ class TrainingPrepSpec extends SparkTestBase {
     // every selected doc is from the raw side
     assert(out.forall(_.getAs[Long]("doc_id") >= 100L))
   }
+
+  test("corpus datasheet: hand-computed one-row summary") {
+    import spark.implicits._
+    graft.functions.HashExprs.register(spark)
+    // 4 docs: "aa bb" x2 (exact dup), "cc" once, one blank; langs
+    // en/en/fr/en -> top en 3/4; tokens 2+2+1+0 = 5; chars 5+5+2+0=12
+    val docs = Seq(
+      (1L, "aa bb", "en"), (2L, "aa bb", "en"),
+      (3L, "cc", "fr"), (4L, "", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.ext.TrainingPrep.corpusDatasheet(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") == 4L)
+    assert(row.getAs[Long]("n_langs") == 2L)
+    assert(row.getAs[String]("top_lang") == "en")
+    assert(row.getAs[Double]("top_lang_share") == 0.75)
+    assert(row.getAs[Long]("total_tokens") == 5L)
+    assert(row.getAs[Long]("total_chars") == 12L)
+    // 3 distinct contents over 4 docs -> dup frac 1/4
+    assert(row.getAs[Double]("exact_dup_frac") == 0.25)
+    assert(row.getAs[Double]("blank_doc_frac") == 0.25)
+  }
 }
