@@ -240,6 +240,10 @@ object TrainingPrep {
     * over the corpus (the q_term_stats no-Expand rule); a datasheet
     * runs once per release, so three pruned scans beat one tripled
     * scan.
+    *
+    * Empty corpus ⇒ ZERO rows (the language census has no groups, so
+    * the crossJoin annihilates), identically on both engines — there
+    * is no datasheet of nothing, rather than a row of 0/NULL ratios.
     */
   def corpusDatasheet(docs: DataFrame): DataFrame = {
     val base = docs.select(
