@@ -1196,7 +1196,7 @@ object Dedup {
     * at sf0.001/0.01) while making the oracle sf0.1-budget-feasible
     * (the r8 patient run needed 282 s for q_containment_join alone).
     */
-  private[ext] val containmentCteSql: String =
+  private[graft] val containmentCteSql: String =
     """sets AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
       |    THEN list_transform(range(1, len(toks) - 1),
@@ -1221,7 +1221,7 @@ object Dedup {
   // bruteForcePairsSql (identical pair set — only empty intersections
   // are skipped, jaccard 0 < 0.5): the recursive closure dominated the
   // r8 patient runs (2180 s) mostly through the O(n²) edge scan.
-  private val componentsCteSql: String =
+  private[graft] val componentsCteSql: String =
     """WITH RECURSIVE sets AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
@@ -1293,23 +1293,42 @@ object Dedup {
     * original order. Complements the token-window ([[spanDedupStats]])
     * and byte ([[Multimodal.chunkDupStats]]) grains.
     *
-    * 100 TB shape: one row-local line explode, ONE `row_number` window
-    * over the high-cardinality line key (exact dedup geometry — the
-    * line string must ship once per occurrence regardless), one
-    * doc-keyed reassembly aggregate, one SMJ-pinned doc-keyed join
-    * back (both sides corpus-scale — never broadcast).
+    * 100 TB shape: one row-local line explode, first-occurrence as a
+    * map-side-combinable `min(struct(doc_id, line_idx))` AGGREGATE on
+    * a 128-bit line fingerprint + an SMJ join-back — the
+    * [[spanDedupApply]] geometry. Through r9 this was a `row_number`
+    * window over the raw line string, which never map-side combines:
+    * a boilerplate line repeated 10⁸ times across a crawl would
+    * funnel every copy into ONE task (the r9 verdict's scale-killer,
+    * and the hot key is the EXPECTED workload at line grain). The
+    * aggregate arrives pre-combined per upstream partition; the
+    * join-back probe's residual hot partition is AQE skew-split
+    * against a one-row-per-line build side. Keyed on md5(line), not
+    * the line itself, so the firsts shuffle carries 16-byte keys
+    * (the stage-3 fingerprint rationale: 64-bit would birthday-
+    * collide at corpus scale and silently merge distinct lines);
+    * then one doc-keyed reassembly aggregate and one SMJ-pinned
+    * doc-keyed join back (both sides corpus-scale — never broadcast).
+    * The exploded relation feeds three subtrees (firsts, probe,
+    * per-doc counts), so it is persisted — the spanDedupApply
+    * session-bounded stable-plan cache precedent.
     */
   def lineDedup(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lines = docs
       .select(col("doc_id"),
         posexplode(split(coalesce(col("text"), lit("")), "\n"))
           .as(Seq("line_idx", "line")))
       .withColumn("line_idx", col("line_idx").cast("long"))
-    val w = Window.partitionBy("line").orderBy("doc_id", "line_idx")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = lines
+      .where(trim(col("line")) =!= "")
+      .groupBy(md5(col("line")).as("__lf"))
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first_at"))
     val kept = lines
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1 || trim(col("line")) === "")
+      .join(firsts.hint("merge"), md5(col("line")) === col("__lf"), "left")
+      .where(col("first_at").isNull ||
+        col("first_at") === struct(col("doc_id"), col("line_idx")))
+      .select(col("doc_id"), col("line_idx"), col("line"))
     val reassembled = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       expr("concat_ws('\n', transform(" +

@@ -241,9 +241,14 @@ object TrainingPrep {
     * runs once per release, so three pruned scans beat one tripled
     * scan.
     *
-    * Empty corpus ⇒ ZERO rows (the language census has no groups, so
-    * the crossJoin annihilates), identically on both engines — there
-    * is no datasheet of nothing, rather than a row of 0/NULL ratios.
+    * Empty corpus ⇒ ZERO rows on both engines — there is no datasheet
+    * of nothing, rather than a row of 0/NULL ratios. The DuckDB oracle
+    * annihilates through its empty `tl … LIMIT 1` CTE's cross join;
+    * the Spark side's census paths are GLOBAL aggregates that emit one
+    * 0/NULL row even on empty input, so annihilation is an explicit
+    * `n_docs > 0` guard — without it the engines silently diverge
+    * (1 row of zeros vs 0 rows), exactly the class the oracle gate
+    * exists to catch (r9 ADVICE).
     */
   def corpusDatasheet(docs: DataFrame): DataFrame = {
     val base = docs.select(
@@ -262,6 +267,7 @@ object TrainingPrep {
       .agg(count(lit(1)).as("n_langs"),
         max(struct(col("c"), col("lang"))).as("m"))
     main.crossJoin(broadcast(dist)).crossJoin(broadcast(langs))
+      .where(col("n_docs") > 0)
       .select(
         col("n_docs"), col("n_langs"),
         col("m.lang").as("top_lang"),

@@ -274,20 +274,25 @@ object WebOps {
 
   /** Canonical-URL keep-one (min doc_id wins) over the planted refetch
     * population — the registered, oracle-gated form of
-    * [[TrainingPipeline]] stage 0: ONE `row_number` window over the
-    * high-cardinality canonical key, no self-join.
+    * [[TrainingPipeline]] stage 0: ONE map-side-combinable
+    * `min(struct(doc_id, url))` aggregate on the canonical key.
+    * Through r9 this was a `row_number` window over the canonical key,
+    * which never map-side combines — a URL refetched 10⁸ times would
+    * funnel every fetch row into ONE task (the r9 verdict's
+    * scale-killer class). The aggregate collapses same-partition
+    * refetches before the shuffle, and because doc_id is unique the
+    * struct-min picks exactly the row the window's rank-1 picked; no
+    * join, no window, one shuffle.
     */
-  def urlDedup(documents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("canon").orderBy("doc_id")
+  def urlDedup(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), plantedRefetchUrl.as("url"))
       .withColumn("canon", canonicalUrl(col("url")))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col("doc_id"), col("url"), col("canon"))
+      .groupBy(col("canon"))
+      .agg(min(struct(col("doc_id"), col("url"))).as("__f"))
+      .select(col("__f.doc_id").as("doc_id"), col("__f.url").as("url"),
+        col("canon"))
       .orderBy("doc_id")
-  }
 
   private def rawQueryParams(url: Column): Column =
     split(regexp_extract(regexp_replace(url, lit("#.*$"), lit("")),
@@ -295,6 +300,18 @@ object WebOps {
 
   private def keptQueryParams(rawParams: Column): Column =
     array_sort(filter(rawParams, p => !p.startsWith("utm_") && p =!= ""))
+
+  /** Raw `scheme://host` authority of a URL column ('' when the URL
+    * does not parse, NULL on NULL input) — the [[TrainingPipeline]]
+    * stage-0 parseability probe: a row whose URL yields no host must
+    * BYPASS crawl dedup, because [[canonicalUrl]] maps every
+    * unparseable URL onto the same degenerate `://…` key and a
+    * keep-one over that key would silently delete all but one such
+    * doc (the r9 ADVICE data-loss footgun).
+    */
+  private[graft] def urlHost(url: Column): Column =
+    regexp_extract(regexp_replace(url, lit("#.*$"), lit("")),
+      "^[A-Za-z]+://([^/?#]+)", 1)
 
   /** Canonical form of an arbitrary URL column — the reusable, purely
     * row-local core of [[urlCanon]], also the key of the

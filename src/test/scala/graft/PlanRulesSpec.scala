@@ -293,6 +293,29 @@ class PlanRulesSpec extends SparkTestBase {
       s"1-row total must broadcast, not cartesian:\n${plan.take(800)}")
   }
 
+  test("keep-one dedup never windows on a payload-content key (r9 verdict)") {
+    // a window over a content key (line / digest / canonical URL) never
+    // map-side combines: a boilerplate value repeated 10⁸ times funnels
+    // every copy into one task. Keep-one must stay an AGGREGATE
+    // (min-struct / survivor-id) — the spanDedupApply geometry.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val line = graft.ext.Dedup.lineDedup(docs)
+      .queryExecution.executedPlan.toString
+    assert(!line.contains("Window"),
+      s"lineDedup must not window per line:\n${line.take(800)}")
+    val chunk = graft.ext.Multimodal.chunkDupStats(docs)
+      .queryExecution.executedPlan.toString
+    assert(!chunk.contains("Window"),
+      s"chunkDupStats must not window per digest:\n${chunk.take(800)}")
+    val url = graft.ext.WebOps.urlDedup(docs)
+      .queryExecution.executedPlan.toString
+    assert(!url.contains("Window"),
+      s"urlDedup must not window per canonical URL:\n${url.take(800)}")
+    // urlDedup needs no join at all: survivor row == min(struct) value
+    assert(!url.contains("Join"),
+      s"urlDedup must be a pure aggregate:\n${url.take(800)}")
+  }
+
   test("interval-overlap join never degrades to a nested-loop product") {
     val plan = graft.operators.RangeJoin.overlapQuery(spark, sfDir)
       .queryExecution.executedPlan.toString

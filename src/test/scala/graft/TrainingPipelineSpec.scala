@@ -143,6 +143,40 @@ class TrainingPipelineSpec extends SparkTestBase {
     assert(TrainingPipeline.run(corpus, out2, cfg) == r)
   }
 
+  test("pipeline: NULL and unparseable URLs bypass crawl dedup (r9 ADVICE footgun)") {
+    // canonicalUrl maps every URL without a scheme://host onto the
+    // same degenerate key; a keep-one over that key would silently
+    // delete all but one such doc. Plant: 3 NULL-url docs, 3
+    // relative-url docs ('/p/<id>'), 2 genuine refetch twins, and a
+    // well-formed unique-URL tail. Stage 0 must remove EXACTLY one
+    // doc (the refetch twin) and keep every NULL/relative-url doc.
+    val base = docs.limit(50)
+      .withColumn("url",
+        when(col("doc_id") % 17 === 0, lit(null).cast("string"))
+          .when(col("doc_id") % 17 === 1,
+            concat(lit("/p/"), col("doc_id")))
+          .otherwise(concat(lit("https://example.com/d/"), col("doc_id"))))
+    val twin = base.where(col("doc_id") % 17 >= 2).orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 900100L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"),
+        // same canonical key as the original (www + utm noise)
+        concat(lit("https://WWW.example.com/d/"), col("doc_id"),
+          lit("?utm_source=x")).as("url"))
+    val corpus = base.unionByName(twin)
+    val n = corpus.count()
+    val nUnparseable = corpus.where(
+      col("url").isNull || !col("url").rlike("^[A-Za-z]+://")).count()
+    assert(nUnparseable >= 2, "fixture must actually plant unparseable URLs")
+
+    val cfg = TrainingPipeline.Config(maxAbsZ = 1e9,
+      urlDedupCol = Some("url"))
+    val out = Files.createTempDirectory("graft-pipeline-nullurl").toString
+    val r = TrainingPipeline.run(corpus, out, cfg)
+    assert(r.input == n)
+    assert(r.afterUrlDedup == n - 1,
+      "exactly the refetch twin dies; NULL/relative-url docs all survive")
+  }
+
   test("pipeline: gopher stage kills the repetitive doc, keeps the clean one") {
     // G-good: 150 DISTINCT 8-char words + 2 stop words — passes both
     //   batteries (mean len ~7.9, no repetition, cap-saturated).

@@ -277,4 +277,16 @@ class TrainingPrepSpec extends SparkTestBase {
     assert(row.getAs[Double]("exact_dup_frac") == 0.25)
     assert(row.getAs[Double]("blank_doc_frac") == 0.25)
   }
+
+  test("corpus datasheet: empty corpus yields ZERO rows, not a 0/NULL row") {
+    import spark.implicits._
+    graft.functions.HashExprs.register(spark)
+    // the documented invariant (r9 ADVICE): Spark's global aggregates
+    // would emit one [0, 0, NULL, ...] row on an empty corpus while
+    // the DuckDB oracle's empty top-lang CTE annihilates its cross
+    // join — the n_docs > 0 guard makes both engines agree on 0 rows
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "lang")
+    assert(graft.ext.TrainingPrep.corpusDatasheet(empty).count() == 0L)
+  }
 }
