@@ -221,6 +221,85 @@ object TextOps {
   def gopherRules(s: SparkSession, dir: String): DataFrame =
     gopherRulesOf(t(s, dir, "documents"))
 
+  /** C4 cleaning battery (Raffel et al. 2020 §2.2 — the "Colossal
+    * Clean Crawled Corpus" heuristics), the third published filter set
+    * alongside the two Gopher batteries: per doc, keep only lines that
+    * end in a terminal punctuation mark (period / exclamation /
+    * question / closing quote), contain ≥ 3 words, and do not mention
+    * "javascript" (boilerplate JS warnings); report the kept-line
+    * census, the kept-character fraction, the page sentence count, the
+    * "lorem ipsum" and curly-brace page flags, the reassembled clean
+    * text, and the paper's conjunctive page verdict (≥ 5 sentences, no
+    * lorem ipsum, no `{`). The paper's remaining rules live elsewhere:
+    * its three-sentence-span dedup is [[graft.ext.Dedup.spanDedupStats]]
+    * at span grain / [[graft.ext.Dedup.lineDedup]] at line grain, its
+    * langdetect gate is [[langId]], and its blocklist-word page filter
+    * is a pluggable word list by construction (no list ships here —
+    * compose with a `exists(__wl, w -> array_contains(...))` gate).
+    *
+    * 100 TB shape: entirely row-local (split / filter / aggregate HOF
+    * lambdas inside whole-stage codegen) — ZERO shuffles before the
+    * presentation sort, the same geometry as [[gopherRulesOf]]; at
+    * cluster scale this is a map-only pass that fuses into the scan.
+    */
+  def c4RulesOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__t", coalesce(col("text"), lit("")))
+      .withColumn("__ls", split(col("__t"), "\n"))
+      .withColumn("__kept", expr(
+        """filter(__ls, l -> l rlike '[.!?"”]\\s*$'
+          | AND size(filter(split(l, '\\s+'), x -> x <> '')) >= 3
+          | AND NOT contains(lower(l), 'javascript'))""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept_lines"),
+        (expr("aggregate(__kept, 0L, (a, x) -> a + length(x))").cast("double") /
+          nullif(expr("aggregate(__ls, 0L, (a, x) -> a + length(x))"),
+            lit(0L)).cast("double")).as("kept_char_frac"),
+        size(expr("regexp_extract_all(__t, '[.!?]', 0)")).cast("long")
+          .as("n_sentences"),
+        contains(lower(col("__t")), lit("lorem ipsum")).as("has_lorem_ipsum"),
+        contains(col("__t"), lit("{")).as("has_curly_brace"),
+        concat_ws("\n", col("__kept")).as("clean_text"))
+      .withColumn("pass",
+        col("n_sentences") >= 5L && !col("has_lorem_ipsum") &&
+          !col("has_curly_brace"))
+      .orderBy("doc_id")
+
+  /** Deterministic C4 probe corpus: the synthetic fixture texts have
+    * no line structure, punctuation, braces or lorem-ipsum, so the raw
+    * battery would be VACUOUS on them (0 kept lines, 0 passes — the
+    * exact failure mode the verify gotchas flag for near-dup keys).
+    * Re-lines each doc from its OWN words (6-word lines) with a
+    * doc_id-seeded terminal-suffix cycle ('.', '', ' javascript.',
+    * '!', '?') and appends page-level plants (a `{` block line for
+    * doc_id % 37 == 0, a lorem-ipsum line for % 41 == 0) so every rule
+    * fires on real data — the [[graft.ext.WebOps]] planted-refetch-URL
+    * precedent. Purely row-local on both engines.
+    */
+  private def withC4ProbeText(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__cw",
+        expr("filter(split(coalesce(text, ''), '\\\\s+'), x -> x <> '')"))
+      .withColumn("__cl", expr(
+        """CASE WHEN size(__cw) = 0 THEN CAST(array() AS ARRAY<STRING>)
+          | ELSE transform(sequence(0, CAST(ceil(size(__cw) / 6.0) AS INT) - 1),
+          |   i -> concat(concat_ws(' ', slice(__cw, i * 6 + 1, 6)),
+          |     CASE CAST((doc_id + i) % 5 AS INT) WHEN 0 THEN '.'
+          |       WHEN 1 THEN '' WHEN 2 THEN ' javascript.'
+          |       WHEN 3 THEN '!' ELSE '?' END))
+          | END""".stripMargin))
+      .withColumn("text", concat(concat_ws("\n", col("__cl")),
+        when(col("doc_id") % 37 === 0, lit("\nlayout { width }"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 41 === 0, lit("\nLorem ipsum dolor sit amet."))
+          .otherwise(lit(""))))
+      .drop("__cw", "__cl")
+
+  def c4Rules(s: SparkSession, dir: String): DataFrame =
+    c4RulesOf(withC4ProbeText(t(s, dir, "documents")))
+
   /** Gopher REPETITION-removal battery (Rae et al. 2021 A1.1, table
     * A1) — the intra-document half that pairs with [[gopherRulesOf]]:
     * duplicate-line fraction and duplicate-line CHARACTER fraction
@@ -244,8 +323,23 @@ object TextOps {
     * doc-keyed joins (every side is corpus-scale; the sf10 broadcast
     * lesson). All products inside the sums are doc-local (≤ doc
     * chars), see OverflowAuditSpec's allowlist bound.
+    *
+    * `hashedGrams` (the registered default) keys the (doc, n, gram)
+    * census on a native codegen'd 64-bit xxhash64 of the gram instead
+    * of the gram STRING — the q_contamination precedent (string gram
+    * keys were this surface's slowest shuffle; native 64-bit hashing
+    * cut 15.3 → 1.6 s there; an md5-hex bridge was probed first and
+    * LOST — the hex/conv round-trip outweighs the key savings). The
+    * gram string rides along only as an aggregate payload (`max(g)` —
+    * constant within a hash group barring collisions), so the
+    * top-gram lexicographic tie-break and `length(g)` in the dup-mass
+    * sums stay exact. Identical output unless two distinct grams in
+    * ONE document collide in 64 bits (≲10⁴ grams per doc → odds
+    * ~3·10⁻¹² per doc; a collision only perturbs that one doc's
+    * fractions); [[graft.TextScoringSpec]] asserts hashed == string
+    * on the fixtures.
     */
-  def gopherRepetitionOf(docs: DataFrame): DataFrame = {
+  def gopherRepetitionOf(docs: DataFrame, hashedGrams: Boolean = true): DataFrame = {
     val base = docs
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("__t"),
         normalizeText(col("text")).as("__norm"))
@@ -273,7 +367,7 @@ object TextOps {
     // with its n (a row-local flatten), so the corpus is normalized
     // and scanned once, not once per n; the (doc, n, g) census subtree
     // is shared by the top-gram and dup-mass reductions.
-    val counts = base
+    val gramRows = base
       .select(col("doc_id"), col("__nc"), explode(expr(
         """flatten(transform(array(2, 3, 4, 5), n ->
           |  CASE WHEN size(__tk) >= n
@@ -282,32 +376,46 @@ object TextOps {
           |    ELSE CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>) END))"""
           .stripMargin)).as("p"))
       .select(col("doc_id"), col("__nc"), col("p.n").as("n"), col("p.g").as("g"))
-      .groupBy(col("doc_id"), col("__nc"), col("n"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    val tops = counts
-      .groupBy("doc_id", "n")
+    val counts =
+      if (hashedGrams)
+        gramRows
+          .groupBy(col("doc_id"), col("__nc"), col("n"),
+            xxhash64(col("g")).as("__gh"))
+          .agg(count(lit(1)).as("c"), max(col("g")).as("g"))
+          .drop("__gh")
+      else
+        gramRows
+          .groupBy(col("doc_id"), col("__nc"), col("n"), col("g"))
+          .agg(count(lit(1)).as("c"))
+    // tops and dup-mass reduce the census in ONE consumer chain: a
+    // per-(doc, n) aggregate computing BOTH the argmax gram and the
+    // duplicated-occurrence mass, then one per-doc pivot. Through r10
+    // these were two separate subtrees off `counts`, and the dup5
+    // branch's n=5 filter (pushed below its exchange on the grouping
+    // col) made the subtrees differ — ReuseExchange could not fire
+    // and the gram explode + census ran TWICE (measured: the full key
+    // was 15.2 s at sf1 when the census branch alone was 6.3 s;
+    // GopherGramProbe attribution). One consumer ⇒ one explode.
+    val gstat = counts
+      .groupBy(col("doc_id"), col("n"))
       .agg(max(struct(col("c"), col("g"))).as("m"),
+        sum(when(col("c") >= 2, col("c") * length(col("g")).cast("long"))
+          .otherwise(lit(0L))).as("__dmass"),
         first(col("__nc")).as("__nc"))
       .select(col("doc_id"), col("n"),
         ((col("m.c") * length(col("m.g")).cast("long")).cast("double") /
-          nullif(col("__nc"), lit(0L))).as("frac"))
+          nullif(col("__nc"), lit(0L))).as("frac"),
+        (col("__dmass").cast("double") / nullif(col("__nc"), lit(0L)))
+          .as("d5frac"))
       .groupBy("doc_id")
       .agg(max(when(col("n") === 2, col("frac"))).as("top2_char_frac"),
         max(when(col("n") === 3, col("frac"))).as("top3_char_frac"),
-        max(when(col("n") === 4, col("frac"))).as("top4_char_frac"))
-    val dup5 = counts.where(col("n") === 5)
-      .groupBy("doc_id")
-      .agg(sum(when(col("c") >= 2, col("c") * length(col("g")).cast("long"))
-        .otherwise(lit(0L))).as("__d5"),
-        first(col("__nc")).as("__nc"))
-      .select(col("doc_id"),
-        (col("__d5").cast("double") / nullif(col("__nc"), lit(0L)))
-          .as("dup5_char_frac"))
+        max(when(col("n") === 4, col("frac"))).as("top4_char_frac"),
+        max(when(col("n") === 5, col("d5frac"))).as("dup5_char_frac"))
     base.select(col("doc_id"))
       .join(lstat.hint("merge"), Seq("doc_id"), "left")
       .join(pstat.hint("merge"), Seq("doc_id"), "left")
-      .join(tops.hint("merge"), Seq("doc_id"), "left")
-      .join(dup5.hint("merge"), Seq("doc_id"), "left")
+      .join(gstat.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         col("dup_line_frac"), col("dup_line_char_frac"),
@@ -1552,6 +1660,44 @@ object TextOps {
           |                AND alpha_word_frac > 0.8
           |                AND n_stop_hits >= 2, false) AS pass
           |FROM r ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_c4_rules",
+      "C4 cleaning battery (Raffel et al. 2020 §2.2): terminal-punctuation/3-word/javascript line filters with clean-text reassembly, sentence census, lorem-ipsum + curly-brace page flags, conjunctive verdict",
+      c4Rules,
+      Some(
+        """WITH w AS (SELECT doc_id,
+          |        list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x <> '') AS ws
+          |      FROM documents),
+          |pl AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+          |         ELSE list_transform(range(0, CAST(ceil(len(ws) / 6.0) AS BIGINT)),
+          |           i -> array_to_string(list_slice(ws, i * 6 + 1, i * 6 + 6), ' ') ||
+          |             CASE (doc_id + i) % 5 WHEN 0 THEN '.' WHEN 1 THEN ''
+          |               WHEN 2 THEN ' javascript.' WHEN 3 THEN '!' ELSE '?' END)
+          |         END AS lines
+          |       FROM w),
+          |d AS (SELECT doc_id,
+          |        coalesce(array_to_string(lines, chr(10)), '') ||
+          |          CASE WHEN doc_id % 37 = 0 THEN chr(10) || 'layout { width }' ELSE '' END ||
+          |          CASE WHEN doc_id % 41 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END AS t
+          |      FROM pl),
+          |l AS (SELECT doc_id, t, str_split(t, chr(10)) AS ls FROM d),
+          |k AS (SELECT doc_id, t, ls,
+          |        list_filter(ls, l -> regexp_matches(l, '[.!?"”]\s*$')
+          |          AND len(list_filter(regexp_split_to_array(l, '\s+'), x -> x <> '')) >= 3
+          |          AND NOT contains(lower(l), 'javascript')) AS kept
+          |      FROM l)
+          |SELECT doc_id,
+          |       CAST(len(ls) AS BIGINT) AS n_lines,
+          |       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+          |       CAST(coalesce(list_sum(list_transform(kept, x -> length(x))), 0) AS DOUBLE) /
+          |         nullif(CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS DOUBLE), 0.0) AS kept_char_frac,
+          |       CAST(len(regexp_extract_all(t, '[.!?]')) AS BIGINT) AS n_sentences,
+          |       contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+          |       contains(t, '{') AS has_curly_brace,
+          |       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+          |       len(regexp_extract_all(t, '[.!?]')) >= 5
+          |         AND NOT contains(lower(t), 'lorem ipsum')
+          |         AND NOT contains(t, '{') AS pass
+          |FROM k ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_quality_score", "length/punct/stopword quality scoring",
       qualityScore,
       Some(

@@ -119,6 +119,59 @@ class TextScoringSpec extends SparkTestBase {
     assert(!got(4L).getAs[Boolean]("pass"))
   }
 
+  test("gopher repetition: hashed-gram census equals string-gram census on the fixture") {
+    // the registered path keys the (doc, n, gram) census on xxhash64
+    // (the q_contamination shuffle-key precedent); output must be
+    // identical to the string-keyed census — including the top-gram
+    // lexicographic tie-break, which rides in the argmax payload
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hashed = TextOps.gopherRepetitionOf(docs, hashedGrams = true)
+    val strung = TextOps.gopherRepetitionOf(docs, hashedGrams = false)
+    assert(hashed.exceptAll(strung).isEmpty && strung.exceptAll(hashed).isEmpty,
+      "64-bit gram hashing must not change the repetition report at fixture scale")
+    assert(hashed.count() > 0)
+  }
+
+  test("c4 rules: each line filter and page flag fires on a crafted doc") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1: 5 lines exercising each line rule; raw text has 6
+      // sentence marks (5 terminal + javascript line's '.') -> >= 5
+      (1L, "We keep this line here.\n" + // kept (punct, 5 words)
+        "no terminal punctuation line\n" + // dropped: no terminal punct
+        "Too short.\n" + // dropped: < 3 words
+        "Please enable javascript to view.\n" + // dropped: javascript
+        "Is this line kept?\nShort. Yes!"), // kept; last line < 3 words
+      // doc 2: lorem ipsum page flag kills an otherwise-clean page
+      (2L, "One clean sentence is right here.\nAnother one follows right there.\n" +
+        "Lorem ipsum dolor sit amet. More words. And more. Even more."),
+      // doc 3: curly-brace page flag
+      (3L, "A fine sentence sits here.\nfunction f() { return 1; }\n" +
+        "More text. And more. Plus more. Yet more."),
+      // doc 4: too few sentences
+      (4L, "Only one tiny sentence here."),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.c4RulesOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_lines") == 6L)
+    assert(got(1L).getAs[Long]("n_kept_lines") == 2L)
+    assert(got(1L).getAs[String]("clean_text") ==
+      "We keep this line here.\nIs this line kept?")
+    assert(got(1L).getAs[Long]("n_sentences") == 6L) // 4 kept-able terminal marks + 'Short.' 'Yes!'
+    assert(got(1L).getAs[Boolean]("pass"))
+    assert(got(2L).getAs[Boolean]("has_lorem_ipsum") &&
+      !got(2L).getAs[Boolean]("pass"))
+    assert(got(3L).getAs[Boolean]("has_curly_brace") &&
+      !got(3L).getAs[Boolean]("pass"))
+    assert(!got(4L).getAs[Boolean]("pass"),
+      "a one-sentence page fails the >= 5 sentence rule")
+    assert(got(5L).getAs[Long]("n_kept_lines") == 0L &&
+      got(5L).getAs[String]("clean_text") == "" &&
+      !got(5L).getAs[Boolean]("pass"),
+      "NULL text yields an empty clean page that fails")
+  }
+
   test("readability: hand-computed Flesch on a crafted two-sentence doc") {
     import spark.implicits._
     val docs = Seq((1L, "The cat sat. It ran!")).toDF("doc_id", "text")
