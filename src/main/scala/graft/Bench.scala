@@ -58,23 +58,39 @@ object Bench {
     println(line)
     // the driver captures a BOUNDED log tail (BENCH_r03.json lost 52 of
     // 136 queries to truncation) — also land the full line in a file so
-    // the committed artifact always carries every query. The default
-    // name embeds the SF-dir basename so a spot-gate run at another
-    // scale can't clobber the sf0.1 record, and SPARK_GRAFT_ONLY subset
-    // runs skip the default write entirely (a 1-query iteration must
-    // not overwrite the full-run record; set SPARK_GRAFT_BENCH_OUT to
-    // capture a subset on purpose)
-    // default artifact location: SPARK_GRAFT_REPO_ROOT if set, else the
-    // cwd ONLY when it is recognizably the repo root (build.sbt
-    // present) — a Bench launched from elsewhere must not silently drop
-    // the committed record into an arbitrary directory
+    // an artifact always carries every query. Artifact-of-record
+    // discipline (the r9 verdict's recurrence of the r8 lesson — the
+    // committed BENCH_FULL_sf0.1.json was auto-clobbered twice in one
+    // round): a full run lands in gitignored bench_runs/ under a
+    // timestamped name by DEFAULT; the record path
+    // BENCH_FULL_<sf>.json is written ONLY when the operator opts in
+    // with SPARK_GRAFT_BENCH_PROMOTE=1 (or names any path via
+    // SPARK_GRAFT_BENCH_OUT). SPARK_GRAFT_ONLY subset runs never write
+    // a default artifact (a 1-query iteration must not masquerade as a
+    // full-run record).
+    // artifact root: SPARK_GRAFT_REPO_ROOT if set, else the cwd ONLY
+    // when it is recognizably the repo root (build.sbt present) — a
+    // Bench launched from elsewhere must not silently drop files into
+    // an arbitrary directory
     val repoRoot = sys.env.get("SPARK_GRAFT_REPO_ROOT").orElse(
       Some(".").filter(_ =>
         java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt"))))
+    val promote = sys.env.get("SPARK_GRAFT_BENCH_PROMOTE").contains("1")
     val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(
       if (only.isEmpty) repoRoot match {
         case Some(root) =>
-          Some(s"$root/BENCH_FULL_${new java.io.File(sfDir).getName}.json")
+          val sfName = new java.io.File(sfDir).getName
+          if (promote) Some(s"$root/BENCH_FULL_$sfName.json")
+          else {
+            val stamp = java.time.format.DateTimeFormatter
+              .ofPattern("yyyyMMdd'T'HHmmss")
+              .withZone(java.time.ZoneOffset.UTC)
+              .format(java.time.Instant.now())
+            val dir = java.nio.file.Paths.get(root, "bench_runs")
+            try java.nio.file.Files.createDirectories(dir)
+            catch { case _: Exception => () }
+            Some(s"$dir/BENCH_FULL_${sfName}_$stamp.json")
+          }
         case None =>
           System.err.println(
             "[bench] cwd is not the repo root and SPARK_GRAFT_REPO_ROOT/" +
@@ -83,8 +99,14 @@ object Bench {
       }
       else None)
     outFile.foreach { f =>
-      try java.nio.file.Files.write(java.nio.file.Paths.get(f),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(f),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[bench] artifact written to $f" +
+          (if (!promote && !sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+            " (run record; set SPARK_GRAFT_BENCH_PROMOTE=1 to update the committed artifact-of-record)"
+          else ""))
+      }
       catch { case e: Exception =>
         System.err.println(s"[bench] could not write $f: ${e.getMessage}") }
     }
