@@ -54,6 +54,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // retired brute-force formulations (r9 ADVICE slow gate): dumped
+    // alongside so tools/oracle_ab.py can EXCEPT-ALL live vs brute in
+    // DuckDB without touching Spark output at all
+    val slow = SlowOracles.byName
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_slow.json"), slow)
     spark.stop()
   }
 }
