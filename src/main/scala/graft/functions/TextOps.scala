@@ -324,22 +324,21 @@ object TextOps {
     * lesson). All products inside the sums are doc-local (≤ doc
     * chars), see OverflowAuditSpec's allowlist bound.
     *
-    * `hashedGrams` (the registered default) keys the (doc, n, gram)
-    * census on a native codegen'd 64-bit xxhash64 of the gram instead
-    * of the gram STRING — the q_contamination precedent (string gram
-    * keys were this surface's slowest shuffle; native 64-bit hashing
-    * cut 15.3 → 1.6 s there; an md5-hex bridge was probed first and
-    * LOST — the hex/conv round-trip outweighs the key savings). The
-    * gram string rides along only as an aggregate payload (`max(g)` —
-    * constant within a hash group barring collisions), so the
-    * top-gram lexicographic tie-break and `length(g)` in the dup-mass
-    * sums stay exact. Identical output unless two distinct grams in
-    * ONE document collide in 64 bits (≲10⁴ grams per doc → odds
-    * ~3·10⁻¹² per doc; a collision only perturbs that one doc's
-    * fractions); [[graft.TextScoringSpec]] asserts hashed == string
-    * on the fixtures.
+    * `hashedGrams = false` (the registered default) keys the
+    * (doc, n, gram) census on the gram STRING. The q_contamination
+    * precedent (xxhash64 gram keys, 15.3 → 1.6 s) was probed here and
+    * does NOT transfer: contamination could DROP the gram string
+    * after hashing, but this census still needs it — `length(g)` in
+    * the char masses and the lexicographic top-gram tie-break — so
+    * the hashed variant ships the same string bytes as a `max(g)`
+    * payload PLUS the 8-byte key, and GopherGramProbe's interleaved
+    * A/B measured it a wash at sf0.1 (3.50 vs 3.78 s) and a LOSS at
+    * sf1 (10.2 vs 9.25 s; census stage 8.3 vs 7.3 s). The variant is
+    * kept behind the flag with its equivalence spec as the record of
+    * that negative result. The r10 win here is structural instead:
+    * one consumer chain (below) halves the explode+census work.
     */
-  def gopherRepetitionOf(docs: DataFrame, hashedGrams: Boolean = true): DataFrame = {
+  def gopherRepetitionOf(docs: DataFrame, hashedGrams: Boolean = false): DataFrame = {
     val base = docs
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("__t"),
         normalizeText(col("text")).as("__norm"))
@@ -389,7 +388,7 @@ object TextOps {
           .agg(count(lit(1)).as("c"))
     // tops and dup-mass reduce the census in ONE consumer chain: a
     // per-(doc, n) aggregate computing BOTH the argmax gram and the
-    // duplicated-occurrence mass, then one per-doc pivot. Through r10
+    // duplicated-occurrence mass, then one per-doc pivot. Through r9
     // these were two separate subtrees off `counts`, and the dup5
     // branch's n=5 filter (pushed below its exchange on the grouping
     // col) made the subtrees differ — ReuseExchange could not fire

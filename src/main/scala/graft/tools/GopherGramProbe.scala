@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSession
 import graft.engine.{GraftSession, Tables}
 import graft.functions.TextOps
 
-/** A/B probe for the r10 gopher-repetition gram-census change: times
-  * the xxhash64-keyed census against the string-keyed census in ONE
+/** A/B probe for the r10 gopher-repetition gram-census CANDIDATE: times
+  * the xxhash64-keyed census against the string-keyed default in ONE
   * JVM, interleaved A/B/A/B so JIT warmup cannot favor either side
   * (the DecadeProbe discipline). Also asserts the two variants are
   * value-identical on the measured data before timing.

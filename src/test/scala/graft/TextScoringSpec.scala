@@ -120,10 +120,11 @@ class TextScoringSpec extends SparkTestBase {
   }
 
   test("gopher repetition: hashed-gram census equals string-gram census on the fixture") {
-    // the registered path keys the (doc, n, gram) census on xxhash64
-    // (the q_contamination shuffle-key precedent); output must be
-    // identical to the string-keyed census — including the top-gram
-    // lexicographic tie-break, which rides in the argmax payload
+    // the hashed-gram census variant (probed via the q_contamination
+    // precedent; NOT the registered default — GopherGramProbe measured
+    // it a loss at sf1 because the gram string must still ride as the
+    // argmax payload) must stay value-identical to the string-keyed
+    // census — including the top-gram lexicographic tie-break
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val hashed = TextOps.gopherRepetitionOf(docs, hashedGrams = true)
     val strung = TextOps.gopherRepetitionOf(docs, hashedGrams = false)
