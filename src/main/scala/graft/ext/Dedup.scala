@@ -1320,15 +1320,24 @@ object Dedup {
           .as(Seq("line_idx", "line")))
       .withColumn("line_idx", col("line_idx").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val firsts = lines
-      .where(trim(col("line")) =!= "")
+    val nonblank = lines.where(trim(col("line")) =!= "")
+    val firsts = nonblank
       .groupBy(md5(col("line")).as("__lf"))
       .agg(min(struct(col("doc_id"), col("line_idx"))).as("first_at"))
-    val kept = lines
-      .join(firsts.hint("merge"), md5(col("line")) === col("__lf"), "left")
-      .where(col("first_at").isNull ||
-        col("first_at") === struct(col("doc_id"), col("line_idx")))
+    // blank lines are structural (always kept) and ALL hash to a handful
+    // of md5 values — routing them through the join would plant a
+    // guaranteed hot key in the probe shuffle (every empty line in the
+    // corpus to a few tasks). They bypass the join entirely; only
+    // non-blank lines (whose md5 is in `firsts` by construction, so the
+    // join is inner) shuffle by fingerprint, and any residual hot
+    // boilerplate key is AQE skew-split against the one-row-per-line
+    // build side.
+    val kept = lines.where(trim(col("line")) === "")
       .select(col("doc_id"), col("line_idx"), col("line"))
+      .unionByName(nonblank
+        .join(firsts.hint("merge"), md5(col("line")) === col("__lf"))
+        .where(col("first_at") === struct(col("doc_id"), col("line_idx")))
+        .select(col("doc_id"), col("line_idx"), col("line")))
     val reassembled = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       expr("concat_ws('\n', transform(" +
