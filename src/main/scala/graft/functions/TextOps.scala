@@ -300,6 +300,84 @@ object TextOps {
   def c4Rules(s: SparkSession, dir: String): DataFrame =
     c4RulesOf(withC4ProbeText(t(s, dir, "documents")))
 
+  /** RefinedWeb line-wise correction battery (Penedo et al. 2023 §G /
+    * Falcon) — the third published cleaning set beside [[c4RulesOf]]
+    * and [[gopherRulesOf]], and the LINE-REMOVAL half C4 lacks: drop
+    * lines that are uppercase-heavy (> 60% of alphabetic chars), purely
+    * numerical, social-media counters ("17 likes"), single-word, or
+    * short login/navigation boilerplate ("Sign in …", ≤ 8 words); then
+    * drop the whole DOCUMENT if the removed lines account for more
+    * than 5% of its characters (the paper's doc-level modification
+    * threshold). Reports the removal census, the reassembled clean
+    * text, and the verdict.
+    *
+    * 100 TB shape: identical to [[c4RulesOf]] — row-local HOF lambdas
+    * in whole-stage codegen, ZERO shuffles before the presentation
+    * sort; a map-only pass that fuses into the scan.
+    */
+  def refinedwebRulesOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__t", coalesce(col("text"), lit("")))
+      .withColumn("__ls", split(col("__t"), "\n"))
+      .withColumn("__kept", expr(
+        """filter(__ls, l -> NOT (
+          |  (length(regexp_replace(l, '[^A-Za-z]', '')) > 0 AND
+          |   CAST(length(regexp_replace(l, '[^A-Z]', '')) AS DOUBLE) /
+          |     length(regexp_replace(l, '[^A-Za-z]', '')) > 0.6)
+          |  OR (l rlike '^[0-9 .,%]+$' AND l rlike '[0-9]')
+          |  OR l rlike '^[0-9]+ (likes|views|shares|comments|upvotes)$'
+          |  OR size(filter(split(l, '\\s+'), x -> x <> '')) <= 1
+          |  OR (size(filter(split(l, '\\s+'), x -> x <> '')) <= 8 AND
+          |      lower(l) rlike '(sign in|log in|subscribe|accept cookies)')
+          |))""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        (size(col("__ls")) - size(col("__kept"))).cast("long")
+          .as("n_removed_lines"),
+        (lit(1.0) -
+          expr("aggregate(__kept, 0L, (a, x) -> a + length(x))").cast("double") /
+            nullif(expr("aggregate(__ls, 0L, (a, x) -> a + length(x))"),
+              lit(0L)).cast("double")).as("removed_char_frac"),
+        concat_ws("\n", col("__kept")).as("clean_text"))
+      .withColumn("pass",
+        coalesce(col("removed_char_frac") <= 0.05, lit(false)))
+      .orderBy("doc_id")
+
+  /** Deterministic RefinedWeb probe corpus (same rationale as
+    * [[withC4ProbeText]] — the fixture texts have no line structure,
+    * so the raw battery would be vacuous): re-lines each doc from its
+    * own words (5-word lines); docs with doc_id % 4 != 0 additionally
+    * get planted bad lines on a (doc_id + i) % 19 cycle — numeric
+    * (15), UPPERCASE (16), "<n> likes" counter (17), "Sign in to
+    * continue" (18) — so every removal rule fires, a quarter of the
+    * corpus stays fully clean, and the 5% doc threshold cuts both
+    * ways. Purely row-local on both engines.
+    */
+  private def withRefinedWebProbeText(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__rw",
+        expr("filter(split(coalesce(text, ''), '\\\\s+'), x -> x <> '')"))
+      .withColumn("text", expr(
+        """concat_ws('\n', CASE WHEN size(__rw) = 0 THEN CAST(array() AS ARRAY<STRING>)
+          | ELSE transform(sequence(0, CAST(ceil(size(__rw) / 5.0) AS INT) - 1), i ->
+          |   CASE WHEN doc_id % 4 != 0 AND (doc_id + i) % 19 = 15
+          |          THEN concat(CAST((doc_id + i) % 997 AS STRING), ' ',
+          |                      CAST(i % 10 AS STRING))
+          |        WHEN doc_id % 4 != 0 AND (doc_id + i) % 19 = 16
+          |          THEN upper(concat_ws(' ', slice(__rw, i * 5 + 1, 5)))
+          |        WHEN doc_id % 4 != 0 AND (doc_id + i) % 19 = 17
+          |          THEN concat(CAST((doc_id + i) % 50 AS STRING), ' likes')
+          |        WHEN doc_id % 4 != 0 AND (doc_id + i) % 19 = 18
+          |          THEN 'Sign in to continue'
+          |        ELSE concat(concat_ws(' ', slice(__rw, i * 5 + 1, 5)), '.')
+          |   END)
+          | END)""".stripMargin))
+      .drop("__rw")
+
+  def refinedwebRules(s: SparkSession, dir: String): DataFrame =
+    refinedwebRulesOf(withRefinedWebProbeText(t(s, dir, "documents")))
+
   /** Gopher REPETITION-removal battery (Rae et al. 2021 A1.1, table
     * A1) — the intra-document half that pairs with [[gopherRulesOf]]:
     * duplicate-line fraction and duplicate-line CHARACTER fraction
@@ -1696,6 +1774,48 @@ object TextOps {
           |       len(regexp_extract_all(t, '[.!?]')) >= 5
           |         AND NOT contains(lower(t), 'lorem ipsum')
           |         AND NOT contains(t, '{') AS pass
+          |FROM k ORDER BY doc_id""".stripMargin)),
+    GraftQuery("q_refinedweb_rules",
+      "RefinedWeb line-wise correction battery (Penedo et al. 2023): uppercase-heavy / numeric / counter / single-word / login-boilerplate line removal, 5% doc modification threshold, clean-text reassembly",
+      refinedwebRules,
+      Some(
+        """WITH w AS (SELECT doc_id,
+          |        list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'), x -> x <> '') AS ws
+          |      FROM documents),
+          |pl AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+          |         ELSE list_transform(range(0, CAST(ceil(len(ws) / 5.0) AS BIGINT)),
+          |           i -> CASE WHEN doc_id % 4 != 0 AND (doc_id + i) % 19 = 15
+          |                  THEN CAST((doc_id + i) % 997 AS VARCHAR) || ' ' || CAST(i % 10 AS VARCHAR)
+          |                WHEN doc_id % 4 != 0 AND (doc_id + i) % 19 = 16
+          |                  THEN upper(array_to_string(list_slice(ws, i * 5 + 1, i * 5 + 5), ' '))
+          |                WHEN doc_id % 4 != 0 AND (doc_id + i) % 19 = 17
+          |                  THEN CAST((doc_id + i) % 50 AS VARCHAR) || ' likes'
+          |                WHEN doc_id % 4 != 0 AND (doc_id + i) % 19 = 18
+          |                  THEN 'Sign in to continue'
+          |                ELSE array_to_string(list_slice(ws, i * 5 + 1, i * 5 + 5), ' ') || '.'
+          |                END)
+          |         END AS ls
+          |       FROM w),
+          |k AS (SELECT doc_id, ls,
+          |        list_filter(ls, l -> NOT (
+          |          (length(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0 AND
+          |           CAST(length(regexp_replace(l, '[^A-Z]', '', 'g')) AS DOUBLE) /
+          |             length(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0.6)
+          |          OR (regexp_matches(l, '^[0-9 .,%]+$') AND regexp_matches(l, '[0-9]'))
+          |          OR regexp_matches(l, '^[0-9]+ (likes|views|shares|comments|upvotes)$')
+          |          OR len(list_filter(regexp_split_to_array(l, '\s+'), x -> x <> '')) <= 1
+          |          OR (len(list_filter(regexp_split_to_array(l, '\s+'), x -> x <> '')) <= 8 AND
+          |              regexp_matches(lower(l), '(sign in|log in|subscribe|accept cookies)'))
+          |        )) AS kept
+          |      FROM pl)
+          |SELECT doc_id,
+          |       CAST(len(ls) AS BIGINT) AS n_lines,
+          |       CAST(len(ls) - len(kept) AS BIGINT) AS n_removed_lines,
+          |       1.0 - CAST(coalesce(list_sum(list_transform(kept, x -> length(x))), 0) AS DOUBLE) /
+          |         nullif(CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS DOUBLE), 0.0) AS removed_char_frac,
+          |       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+          |       coalesce(1.0 - CAST(coalesce(list_sum(list_transform(kept, x -> length(x))), 0) AS DOUBLE) /
+          |         nullif(CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS DOUBLE), 0.0) <= 0.05, false) AS pass
           |FROM k ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_quality_score", "length/punct/stopword quality scoring",
       qualityScore,

@@ -173,6 +173,42 @@ class TextScoringSpec extends SparkTestBase {
       "NULL text yields an empty clean page that fails")
   }
 
+  test("refinedweb rules: each line-removal rule fires; 5% doc threshold cuts both ways") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1: clean page, every line survives -> pass
+      (1L, "This is a perfectly normal line of text.\n" +
+        "Another normal line with several words follows."),
+      // doc 2: one short boilerplate line on a long page -> removed but
+      // under the 5% char threshold -> page still passes
+      (2L, ("A reasonably long paragraph line with plenty of words here. " * 4).trim +
+        "\nSign in\n" +
+        ("Another long paragraph line with plenty of words in it too. " * 4).trim),
+      // docs 3-7: each plants ONE removal rule on a short page -> fail
+      (3L, "SHOUTING NAVIGATION HEADER MENU\nplain line here with words."),
+      (4L, "123 456 7.5\nplain line here with words."),
+      (5L, "17 likes\nplain line here with words."),
+      (6L, "word\nplain line here with words."),
+      (7L, "Please log in to continue\nplain line here with words."))
+      .toDF("doc_id", "text")
+    val got = TextOps.refinedwebRulesOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_removed_lines") == 0L &&
+      got(1L).getAs[Boolean]("pass"))
+    assert(got(2L).getAs[Long]("n_removed_lines") == 1L &&
+      got(2L).getAs[Double]("removed_char_frac") < 0.05 &&
+      got(2L).getAs[Boolean]("pass"),
+      "a tiny removed line must not kill a long page")
+    for (id <- 3L to 7L) {
+      assert(got(id).getAs[Long]("n_removed_lines") == 1L,
+        s"doc $id must lose exactly its planted bad line")
+      assert(got(id).getAs[String]("clean_text") == "plain line here with words.",
+        s"doc $id keeps only the plain line")
+      assert(!got(id).getAs[Boolean]("pass"),
+        s"doc $id exceeds the 5% modification threshold")
+    }
+  }
+
   test("readability: hand-computed Flesch on a crafted two-sentence doc") {
     import spark.implicits._
     val docs = Seq((1L, "The cat sat. It ran!")).toDF("doc_id", "text")
