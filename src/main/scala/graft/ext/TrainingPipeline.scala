@@ -53,6 +53,20 @@ object TrainingPipeline {
     *                       crawl-dedup prerequisite (utm variants,
     *                       case/port/fragment noise) applied BEFORE any
     *                       content work is spent on refetches
+    * @param lineClean      when true, stage 1.5 applies the RefinedWeb
+    *                       line-wise corrections ([[graft.functions.
+    *                       TextOps.refinedwebCleanApply]]) to the
+    *                       post-redaction text: boilerplate lines
+    *                       (uppercase-heavy / numeric / counters /
+    *                       single-word / login prompts) are REMOVED
+    *                       from surviving docs, and docs whose removed
+    *                       lines exceed `lineCleanMaxFrac` of their
+    *                       characters die — line-grain cleaning the
+    *                       doc-grain gates cannot express; runs before
+    *                       the quality gates so every later stage
+    *                       scores the text actually shipped
+    * @param lineCleanMaxFrac doc-level modification threshold for
+    *                       stage 1.5 (the paper's 5% default)
     * @param gopherQuality  when true, stage 2.5 applies BOTH published
     *                       Gopher A1.1 batteries ([[graft.functions.
     *                       TextOps.gopherRulesOf]] quality rules and
@@ -81,6 +95,8 @@ object TrainingPipeline {
       packBudget: Int = 512,
       numShards: Int = 4,
       urlDedupCol: Option[String] = None,
+      lineClean: Boolean = false,
+      lineCleanMaxFrac: Double = 0.05,
       gopherQuality: Boolean = false,
       chunkDupMaxFrac: Option[Double] = None,
       reportCounts: Boolean = true)
@@ -91,6 +107,7 @@ object TrainingPipeline {
   final case class Report(
       input: Long,
       afterUrlDedup: Long,
+      afterLineClean: Long,
       afterQuality: Long,
       afterGopher: Long,
       afterExactDedup: Long,
@@ -146,8 +163,18 @@ object TrainingPipeline {
     // n_chars is recomputed AFTER redaction: the gates, the weighted
     // sample, and every downstream consumer of the clean corpus must
     // score the text actually shipped, not the pre-redaction length
-    val redacted = crawlDeduped
+    // -- stage 1.5 (optional): RefinedWeb line-wise corrections --------
+    // Runs on post-redaction text, BEFORE n_chars is recomputed and
+    // before any gate: boilerplate lines are removed from surviving
+    // docs (a column rewrite — row-local, zero shuffle, no join-back)
+    // and mostly-boilerplate docs die, so every later stage scores and
+    // fingerprints the text actually shipped.
+    val redactedBase = crawlDeduped
       .withColumn("text", Cleaning.redactPii(col("text")))
+    val lineCleaned =
+      if (!cfg.lineClean) redactedBase
+      else TextOps.refinedwebCleanApply(redactedBase, cfg.lineCleanMaxFrac)
+    val redacted = lineCleaned
       .withColumn("n_chars", length(col("text")).cast("long"))
     val rowLocal = redacted.where(
       size(split(TextOps.normalizeText(col("text")), " ")) >= cfg.minTokens)
@@ -270,6 +297,8 @@ object TrainingPipeline {
       afterUrlDedup =
         if (cfg.reportCounts && cfg.urlDedupCol.isDefined)
           crawlDeduped.count() else -1L,
+      afterLineClean =
+        if (cfg.reportCounts && cfg.lineClean) lineCleaned.count() else -1L,
       afterQuality = if (cfg.reportCounts) quality.count() else -1L,
       afterGopher =
         if (cfg.reportCounts && cfg.gopherQuality) gophered.count() else -1L,

@@ -315,21 +315,29 @@ object TextOps {
     * in whole-stage codegen, ZERO shuffles before the presentation
     * sort; a map-only pass that fuses into the scan.
     */
+  /** The RefinedWeb line-removal predicate as a kept-lines HOF over a
+    * line-array column — the shared row-local core of
+    * [[refinedwebRulesOf]] (the registered, oracle-gated report) and
+    * [[refinedwebCleanApply]] (the TrainingPipeline stage): one
+    * definition, so the pipeline can never drift from the gated rules.
+    */
+  private def rwKeptLines(lsCol: String): Column = expr(
+    s"""filter($lsCol, l -> NOT (
+       |  (length(regexp_replace(l, '[^A-Za-z]', '')) > 0 AND
+       |   CAST(length(regexp_replace(l, '[^A-Z]', '')) AS DOUBLE) /
+       |     length(regexp_replace(l, '[^A-Za-z]', '')) > 0.6)
+       |  OR (l rlike '^[0-9 .,%]+$$' AND l rlike '[0-9]')
+       |  OR l rlike '^[0-9]+ (likes|views|shares|comments|upvotes)$$'
+       |  OR size(filter(split(l, '\\\\s+'), x -> x <> '')) <= 1
+       |  OR (size(filter(split(l, '\\\\s+'), x -> x <> '')) <= 8 AND
+       |      lower(l) rlike '(sign in|log in|subscribe|accept cookies)')
+       |))""".stripMargin)
+
   def refinedwebRulesOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("__t", coalesce(col("text"), lit("")))
       .withColumn("__ls", split(col("__t"), "\n"))
-      .withColumn("__kept", expr(
-        """filter(__ls, l -> NOT (
-          |  (length(regexp_replace(l, '[^A-Za-z]', '')) > 0 AND
-          |   CAST(length(regexp_replace(l, '[^A-Z]', '')) AS DOUBLE) /
-          |     length(regexp_replace(l, '[^A-Za-z]', '')) > 0.6)
-          |  OR (l rlike '^[0-9 .,%]+$' AND l rlike '[0-9]')
-          |  OR l rlike '^[0-9]+ (likes|views|shares|comments|upvotes)$'
-          |  OR size(filter(split(l, '\\s+'), x -> x <> '')) <= 1
-          |  OR (size(filter(split(l, '\\s+'), x -> x <> '')) <= 8 AND
-          |      lower(l) rlike '(sign in|log in|subscribe|accept cookies)')
-          |))""".stripMargin))
+      .withColumn("__kept", rwKeptLines("__ls"))
       .select(
         col("doc_id"),
         size(col("__ls")).cast("long").as("n_lines"),
@@ -343,6 +351,34 @@ object TextOps {
       .withColumn("pass",
         coalesce(col("removed_char_frac") <= 0.05, lit(false)))
       .orderBy("doc_id")
+
+  /** APPLY form of the RefinedWeb line corrections — the
+    * [[graft.ext.TrainingPipeline]] stage-1.5 core: rewrites `text` to
+    * its kept lines and DROPS docs whose removed lines exceed
+    * `maxRemovedFrac` of their characters (the paper's doc-level
+    * modification threshold — a page that is mostly navigation /
+    * counters / login boilerplate is itself boilerplate). Docs with no
+    * characters pass through untouched (frac is NULL → kept; the
+    * pipeline's row-local min-token gate owns empty-doc policy).
+    * Shares [[rwKeptLines]] with the oracle-gated report, so the
+    * applied rules can never drift from the gated ones.
+    *
+    * 100 TB shape: row-local (ZERO shuffles, no join — the report
+    * form's per-doc row is 1:1 with its input, so application is a
+    * column rewrite, never a join-back).
+    */
+  def refinedwebCleanApply(docs: DataFrame,
+      maxRemovedFrac: Double = 0.05): DataFrame =
+    docs
+      .withColumn("__ls", split(coalesce(col("text"), lit("")), "\n"))
+      .withColumn("__kept", rwKeptLines("__ls"))
+      .withColumn("__rcf", lit(1.0) -
+        expr("aggregate(__kept, 0L, (a, x) -> a + length(x))").cast("double") /
+          nullif(expr("aggregate(__ls, 0L, (a, x) -> a + length(x))"),
+            lit(0L)).cast("double"))
+      .where(coalesce(col("__rcf") <= maxRemovedFrac, lit(true)))
+      .withColumn("text", concat_ws("\n", col("__kept")))
+      .drop("__ls", "__kept", "__rcf")
 
   /** Deterministic RefinedWeb probe corpus (same rationale as
     * [[withC4ProbeText]] — the fixture texts have no line structure,

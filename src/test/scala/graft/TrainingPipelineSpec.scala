@@ -177,6 +177,49 @@ class TrainingPipelineSpec extends SparkTestBase {
       "exactly the refetch twin dies; NULL/relative-url docs all survive")
   }
 
+  test("pipeline: line-clean stage strips boilerplate lines, drops mostly-boilerplate docs") {
+    // Plant on top of a 50-doc base (whose synthetic texts have no
+    // newlines, so stage 1.5 leaves them untouched):
+    //   D (900301): long real text + ONE boilerplate line ("Sign in")
+    //     -> the line is stripped (text shrinks), the doc SURVIVES
+    //   E (900302): three boilerplate lines + one short real line
+    //     -> removed chars far exceed 5%, the doc DIES at stage 1.5
+    val base = docs.limit(50)
+    val donor = base.orderBy("doc_id").limit(1).collect().head
+    def planted(id: Long, text: String) =
+      Seq((id, text, donor.getAs[String]("lang"),
+        donor.getAs[String]("source"), text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // 300 pads push D past the 1000-char sample cap (P(keep)=1, the
+    // sampler can never be why it vanishes) and dwarf the planted
+    // boilerplate line (removed frac well under 5%)
+    val longText = donor.getAs[String]("text") + " " +
+      (0 until 300).map(i => s"pad$i").mkString(" ")
+    val corpus = base
+      .unionByName(planted(900301L, longText + "\nSign in"))
+      .unionByName(planted(900302L,
+        "SHOUTING NAV MENU\n42 likes\nSign in to continue\nshort real line here."))
+    val n = corpus.count()
+
+    val cfg = TrainingPipeline.Config(maxAbsZ = 1e9, lineClean = true)
+    val out = Files.createTempDirectory("graft-pipeline-lineclean").toString
+    val r = TrainingPipeline.run(corpus, out, cfg)
+    assert(r.input == n)
+    assert(r.afterLineClean == n - 1,
+      "exactly the mostly-boilerplate doc dies at stage 1.5")
+    val clean = spark.read.parquet(s"$out/clean")
+    val d = clean.where(col("doc_id") === 900301L).select("text").collect()
+    assert(d.length == 1 && d.head.getString(0) == longText,
+      "the surviving doc's boilerplate line is stripped, real text intact")
+    assert(clean.where(col("doc_id") === 900302L).isEmpty)
+
+    // stage off -> field reports -1 and both planted docs reach stage 2
+    val rOff = TrainingPipeline.run(corpus,
+      Files.createTempDirectory("graft-pipeline-lineclean-off").toString,
+      TrainingPipeline.Config(maxAbsZ = 1e9))
+    assert(rOff.afterLineClean == -1L)
+  }
+
   test("pipeline: gopher stage kills the repetitive doc, keeps the clean one") {
     // G-good: 150 DISTINCT 8-char words + 2 stop words — passes both
     //   batteries (mean len ~7.9, no repetition, cap-saturated).
