@@ -857,6 +857,84 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** APPLY form of [[substringDupSpans]] — the removal operation Lee et
+    * al.'s ExactSubstr tool actually performs: every maximal duplicated
+    * island (merged [pos, pos+L) windows of positions whose L-gram
+    * occurs ≥ 2 times corpus-wide) is CUT from the document UNLESS the
+    * island contains some gram's corpus-FIRST occurrence (min
+    * (doc_id, pos) owner). Every duplicated gram therefore survives in
+    * exactly the doc that introduced it, each doc's surviving text is
+    * stitched from its kept segments in order, and the whole operation
+    * is a pure function of content — deterministic under rerun and
+    * task retry. Complements the stats form the way
+    * [[spanDedupApply]] complements [[spanDedupStats]].
+    *
+    * 100 TB shape: same geometry as the stats form (row-local gram
+    * explode; ownership is a map-side-combinable `min(struct)` payload
+    * on the SAME df census aggregate — no extra shuffle over the stats
+    * form; SMJ-pinned join-back; island merge windows on the
+    * high-cardinality doc key), plus one per-doc cut list (bounded by
+    * len/L islands per doc — collect_list is doc-local, never
+    * corpus-scale) and an SMJ-pinned doc-keyed rebuild join. The
+    * rebuild itself is a row-local HOF fold over the cut list.
+    * Fingerprint is the oracle-shared md5-60 (see [[substringDupSpans]]
+    * — identical collisions on both engines keep the gate exact).
+    */
+  def substringDedupApply(docs: DataFrame, textCol: String, idCol: String,
+      minLen: Int = 30): DataFrame = {
+    val L = minLen
+    val grams = docs
+      .where(length(col(textCol)) >= L)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        explode(sequence(lit(1), length(col(textCol)) - L + 1)).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        graft.functions.HashExprs.md5Uint60(
+          expr(s"substring(text, pos, $L)")).as("gram"))
+    val owners = grams.groupBy("gram")
+      .agg(count(lit(1)).as("gram_df"),
+        min(struct(col("doc_id"), col("pos"))).as("own"))
+    // merge-pinned for the same reason as the stats form: the dup-gram
+    // census is corpus-scale and must never broadcast-build
+    val dupPos = grams
+      .join(owners.where(col("gram_df") >= 2).hint("merge"), Seq("gram"))
+      .select(col("doc_id"), col("pos"),
+        (col("own.doc_id") === col("doc_id") &&
+          col("own.pos") === col("pos")).as("is_first"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val runMax = max(col("pos") + L).over(w.rowsBetween(Long.MinValue, -1))
+    val spans = dupPos
+      .withColumn("new_island",
+        when(col("pos") > coalesce(runMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + L).as("e"),
+        max(col("is_first")).as("keep"))
+    val cuts = spans.where(!col("keep"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
+        count(lit(1)).as("n_islands_removed"),
+        sum(col("e") - col("s")).as("chars_removed"))
+    val rebuilt = expr(
+      """CASE WHEN cuts IS NULL THEN coalesce(text, '') ELSE
+        |  concat(aggregate(cuts,
+        |    named_struct('acc', CAST('' AS STRING), 'prev', CAST(1 AS BIGINT)),
+        |    (st, c) -> named_struct(
+        |      'acc', concat(st.acc,
+        |        substring(text, CAST(st.prev AS INT), CAST(c.s - st.prev AS INT))),
+        |      'prev', c.e),
+        |    st -> concat(st.acc,
+        |      substring(text, CAST(st.prev AS INT), 2147483647))))
+        |END""".stripMargin)
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(cuts.hint("merge"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_islands_removed"), lit(0L)).as("n_islands_removed"),
+        coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
+        md5(rebuilt).as("new_text_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---- incremental (batch-vs-corpus) near-dup check --------------------
 
   /** Ingest-time dedup: which INCOMING docs are near-dups of the
@@ -1558,6 +1636,68 @@ object Dedup {
           |FROM sp JOIN documents doc ON doc.doc_id = sp.doc_id
           |GROUP BY sp.doc_id
           |ORDER BY sp.doc_id""".stripMargin)),
+    GraftQuery("q_substring_dedup_apply",
+      "exact-substring dedup APPLY (Lee et al. removal): cut duplicated islands unless they hold a gram's corpus-first occurrence; per-doc cut census + rebuilt-text md5",
+      (s, dir) => substringDedupApply(t(s, dir, "documents"), "text", "doc_id"),
+      Some(
+        """WITH g AS (
+          |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          |         ('0x' || substring(md5(substr(text, i, 30)), 1, 15))::BIGINT AS gram
+          |  FROM documents, UNNEST(range(1, length(text) - 30 + 2)) AS t(i)
+          |  WHERE length(text) >= 30),
+          |ow AS (SELECT gram, doc_id AS odoc, pos AS opos,
+          |         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+          |         count(*) OVER (PARTITION BY gram) AS gram_df
+          |       FROM g),
+          |owners AS (SELECT gram, odoc, opos, gram_df FROM ow WHERE rn = 1),
+          |d AS (SELECT g.doc_id, g.pos,
+          |        (g.doc_id = o.odoc AND g.pos = o.opos) AS is_first
+          |      FROM g JOIN owners o USING (gram) WHERE o.gram_df >= 2),
+          |m AS (
+          |  SELECT doc_id, pos, is_first,
+          |         CASE WHEN pos > coalesce(max(pos + 30) OVER (
+          |                PARTITION BY doc_id ORDER BY pos
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          |              THEN 1 ELSE 0 END AS new_island
+          |  FROM d),
+          |isl AS (
+          |  SELECT doc_id, pos, is_first,
+          |         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          |  FROM m),
+          |sp AS (
+          |  SELECT doc_id, island, min(pos) AS s, max(pos) + 30 AS e,
+          |         bool_or(is_first) AS keep
+          |  FROM isl GROUP BY 1, 2),
+          |fc AS (
+          |  SELECT doc_id, s, e,
+          |         row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn,
+          |         lag(e, 1, CAST(1 AS BIGINT)) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+          |  FROM sp WHERE NOT keep),
+          |seg AS (
+          |  SELECT fc.doc_id, fc.rn,
+          |         substr(doc.text, CAST(fc.prev_e AS INT), CAST(fc.s - fc.prev_e AS INT)) AS piece
+          |  FROM fc JOIN documents doc USING (doc_id)
+          |  UNION ALL
+          |  SELECT t.doc_id, 1000000000 AS rn,
+          |         substr(doc.text, CAST(t.last_e AS INT)) AS piece
+          |  FROM (SELECT doc_id, max(e) AS last_e FROM sp WHERE NOT keep GROUP BY 1) t
+          |  JOIN documents doc USING (doc_id)),
+          |rebuilt AS (
+          |  SELECT doc_id, string_agg(piece, '' ORDER BY rn) AS new_text
+          |  FROM seg GROUP BY doc_id),
+          |stats AS (
+          |  SELECT doc_id, count(*) AS n_islands_removed,
+          |         CAST(sum(e - s) AS BIGINT) AS chars_removed
+          |  FROM sp WHERE NOT keep GROUP BY 1)
+          |SELECT doc.doc_id,
+          |       coalesce(st.n_islands_removed, 0) AS n_islands_removed,
+          |       coalesce(st.chars_removed, 0) AS chars_removed,
+          |       md5(CASE WHEN st.doc_id IS NULL THEN coalesce(doc.text, '')
+          |                ELSE coalesce(r.new_text, '') END) AS new_text_md5
+          |FROM documents doc
+          |LEFT JOIN stats st USING (doc_id)
+          |LEFT JOIN rebuilt r USING (doc_id)
+          |ORDER BY doc.doc_id""".stripMargin)),
     // Brute-force cross-split oracle: same data-gap argument as
     // q_minhash_neardup (planted pairs at j >= 0.8, background < 0.35
     // at every SF), so LSH output == the exact cross pair list.

@@ -430,6 +430,44 @@ class DedupSpec extends SparkTestBase {
     assert(out(2L) == ((1L, 16L, 45L)))
   }
 
+  test("substring dedup apply: copy islands cut, first occurrence survives, stitch exact") {
+    import spark.implicits._
+    // 60-char payload shared by docs 1 and 2 (every 30-gram inside it
+    // repeats corpus-wide); unique 40+-char flanks so islands don't
+    // bleed. Doc 1 owns the payload's first occurrence (min doc_id) ->
+    // keeps everything. Doc 2's copy island holds no first occurrence
+    // -> cut, and its text stitches to flanks only. Doc 3 is unique ->
+    // untouched. Doc 4 is shorter than the 30-char gram floor.
+    // every 30-gram of a flank contains its tag, so flanks never share
+    // grams with each other or the payload; the chars ADJACENT to the
+    // payload differ between docs ('!' vs '?' before, 'b' vs 'd'
+    // after), so boundary-straddling grams are unique too and doc 2's
+    // island is EXACTLY the 60 payload chars
+    val payload = "PAYLOAD " * 7 + "PAYL" // 60 chars
+    assert(payload.length == 60)
+    val f = (tag: String, term: String) =>
+      (1 to 7).map(i => s"$tag$i").mkString(" ") + term
+    val d1 = f("alpha", "!") + payload + f("beta", ".")
+    val d2 = f("gamma", "?") + payload + f("delta", ";")
+    val d3 = "entirely distinct prose that is long enough to produce thirty-grams but repeats nothing"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, "short"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.substringDedupApply(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L)._1 == 0L && got(1L)._3 == m(d1),
+      "owner doc keeps its payload verbatim (its island holds every first occurrence)")
+    assert(got(3L)._1 == 0L && got(3L)._3 == m(d3))
+    assert(got(4L)._1 == 0L && got(4L)._3 == m("short"))
+    val (nCut, charsCut, md) = got(2L)
+    assert(nCut == 1L, "doc 2 loses exactly its copy island")
+    assert(charsCut == 60L, s"island = exactly the payload, got $charsCut")
+    assert(md == m(f("gamma", "?") + f("delta", ";")),
+      "doc 2 stitches to its two unique flanks with the payload excised")
+  }
+
   test("property: dedup by distinct is idempotent and bounded (100 seeded samples)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 100) {
