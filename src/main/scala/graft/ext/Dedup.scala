@@ -1388,19 +1388,30 @@ object Dedup {
     * then one doc-keyed reassembly aggregate and one SMJ-pinned
     * doc-keyed join back (both sides corpus-scale — never broadcast).
     * The exploded relation feeds three subtrees (firsts, probe,
-    * per-doc counts), so it is persisted — the spanDedupApply
-    * session-bounded stable-plan cache precedent.
+    * per-doc counts); the `cache` flag persists it for session-entry
+    * callers (the registered query — the spanDedupApply session-bounded
+    * stable-plan cache precedent) and defaults OFF for df-level
+    * library callers per the maybePersist policy.
     */
-  def lineDedup(docs: DataFrame): DataFrame = {
-    val lines = docs
+  def lineDedup(docs: DataFrame, cache: Boolean = false): DataFrame = {
+    // the exploded relation feeds three subtrees (firsts, probe,
+    // per-doc counts); `cache` persists it for SESSION-ENTRY callers
+    // (the registered query) and defaults OFF for df-level library
+    // callers, which have no way to unpersist an internal cache (the
+    // maybePersist policy at the top of this file) — uncached, the
+    // explode recomputes per subtree, which is the storage-safe trade
+    // at 100 TB (the relation is larger than the corpus).
+    val lines = maybePersist(docs
       .select(col("doc_id"),
         posexplode(split(coalesce(col("text"), lit("")), "\n"))
           .as(Seq("line_idx", "line")))
-      .withColumn("line_idx", col("line_idx").cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("line_idx", col("line_idx").cast("long")), cache)
     val nonblank = lines.where(trim(col("line")) =!= "")
+    // unhex: the shuffle/join key must be the 16-byte BINARY md5, not
+    // Spark md5()'s 32-char hex STRING — hex doubles the key bytes on
+    // exactly the shuffles this fingerprint exists to slim
     val firsts = nonblank
-      .groupBy(md5(col("line")).as("__lf"))
+      .groupBy(unhex(md5(col("line"))).as("__lf"))
       .agg(min(struct(col("doc_id"), col("line_idx"))).as("first_at"))
     // blank lines are structural (always kept) and ALL hash to a handful
     // of md5 values — routing them through the join would plant a
@@ -1413,7 +1424,7 @@ object Dedup {
     val kept = lines.where(trim(col("line")) === "")
       .select(col("doc_id"), col("line_idx"), col("line"))
       .unionByName(nonblank
-        .join(firsts.hint("merge"), md5(col("line")) === col("__lf"))
+        .join(firsts.hint("merge"), unhex(md5(col("line"))) === col("__lf"))
         .where(col("first_at") === struct(col("doc_id"), col("line_idx")))
         .select(col("doc_id"), col("line_idx"), col("line")))
     val reassembled = kept.groupBy("doc_id").agg(
@@ -1432,7 +1443,7 @@ object Dedup {
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery("q_line_dedup",
       "C4-style line-grain corpus dedup + reassembly: non-blank repeated lines survive only at their first (doc_id, line_idx) occurrence; docs rebuilt from surviving lines",
-      (s, dir) => lineDedup(t(s, dir, "documents")),
+      (s, dir) => lineDedup(t(s, dir, "documents"), cache = true),
       Some(
         """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
           |ls AS (SELECT doc_id, str_split(t, chr(10)) AS ll FROM d),

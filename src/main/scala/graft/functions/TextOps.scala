@@ -320,6 +320,13 @@ object TextOps {
     * [[refinedwebRulesOf]] (the registered, oracle-gated report) and
     * [[refinedwebCleanApply]] (the TrainingPipeline stage): one
     * definition, so the pipeline can never drift from the gated rules.
+    * The single-word rule is EXACTLY one word (`= 1`, the paper's
+    * "only contains one word"): blank/whitespace-only lines have ZERO
+    * words and are STRUCTURAL — stripping them would silently collapse
+    * paragraph boundaries, blinding the downstream Gopher
+    * paragraph-repetition gates (which split on blank lines) and
+    * rewriting every clean doc ([[graft.ext.Dedup.lineDedup]] states
+    * the same blank-lines-are-structural policy).
     */
   private def rwKeptLines(lsCol: String): Column = expr(
     s"""filter($lsCol, l -> NOT (
@@ -328,8 +335,8 @@ object TextOps {
        |     length(regexp_replace(l, '[^A-Za-z]', '')) > 0.6)
        |  OR (l rlike '^[0-9 .,%]+$$' AND l rlike '[0-9]')
        |  OR l rlike '^[0-9]+ (likes|views|shares|comments|upvotes)$$'
-       |  OR size(filter(split(l, '\\\\s+'), x -> x <> '')) <= 1
-       |  OR (size(filter(split(l, '\\\\s+'), x -> x <> '')) <= 8 AND
+       |  OR size(filter(split(l, '\\\\s+'), x -> x <> '')) = 1
+       |  OR (size(filter(split(l, '\\\\s+'), x -> x <> '')) BETWEEN 2 AND 8 AND
        |      lower(l) rlike '(sign in|log in|subscribe|accept cookies)')
        |))""".stripMargin)
 
@@ -1839,8 +1846,8 @@ object TextOps {
           |             length(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0.6)
           |          OR (regexp_matches(l, '^[0-9 .,%]+$') AND regexp_matches(l, '[0-9]'))
           |          OR regexp_matches(l, '^[0-9]+ (likes|views|shares|comments|upvotes)$')
-          |          OR len(list_filter(regexp_split_to_array(l, '\s+'), x -> x <> '')) <= 1
-          |          OR (len(list_filter(regexp_split_to_array(l, '\s+'), x -> x <> '')) <= 8 AND
+          |          OR len(list_filter(regexp_split_to_array(l, '\s+'), x -> x <> '')) = 1
+          |          OR (len(list_filter(regexp_split_to_array(l, '\s+'), x -> x <> '')) BETWEEN 2 AND 8 AND
           |              regexp_matches(lower(l), '(sign in|log in|subscribe|accept cookies)'))
           |        )) AS kept
           |      FROM pl)

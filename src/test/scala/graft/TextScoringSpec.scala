@@ -209,6 +209,31 @@ class TextScoringSpec extends SparkTestBase {
     }
   }
 
+  test("refinedweb apply: blank lines are structural — paragraph breaks survive cleaning") {
+    import spark.implicits._
+    // the review-found footgun: a '<= 1 word' single-word rule also
+    // matches ZERO-word lines, silently collapsing paragraph structure
+    // (and with it the Gopher dup_para gates, which split on blank
+    // lines). Blank/whitespace-only lines must pass through untouched.
+    // long enough that doc 2's one removed 9-char line stays under the
+    // 5% doc threshold (the apply form would otherwise drop the doc)
+    val para = "A normal paragraph line with plenty of words in it " * 4 + "end."
+    val docs = Seq(
+      (1L, s"$para\n\n$para\n \n$para"), // blank + whitespace-only separators
+      (2L, s"$para\nSubscribe\n$para")) // a real single-word boilerplate line
+      .toDF("doc_id", "text")
+    val got = TextOps.refinedwebCleanApply(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got(1L) == s"$para\n\n$para\n \n$para",
+      "blank and whitespace-only lines are kept verbatim")
+    assert(got(2L) == s"$para\n$para",
+      "a genuine one-word boilerplate line is still removed")
+    // and the report form agrees (shared core)
+    val rep = TextOps.refinedwebRulesOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_removed_lines")).toMap
+    assert(rep(1L) == 0L && rep(2L) == 1L)
+  }
+
   test("readability: hand-computed Flesch on a crafted two-sentence doc") {
     import spark.implicits._
     val docs = Seq((1L, "The cat sat. It ran!")).toDF("doc_id", "text")
