@@ -215,7 +215,10 @@ object TrainingPipeline {
     // silently delete distinct docs; 128-bit keeps that probability
     // negligible.
     val exactSurvivors = gophered
-      .select(TextOps.fingerprint(col("text")).as("__th"), col("doc_id"))
+      // unhex: shuffle the 16-byte BINARY md5, not the 32-char hex
+      // string (q_doc_fingerprint keeps hex — its oracle compares the
+      // rendered digest; this key is internal)
+      .select(unhex(TextOps.fingerprint(col("text"))).as("__th"), col("doc_id"))
       .groupBy(col("__th"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
