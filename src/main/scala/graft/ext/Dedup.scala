@@ -33,8 +33,12 @@ object Dedup {
     */
   def exactDedup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .groupBy(md5(col("text")).as("text_hash"))
+      // group on the 16-byte BINARY digest (halves shuffle key bytes);
+      // the hex rendering the oracle compares is applied after the agg
+      .groupBy(unhex(md5(col("text"))).as("__k"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+      .select(lower(hex(col("__k"))).as("text_hash"),
+        col("keep_doc_id"), col("n_dups"))
       .orderBy("keep_doc_id")
 
   /** DISTINCT on a projection (dropDuplicates semantics). */

@@ -302,7 +302,7 @@ object Multimodal {
     */
   def payloadDedupStats(docs: DataFrame): DataFrame =
     assets(docs)
-      .select(md5(col("payload")).as("digest"),
+      .select(unhex(md5(col("payload"))).as("digest"),
         col("meta.n_bytes").cast("long").as("nb"))
       .groupBy("digest")
       .agg(count(lit(1)).as("copies"), max(col("nb")).as("nb"))

@@ -261,7 +261,7 @@ object TrainingPrep {
       sum(col("tok")).as("total_tokens"),
       sum(length(col("t")).cast("long")).as("total_chars"),
       sum(when(trim(col("t")) === "", 1L).otherwise(0L)).as("__nblank"))
-    val dist = base.select(md5(col("t")).as("h")).distinct()
+    val dist = base.select(unhex(md5(col("t"))).as("h")).distinct()
       .agg(count(lit(1)).as("__ndist"))
     val langs = base.groupBy("lang").agg(count(lit(1)).as("c"))
       .agg(count(lit(1)).as("n_langs"),
