@@ -428,7 +428,10 @@ object Multimodal {
     */
   def cdcDedupStats(docs: DataFrame, maskMod: Int = 64): DataFrame =
     cdcChunks(docs, maskMod)
-      .groupBy("digest")
+      // unhex: census on the 16-byte binary digest, not the 32-char
+      // hex rendering cdcChunks exposes for its own oracle-compared
+      // output; the digest never leaves this aggregate
+      .groupBy(unhex(col("digest")).as("__d"))
       .agg(count(lit(1)).as("copies"), max(col("c_len")).as("cl"))
       .agg(sum(col("copies")).as("n_chunks"),
         count(lit(1)).as("n_distinct"),
@@ -518,13 +521,16 @@ object Multimodal {
     */
   def chunkDupStats(docs: DataFrame, maskMod: Int = 64): DataFrame = {
     val perDoc = cdcChunks(docs, maskMod)
-      .groupBy(col("digest"), col("asset_id"))
+      // unhex: every downstream shuffle/join keys on the 16-byte
+      // binary digest (cdcChunks exposes hex only for its own
+      // oracle-compared output)
+      .groupBy(unhex(col("digest")).as("__d"), col("asset_id"))
       .agg(sum(col("c_len").cast("long")).as("__bytes"))
     val owners = perDoc
-      .groupBy(col("digest"))
+      .groupBy(col("__d"))
       .agg(min(col("asset_id")).as("__owner"))
     perDoc
-      .join(owners.hint("merge"), Seq("digest"))
+      .join(owners.hint("merge"), Seq("__d"))
       .groupBy(col("asset_id").as("doc_id"))
       .agg(sum(when(col("__owner") < col("asset_id"), col("__bytes"))
         .otherwise(lit(0L))).as("dup_bytes"),
