@@ -743,7 +743,11 @@ object Dedup {
     * partial min keeps a million-copy boilerplate span skew-safe where
     * row_number over a span partition would funnel all copies into one
     * task. The firsts relation (one row per distinct eligible span)
-    * sort-merge-joins back on the span key; AQE splits residual skew.
+    * sort-merge-joins back (merge-pinned — it is corpus-scale and must
+    * never broadcast-build) on a 16-byte `unhex(md5(span))`
+    * fingerprint, not the span string — r10, the lineDedup key-bytes
+    * fix applied here too; AQE splits residual skew. Ineligible spans
+    * (always kept) bypass the join entirely.
     * Reassembly groups on high-cardinality doc_id with per-group state
     * bounded by document size. The span relation feeds two subtrees
     * (agg + join probe), so it is persisted — the split/slice/join
@@ -754,16 +758,18 @@ object Dedup {
   def spanDedupApply(s: SparkSession, dir: String): DataFrame = {
     val spans = tokenSpans(t(s, dir, "documents"), "text", 8, 5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val firsts = spans
-      .where(col("eligible"))
-      .groupBy(col("span"))
+    val eligible = spans.where(col("eligible"))
+    val firsts = eligible
+      .groupBy(unhex(md5(col("span"))).as("__sf"))
       .agg(min(struct(col("doc_id"), col("span_idx"))).as("first_at"))
-    val marked = spans
-      .join(firsts, Seq("span"), "left")
+    val marked = spans.where(!col("eligible"))
       .select(col("doc_id"), col("span_idx"), col("span"),
-        (col("first_at").isNull ||
-          col("first_at") === struct(col("doc_id"), col("span_idx")))
-          .as("keep"))
+        lit(true).as("keep"))
+      .unionByName(eligible
+        .join(firsts.hint("merge"), unhex(md5(col("span"))) === col("__sf"))
+        .select(col("doc_id"), col("span_idx"), col("span"),
+          (col("first_at") === struct(col("doc_id"), col("span_idx")))
+            .as("keep")))
     marked
       .groupBy(col("doc_id"))
       .agg(
