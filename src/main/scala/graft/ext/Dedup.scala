@@ -191,7 +191,10 @@ object Dedup {
     val oversized = oversizedBuckets(bandsDf, maxBucket)
     val l = prunedSide(bandsDf, oversized, idCol, "id1", "sig1")
     val r = prunedSide(bandsDf, oversized, idCol, "id2", "sig2")
-    l.join(r, Seq("band_id", "band_hash"))
+    // merge pin: both sides are the corpus-scale band relation — AQE
+    // must never broadcast-build one (the sf10 post-filter-estimate
+    // class the containment family hit)
+    l.join(r.hint("merge"), Seq("band_id", "band_hash"))
       .where(col("id1") < col("id2"))
       .where(estJaccardAtLeast(numHashes, minEstJaccard))
       .select("id1", "id2")
@@ -311,8 +314,10 @@ object Dedup {
       lshBands(signed.drop("shs"), idCol, bands, numHashes / bands), idCol,
       numHashes, minEstJaccard = math.max(0.0, threshold - 0.2))
     val verified = cand
-      .join(sets.withColumnRenamed(idCol, "id1").withColumnRenamed("shs", "sh1"), "id1")
-      .join(sets.withColumnRenamed(idCol, "id2").withColumnRenamed("shs", "sh2"), "id2")
+      .join(sets.withColumnRenamed(idCol, "id1").withColumnRenamed("shs", "sh1")
+        .hint("merge"), "id1")
+      .join(sets.withColumnRenamed(idCol, "id2").withColumnRenamed("shs", "sh2")
+        .hint("merge"), "id2")
       .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
       .where(col("jaccard") >= threshold)
     (sets, verified)
@@ -382,15 +387,17 @@ object Dedup {
       explode(col("pre")).as("sh"))
     val p2 = withPre.select(col(idCol).as("id2"), col("n").as("n2"),
       explode(col("pre")).as("sh"))
-    val cands = p1.join(p2, Seq("sh"))
+    val cands = p1.join(p2.hint("merge"), Seq("sh"))
       .where(col("id1") < col("id2"))
       .where(least(col("n1"), col("n2")).cast("double") >=
         lit(threshold) * greatest(col("n1"), col("n2")).cast("double"))
       .select("id1", "id2")
       .distinct()
     val verified = cands
-      .join(sets.select(col(idCol).as("id1"), col("shs").as("sh1")), "id1")
-      .join(sets.select(col(idCol).as("id2"), col("shs").as("sh2")), "id2")
+      .join(sets.select(col(idCol).as("id1"), col("shs").as("sh1"))
+        .hint("merge"), "id1")
+      .join(sets.select(col(idCol).as("id2"), col("shs").as("sh2"))
+        .hint("merge"), "id2")
       .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
       .where(col("jaccard") >= threshold)
     if (sorted) verified.orderBy("id1", "id2") else verified
@@ -567,7 +574,7 @@ object Dedup {
       col(idCol).as("id1"), col(hashCol).as("h1"))
     val r = pruned.select(col("chunk_id"), col("chunk"),
       col(idCol).as("id2"), col(hashCol).as("h2"))
-    l.join(r, Seq("chunk_id", "chunk"))
+    l.join(r.hint("merge"), Seq("chunk_id", "chunk"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
@@ -859,7 +866,8 @@ object Dedup {
         sum(col("n_grams")).as("n_dup_grams"),
         sum(col("span_chars")).as("dup_chars"))
       .join(docs.select(col(idCol).as("doc_id"),
-        length(col(textCol)).cast("long").as("n_chars")), Seq("doc_id"))
+        length(col(textCol)).cast("long").as("n_chars"))
+        .hint("merge"), Seq("doc_id"))
       .select(col("doc_id"), col("n_spans"), col("n_dup_grams"),
         col("dup_chars"),
         (col("dup_chars").cast("double") / col("n_chars").cast("double"))
