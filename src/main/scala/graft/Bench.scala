@@ -10,10 +10,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Cost-attribution caveat: queries that share a session-memoized
   * computation (the near-dup trio — see Dedup.nearDupPairsShared /
-  * nearDupLabels) charge the shared work to whichever of them runs
-  * FIRST in map-iteration order; the others read the cache. Per-key
-  * numbers for those keys are attribution, not standalone cost —
-  * compare the TRIO's sum across rounds, or the run total.
+  * nearDupLabels — and, since r11, the exact-substring pair
+  * q_substring_dup_spans + q_substring_dedup_apply, which share one
+  * persisted duplicated-position relation via Dedup.substrDupPosShared) charge
+  * the shared work to whichever of them runs FIRST in map-iteration
+  * order; the others read the cache. Per-key numbers for those keys
+  * are attribution, not standalone cost — compare the GROUP's sum
+  * across rounds, or the run total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,6 +59,12 @@ object Bench {
     val total = ok.map(_._2).sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
     println(line)
+    // the driver's bounded log-tail capture can truncate the big
+    // per-query JSON mid-object (BENCH_r10.json carried "parsed": null
+    // for exactly that reason). Print one compact summary line AFTER it
+    // so the tail always ends in a complete, parseable object; the full
+    // per-query detail still lands in the artifact file below.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_total_s":${fmt(total)},"n":${ok.size},"errors":${errs.size},"sf":"$sfDir"}""")
     // the driver captures a BOUNDED log tail (BENCH_r03.json lost 52 of
     // 136 queries to truncation) — also land the full line in a file so
     // an artifact always carries every query. Artifact-of-record

@@ -458,6 +458,15 @@ object TextOps {
     * kept behind the flag with its equivalence spec as the record of
     * that negative result. The r10 win here is structural instead:
     * one consumer chain (below) halves the explode+census work.
+    *
+    * `hashedGrams = true` is PROBE-ONLY — never promote it to a gated
+    * path unchanged: it merges grams on the raw 64-bit xxhash64(g), so
+    * a within-(doc, n) collision silently merges two distinct grams
+    * (wrong count, arbitrary `max(g)` payload). Its only guards are
+    * the fixture-scale equivalence spec and GopherGramProbe; a gated
+    * use would need a collision-free key (full md5, or keep the
+    * string) plus a re-measured cost case — which the A/B above
+    * already shows does not exist.
     */
   def gopherRepetitionOf(docs: DataFrame, hashedGrams: Boolean = false): DataFrame = {
     val base = docs
@@ -1837,8 +1846,11 @@ object TextOps {
           |                  THEN 'Sign in to continue'
           |                ELSE array_to_string(list_slice(ws, i * 5 + 1, i * 5 + 5), ' ') || '.'
           |                END)
-          |         END AS ls
+          |         END AS ls0
           |       FROM w),
+          |pl2 AS (SELECT doc_id,
+          |         string_split(coalesce(array_to_string(ls0, chr(10)), ''), chr(10)) AS ls
+          |       FROM pl),
           |k AS (SELECT doc_id, ls,
           |        list_filter(ls, l -> NOT (
           |          (length(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0 AND
@@ -1850,7 +1862,7 @@ object TextOps {
           |          OR (len(list_filter(regexp_split_to_array(l, '\s+'), x -> x <> '')) BETWEEN 2 AND 8 AND
           |              regexp_matches(lower(l), '(sign in|log in|subscribe|accept cookies)'))
           |        )) AS kept
-          |      FROM pl)
+          |      FROM pl2)
           |SELECT doc_id,
           |       CAST(len(ls) AS BIGINT) AS n_lines,
           |       CAST(len(ls) - len(kept) AS BIGINT) AS n_removed_lines,

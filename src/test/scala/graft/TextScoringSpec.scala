@@ -209,6 +209,31 @@ class TextScoringSpec extends SparkTestBase {
     }
   }
 
+  test("refinedweb probe: zero-word docs yield one empty line on BOTH engines (r10 advice)") {
+    import spark.implicits._
+    // the r10 advice finding: Spark reassembles the probe lines into a
+    // string and re-splits ('' -> ['']; n_lines = 1) while the old
+    // DuckDB oracle consumed its line LIST directly ([] -> n_lines = 0).
+    // The oracle now rebuilds + re-splits the same way (pl2 CTE); this
+    // pins the Spark half of that contract so a fixture with
+    // NULL/empty/whitespace-only text can never diverge the gate again.
+    val dir = java.nio.file.Files.createTempDirectory("rwprobe").toString
+    Seq((0L, ""), (1L, null.asInstanceOf[String]), (2L, "   "),
+      (3L, "hello world this is fine text with words"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.functions.TextOps.refinedwebRules(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- 0L to 2L) {
+      assert(got(id).getAs[Long]("n_lines") == 1L,
+        s"zero-word doc $id: reassemble+resplit yields exactly one empty line")
+      assert(got(id).getAs[Long]("n_removed_lines") == 0L)
+      assert(!got(id).getAs[Boolean]("pass"),
+        "empty page: removed_char_frac is NULL -> fails the gate")
+    }
+    assert(got(3L).getAs[Long]("n_lines") == 2L && got(3L).getAs[Boolean]("pass"))
+  }
+
   test("refinedweb apply: blank lines are structural — paragraph breaks survive cleaning") {
     import spark.implicits._
     // the review-found footgun: a '<= 1 word' single-word rule also
