@@ -417,16 +417,25 @@ object Cleaning {
         sum((col("pos") * (lit(2L) * col("cumneg") + col("neg"))).cast(dec38))
           .as("u2"),
         sum("pos").as("n_pos"), sum("neg").as("n_neg"))
+    // a degenerate classifier (no positive predictions) or a one-class
+    // corpus zeroes a denominator: precision/recall/F1/AUC are
+    // UNDEFINED there, and nullif on BOTH engines reports them as NULL
+    // instead of diverging (Spark x/0 = NULL vs DuckDB NaN — the D3
+    // audit class). The standard sklearn convention differs (0.0 with
+    // a warning) but cross-engine agreement is the contract here.
     cm.crossJoin(broadcast(auc)).select(
       col("tp"), col("fp"), col("fn"), col("tn"),
-      (col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).as("prec"),
-      (col("tp").cast("double") / (col("tp") + col("fn")).cast("double")).as("rec"),
+      (col("tp").cast("double") /
+        nullif((col("tp") + col("fp")).cast("double"), lit(0.0))).as("prec"),
+      (col("tp").cast("double") /
+        nullif((col("tp") + col("fn")).cast("double"), lit(0.0))).as("rec"),
       (lit(2.0) * col("tp").cast("double") /
-        (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")).as("f1"),
+        nullif((lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"),
+          lit(0.0))).as("f1"),
       col("n_pos"), col("n_neg"),
       (col("u2").cast("double") /
-        (lit(2L).cast(dec38) * col("n_pos").cast(dec38) * col("n_neg").cast(dec38))
-          .cast("double")).as("auc"))
+        nullif((lit(2L).cast(dec38) * col("n_pos").cast(dec38) *
+          col("n_neg").cast(dec38)).cast("double"), lit(0.0))).as("auc"))
   }
 
   // ---- corpus-LM surprisal scoring -------------------------------------
@@ -1042,9 +1051,14 @@ object Cleaning {
       sum(col("c1")).over(w).as("cum1"),
       sum(col("c2")).over(w).as("cum2"))
       .crossJoin(broadcast(tot))
+      // a one-language corpus empties one sample (n1 or n2 = 0): the
+      // KS statistic is undefined — nullif on BOTH engines (the D3
+      // audit class) nulls it instead of diverging NULL-vs-NaN.
       .select(col("bucket").as("ks_at_bucket"), col("n1"), col("n2"),
-        abs(col("cum1").cast("double") / col("n1").cast("double") -
-          col("cum2").cast("double") / col("n2").cast("double")).as("ks_stat"))
+        abs(col("cum1").cast("double") /
+          nullif(col("n1").cast("double"), lit(0.0)) -
+          col("cum2").cast("double") /
+            nullif(col("n2").cast("double"), lit(0.0))).as("ks_stat"))
       .orderBy(col("ks_stat").desc, col("ks_at_bucket"))
       .limit(1)
   }
@@ -1210,8 +1224,8 @@ object Cleaning {
           |         CAST(sum(CAST(lang <> 'en' AS BIGINT)) AS BIGINT) AS n2
           |  FROM documents)
           |SELECT bucket AS ks_at_bucket, n1, n2,
-          |       abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
-          |           CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS ks_stat
+          |       abs(CAST(cum1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0) -
+          |           CAST(cum2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0)) AS ks_stat
           |FROM c, t
           |ORDER BY ks_stat DESC, ks_at_bucket LIMIT 1""".stripMargin)),
     GraftQuery("q_mann_whitney",
@@ -1640,11 +1654,11 @@ object Cleaning {
            |             CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg
            |      FROM cn)
            |SELECT tp, fp, fn, tn,
-           |       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec,
-           |       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS rec,
-           |       2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1,
+           |       CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0) AS prec,
+           |       CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0) AS rec,
+           |       2.0 * CAST(tp AS DOUBLE) / nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0.0) AS f1,
            |       n_pos, n_neg,
-           |       CAST(u2 AS DOUBLE) / CAST(2 * CAST(n_pos AS HUGEINT) * CAST(n_neg AS HUGEINT) AS DOUBLE) AS auc
+           |       CAST(u2 AS DOUBLE) / nullif(CAST(2 * CAST(n_pos AS HUGEINT) * CAST(n_neg AS HUGEINT) AS DOUBLE), 0.0) AS auc
            |FROM cm, u ORDER BY tp""".stripMargin)),
     GraftQuery("q_mad", "per-language median absolute deviation (robust outlier scale)",
       madStats,

@@ -261,7 +261,12 @@ object RevenueOps {
     val p = col("successes").cast("double") / n
     val denom = lit(1.0) + z * z / n
     val center = p + z * z / (lit(2.0) * n)
-    val half = z * sqrt(p * (lit(1.0) - p) / n + z * z / (lit(4.0) * n * n))
+    // p = s/n ≤ 1 exactly (correctly-rounded division of s ≤ n), so
+    // the argument is provably ≥ 0 — greatest(·, 0) is a numeric no-op
+    // that makes the D4 audit's non-negativity structural. Mirrored in
+    // the oracle so the expression trees stay identical.
+    val half = z * sqrt(greatest(
+      p * (lit(1.0) - p) / n + z * z / (lit(4.0) * n * n), lit(0.0)))
     agg.select(col("event_type"), col("n"), col("successes"),
         p.as("p"),
         ((center - half) / denom).as("ci_lo"),
@@ -305,8 +310,14 @@ object RevenueOps {
           lit(0.0), (acc, x) => acc + x.getField("term"))
           .cast(DecimalType(18, 8)).cast("double").as("chi2"))
       .select(col("n"), col("n_rows"), col("n_cols"), col("chi2"),
-        sqrt(col("chi2") / (col("n").cast("double") *
-          (least(col("n_rows"), col("n_cols")) - lit(1L)).cast("double")))
+        // a single-category table (min(r, c) = 1) zeroes the V
+        // denominator — a legal degenerate input. nullif on BOTH
+        // engines (Spark x/0 = NULL vs DuckDB NaN — the D3 audit
+        // class); greatest is a numeric no-op (chi2 ≥ 0) that makes
+        // the sqrt domain structural for the D4 audit.
+        sqrt(greatest(col("chi2") / nullif(col("n").cast("double") *
+          (least(col("n_rows"), col("n_cols")) - lit(1L)).cast("double"),
+          lit(0.0)), lit(0.0)))
           .as("cramers_v"))
   }
 
@@ -533,7 +544,7 @@ object RevenueOps {
           |        row_number() OVER (ORDER BY r DESC, cc DESC) AS rn
           |      FROM terms)
           |SELECT n, CAST(nr AS BIGINT) AS n_rows, CAST(nc AS BIGINT) AS n_cols, chi2,
-          |       sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE))) AS cramers_v
+          |       sqrt(greatest(chi2 / nullif(CAST(n AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE), 0.0), 0.0)) AS cramers_v
           |FROM c WHERE rn = 1 ORDER BY n""".stripMargin)),
     GraftQuery("q_decile_report",
       "Lorenz-style spend-decile concentration: customers bucketed by nine exact decile cuts, revenue shares",
@@ -600,10 +611,10 @@ object RevenueOps {
           |  FROM a)
           |SELECT event_type, n, successes, p,
           |       (p + z * z / (2.0 * nd) -
-          |        z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))) /
+          |        z * sqrt(greatest(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd), 0.0))) /
           |       (1.0 + z * z / nd) AS ci_lo,
           |       (p + z * z / (2.0 * nd) +
-          |        z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))) /
+          |        z * sqrt(greatest(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd), 0.0))) /
           |       (1.0 + z * z / nd) AS ci_hi
           |FROM d ORDER BY event_type""".stripMargin)),
   )

@@ -109,7 +109,11 @@ object TimeSeries {
         sum(col("d").cast(dec38) * col("d2").cast(dec38)).as("num"))
       .crossJoin(broadcast(den))
       .select(col("lag").cast("long").as("lag"), col("n_pairs"),
-        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+        // den = Σd² is 0 for an all-constant daily series — a real
+        // (if degenerate) input. Spark x/0 is NULL, DuckDB is NaN, so
+        // nullif on BOTH engines keeps the gate exact (D3 audit).
+        (col("num").cast("double") /
+          nullif(col("den").cast("double"), lit(0.0))).as("acf"))
       .orderBy("lag")
   }
 
@@ -142,9 +146,16 @@ object TimeSeries {
         sum(col("d").cast(dec38) * col("d2").cast(dec38)).as("num"))
       .crossJoin(broadcast(den))
       .select(col("lag"), col("n"),
-        ((col("num").cast("double") / col("den").cast("double")) *
-          (col("num").cast("double") / col("den").cast("double")) /
-          (col("n") - col("lag")).cast("double")).as("term"))
+        // den = 0 for an all-constant series (nullif both engines —
+        // D3 audit); n − lag ≥ 1 whenever the lag group exists (a pair
+        // needs day span > lag) but the same nullif keeps the
+        // degenerate algebra engine-identical for free.
+        ((col("num").cast("double") /
+          nullif(col("den").cast("double"), lit(0.0))) *
+          (col("num").cast("double") /
+            nullif(col("den").cast("double"), lit(0.0))) /
+          nullif((col("n") - col("lag")).cast("double"), lit(0.0)))
+          .as("term"))
     // chi2(7) 95th percentile = 14.067140 (plan literal)
     terms
       .agg(first(col("n")).as("n"),
@@ -582,7 +593,7 @@ object TimeSeries {
            |  SELECT lag, count(*) AS n_pairs,
            |         sum(CAST(d1 AS HUGEINT) * CAST(d2 AS HUGEINT)) AS num
            |  FROM pairs GROUP BY lag)
-           |SELECT lag, n_pairs, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+           |SELECT lag, n_pairs, CAST(num AS DOUBLE) / nullif(CAST(den AS DOUBLE), 0.0) AS acf
            |FROM nums, den ORDER BY lag""".stripMargin)),
     GraftQuery("q_ljung_box",
       "Ljung-Box white-noise portmanteau test at h=7 over daily revenue (ordered term fold, chi2 flag)",
@@ -603,9 +614,9 @@ object TimeSeries {
            |  FROM pairs GROUP BY lag),
            |terms AS (
            |  SELECT lag, n,
-           |         (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) *
-           |         (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) /
-           |         CAST(n - lag AS DOUBLE) AS term
+           |         (CAST(num AS DOUBLE) / nullif(CAST(den AS DOUBLE), 0.0)) *
+           |         (CAST(num AS DOUBLE) / nullif(CAST(den AS DOUBLE), 0.0)) /
+           |         nullif(CAST(n - lag AS DOUBLE), 0.0) AS term
            |  FROM nums, den),
            |c AS (
            |  SELECT n,

@@ -125,8 +125,11 @@ object WebOps {
         regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
         length(col("html")).as("raw_len"),
         length(col("clean")).as("clean_len"),
+        // an empty payload yields length(html) = 0: nullif on BOTH
+        // engines (Spark x/0 = NULL vs DuckDB NaN — the D3 audit class)
         (length(col("clean")).cast("double") /
-          length(col("html")).cast("double")).as("kept_ratio"),
+          nullif(length(col("html")).cast("double"), lit(0.0)))
+          .as("kept_ratio"),
         substring(col("clean"), 1, 40).as("clean_prefix"))
       .orderBy("doc_id")
   }
@@ -431,7 +434,7 @@ object WebOps {
            |       regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
            |       CAST(length(html) AS INT) AS raw_len,
            |       CAST(length(clean) AS INT) AS clean_len,
-           |       CAST(length(clean) AS DOUBLE) / CAST(length(html) AS DOUBLE) AS kept_ratio,
+           |       CAST(length(clean) AS DOUBLE) / nullif(CAST(length(html) AS DOUBLE), 0.0) AS kept_ratio,
            |       substring(clean, 1, 40) AS clean_prefix
            |FROM c ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_anchor_text",

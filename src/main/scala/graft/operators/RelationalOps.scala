@@ -626,11 +626,17 @@ object RelationalOps {
       .select(
         col("l_returnflag"), col("n"), col("sum_q"),
         (col("sum_q").cast("double") / col("n").cast("double")).as("mean_q"),
-        sqrt(((col("n") * col("sumsq_q") -
+        // n·Σq² − (Σq)² ≥ 0 exactly (decimal arithmetic, Cauchy-Schwarz)
+        // but the n(n−1) denominator is 0 for a single-row group:
+        // Spark x/0 is NULL while DuckDB is NaN (the D3 audit class) —
+        // nullif on BOTH engines makes the degenerate group null-agree.
+        // greatest(·, 0) is a semantic no-op that lets the D4 audit
+        // prove the sqrt argument non-negative.
+        sqrt(greatest(((col("n") * col("sumsq_q") -
           col("sum_q").cast("decimal(38,0)") * col("sum_q"))
           .cast("double")) /
-          ((col("n").cast("decimal(38,0)") * (col("n") - 1))
-            .cast("double"))).as("stddev_q"))
+          nullif((col("n").cast("decimal(38,0)") * (col("n") - 1))
+            .cast("double"), lit(0.0)), lit(0.0))).as("stddev_q"))
       .orderBy("l_returnflag")
 
   /** J+: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — NULL
@@ -736,8 +742,14 @@ object RelationalOps {
       .select(
         col("l_returnflag"), col("n"),
         ((n * sxy - sx * sy) / (n * n)).as("covar_pop"),
+        // a group with constant x (or y) zeroes its variance term —
+        // and double rounding can push the exact-zero slightly
+        // negative. greatest pins the sqrt domain; nullif makes the
+        // zero-variance group NULL on both engines (Spark x/0 = NULL
+        // vs DuckDB NaN otherwise — the D3/D4 audit class).
         ((n * sxy - sx * sy) /
-          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+          nullif(sqrt(greatest(n * sxx - sx * sx, lit(0.0))) *
+            sqrt(greatest(n * syy - sy * sy, lit(0.0))), lit(0.0)))
           .as("corr_xy"))
       .orderBy("l_returnflag")
   }
@@ -757,7 +769,9 @@ object RelationalOps {
       col("sx").cast("double"), col("sy").cast("double"))
     val (sxx, syy, sxy) = (col("sxx").cast("double"),
       col("syy").cast("double"), col("sxy").cast("double"))
-    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    // constant-x groups zero the slope denominator: nullif on both
+    // engines (Spark x/0 = NULL vs DuckDB NaN — the D3 audit class)
+    val slope = (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, lit(0.0))
     t(s, dir, "lineitem")
       .select(col("l_returnflag"),
         col("l_quantity").cast("long").as("x"),
@@ -776,7 +790,8 @@ object RelationalOps {
         slope.as("slope"),
         ((sy - slope * sx) / n).as("intercept"),
         (((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-          ((n * sxx - sx * sx) * (n * syy - sy * sy))).as("r2"))
+          nullif((n * sxx - sx * sx) * (n * syy - sy * sy), lit(0.0)))
+          .as("r2"))
       .orderBy("l_returnflag")
   }
 
@@ -809,8 +824,13 @@ object RelationalOps {
         sum(col("x").cast("decimal(38,0)") * col("x") * col("x") * col("x"))
           .as("s4"))
       .select(col("l_returnflag"), col("n"),
-        (m3 / (sqrt(m2) * m2)).as("skew_pop"),
-        (m4 / (m2 * m2) - lit(3.0)).as("kurt_excess"))
+        // constant-x groups have m2 = 0 (and rounding can push the
+        // double formula a hair negative): greatest pins the sqrt
+        // domain, nullif makes the degenerate group NULL on both
+        // engines (the D3/D4 audit class).
+        (m3 / nullif(sqrt(greatest(m2, lit(0.0))) * m2, lit(0.0)))
+          .as("skew_pop"),
+        (m4 / nullif(m2 * m2, lit(0.0)) - lit(3.0)).as("kurt_excess"))
       .orderBy("l_returnflag")
   }
 
@@ -1390,8 +1410,8 @@ object RelationalOps {
           |       count(*) AS n,
           |       CAST(sum(q) AS BIGINT) AS sum_q,
           |       CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*) AS mean_q,
-          |       sqrt(CAST(count(*) * CAST(sum(q*q) AS BIGINT) - CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT) AS DOUBLE)
-          |            / (count(*) * (count(*) - 1))) AS stddev_q
+          |       sqrt(greatest(CAST(count(*) * CAST(sum(q*q) AS BIGINT) - CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT) AS DOUBLE)
+          |            / nullif(CAST(count(*) * (count(*) - 1) AS DOUBLE), 0.0), 0.0)) AS stddev_q
           |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     GraftQuery("q_null_safe_join", "null-safe equality join: NULL keys match (IS NOT DISTINCT FROM)",
@@ -1472,7 +1492,7 @@ object RelationalOps {
           |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
           |       (n * sxy - sx * sy) / (n * n) AS covar_pop,
           |       (n * sxy - sx * sy)
-          |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+          |         / nullif(sqrt(greatest(n * sxx - sx * sx, 0.0)) * sqrt(greatest(n * syy - sy * sy, 0.0)), 0.0) AS corr_xy
           |FROM m ORDER BY l_returnflag""".stripMargin)),
     GraftQuery("q_linreg", "per-group closed-form OLS (slope/intercept/r2) from exact integer moments",
       linReg,
@@ -1490,10 +1510,10 @@ object RelationalOps {
           |               CAST(floor(l_extendedprice) AS BIGINT) AS y FROM lineitem)
           |  GROUP BY l_returnflag)
           |SELECT l_returnflag, n_out AS n,
-          |       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-          |       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+          |       (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS slope,
+          |       (sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) * sx) / n AS intercept,
           |       ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-          |         ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+          |         nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0) AS r2
           |FROM m ORDER BY l_returnflag""".stripMargin)),
     GraftQuery("q_skew_kurt", "population skewness + excess kurtosis from exact integer moments",
       skewKurt,
@@ -1514,8 +1534,8 @@ object RelationalOps {
           |              s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n) - 3.0 * mu * mu * mu * mu AS m4
           |       FROM c)
           |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-          |       m3 / (sqrt(m2) * m2) AS skew_pop,
-          |       m4 / (m2 * m2) - 3.0 AS kurt_excess
+          |       m3 / nullif(sqrt(greatest(m2, 0.0)) * m2, 0.0) AS skew_pop,
+          |       m4 / nullif(m2 * m2, 0.0) - 3.0 AS kurt_excess
           |FROM cm ORDER BY l_returnflag""".stripMargin)),
     GraftQuery("q_str_to_map", "str_to_map config-string parse + key lookups",
       strToMap,

@@ -1419,13 +1419,21 @@ object EventOps {
       sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
       sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_a"),
       sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_b"))
-    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val (na0, nb0) = (col("n_a").cast("double"), col("n_b").cast("double"))
     val (ca, cb) = (col("conv_a").cast("double"), col("conv_b").cast("double"))
-    val pPool = (ca + cb) / (na + nb)
+    // an empty arm (the hash put every user on one side of a tiny
+    // corpus) or a 0%/100% pooled rate zeroes a denominator: nullif on
+    // BOTH engines (Spark x/0 = NULL vs DuckDB NaN — the D3 audit
+    // class); greatest is a numeric no-op (p ≤ 1 exactly) that makes
+    // the sqrt domain structural for the D4 audit.
+    val na = nullif(na0, lit(0.0)); val nb = nullif(nb0, lit(0.0))
+    val pPool = (ca + cb) / nullif(na0 + nb0, lit(0.0))
     s.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
       (ca / na).as("p_a"), (cb / nb).as("p_b"),
       ((ca / na - cb / nb) /
-        sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / na + lit(1.0) / nb)))
+        nullif(sqrt(greatest(
+          pPool * (lit(1.0) - pPool) * (lit(1.0) / na + lit(1.0) / nb),
+          lit(0.0))), lit(0.0)))
         .as("z"))
   }
 
@@ -1539,12 +1547,12 @@ object EventOps {
           |         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
           |  FROM u)
           |SELECT n_a, n_b, conv_a, conv_b,
-          |       CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
-          |       CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
-          |       (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
-          |       sqrt((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
-          |            (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) *
-          |            (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
+          |       CAST(conv_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0) AS p_a,
+          |       CAST(conv_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0) AS p_b,
+          |       (CAST(conv_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0) - CAST(conv_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0)) /
+          |       nullif(sqrt(greatest((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / nullif(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE), 0.0) *
+          |            (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / nullif(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE), 0.0)) *
+          |            (1.0 / nullif(CAST(n_a AS DOUBLE), 0.0) + 1.0 / nullif(CAST(n_b AS DOUBLE), 0.0)), 0.0)), 0.0) AS z
           |FROM s ORDER BY n_a""".stripMargin)),
     GraftQuery("q_funnel", "strictly-ordered view->click->purchase funnel: earliest-completion reach counts + step conversion rates",
       funnel,

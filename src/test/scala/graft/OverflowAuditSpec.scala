@@ -1,10 +1,11 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Log, Log1p, Log2, Log10, Logarithm, Multiply}
-import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, And, ArrayAggregate, AttributeReference, CaseWhen, Cast, Ceil, Coalesce, CreateMap, DenseRank, Divide, ElementAt, ExprId, Expression, Floor, Greatest, If, IntegralDivide, Lag, LambdaFunction, Lead, Length, Literal, Log, Log1p, Log2, Log10, Logarithm, Multiply, NamedLambdaVariable, NTile, NullIf, Pow, Rank, RowNumber, Size, Sqrt, StringSplit, SubqueryExpression, Subtract, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, CentralMomentAgg, Count, First, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{Decimal, LongType}
 
 import graft.engine.GraftSession
 
@@ -111,6 +112,541 @@ class OverflowAuditSpec extends SparkTestBase {
     assert(audit(widened).isEmpty, "the decimal bridge must NOT trip D1")
   }
 
+  // ---- D3/D4: unguarded divide / sqrt (the r8 mannWhitney class) ------
+  //
+  // A denominator that can be ZERO yields Infinity/NaN with ANSI off
+  // (the session default) while DuckDB may error or return NULL —
+  // another silent cross-engine divergence class, found by hand in r8
+  // (mannWhitney's U-variance) and mechanized here per the r10 verdict.
+  // The walk resolves attributes through every Alias in the plan (a
+  // Divide in a Project above an Aggregate sees what its denominator
+  // attribute really is), then structurally proves each denominator
+  // non-zero / each sqrt argument non-negative with a small
+  // positive/non-negative/non-zero lattice:
+  //
+  //   pos  (null or > 0):  positive literal; count(non-nullable) in a
+  //        GROUPED aggregate (an emitted group has ≥ 1 row) or over a
+  //        window frame (includes the current row); rank/row_number/
+  //        ntile; size(split(s)) (split always yields ≥ 1 element);
+  //        pos + nonneg; pos · pos; pos / pos; sum/min/max/avg/first of
+  //        a pos argument; greatest(_, posLit); CASE/IF/coalesce with
+  //        all-pos branches.
+  //   nonneg (null or ≥ 0): pos; literal ≥ 0; abs; x·x; pow(x, 2);
+  //        sqrt; count/size/length; central moments (variance ≥ 0);
+  //        max(x) − min(x) over the same x; floor/ceil/round of nonneg;
+  //        nonneg {+,·,/} nonneg; sum/min/max/avg/first of nonneg;
+  //        greatest(_, lit ≥ 0); CASE/IF/coalesce all-nonneg.
+  //   nonzero (null or ≠ 0): pos; non-zero literal; nullif(x, 0);
+  //        nonzero · nonzero; CASE/IF/coalesce whose value branches are
+  //        all null-or-nonzero.
+  //
+  // A division/sqrt inside a CASE/IF branch is additionally considered
+  // guarded when the branch PREDICATE references an attribute of the
+  // denominator/argument subtree (the `when(varr > 0, x / sqrt(varr))`
+  // idiom). Anything else must be guarded at the use site or
+  // allowlisted below with a written domain bound.
+
+  /** Alias definitions across the whole plan (subqueries included),
+    * each tagged with whether it was defined by a GROUPED aggregate
+    * (count there is ≥ 1 per emitted group; a global aggregate over an
+    * empty relation yields count = 0).
+    */
+  private def collectDefs(plan: LogicalPlan,
+      m: scala.collection.mutable.Map[ExprId, (Expression, Boolean)]): Unit =
+    plan.foreach { node =>
+      val grouped = node match {
+        case a: Aggregate => a.groupingExpressions.nonEmpty
+        case _ => false
+      }
+      node.expressions.foreach(_.foreach {
+        case al: Alias => m(al.exprId) = (al.child, grouped)
+        case sq: SubqueryExpression => collectDefs(sq.plan, m)
+        case _ => ()
+      })
+    }
+
+  private def isNullLit(e: Expression): Boolean = e match {
+    case Literal(null, _) => true
+    case c: Cast => isNullLit(c.child)
+    case _ => false
+  }
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case al: Alias => stripCast(al.child)
+    case other => other
+  }
+  private def nullAgreeingMean(d: Divide): Boolean =
+    (stripCast(d.left), stripCast(d.right)) match {
+      case (l: AggregateExpression, r: AggregateExpression) =>
+        (l.aggregateFunction match {
+          case _: Sum | _: Average | _: Min | _: Max | _: First => true
+          case _ => false
+        }) && r.aggregateFunction.isInstanceOf[Count]
+      case _ => false
+    }
+  private def litNum(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case s: Short => Some(s.toDouble)
+    case b: Byte => Some(b.toDouble)
+    case d: Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  /** Structural value-domain prover over one plan's alias definitions. */
+  private class DomainProver(defs: Map[ExprId, (Expression, Boolean)]) {
+
+    private def viaAttr(e: AttributeReference, seen: Set[ExprId],
+        check: (Expression, Boolean, Set[ExprId]) => Boolean): Boolean =
+      !seen(e.exprId) && defs.get(e.exprId).exists { case (d, g) =>
+        check(d, g, seen + e.exprId) }
+
+    /** null or > 0 */
+    def pos(e: Expression, grouped: Boolean, seen: Set[ExprId] = Set.empty): Boolean = e match {
+      case Literal(v, _) => v == null || litNum(v).exists(_ > 0.0)
+      case a: AttributeReference => viaAttr(a, seen, pos)
+      case al: Alias => pos(al.child, grouped, seen)
+      case c: Cast => pos(c.child, grouped, seen)
+      case g: Greatest => g.children.exists {
+        case Literal(v, _) => litNum(v).exists(_ > 0.0)
+        case _ => false
+      }
+      case a: Add =>
+        (pos(a.left, grouped, seen) && nonNeg(a.right, grouped, seen)) ||
+          (nonNeg(a.left, grouped, seen) && pos(a.right, grouped, seen))
+      case m: Multiply =>
+        pos(m.left, grouped, seen) && pos(m.right, grouped, seen)
+      case d: Divide =>
+        pos(d.left, grouped, seen) && pos(d.right, grouped, seen)
+      // split always yields ≥ 1 element (resolved through aliases)
+      case s: Size => headOf(s.child, seen).isInstanceOf[StringSplit]
+      // element_at over a literal map with all-positive values
+      case ea: ElementAt => headOf(ea.left, seen) match {
+        case cm: CreateMap => cm.children.grouped(2).forall {
+          case Seq(_, Literal(v, _)) => litNum(v).exists(_ > 0.0)
+          case _ => false
+        }
+        case _ => false
+      }
+      case l: Lag =>
+        pos(l.input, grouped, seen) &&
+          (isNullLit(l.default) || pos(l.default, grouped, seen))
+      case l: Lead =>
+        pos(l.input, grouped, seen) &&
+          (isNullLit(l.default) || pos(l.default, grouped, seen))
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case c: Count => grouped && c.children.forall(!_.nullable)
+        case s: Sum => pos(s.child, grouped, seen)
+        case m: Min => pos(m.child, grouped, seen)
+        case m: Max => pos(m.child, grouped, seen)
+        case f: First => pos(f.child, grouped, seen)
+        case a: Average => pos(a.child, grouped, seen)
+        case _ => false
+      }
+      case we: WindowExpression => we.windowFunction match {
+        case ae: AggregateExpression => ae.aggregateFunction match {
+          // the default/explicit frames in this repo include the
+          // current row, so a window count over it is ≥ 1
+          case c: Count => c.children.forall(!_.nullable)
+          case s: Sum => pos(s.child, grouped, seen)
+          case m: Min => pos(m.child, grouped, seen)
+          case m: Max => pos(m.child, grouped, seen)
+          case f: First => pos(f.child, grouped, seen)
+          case a: Average => pos(a.child, grouped, seen)
+          case _ => false
+        }
+        case _: RowNumber | _: Rank | _: DenseRank | _: NTile => true
+        case other => pos(other, grouped, seen) // Lag/Lead etc.
+      }
+      case i: If =>
+        Seq(i.trueValue, i.falseValue).forall(b =>
+          isNullLit(b) || pos(b, grouped, seen))
+      case cw: CaseWhen =>
+        (cw.branches.map(_._2) ++ cw.elseValue).forall(b =>
+          isNullLit(b) || pos(b, grouped, seen))
+      case co: Coalesce => co.children.forall(c =>
+        isNullLit(c) || pos(c, grouped, seen))
+      case _ => false
+    }
+
+    /** strip Alias/Cast and follow single-attr chains (for shape
+      * matches like max(x) − min(x) whose operands are attributes) */
+    private def headOf(e: Expression, seen: Set[ExprId]): Expression = e match {
+      case al: Alias => headOf(al.child, seen)
+      case c: Cast => headOf(c.child, seen)
+      case a: AttributeReference if !seen(a.exprId) && defs.contains(a.exprId) =>
+        headOf(defs(a.exprId)._1, seen + a.exprId)
+      case other => other
+    }
+    private def aggFn(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => Some(ae.aggregateFunction)
+      case we: WindowExpression => we.windowFunction match {
+        case ae: AggregateExpression => Some(ae.aggregateFunction)
+        case _ => None
+      }
+      case _ => None
+    }
+
+    /** null or ≥ 0 */
+    def nonNeg(e: Expression, grouped: Boolean, seen: Set[ExprId] = Set.empty): Boolean = e match {
+      case _ if pos(e, grouped, seen) => true
+      case Literal(v, _) => v == null || litNum(v).exists(_ >= 0.0)
+      case a: AttributeReference => viaAttr(a, seen, nonNeg)
+      case al: Alias => nonNeg(al.child, grouped, seen)
+      case c: Cast => nonNeg(c.child, grouped, seen)
+      case g: Greatest => g.children.exists {
+        case Literal(v, _) => litNum(v).exists(_ >= 0.0)
+        case _ => false
+      }
+      case _: Abs | _: Size | _: Length | _: Sqrt => true
+      case m: Multiply if m.left.semanticEquals(m.right) => true
+      case p: Pow => p.right match {
+        case Literal(v, _) => litNum(v).contains(2.0)
+        case _ => false
+      }
+      case s: Subtract => // max(x) − min(x) over the same x
+        (aggFn(headOf(s.left, seen)), aggFn(headOf(s.right, seen))) match {
+          case (Some(mx: Max), Some(mn: Min)) => mx.child.semanticEquals(mn.child)
+          case _ => false
+        }
+      case a: Add =>
+        nonNeg(a.left, grouped, seen) && nonNeg(a.right, grouped, seen)
+      case m: Multiply =>
+        nonNeg(m.left, grouped, seen) && nonNeg(m.right, grouped, seen)
+      case d: Divide =>
+        nonNeg(d.left, grouped, seen) && nonNeg(d.right, grouped, seen)
+      case f: Floor => nonNeg(f.child, grouped, seen)
+      case c: Ceil => nonNeg(c.child, grouped, seen)
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case _: Count => true
+        case _: CentralMomentAgg => true // m2-based: variance/stddev ≥ 0
+        case s: Sum => nonNeg(s.child, grouped, seen)
+        case m: Min => nonNeg(m.child, grouped, seen)
+        case m: Max => nonNeg(m.child, grouped, seen)
+        case f: First => nonNeg(f.child, grouped, seen)
+        case a: Average => nonNeg(a.child, grouped, seen)
+        case _ => false
+      }
+      case we: WindowExpression => we.windowFunction match {
+        case ae: AggregateExpression => nonNeg(ae, grouped, seen)
+        case _: RowNumber | _: Rank | _: DenseRank | _: NTile => true
+        case other => nonNeg(other, grouped, seen) // Lag/Lead etc.
+      }
+      case l: Lag =>
+        nonNeg(l.input, grouped, seen) &&
+          (isNullLit(l.default) || nonNeg(l.default, grouped, seen))
+      case l: Lead =>
+        nonNeg(l.input, grouped, seen) &&
+          (isNullLit(l.default) || nonNeg(l.default, grouped, seen))
+      // fold accumulating non-negative increments from a non-negative
+      // zero with an identity finisher: Σ x², Σ |x| over an array
+      case aa: ArrayAggregate =>
+        nonNeg(aa.zero, grouped, seen) && (aa.merge match {
+          case LambdaFunction(add: Add, _, _) =>
+            (add.left.isInstanceOf[NamedLambdaVariable] &&
+              nonNeg(add.right, grouped, seen)) ||
+              (add.right.isInstanceOf[NamedLambdaVariable] &&
+                nonNeg(add.left, grouped, seen))
+          case _ => false
+        }) && (aa.finish match {
+          case LambdaFunction(_: NamedLambdaVariable, _, _) => true
+          case _ => false
+        })
+      case i: If =>
+        Seq(i.trueValue, i.falseValue).forall(b =>
+          isNullLit(b) || nonNeg(b, grouped, seen))
+      case cw: CaseWhen =>
+        (cw.branches.map(_._2) ++ cw.elseValue).forall(b =>
+          isNullLit(b) || nonNeg(b, grouped, seen))
+      case co: Coalesce => co.children.forall(c =>
+        isNullLit(c) || nonNeg(c, grouped, seen))
+      case _ => false
+    }
+
+    /** expressions a predicate proves ≠ 0 when it holds: NOT(w = 0),
+      * w ≠ 0 via Not(EqualTo), w > 0, w < 0, 0 < w, 0 > w, conjunctions */
+    private def nonZeroWitnesses(p: Expression): Seq[Expression] = p match {
+      case org.apache.spark.sql.catalyst.expressions.Not(
+          org.apache.spark.sql.catalyst.expressions.EqualTo(a, b)) =>
+        (a, b) match {
+          case (Literal(v, _), w) if litNum(v).contains(0.0) => Seq(w)
+          case (w, Literal(v, _)) if litNum(v).contains(0.0) => Seq(w)
+          case _ => Nil
+        }
+      case org.apache.spark.sql.catalyst.expressions.GreaterThan(w, Literal(v, _))
+          if litNum(v).exists(_ >= 0.0) => Seq(w)
+      case org.apache.spark.sql.catalyst.expressions.LessThan(Literal(v, _), w)
+          if litNum(v).exists(_ >= 0.0) => Seq(w)
+      case org.apache.spark.sql.catalyst.expressions.LessThan(w, Literal(v, _))
+          if litNum(v).exists(_ <= 0.0) => Seq(w)
+      case org.apache.spark.sql.catalyst.expressions.GreaterThan(Literal(v, _), w)
+          if litNum(v).exists(_ <= 0.0) => Seq(w)
+      case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+        nonZeroWitnesses(a) ++ nonZeroWitnesses(b)
+      case _ => Nil
+    }
+
+    /** null or ≠ 0. `witnesses`: expressions an enclosing predicate
+      * already proves non-zero (the hand-written
+      * `CASE WHEN d <> 0 THEN x / d END` guard shape). */
+    def nonZero(e: Expression, grouped: Boolean, seen: Set[ExprId] = Set.empty,
+        witnesses: Seq[Expression] = Nil): Boolean = e match {
+      case _ if witnesses.exists(_.semanticEquals(e)) => true
+      case _ if pos(e, grouped, seen) => true
+      case Literal(v, _) => v == null || litNum(v).exists(_ != 0.0)
+      case a: AttributeReference => !seen(a.exprId) &&
+        defs.get(a.exprId).exists { case (d, g) =>
+          nonZero(d, g, seen + a.exprId, witnesses) }
+      case al: Alias => nonZero(al.child, grouped, seen, witnesses)
+      case c: Cast => nonZero(c.child, grouped, seen, witnesses)
+      case n: NullIf => n.right match { // nullif(x, 0): null or non-zero
+        case Literal(v, _) => litNum(v).contains(0.0)
+        case _ => false
+      }
+      case m: Multiply =>
+        nonZero(m.left, grouped, seen, witnesses) &&
+          nonZero(m.right, grouped, seen, witnesses)
+      case i: If =>
+        (isNullLit(i.trueValue) || nonZero(i.trueValue, grouped, seen,
+          witnesses ++ nonZeroWitnesses(i.predicate))) &&
+          (isNullLit(i.falseValue) ||
+            nonZero(i.falseValue, grouped, seen, witnesses))
+      case cw: CaseWhen =>
+        cw.branches.forall { case (p, v) =>
+          isNullLit(v) || nonZero(v, grouped, seen,
+            witnesses ++ nonZeroWitnesses(p))
+        } && cw.elseValue.forall(b =>
+          isNullLit(b) || nonZero(b, grouped, seen, witnesses))
+      case co: Coalesce => co.children.forall(c =>
+        isNullLit(c) || nonZero(c, grouped, seen, witnesses))
+      case _ => false
+    }
+
+    /** attribute closure of `e` (its refs plus the refs of their
+      * definitions, transitively) — used to match branch predicates
+      * against denominator subtrees across alias boundaries */
+    def deepRefs(e: Expression, depth: Int = 6): Set[ExprId] = {
+      val out = scala.collection.mutable.Set[ExprId]()
+      def go(x: Expression, d: Int): Unit =
+        x.references.foreach { a =>
+          if (!out(a.exprId)) {
+            out += a.exprId
+            if (d > 0) defs.get(a.exprId).foreach(p => go(p._1, d - 1))
+          }
+        }
+      go(e, depth)
+      out.toSet
+    }
+  }
+
+  /** All D3/D4 hits in one query's analyzed plan. */
+  private def auditDivSqrt(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.analyzed
+    val defsM = scala.collection.mutable.Map[ExprId, (Expression, Boolean)]()
+    collectDefs(plan, defsM)
+    val prover = new DomainProver(defsM.toMap)
+    val hits = scala.collection.mutable.LinkedHashSet[String]()
+    // plan-level Filter/Join predicates also guard (the
+    // `.where(col("n_docs") > 0)` annihilation-guard shape and
+    // HAVING-style guards) — collected once for the whole plan
+    val filterGuards: List[Expression] = {
+      val fs = scala.collection.mutable.ListBuffer[Expression]()
+      plan.foreach {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          fs += f.condition
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.condition.foreach(fs += _)
+        case _ => ()
+      }
+      fs.toList
+    }
+    // `guards`: predicates of the enclosing CASE/IF branches plus the
+    // plan's filters — a division whose denominator shares an attribute
+    // with one of them is considered author-guarded (the
+    // when(x > 0, y / x) idiom)
+    def guarded(guards: List[Expression], target: Expression): Boolean = {
+      val t = prover.deepRefs(target)
+      (guards ::: filterGuards).exists(g =>
+        prover.deepRefs(g).intersect(t).nonEmpty)
+    }
+    def walkExpr(e: Expression, guards: List[Expression], grouped: Boolean): Unit = e match {
+      case i: If =>
+        walkExpr(i.predicate, guards, grouped)
+        walkExpr(i.trueValue, i.predicate :: guards, grouped)
+        walkExpr(i.falseValue, i.predicate :: guards, grouped)
+      // SQL AND is evaluated with the left conjunct guarding the right
+      // in every author-written `d > 0 AND x / d ...` idiom
+      case a: And =>
+        walkExpr(a.left, guards, grouped)
+        walkExpr(a.right, a.left :: guards, grouped)
+      case cw: CaseWhen =>
+        cw.branches.foreach { case (p, v) =>
+          walkExpr(p, guards, grouped)
+          walkExpr(v, p :: guards, grouped)
+        }
+        cw.elseValue.foreach(v =>
+          walkExpr(v, cw.branches.map(_._1).toList ::: guards, grouped))
+      // sum(x)/count(y) written inside ONE aggregate: the denominator
+      // is 0 only on empty input, where the null-on-empty numerator
+      // already nulls the division on BOTH engines (null/0 = NULL in
+      // Spark and DuckDB alike — NaN needs a non-null numerator)
+      case d: Divide if nullAgreeingMean(d) =>
+        d.children.foreach(walkExpr(_, guards, grouped))
+      case d: Divide =>
+        if (!prover.nonZero(d.right, grouped) && !guarded(guards, d.right))
+          hits += s"unguarded-divide: ${d.sql.take(160)}"
+        d.children.foreach(walkExpr(_, guards, grouped))
+      case d: IntegralDivide =>
+        if (!prover.nonZero(d.right, grouped) && !guarded(guards, d.right))
+          hits += s"unguarded-divide: ${d.sql.take(160)}"
+        d.children.foreach(walkExpr(_, guards, grouped))
+      case s: Sqrt =>
+        if (!prover.nonNeg(s.child, grouped) && !guarded(guards, s.child))
+          hits += s"unguarded-sqrt: ${s.sql.take(160)}"
+        s.children.foreach(walkExpr(_, guards, grouped))
+      case sq: SubqueryExpression =>
+        walkPlan(sq.plan)
+        sq.children.foreach(walkExpr(_, guards, grouped))
+      case other => other.children.foreach(walkExpr(_, guards, grouped))
+    }
+    def walkPlan(p: LogicalPlan): Unit = p.foreach { node =>
+      val grouped = node match {
+        case a: Aggregate => a.groupingExpressions.nonEmpty
+        case _ => false
+      }
+      node.expressions.foreach(walkExpr(_, Nil, grouped))
+    }
+    walkPlan(plan)
+    hits.toSeq
+  }
+
+  test("a deliberately-unguarded divide and sqrt ARE flagged (D3/D4 detector works)") {
+    GraftSession.tuned(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the r8 mannWhitney shape: variance denominator that is 0 for a
+    // single-element group, sqrt of a subtraction that FP can push < 0
+    val bad = docs.groupBy("lang").agg(count(lit(1)).as("n"),
+        sum("n_chars").as("s"), sum(col("n_chars") * col("n_chars")).as("s2"))
+      .select(col("lang"),
+        (col("s") / (col("n") - 1)).as("d3"),
+        sqrt(col("s2") / col("n") - (col("s") / col("n")) * (col("s") / col("n")))
+          .as("d4"))
+    val got = auditDivSqrt(bad)
+    assert(got.exists(_.startsWith("unguarded-divide")),
+      s"the n-1 denominator must trip D3: $got")
+    assert(got.exists(_.startsWith("unguarded-sqrt")),
+      s"the raw variance sqrt must trip D4: $got")
+    // and the prescribed guards silence both
+    val guarded = docs.groupBy("lang").agg(count(lit(1)).as("n"),
+        sum("n_chars").as("s"), sum(col("n_chars") * col("n_chars")).as("s2"))
+      .select(col("lang"),
+        (col("s") / nullif(col("n") - 1, lit(0L))).as("d3"),
+        sqrt(greatest(
+          col("s2") / col("n") - (col("s") / col("n")) * (col("s") / col("n")),
+          lit(0.0))).as("d4"),
+        (col("s") / col("n")).as("count_denom_is_safe_when_grouped"))
+    assert(auditDivSqrt(guarded).isEmpty,
+      s"guards must silence D3/D4: ${auditDivSqrt(guarded)}")
+    // the branch-predicate idiom is recognized too
+    val branchGuarded = docs.groupBy("lang")
+      .agg(sum("n_chars").as("s"), count(lit(1)).as("n"))
+      .select(col("lang"),
+        when(col("s") > 0, col("n").cast("double") / col("s")).as("r"))
+    assert(auditDivSqrt(branchGuarded).isEmpty,
+      s"when(s > 0, n / s) must not be flagged: ${auditDivSqrt(branchGuarded)}")
+  }
+
+  test("registered surface: every divide denominator / sqrt argument is guarded or allowlisted") {
+    GraftSession.tuned(spark)
+    val findings = Catalog.byName.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val hits =
+          try auditDivSqrt(q.build(spark, sfDir))
+          catch { case e: Throwable => Seq(s"BUILD FAILED: ${e.getMessage}") }
+        if (hits.isEmpty || divSqrtAllowlist.contains(name)) Nil
+        else hits.map(h => s"$name  $h")
+    }
+    assert(findings.isEmpty,
+      "unguarded divides/sqrts (guard via nullif(x,0)/greatest(x,0) or " +
+        "allowlist with a domain bound):\n" + findings.mkString("\n"))
+  }
+
+  /** name → written domain bound for keys whose flagged
+    * denominators/arguments are provably safe for reasons the
+    * structural classifier cannot see. The dominant pattern is
+    * CROSS-JOIN-TOTAL: the denominator is an aggregate over the very
+    * rows the output row derives from, so an output row's existence
+    * implies the total ≥ its own positive contribution — invisible to
+    * a per-expression prover. The remainder are corpus-level
+    * degenerates (zero only for an empty / all-empty corpus, where the
+    * engines null-agree or the key's report is meaningless) and
+    * schema-contract positivity (TPC-H prices/quantities > 0).
+    */
+  private val divSqrtAllowlist: Map[String, String] = Map(
+    "q_approx_distinct_twin" -> ("denominator = exact global distinct " +
+      "count; 0 only for an empty table, where the twin ratio row is " +
+      "itself the degenerate being compared"),
+    "q_bloom_filter" -> ("n_absent_probes counts the CONSTRUCTED probe " +
+      "set (distinct planted-miss keys of a non-empty customer table); " +
+      "empty only if the table is"),
+    "q_chunk_dedup" -> ("bytes_total = physically stored corpus bytes " +
+      "(Σ chunk lengths ≥ 1 per chunk row present)"),
+    "q_payload_dedup" -> "same bound as q_chunk_dedup over payload bytes",
+    "q_cosine_profile" -> ("cross-join-total: a bucket row implies " +
+      "total ≥ 1; half_n = floor(n/2) = 0 only for a ≤ 1-vector corpus, " +
+      "which yields no verified pairs and hence no rows"),
+    "q_cusum" -> ("n is the day count cross-joined into every row — a " +
+      "row exists only when daily revenue is non-empty, so n ≥ 1"),
+    "q_seasonal_anomalies" -> ("same cross-join-total bound as q_cusum " +
+      "(s1/n, s2/n over the residual census); the z division itself is " +
+      "CASE-guarded on both engines"),
+    "q_decile_report" -> ("total_cents = Σ of o_totalprice cents; " +
+      "TPC-H prices are > 0 by schema contract, so any row present " +
+      "implies a positive total"),
+    "q_pareto_share" -> ("n_customers/total_cents: cross-join totals " +
+      "over the same per-customer rows + TPC-H price positivity"),
+    "q_ratio_to_report" -> ("cust_total = Σ positive prices over the " +
+      "customer's own rows (window total: the row contributes itself)"),
+    "q_seasonality" -> ("total_days/total_days totals cross-joined " +
+      "from the same daily relation the dow rows aggregate"),
+    "q_hits" -> ("mh/ma = max over coalesced hub/authority masses; 0 " +
+      "only for an edgeless event graph, where the scores are all-zero " +
+      "anyway and the report is vacuous"),
+    "q_interarrival" -> ("cross-join-total: a gap-days row implies " +
+      "total ≥ n_pairs ≥ 1"),
+    "q_markov_stationary" -> ("tp = the observed state's total outgoing " +
+      "transition mass — ≥ 1 for any state that appears as a source"),
+    "q_pagerank_docs" -> ("ow = Σ of weight-1 quote edges per citer, " +
+      "grouped from those same edges — ≥ 1 whenever the citer appears"),
+    "q_mom_growth" -> ("prev_cents = lag of a month's revenue cents; " +
+      "TPC-H prices > 0, so any month present has cents ≥ 1 (first " +
+      "month: lag is NULL → NULL growth on both engines)"),
+    "q_yoy_growth" -> "same bound as q_mom_growth at year grain",
+    "q_ngram_jaccard" -> ("candidate pairs arise from shared shingles, " +
+      "so both shingle sets are non-empty and the union has size ≥ 1"),
+    "q_rank_stats" -> ("denominators are literal per-segment row " +
+      "counts (23..40) and the same minus 1 — compile-time constants " +
+      "≥ 22 baked into the oracle contract"),
+    "q_rrf_fusion" -> ("avgdl/n_docs are corpus-level BM25 constants; " +
+      "zero only for an empty or zero-token corpus, where no scored " +
+      "rows exist"),
+    "q_substring_dup_spans" -> ("n_chars joins back only for docs with " +
+      "duplicated spans, which requires length ≥ L = 30 > 0"),
+    "q_temperature_mix" -> ("w_total = Σ floor(√n_docs·10⁶ + ½) ≥ 10⁶ " +
+      "per present language (n_docs ≥ 1 per group)"),
+    "q_token_budget" -> ("total = corpus token count; 0 only for a " +
+      "zero-token corpus — both engines then agree on NULL shares " +
+      "only when numerators are also NULL-free zeros of 0/0, i.e. the " +
+      "report is vacuous"),
+    "q_survival_km" -> ("n_risk = tot − cum(d+c) + d + c ≥ d + c ≥ 1 " +
+      "for any emitted life-table row (the row's own events/censored " +
+      "are still at risk at its own time)"),
+    "q_zipf" -> ("intercept divides by the log2-bucket count n from " +
+      "the same global aggregate emitting the row; on an empty bucket " +
+      "set the numerator (sy − slope·sx) is NULL, so both engines " +
+      "null-agree; slope and r² are already NULLIF-guarded"))
   test("registered surface: every long-product sum/log is widened or allowlisted") {
     GraftSession.tuned(spark)
     val findings = Catalog.byName.toSeq.sortBy(_._1).flatMap {
