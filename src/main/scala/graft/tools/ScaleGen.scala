@@ -29,13 +29,47 @@ import org.apache.spark.sql.functions._
   * long either way — the generated dirs target graft.Bench, NOT the
   * DuckDB oracle, which would read BIGINT instead of TIMESTAMP here.
   *
-  * Usage: runMain graft.tools.ScaleGen [srcDir] [dstDir] [replicas]
+  * ADVERSARIAL-SKEW MODE (4th arg `skew`): the r10 de-windowing of the
+  * content-keyed keep-one dedup family (line/url/chunk/span/substring)
+  * exists precisely for hot-key workloads, but its proof was plan
+  * shape + uniform-data decades. Skew mode turns that argument into a
+  * measured fixture by planting the workload the de-windowing targets:
+  *
+  *   - ONE boilerplate line + a two-sentence boilerplate block
+  *     appended to EVERY document (post-rotation, so it is
+  *     byte-identical across replicas): one line key with df = corpus
+  *     size for q_line_dedup, a hot 8-token span family for
+  *     q_span_dedup_apply, ~22M hot duplicated-gram positions for
+  *     q_substring_dedup_apply, and ~5 hot CDC digests with df =
+  *     corpus size for q_chunk_dup_docs (the identical block yields
+  *     identical interior content-defined chunks in every doc).
+  *   - ONE canonical URL refetched by 20% of the corpus: hot docs get
+  *     `source = 'hot'` and doc_id ≡ 0 (mod 97), so the planted
+  *     refetch generator maps them all onto a single canonical key for
+  *     q_url_dedup. Ids stay unique (hot: 97·id; rest: 97·id + 1 +
+  *     id mod 96 — offsets 1..96 can never alias a multiple of 97).
+  *   - The skewed JOIN keys come for free: the hot gram/digest/span
+  *     keys funnel through the operators' merge-pinned join-backs,
+  *     which is exactly the skew those SMJ + AQE shapes must absorb.
+  *
+  * Usage: runMain graft.tools.ScaleGen [srcDir] [dstDir] [replicas] [skew]
   */
 object ScaleGen {
+  /** byte-identical in every doc (and across replicas): the hot line
+    * key (89 chars, > the 30-char substring gram and one 8-token span
+    * window) and the hot chunk block (two sentences, ~420 bytes ≈ 6-7
+    * CDC chunks at maskMod = 64). */
+  val hotLine: String =
+    "subscribe to our free newsletter for daily updates and exclusive breaking analysis today."
+  val hotBlock: String =
+    "this boilerplate paragraph is appended to every document so its interior content defined chunk boundaries land identically in the whole corpus and every rolling gram inside it becomes one massive duplicated key. " +
+      "the second sentence keeps the block long enough that several complete chunks fit between the first and last boundary under the sixty four byte expected chunk size."
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/sf1"
     val reps = if (args.length > 2) args(2).toInt else 10
+    val skew = args.length > 3 && args(3) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,14 +82,15 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst, reps)
+    run(spark, src, dst, reps, skew)
     spark.stop()
   }
 
   /** Session-preserving core of [[main]] (specs drive it on the shared
     * test session, which must survive the call).
     */
-  def run(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
+  def run(spark: SparkSession, src: String, dst: String, reps: Int,
+      skew: Boolean = false): Unit = {
     def rd(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
     def wr(df: DataFrame, n: String): Unit = {
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$n.parquet")
@@ -163,13 +198,33 @@ object ScaleGen {
     // residual, negligible against the letter rotation on word text).
     val docs = rd("documents")
     val docSpan = span(docs, "doc_id")
-    wr(replicate(docs)((d, i) => {
+    val docsRep = replicate(docs)((d, i) => {
       val rotL = permL(i)
       val rotD = permD(i)
       d.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
         .withColumn("text", translate(col("text"),
           alphaC + alphaC.toUpperCase + digitsC,
           rotL + rotL.toUpperCase + rotD))
-    }), "documents")
+    })
+    // adversarial-skew planting happens AFTER the per-replica rotation:
+    // the hot content must be byte-identical corpus-wide, which is the
+    // exact opposite of the rotation's cross-replica decollision (see
+    // the object doc). n_chars is NOT refreshed on purpose — the skew
+    // fixture targets the content-keyed dedup family, and keeping the
+    // rest of the row untouched isolates the planted variables.
+    val docsOut =
+      if (!skew) docsRep
+      else docsRep
+        .withColumn("text", concat(coalesce(col("text"), lit("")),
+          lit("\n" + hotLine + "\n" + hotBlock)))
+        .withColumn("__hot", col("doc_id") % 5 === 0)
+        .withColumn("source",
+          when(col("__hot"), lit("hot")).otherwise(col("source")))
+        .withColumn("doc_id",
+          when(col("__hot"), col("doc_id") * lit(97L))
+            .otherwise(col("doc_id") * lit(97L) +
+              pmod(col("doc_id"), lit(96L)) + lit(1L)))
+        .drop("__hot")
+    wr(docsOut, "documents")
   }
 }

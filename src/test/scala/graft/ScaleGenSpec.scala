@@ -71,6 +71,54 @@ class ScaleGenSpec extends SparkTestBase {
       s"max cluster size changed: $baseMax -> $repMax (within-cluster pair volume must stay constant)")
   }
 
+  test("skew mode plants the hot keys it promises, and the de-windowed family absorbs them") {
+    // the standing adversarial-skew regression (r10 verdict item 1):
+    // the de-windowed keep-one dedup operators must stay CORRECT under
+    // one massive hot key — the workload the r10 rewrite targets. The
+    // decade TIMING table lives in BASELINE.md; this spec pins the
+    // fixture's planted structure + the operators' hot-key semantics,
+    // so a refactor that reintroduces a content-keyed window (or
+    // breaks the fixture) fails here, not in a bench eyeball.
+    val d = java.nio.file.Files.createTempDirectory("graft-skewgen").toString
+    ScaleGen.run(spark, sfDir, d, 2, skew = true)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val n = docs.count()
+    assert(n == 2 * src("documents").count())
+    assert(docs.select("doc_id").distinct().count() == n,
+      "skew id rewrite must keep doc_id unique")
+    // every doc carries the byte-identical hot line + block
+    assert(docs.where(col("text").contains(ScaleGen.hotLine)).count() == n)
+    assert(docs.where(col("text").contains(ScaleGen.hotBlock)).count() == n)
+    // ~20% of docs form ONE hot refetch population
+    val hot = docs.where(col("source") === "hot").count()
+    assert(hot >= n / 6 && hot <= n / 4, s"hot population $hot of $n")
+    assert(docs.where(col("source") === "hot")
+      .where(col("doc_id") % 97 =!= 0).count() == 0,
+      "hot docs must share the /r/0 resource (doc_id ≡ 0 mod 97)")
+
+    // url dedup collapses the hot canon to exactly ONE survivor
+    val kept = graft.ext.WebOps.urlDedup(docs)
+    assert(kept.where(col("url").contains("HOT.Example.COM")).count() == 1,
+      "one canonical URL refetched hot-many times keeps exactly one doc")
+    // line dedup keeps the hot line at exactly ONE (doc, line) corpus-wide
+    val rebuilt = graft.ext.Dedup.lineDedup(docs)
+    assert(rebuilt.where(col("new_text").contains(ScaleGen.hotLine))
+      .count() == 1,
+      "the corpus-wide hot boilerplate line survives exactly once")
+    // the block plants at least one CDC digest shared by EVERY doc
+    val hotDigests = graft.ext.Multimodal.cdcChunks(docs)
+      .groupBy("digest").agg(countDistinct("asset_id").as("nd"))
+      .where(col("nd") === n).count()
+    assert(hotDigests >= 1,
+      s"expected >= 1 corpus-wide hot CDC digest, got $hotDigests")
+    // every doc shows duplicated substring mass at least the hot region
+    val spans = graft.ext.Dedup.substringDupSpans(docs, "text", "doc_id")
+    assert(spans.count() == n, "every doc carries duplicated substrings")
+    val minDup = spans.agg(min("dup_chars")).head().getLong(0)
+    assert(minDup >= ScaleGen.hotLine.length,
+      s"hot region must register as duplicated chars in every doc: $minDup")
+  }
+
   test("reps outside 1..312 are rejected (313 would repeat an affine permutation)") {
     // an independent path: the validation must fire before any Spark
     // work, so this test must not touch the lazily-generated `dst`
