@@ -190,14 +190,24 @@ object TrainingPipeline {
     // Both run on the POST-REDACTION text (the shipped corpus is what
     // gets scored); each emits a per-doc verdict, applied as an
     // SMJ-pinned left-semi (both sides corpus-scale — never broadcast
-    // the survivor list).
+    // the survivor list). When the batteries are ON, the gated corpus
+    // is PERSISTED first: `quality`'s subtree (url dedup, redaction,
+    // line cleaning, the outlier anti-join — itself a double scan)
+    // fans out into the rules census, the repetition census (which
+    // internally scans its input for lines, paragraphs, and grams),
+    // and the semi-join probe; un-persisted, that prefix re-executed
+    // ~8× and the all-stages demo measured 69 s where the stage sum
+    // was ~25 s at sf0.01. Released in the finally below.
+    val qualityShared =
+      if (cfg.gopherQuality) quality.persist(StorageLevel.MEMORY_AND_DISK)
+      else quality
     val gophered =
       if (!cfg.gopherQuality) quality
-      else quality
-        .join(graft.functions.TextOps.gopherRulesOf(quality)
+      else qualityShared
+        .join(graft.functions.TextOps.gopherRulesOf(qualityShared)
           .where(col("pass")).select("doc_id")
           .hint("merge"), Seq("doc_id"), "left_semi")
-        .join(graft.functions.TextOps.gopherRepetitionOf(quality)
+        .join(graft.functions.TextOps.gopherRepetitionOf(qualityShared)
           .where(col("pass")).select("doc_id")
           .hint("merge"), Seq("doc_id"), "left_semi")
 
@@ -313,6 +323,116 @@ object TrainingPipeline {
       afterSample = idCheck.getLong(0),
       trainDocs = trainN, valDocs = valN, testDocs = testN,
       batches = batches)
-    } finally exact.unpersist()
+    } finally {
+      exact.unpersist()
+      if (cfg.gopherQuality) qualityShared.unpersist()
+    }
   }
+
+  /** STREAMING ingest front-door for an existing corpus — the
+    * composition the per-operator streaming twins show only in pieces:
+    * documents arrive as parquet files in `streamDir`, pass a
+    * WATERMARKED canonical-URL crawl dedup (state evicted beyond the
+    * watermark, first arrival per canonical key wins —
+    * [[graft.streaming.EventOps.streamingUrlDedup]]'s stage-0
+    * geometry), and each micro-batch then runs the batch-side gates
+    * against the STANDING corpus: PII redaction, the row-local
+    * min-token gate, exact dedup (within-batch keep-one + anti-join
+    * against the corpus's fingerprints), and incremental near-dup
+    * (the [[Dedup.incrementalNearDups]] batch×corpus LSH — the
+    * ingest batch probes the corpus, never corpus×corpus). Survivors
+    * land through [[graft.streaming.EventOps.idempotentBatchWriter]]:
+    * each micro-batch overwrites its own `batch_id=` partition, so
+    * foreachBatch's at-least-once replays produce exactly-once output.
+    *
+    * Scope: the corpus-GLOBAL gates (per-language z-cut, the Gopher
+    * batteries' corpus statistics, chunk-dedup ownership) are batch
+    * compaction's job, not the ingest stream's — a per-micro-batch
+    * z-score would gate each doc against its arrival cohort instead
+    * of the corpus (the standard lambda split: stream applies
+    * row-local + standing-state gates, periodic batch recomputes the
+    * global ones).
+    *
+    * 100 TB shape: the watermarked dedup state holds one row per
+    * canonical key inside the watermark horizon (bounded by crawl
+    * recency, not corpus size); the corpus fingerprint set and the
+    * corpus relation are read per micro-batch — both persisted here
+    * (MEMORY_AND_DISK) because every micro-batch probes them; the
+    * caller owns their release after stopping the query (stop() then
+    * [[releaseIngestState]]). Incremental near-dup is bounded by the
+    * BATCH's bucket footprint (see incrementalNearDups).
+    *
+    * Returns the started query; the caller awaits/stops it.
+    */
+  def streamingIngest(corpus: DataFrame, streamDir: String, outDir: String,
+      checkpointDir: String, cfg: Config = Config())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = corpus.sparkSession
+    graft.engine.GraftSession.tuned(spark)
+    val corpusShared = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusFp = corpusShared
+      .select(unhex(TextOps.fingerprint(col("text"))).as("__fp"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ingestState.put(outDir, Seq(corpusShared, corpusFp))
+    val raw = spark.readStream
+      .schema(corpus.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(streamDir)
+    // stage 0 (optional, stateful): watermarked canonical-URL dedup.
+    // Arrival time is derived deterministically from doc_id (the
+    // fixture contract streamingUrlDedup pins); a real crawl supplies
+    // its fetch timestamp here.
+    val urlDeduped = cfg.urlDedupCol match {
+      case None => raw
+      case Some(urlCol) =>
+        raw
+          .withColumn("__canon", WebOps.canonicalUrl(col(urlCol)))
+          .withColumn("__fetch_ts",
+            timestamp_seconds(lit(1600000000L) + col("doc_id")))
+          .withWatermark("__fetch_ts", "2 hours")
+          .dropDuplicatesWithinWatermark("__canon")
+          .drop("__canon", "__fetch_ts")
+    }
+    urlDeduped.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val redacted = batch
+          .withColumn("text", Cleaning.redactPii(col("text")))
+        val gated = redacted.where(
+          size(split(TextOps.normalizeText(col("text")), " ")) >=
+            cfg.minTokens)
+        // exact dedup: keep-one within the batch (min doc_id per
+        // fingerprint — an aggregate, never a content-keyed window),
+        // then drop anything the corpus already holds
+        val withFp = gated.withColumn("__fp",
+          unhex(TextOps.fingerprint(col("text"))))
+        val batchSurvivors = withFp
+          .groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
+          .join(corpusFp, Seq("__fp"), "left_anti")
+          .select("doc_id")
+        val exactNew = withFp.drop("__fp")
+          .join(batchSurvivors, Seq("doc_id"), "left_semi")
+        // incremental near-dup: batch probes the standing corpus
+        val flagged = Dedup.incrementalNearDups(
+          corpusShared, exactNew, "text", "doc_id",
+          threshold = cfg.nearDupThreshold)
+          .select(col("incoming_id").as("doc_id"))
+        val clean = exactNew.join(flagged, Seq("doc_id"), "left_anti")
+        graft.streaming.EventOps.idempotentBatchWriter(outDir)(clean, batchId)
+      }
+      .start()
+  }
+
+  // persisted corpus-side state per streamingIngest outDir, so the
+  // caller can release it after stopping the query
+  private val ingestState =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
+
+  /** Unpersist the corpus-side relations [[streamingIngest]] pinned for
+    * the query writing to `outDir` (call after the query stops). */
+  def releaseIngestState(outDir: String): Unit =
+    Option(ingestState.remove(outDir))
+      .foreach(_.foreach(df => try df.unpersist()
+        catch { case _: Exception => () }))
 }

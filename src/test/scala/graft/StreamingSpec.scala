@@ -676,4 +676,69 @@ class StreamingSpec extends SparkTestBase {
       assert(n > 0 && mean > 0.0 && p50 <= p90)
     }
   }
+
+  test("streaming ingest composition: watermarked crawl dedup + corpus-aware exact/near dedup + idempotent writes") {
+    // the r10 verdict's stretch item: the ONE composition the
+    // per-operator streaming twins don't show — arriving documents
+    // pass the stateful URL stage, then each micro-batch dedups
+    // against the STANDING corpus (exact fingerprints + incremental
+    // LSH) and lands through the idempotent batch writer.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val in = s"$tmp/in"; java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight",
+        "https://corpus.example.com/a"),
+      (2L, "machine learning models require large clean corpora with diverse high quality text for training runs",
+        "https://corpus.example.com/b"))
+      .toDF("doc_id", "text", "url")
+    val incoming1 = Seq(
+      // byte-identical to corpus doc 1 -> exact dedup vs corpus kills it
+      (101L, "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight",
+        "https://new.example.com/p101"),
+      // one word changed vs corpus doc 2 -> incremental near-dup kills it
+      (102L, "machine learning models require large clean corpora with diverse high quality text for training jobs",
+        "https://new.example.com/p102"),
+      // same canonical resource fetched twice (scheme case, :443, utm,
+      // trailing slash) -> the watermarked stage keeps ONE
+      (103L, "completely novel document number one hundred three about rivers mountains and ancient cartography methods",
+        "HTTPS://B.Example.COM:443/r?utm_source=x"),
+      (104L, "a different novel document about deep sea creatures bioluminescence and pressure adaptation strategies",
+        "https://b.example.com/r/"),
+      // under the 5-token row-local gate
+      (105L, "tiny text", "https://new.example.com/p105"),
+      // novel on every axis -> must survive
+      (106L, "entirely fresh writing on volcanic island formation plate tectonics and basalt column geometry",
+        "https://new.example.com/p106"))
+      .toDF("doc_id", "text", "url")
+    val q = graft.ext.TrainingPipeline.streamingIngest(
+      corpus, in, s"$tmp/out", s"$tmp/ckpt",
+      graft.ext.TrainingPipeline.Config(urlDedupCol = Some("url"),
+        minTokens = 5, nearDupThreshold = 0.5))
+    try {
+      deliver(incoming1, tmp, in, "b0")
+      q.processAllAvailable()
+      // a LATER file refetches 103/104's canonical resource within the
+      // watermark: the stateful stage must drop it ACROSS micro-batches
+      val incoming2 = Seq(
+        (107L, "yet another novel text on medieval trade routes amber roads and salt caravans across continents",
+          "https://www.b.example.com/r")).toDF("doc_id", "text", "url")
+      deliver(incoming2, tmp, in, "b1")
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.ext.TrainingPipeline.releaseIngestState(s"$tmp/out")
+    }
+    val out = spark.read.parquet(s"$tmp/out")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(101L), "exact duplicate of a corpus doc must die")
+    assert(!ids.contains(102L), "near-duplicate of a corpus doc must die")
+    assert(!ids.contains(105L), "sub-min-token doc must die")
+    assert(ids.contains(106L), "the novel doc must survive")
+    assert(Seq(103L, 104L).count(ids.contains) == 1,
+      s"exactly one fetch of the shared canonical resource survives: $ids")
+    assert(!ids.contains(107L),
+      "a refetch in a LATER micro-batch must hit the watermarked state")
+    // layout contract: the idempotent writer partitions by batch_id
+    assert(out.columns.contains("batch_id"))
+  }
 }
