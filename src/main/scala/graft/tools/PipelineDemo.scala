@@ -59,7 +59,11 @@ object PipelineDemo {
       ("all", Config(urlDedupCol = Some("url"), lineClean = true,
         chunkDupMaxFrac = Some(0.6), gopherQuality = true,
         reportCounts = false), true))
-    variants.foreach { case (name, cfg, needsUrl) =>
+    // SPARK_GRAFT_PIPE_ONLY=+gopher,all reruns a subset (A/B probes)
+    val only = sys.env.get("SPARK_GRAFT_PIPE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    variants.filter(v => only.forall(_.contains(v._1)))
+      .foreach { case (name, cfg, needsUrl) =>
       val in = if (needsUrl) docsWithUrl else docs
       val t0 = System.nanoTime()
       val r = run(in, s"$outDir/$name", cfg)
