@@ -112,7 +112,7 @@ class OverflowAuditSpec extends SparkTestBase {
     assert(audit(widened).isEmpty, "the decimal bridge must NOT trip D1")
   }
 
-  // ---- D3/D4: unguarded divide / sqrt (the r8 mannWhitney class) ------
+  // ---- D3/D4/D5: unguarded divide / sqrt / log (the r8 mannWhitney class)
   //
   // A denominator that can be ZERO yields Infinity/NaN with ANSI off
   // (the session default) while DuckDB may error or return NULL —
@@ -140,7 +140,11 @@ class OverflowAuditSpec extends SparkTestBase {
   //        nonzero · nonzero; CASE/IF/coalesce whose value branches are
   //        all null-or-nonzero.
   //
-  // A division/sqrt inside a CASE/IF branch is additionally considered
+  // D5 extends the same machinery to the log family: Spark (ANSI off)
+  // returns NULL on log(x ≤ 0) where DuckDB ERRORS the whole oracle
+  // query — the argument must be provably positive (log1p: ≥ 0).
+  //
+  // A division/sqrt/log inside a CASE/IF branch is additionally considered
   // guarded when the branch PREDICATE references an attribute of the
   // denominator/argument subtree (the `when(varr > 0, x / sqrt(varr))`
   // idiom). Anything else must be guarded at the use site or
@@ -506,6 +510,30 @@ class OverflowAuditSpec extends SparkTestBase {
         if (!prover.nonNeg(s.child, grouped) && !guarded(guards, s.child))
           hits += s"unguarded-sqrt: ${s.sql.take(160)}"
         s.children.foreach(walkExpr(_, guards, grouped))
+      // D5 — log domain: Spark (ANSI off) returns NULL on log(x ≤ 0)
+      // where DuckDB ERRORS the whole oracle query; the argument must
+      // be provably POSITIVE (log1p: ≥ 0)
+      case l: Log =>
+        if (!prover.pos(l.child, grouped) && !guarded(guards, l.child))
+          hits += s"unguarded-log: ${l.sql.take(160)}"
+        l.children.foreach(walkExpr(_, guards, grouped))
+      case l: Log2 =>
+        if (!prover.pos(l.child, grouped) && !guarded(guards, l.child))
+          hits += s"unguarded-log: ${l.sql.take(160)}"
+        l.children.foreach(walkExpr(_, guards, grouped))
+      case l: Log10 =>
+        if (!prover.pos(l.child, grouped) && !guarded(guards, l.child))
+          hits += s"unguarded-log: ${l.sql.take(160)}"
+        l.children.foreach(walkExpr(_, guards, grouped))
+      case l: Log1p =>
+        if (!prover.nonNeg(l.child, grouped) && !guarded(guards, l.child))
+          hits += s"unguarded-log: ${l.sql.take(160)}"
+        l.children.foreach(walkExpr(_, guards, grouped))
+      case l: Logarithm =>
+        if (l.children.exists(c =>
+          !prover.pos(c, grouped) && !guarded(guards, c)))
+          hits += s"unguarded-log: ${l.sql.take(160)}"
+        l.children.foreach(walkExpr(_, guards, grouped))
       case sq: SubqueryExpression =>
         walkPlan(sq.plan)
         sq.children.foreach(walkExpr(_, guards, grouped))
@@ -556,6 +584,18 @@ class OverflowAuditSpec extends SparkTestBase {
         when(col("s") > 0, col("n").cast("double") / col("s")).as("r"))
     assert(auditDivSqrt(branchGuarded).isEmpty,
       s"when(s > 0, n / s) must not be flagged: ${auditDivSqrt(branchGuarded)}")
+    // D5: log of a possibly-non-positive argument (Spark NULL, DuckDB
+    // ERRORS the whole oracle query) is flagged; log of a grouped
+    // count is not
+    val badLog = docs.groupBy("lang").agg(count(lit(1)).as("n"),
+        sum("n_chars").as("s"))
+      .select(col("lang"), log2(col("s") - col("n")).as("l"))
+    assert(auditDivSqrt(badLog).exists(_.startsWith("unguarded-log")),
+      "log2 of a subtraction must trip D5")
+    val okLog = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .select(col("lang"), log2(col("n")).as("l"))
+    assert(auditDivSqrt(okLog).isEmpty,
+      s"log2(grouped count) must not be flagged: ${auditDivSqrt(okLog)}")
   }
 
   test("registered surface: every divide denominator / sqrt argument is guarded or allowlisted") {
@@ -640,6 +680,14 @@ class OverflowAuditSpec extends SparkTestBase {
       "zero-token corpus — both engines then agree on NULL shares " +
       "only when numerators are also NULL-free zeros of 0/0, i.e. the " +
       "report is vacuous"),
+    "q_kn_surprisal" -> ("log arguments are join-construction positive: " +
+      "a row exists only after joining the bigram to its type/census " +
+      "rows, so c12 ≥ 1 (hence 4·c12 − 3 ≥ 1), c1 ≥ c12 ≥ 1, and " +
+      "nbt/n1p/n1pr ≥ 1 — every product under a log2 is ≥ 4"),
+    "q_domain_shift" -> ("add-one smoothing makes both log2 arguments " +
+      "positive by construction: (cp + 1) ≥ 1 and (cq + 1) ≥ 1, and " +
+      "(Nq + V)/(Np + V) ≥ V ≥ 1 because the row's own token is in " +
+      "the vocabulary"),
     "q_survival_km" -> ("n_risk = tot − cum(d+c) + d + c ≥ d + c ≥ 1 " +
       "for any emitted life-table row (the row's own events/censored " +
       "are still at risk at its own time)"),
