@@ -311,13 +311,18 @@ object RevenueOps {
           .cast(DecimalType(18, 8)).cast("double").as("chi2"))
       .select(col("n"), col("n_rows"), col("n_cols"), col("chi2"),
         // a single-category table (min(r, c) = 1) zeroes the V
-        // denominator — a legal degenerate input. nullif on BOTH
-        // engines (Spark x/0 = NULL vs DuckDB NaN — the D3 audit
-        // class); greatest is a numeric no-op (chi2 ≥ 0) that makes
-        // the sqrt domain structural for the D4 audit.
-        sqrt(greatest(col("chi2") / nullif(col("n").cast("double") *
-          (least(col("n_rows"), col("n_cols")) - lit(1L)).cast("double"),
-          lit(0.0)), lit(0.0)))
+        // denominator, where V is UNDEFINED: the explicit CASE yields
+        // NULL on both engines (a nullif inside greatest would be
+        // SWALLOWED — greatest skips NULLs on Spark AND DuckDB 1.0,
+        // reporting a misleading V = 0). greatest pins the FP domain
+        // inside the defined branch for the D4 audit.
+        sqrt(when(
+          col("n").cast("double") *
+            (least(col("n_rows"), col("n_cols")) - lit(1L))
+              .cast("double") > 0.0,
+          greatest(col("chi2") / (col("n").cast("double") *
+            (least(col("n_rows"), col("n_cols")) - lit(1L))
+              .cast("double")), lit(0.0))))
           .as("cramers_v"))
   }
 
@@ -544,7 +549,8 @@ object RevenueOps {
           |        row_number() OVER (ORDER BY r DESC, cc DESC) AS rn
           |      FROM terms)
           |SELECT n, CAST(nr AS BIGINT) AS n_rows, CAST(nc AS BIGINT) AS n_cols, chi2,
-          |       sqrt(greatest(chi2 / nullif(CAST(n AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE), 0.0), 0.0)) AS cramers_v
+          |       sqrt(CASE WHEN CAST(n AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE) > 0.0
+          |            THEN greatest(chi2 / (CAST(n AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE)), 0.0) END) AS cramers_v
           |FROM c WHERE rn = 1 ORDER BY n""".stripMargin)),
     GraftQuery("q_decile_report",
       "Lorenz-style spend-decile concentration: customers bucketed by nine exact decile cuts, revenue shares",

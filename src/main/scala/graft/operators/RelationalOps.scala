@@ -627,16 +627,20 @@ object RelationalOps {
         col("l_returnflag"), col("n"), col("sum_q"),
         (col("sum_q").cast("double") / col("n").cast("double")).as("mean_q"),
         // n·Σq² − (Σq)² ≥ 0 exactly (decimal arithmetic, Cauchy-Schwarz)
-        // but the n(n−1) denominator is 0 for a single-row group:
-        // Spark x/0 is NULL while DuckDB is NaN (the D3 audit class) —
-        // nullif on BOTH engines makes the degenerate group null-agree.
-        // greatest(·, 0) is a semantic no-op that lets the D4 audit
-        // prove the sqrt argument non-negative.
-        sqrt(greatest(((col("n") * col("sumsq_q") -
-          col("sum_q").cast("decimal(38,0)") * col("sum_q"))
-          .cast("double")) /
-          nullif((col("n").cast("decimal(38,0)") * (col("n") - 1))
-            .cast("double"), lit(0.0)), lit(0.0))).as("stddev_q"))
+        // but the n(n−1) denominator is 0 for a single-row group, where
+        // sample stddev is UNDEFINED: the explicit CASE yields NULL on
+        // both engines (a nullif inside greatest would be SWALLOWED —
+        // greatest skips NULLs on Spark AND DuckDB 1.0, turning the
+        // undefined case into a misleading 0.0). greatest pins the FP
+        // domain inside the defined branch for the D4 audit.
+        sqrt(when(
+          (col("n").cast("decimal(38,0)") * (col("n") - 1))
+            .cast("double") > 0.0,
+          greatest(((col("n") * col("sumsq_q") -
+            col("sum_q").cast("decimal(38,0)") * col("sum_q"))
+            .cast("double")) /
+            (col("n").cast("decimal(38,0)") * (col("n") - 1))
+              .cast("double"), lit(0.0)))).as("stddev_q"))
       .orderBy("l_returnflag")
 
   /** J+: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — NULL
@@ -1410,8 +1414,9 @@ object RelationalOps {
           |       count(*) AS n,
           |       CAST(sum(q) AS BIGINT) AS sum_q,
           |       CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*) AS mean_q,
-          |       sqrt(greatest(CAST(count(*) * CAST(sum(q*q) AS BIGINT) - CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT) AS DOUBLE)
-          |            / nullif(CAST(count(*) * (count(*) - 1) AS DOUBLE), 0.0), 0.0)) AS stddev_q
+          |       sqrt(CASE WHEN CAST(count(*) * (count(*) - 1) AS DOUBLE) > 0.0
+          |            THEN greatest(CAST(count(*) * CAST(sum(q*q) AS BIGINT) - CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT) AS DOUBLE)
+          |                 / CAST(count(*) * (count(*) - 1) AS DOUBLE), 0.0) END) AS stddev_q
           |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     GraftQuery("q_null_safe_join", "null-safe equality join: NULL keys match (IS NOT DISTINCT FROM)",
