@@ -51,6 +51,11 @@ import org.apache.spark.sql.functions._
   *   - The skewed JOIN keys come for free: the hot gram/digest/span
   *     keys funnel through the operators' merge-pinned join-backs,
   *     which is exactly the skew those SMJ + AQE shapes must absorb.
+  *   - 10% of EMBEDDINGS become one byte-identical vector: a single
+  *     red-hot SRP/IVF bucket and a corpus-wide cosine-1.0 clique —
+  *     the vector analog of the boilerplate line (pair reports pay
+  *     true quadratic output; the bucketed ANN paths must stay
+  *     bounded through their caps and sublinear shortlists).
   *
   * Usage: runMain graft.tools.ScaleGen [srcDir] [dstDir] [replicas] [skew]
   */
@@ -184,13 +189,24 @@ object ScaleGen {
     // stage measured the fixed-k quadratic artifact instead of the
     // algorithm (BENCH_LOCAL_r4: q_semantic_dedup 8.75x at 10x data).
     val labelSpan = emb.agg(max(col("label"))).head().getInt(0) + 1
-    wr(replicate(emb)((d, i) =>
+    val embRep = replicate(emb)((d, i) =>
       d.withColumn("vec_id", col("vec_id") + lit(i * vecSpan))
         .withColumn("label", col("label") + lit(i * labelSpan))
         .withColumn("embedding",
           if (i == 0) col("embedding")
-          else expr(s"transform(embedding, (x, j) -> CASE WHEN pmod(xxhash64($i, j), 2) = 1 THEN -x ELSE x END)"))),
-      "embeddings")
+          else expr(s"transform(embedding, (x, j) -> CASE WHEN pmod(xxhash64($i, j), 2) = 1 THEN -x ELSE x END)")))
+    // skew: 10% of vectors become ONE byte-identical alternating-sign
+    // vector — a single red-hot SRP/IVF bucket and a corpus-wide
+    // cosine-1.0 near-dup clique, the embedding analog of the planted
+    // boilerplate line (true quadratic OUTPUT for pair reports; the
+    // bucketed ANN paths must stay bounded via their caps/shortlists)
+    val embOut =
+      if (!skew) embRep
+      else embRep.withColumn("embedding",
+        when(col("vec_id") % 10 === 0, expr(
+          "transform(embedding, (x, j) -> CAST(CASE WHEN j % 2 = 0 THEN 0.1 ELSE -0.1 END AS FLOAT))"))
+          .otherwise(col("embedding")))
+    wr(embOut, "embeddings")
 
     // Both cases (a-z AND A-Z) rotate so query-time lowercasing can't
     // re-collide replicas; digits rotate too (cycle 10, so pure-digit

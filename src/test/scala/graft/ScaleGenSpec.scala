@@ -111,6 +111,12 @@ class ScaleGenSpec extends SparkTestBase {
       .where(col("nd") === n).count()
     assert(hotDigests >= 1,
       s"expected >= 1 corpus-wide hot CDC digest, got $hotDigests")
+    // 10% of embeddings are ONE byte-identical hot vector
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val hotVecs = emb.where(col("vec_id") % 10 === 0)
+    assert(hotVecs.select("embedding").distinct().count() == 1,
+      "all hot vectors must be byte-identical (one red-hot bucket)")
+    assert(hotVecs.count() >= emb.count() / 11)
     // every doc shows duplicated substring mass at least the hot region
     val spans = graft.ext.Dedup.substringDupSpans(docs, "text", "doc_id")
     assert(spans.count() == n, "every doc carries duplicated substrings")
