@@ -19,8 +19,35 @@ import org.apache.spark.sql.SparkSession
   * across rounds, or the run total.
   */
 object Bench {
+  /** (load1, iowait_jiffies, steal_jiffies, total_jiffies) from
+    * /proc/loadavg + /proc/stat — ambient-contention evidence recorded
+    * at run start AND end inside every artifact, so a promote decision
+    * (or a cross-run regression adjudication) can cite measured load
+    * instead of inferring it from parked re-runs (the r11 lesson: two
+    * promote attempts burned on steal attribution done by inference).
+    * Zeros when /proc is unreadable (non-Linux dev box) — fields still
+    * present so consumers need no schema branch.
+    */
+  private def loadSnapshot(): (Double, Long, Long, Long) = {
+    def readFile(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Exception => None }
+    val load1 = readFile("/proc/loadavg")
+      .flatMap(_.split("\\s+").headOption).flatMap(_.toDoubleOption)
+      .getOrElse(0.0)
+    // first line: "cpu  user nice system idle iowait irq softirq steal ..."
+    val cpu = readFile("/proc/stat").toSeq
+      .flatMap(_.linesIterator.find(_.startsWith("cpu ")))
+      .flatMap(_.split("\\s+").drop(1).flatMap(_.toLongOption))
+    val iowait = if (cpu.length > 4) cpu(4) else 0L
+    val steal = if (cpu.length > 7) cpu(7) else 0L
+    (load1, iowait, steal, cpu.sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val (load1Start, iowait0, steal0, jiffies0) = loadSnapshot()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val only = SparkEntry.onlyFilter
     val spark = SparkSession.builder()
@@ -57,14 +84,29 @@ object Bench {
     val qs = ok.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => s""""$k":"${esc(m)}"""" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    val (load1End, iowait1, steal1, jiffies1) = loadSnapshot()
+    // measured ambient contention for this run: loadavg at both ends +
+    // the machine-wide iowait/steal jiffy shares over the run window.
+    // BASELINE promote policy cites these (thresholds there): a run with
+    // load1_start much above the solo band or steal_pct > ~1% is
+    // contended evidence, not a regression.
+    val loadJson =
+      s""""load":{"load1_start":${fmt(load1Start)},"load1_end":${fmt(load1End)},""" +
+        s""""iowait_pct":${fmt(100.0 * (iowait1 - iowait0) / math.max(1L, jiffies1 - jiffies0))},""" +
+        s""""steal_pct":${fmt(100.0 * (steal1 - steal0) / math.max(1L, jiffies1 - jiffies0))}}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,$loadJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's bounded log-tail capture can truncate the big
     // per-query JSON mid-object (BENCH_r10.json carried "parsed": null
-    // for exactly that reason). Print one compact summary line AFTER it
-    // so the tail always ends in a complete, parseable object; the full
-    // per-query detail still lands in the artifact file below.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","bench_total_s":${fmt(total)},"n":${ok.size},"errors":${errs.size},"sf":"$sfDir"}""")
+    // for exactly that reason). A compact summary ALSO goes out as the
+    // program's very LAST stdout write (after the artifact block below)
+    // so a bounded tail ends with a complete, parseable object. It
+    // carries metric "total_compact", NOT "total": a consumer summing
+    // or scanning metric=="total" records must see exactly one per run
+    // (the full line above); compact-line consumers key on
+    // bench_total_s.
+    val compactLine =
+      s"""{"metric":"total_compact","bench_total_s":${fmt(total)},"unit":"sec","n":${ok.size},"errors":${errs.size},$loadJson,"sf":"$sfDir"}"""
     // the driver captures a BOUNDED log tail (BENCH_r03.json lost 52 of
     // 136 queries to truncation) — also land the full line in a file so
     // an artifact always carries every query. Artifact-of-record
@@ -120,5 +162,9 @@ object Bench {
         System.err.println(s"[bench] could not write $f: ${e.getMessage}") }
     }
     spark.stop()
+    // final stdout write of the program (artifact notes above went to
+    // stderr; spark.stop() logs at WARN go to stderr too): a bounded
+    // tail capture of stdout ends with this parseable object
+    println(compactLine)
   }
 }

@@ -812,18 +812,20 @@ object Dedup {
     * pre-combined per upstream partition (never a skewed raw-row
     * funnel); the df≥2 join back is 1:many against a one-row-per-gram
     * build side. Island merging is one window over (doc_id, pos) —
-    * high-cardinality partition key. The gram key is a 60-bit md5
-    * FINGERPRINT, not the raw 30-char string: the frequency shuffle
-    * and the df≥2 join carry 8-byte keys instead of 30+-byte strings,
-    * which is what keeps the sort-merge stages in memory as the corpus
-    * grows (the raw-string variant tipped into external-sort spill
-    * between the 10× and 20× decade fixtures — 24.5 → 109.5 s solo;
-    * the fingerprint path restores the linear profile). A fingerprint
-    * collision can only mark a unique gram as duplicated (never the
-    * reverse); at 2⁶⁰ the expected extra span is ≪ 1 position per
-    * 10⁸-gram corpus, and the oracle hashes identically so the gate
-    * stays exact. `fingerprintGrams = false` restores raw-string
-    * grouping for audits.
+    * high-cardinality partition key. The gram key is the FULL 128-bit
+    * md5 of the gram (16-byte BINARY), not the raw 30-char string: the
+    * frequency shuffle and the df≥2 join carry 16-byte keys instead of
+    * 30+-byte strings, which is what keeps the sort-merge stages in
+    * memory as the corpus grows (the raw-string variant tipped into
+    * external-sort spill between the 10× and 20× decade fixtures —
+    * 24.5 → 109.5 s solo; the fingerprint path restores the linear
+    * profile). 128-bit, not a truncated 60-bit key (r11 and earlier):
+    * the APPLY twin shares this relation and EXCISES text, so a
+    * birthday collision at multi-billion-gram scale would delete
+    * unique content — the same argument that put exact dedup and
+    * [[lineDedup]] on full md5. The oracle fingerprints identically,
+    * so the gate stays exact. `fingerprintGrams = false` restores
+    * raw-string grouping for audits.
     */
   def substringDupSpans(docs: DataFrame, textCol: String, idCol: String,
       minLen: Int = 30, fingerprintGrams: Boolean = true,
@@ -838,8 +840,7 @@ object Dedup {
       .map(_.select("doc_id", "pos"))
       .getOrElse {
         val gramKey =
-          if (fingerprintGrams)
-            graft.functions.HashExprs.md5Uint60(expr(s"substring(text, pos, $L)"))
+          if (fingerprintGrams) unhex(md5(expr(s"substring(text, pos, $L)")))
           else expr(s"substring(text, pos, $L)")
         val grams = docs
           .where(length(col(textCol)) >= L)
@@ -905,20 +906,14 @@ object Dedup {
     * len/L islands per doc — collect_list is doc-local, never
     * corpus-scale) and an SMJ-pinned doc-keyed rebuild join. The
     * rebuild itself is a row-local HOF fold over the cut list.
-    * Fingerprint is the oracle-shared md5-60 (see [[substringDupSpans]]
-    * — identical collisions on both engines keep the gate exact).
-    *
-    * 60-bit tradeoff — REPORT-ONLY: unlike the stats form, this is a
-    * destructive operation, and a 60-bit gram fingerprint collision
-    * would mark a unique island as duplicated and excise unique text —
-    * the same birthday-at-corpus-scale argument that made
-    * [[lineDedup]]/exact dedup use the full 128-bit md5. It is
-    * acceptable HERE only because the registered output ships
-    * `new_text_md5` (a gated report), never materialized rewritten
-    * text. Any deployment that materializes the rewritten `text`
-    * column MUST switch `gram` to the full 128-bit md5 (and update the
-    * oracle's fingerprint to match); the cost is a wider shuffle key,
-    * not a different plan shape.
+    * Fingerprint is the oracle-shared FULL 128-bit md5 (see
+    * [[substringDupSpans]]): this is a destructive operation, and a
+    * truncated fingerprint's birthday collision at multi-billion-gram
+    * scale would mark a unique island as duplicated and excise unique
+    * text — the same argument that put exact dedup and [[lineDedup]]
+    * on full md5. (Through r11 this pair ran on a 60-bit key under a
+    * report-only caveat; the caveat is gone — materializing the
+    * rewritten text is now safe.)
     */
   def substringDedupApply(docs: DataFrame, textCol: String, idCol: String,
       minLen: Int = 30, sharedDupPos: Option[DataFrame] = None): DataFrame = {
@@ -1172,9 +1167,12 @@ object Dedup {
       .where(length(col(textCol)) >= L)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"),
         explode(sequence(lit(1), length(col(textCol)) - L + 1)).as("pos"))
+      // full 128-bit md5 as 16-byte BINARY (unhex): the apply twin
+      // excises text on a collision, so no truncated key (see the
+      // substringDedupApply docstring); binary, not the 32-char hex,
+      // halves the key bytes on the census shuffle and probe join
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        graft.functions.HashExprs.md5Uint60(
-          expr(s"substring(text, pos, $L)")).as("gram"))
+        unhex(md5(expr(s"substring(text, pos, $L)"))).as("gram"))
     val owners = grams.groupBy("gram")
       .agg(count(lit(1)).as("gram_df"),
         min(struct(col("doc_id"), col("pos"))).as("own"))
@@ -1212,11 +1210,23 @@ object Dedup {
     * [[clearSessionMemos]].
     */
   private def substrDupPosShared(s: SparkSession, dir: String,
-      L: Int = 30): DataFrame =
-    memoized(substrDupPosMemo, s, dir) {
-      substrDupPosOf(t(s, dir, "documents"), "text", "doc_id", L)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      L: Int = 30): DataFrame = {
+    // the memo key is (session, dir) only — a non-default L would
+    // silently reuse the L=30 relation, so pin it (both registered
+    // callers use the default; a different-L caller must use the
+    // un-memoized substrDupPosOf directly)
+    require(L == 30, s"substrDupPosShared is memoized for L=30 only, got $L")
+    // same per-key lock discipline as nearDupPairsShared/nearDupLabels:
+    // without it a first call racing clearSessionMemos could re-insert
+    // a persisted relation after release or have it unpersisted
+    // mid-query
+    lockFor(s, dir).synchronized {
+      memoized(substrDupPosMemo, s, dir) {
+        substrDupPosOf(t(s, dir, "documents"), "text", "doc_id", L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     }
+  }
   // PER-KEY locks serialize each (session, dir)'s compute-and-put
   // against nearDupLabels' cache release and clearSessionMemos:
   // without them, a concurrent first call racing the release could
@@ -1710,7 +1720,7 @@ object Dedup {
       Some(
         """WITH g AS (
           |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-          |         ('0x' || substring(md5(substr(text, i, 30)), 1, 15))::BIGINT AS gram
+          |         md5(substr(text, i, 30)) AS gram
           |  FROM documents, UNNEST(range(1, length(text) - 30 + 2)) AS t(i)
           |  WHERE length(text) >= 30),
           |df AS (SELECT gram, count(*) AS gram_df FROM g GROUP BY 1),
@@ -1746,7 +1756,7 @@ object Dedup {
       Some(
         """WITH g AS (
           |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-          |         ('0x' || substring(md5(substr(text, i, 30)), 1, 15))::BIGINT AS gram
+          |         md5(substr(text, i, 30)) AS gram
           |  FROM documents, UNNEST(range(1, length(text) - 30 + 2)) AS t(i)
           |  WHERE length(text) >= 30),
           |ow AS (SELECT gram, doc_id AS odoc, pos AS opos,
