@@ -1173,6 +1173,16 @@ object Dedup {
       // halves the key bytes on the census shuffle and probe join
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         unhex(md5(expr(s"substring(text, pos, $L)"))).as("gram"))
+      // ONE gram-keyed exchange feeds BOTH consumers below (the census
+      // aggregate and the probe side of the df≥2 join): without this
+      // explicit repartition the two subtrees shuffle different column
+      // sets, their exchanges don't canonicalize equal, and the
+      // explode + md5 over every corpus position runs TWICE (the r11
+      // verdict's residual double gram-explode on the surface's most
+      // expensive key). The census loses map-side combine, but its
+      // input IS the same gram stream the probe join must move anyway,
+      // so the reused exchange carries zero extra bytes.
+      .repartition(col("gram"))
     val owners = grams.groupBy("gram")
       .agg(count(lit(1)).as("gram_df"),
         min(struct(col("doc_id"), col("pos"))).as("own"))

@@ -336,14 +336,25 @@ object TrainingPipeline {
     * watermark, first arrival per canonical key wins —
     * [[graft.streaming.EventOps.streamingUrlDedup]]'s stage-0
     * geometry), and each micro-batch then runs the batch-side gates
-    * against the STANDING corpus: PII redaction, the row-local
+    * against the FULL standing state — the corpus AND every
+    * previously-ACCEPTED streamed doc: PII redaction, the row-local
     * min-token gate, exact dedup (within-batch keep-one + anti-join
-    * against the corpus's fingerprints), and incremental near-dup
-    * (the [[Dedup.incrementalNearDups]] batch×corpus LSH — the
-    * ingest batch probes the corpus, never corpus×corpus). Survivors
-    * land through [[graft.streaming.EventOps.idempotentBatchWriter]]:
-    * each micro-batch overwrites its own `batch_id=` partition, so
+    * against corpus ∪ accepted fingerprints), incremental near-dup
+    * (the [[Dedup.incrementalNearDups]] batch×standing LSH — the
+    * ingest batch probes the standing side, never standing×standing),
+    * and a batch-SELF near-dup keep-one (LSH pairs within the batch,
+    * bounded by batch size; the smaller doc_id survives, matching the
+    * batch pipeline's min-id policy). Survivors land through
+    * [[graft.streaming.EventOps.idempotentBatchWriter]]: each
+    * micro-batch overwrites its own `batch_id=` partition, so
     * foreachBatch's at-least-once replays produce exactly-once output.
+    *
+    * Accepted-stream state is REBUILT from the writer's own output
+    * every micro-batch (all `batch_id=` partitions EXCEPT the current
+    * batch's own — a replayed batch must probe exactly the state its
+    * first attempt saw, never its own partial write). No in-memory
+    * accumulation: after a crash the next batch reads the identical
+    * state from disk, so replay and restart are safe by construction.
     *
     * Scope: the corpus-GLOBAL gates (per-language z-cut, the Gopher
     * batteries' corpus statistics, chunk-dedup ownership) are batch
@@ -359,8 +370,16 @@ object TrainingPipeline {
     * corpus relation are read per micro-batch — both persisted here
     * (MEMORY_AND_DISK) because every micro-batch probes them; the
     * caller owns their release after stopping the query (stop() then
-    * [[releaseIngestState]]). Incremental near-dup is bounded by the
-    * BATCH's bucket footprint (see incrementalNearDups).
+    * [[releaseIngestState]]). The accepted-delta re-read grows with
+    * arrivals SINCE THE LAST COMPACTION, not with the corpus: the
+    * lambda split's periodic batch job folds `outDir` into the
+    * standing corpus and restarts the stream against the merged
+    * corpus with a fresh output dir, which re-bounds the delta — the
+    * stream alone must not run unboundedly or its per-batch state
+    * probe grows linearly with stream history. Incremental near-dup
+    * stays bounded by the BATCH's bucket footprint (see
+    * incrementalNearDups); the batch-self pass is batch×batch over a
+    * micro-batch.
     *
     * Returns the started query; the caller awaits/stops it.
     */
@@ -397,6 +416,17 @@ object TrainingPipeline {
     urlDeduped.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // accepted-stream standing state, rebuilt from the idempotent
+        // writer's own batch_id= partitions: everything already landed
+        // EXCEPT this batch's own partition (an at-least-once replay
+        // must probe the state its first attempt saw, never its own
+        // partial write). First batch: outDir doesn't exist yet.
+        val accepted: DataFrame =
+          try spark.read.parquet(outDir)
+            .where(col("batch_id") =!= batchId)
+            .select(col("doc_id"), col("text"))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            corpus.select(col("doc_id"), col("text")).limit(0) }
         val redacted = batch
           .withColumn("text", Cleaning.redactPii(col("text")))
         val gated = redacted.where(
@@ -404,22 +434,41 @@ object TrainingPipeline {
             cfg.minTokens)
         // exact dedup: keep-one within the batch (min doc_id per
         // fingerprint — an aggregate, never a content-keyed window),
-        // then drop anything the corpus already holds
+        // then drop anything the corpus OR a prior accepted batch holds
+        val stateFp = corpusFp.unionByName(accepted
+          .select(unhex(TextOps.fingerprint(col("text"))).as("__fp")))
         val withFp = gated.withColumn("__fp",
           unhex(TextOps.fingerprint(col("text"))))
         val batchSurvivors = withFp
           .groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
-          .join(corpusFp, Seq("__fp"), "left_anti")
+          .join(stateFp, Seq("__fp"), "left_anti")
           .select("doc_id")
         val exactNew = withFp.drop("__fp")
           .join(batchSurvivors, Seq("doc_id"), "left_semi")
-        // incremental near-dup: batch probes the standing corpus
+        // incremental near-dup: batch probes the standing side
+        // (corpus ∪ accepted stream) — never standing×standing
+        val standing = corpusShared.select(col("doc_id"), col("text"))
+          .unionByName(accepted)
         val flagged = Dedup.incrementalNearDups(
-          corpusShared, exactNew, "text", "doc_id",
+          standing, exactNew, "text", "doc_id",
           threshold = cfg.nearDupThreshold)
           .select(col("incoming_id").as("doc_id"))
-        val clean = exactNew.join(flagged, Seq("doc_id"), "left_anti")
-        graft.streaming.EventOps.idempotentBatchWriter(outDir)(clean, batchId)
+        val survivors = exactNew.join(flagged, Seq("doc_id"), "left_anti")
+          // feeds the self-pair LSH (sets + both verify sides) AND the
+          // final anti-join — persist for the batch, released below
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          // batch-SELF near-dup keep-one: pairs come id1 < id2, so
+          // dropping every id2 keeps exactly the docs with no
+          // smaller-id near-dup neighbor in the batch (min-id-wins,
+          // the batch pipeline's survivor policy; bounded batch×batch)
+          val selfDrop = Dedup.minhashNearDupPairs(
+            survivors, "text", "doc_id",
+            threshold = cfg.nearDupThreshold, sorted = false)
+            .select(col("id2").as("doc_id")).distinct()
+          val clean = survivors.join(selfDrop, Seq("doc_id"), "left_anti")
+          graft.streaming.EventOps.idempotentBatchWriter(outDir)(clean, batchId)
+        } finally survivors.unpersist()
       }
       .start()
   }

@@ -1274,13 +1274,17 @@ object TextOps {
         (col("n_docs") - col("n_pos") - col("n10")).as("n00"),
         col("n_docs"))
       .select(col("term"), col("n11"), col("n10"), col("n01"), col("n00"),
+        // nullif guard (r12 D3 audit): on a SINGLE-CLASS corpus a
+        // marginal (n01+n00 or n11+n01) is 0 — Spark (ANSI off) would
+        // emit Inf where DuckDB NULLs the division; chi2 is undefined
+        // there, so both engines agree on NULL
         (col("n_docs").cast(DoubleType) *
           pow(col("n11").cast(DoubleType) * col("n00").cast(DoubleType) -
             col("n10").cast(DoubleType) * col("n01").cast(DoubleType), 2) /
-          ((col("n11") + col("n01")).cast(DoubleType) *
+          nullif((col("n11") + col("n01")).cast(DoubleType) *
             (col("n10") + col("n00")).cast(DoubleType) *
             (col("n11") + col("n10")).cast(DoubleType) *
-            (col("n01") + col("n00")).cast(DoubleType))).as("chi2"))
+            (col("n01") + col("n00")).cast(DoubleType), lit(0.0))).as("chi2"))
       .orderBy(col("chi2").desc, col("term"))
       .limit(k)
   }
@@ -1421,10 +1425,10 @@ object TextOps {
            |       CAST(n_docs AS DOUBLE) *
            |         pow(CAST(n11 AS DOUBLE) * CAST(n_docs - n_pos - n10 AS DOUBLE) -
            |             CAST(n10 AS DOUBLE) * CAST(n_pos - n11 AS DOUBLE), 2) /
-           |         (CAST(n11 + (n_pos - n11) AS DOUBLE) *
+           |         NULLIF(CAST(n11 + (n_pos - n11) AS DOUBLE) *
            |          CAST(n10 + (n_docs - n_pos - n10) AS DOUBLE) *
            |          CAST(n11 + n10 AS DOUBLE) *
-           |          CAST((n_pos - n11) + (n_docs - n_pos - n10) AS DOUBLE)) AS chi2
+           |          CAST((n_pos - n11) + (n_docs - n_pos - n10) AS DOUBLE), 0.0) AS chi2
            |FROM pt, tot
            |WHERE n11 + n10 >= 10
            |ORDER BY chi2 DESC, term LIMIT 30""".stripMargin)),

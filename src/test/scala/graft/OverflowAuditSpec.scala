@@ -199,6 +199,30 @@ class OverflowAuditSpec extends SparkTestBase {
     case _ => None
   }
 
+  /** frame provably includes the current row: default frames do
+    * (RANGE UNBOUNDED PRECEDING..CURRENT ROW with ORDER BY, the whole
+    * partition without), and a specified frame must span offset 0 */
+  private def frameIncludesCurrentRow(we: WindowExpression): Boolean =
+    we.windowSpec.frameSpecification match {
+      case f: org.apache.spark.sql.catalyst.expressions.SpecifiedWindowFrame =>
+        // the analyzer casts frame-bound literals to the order key's
+        // type — strip before matching
+        val lowerOk = stripCast(f.lower) match {
+          case org.apache.spark.sql.catalyst.expressions.UnboundedPreceding => true
+          case org.apache.spark.sql.catalyst.expressions.CurrentRow => true
+          case Literal(v, _) => litNum(v).exists(_ <= 0.0)
+          case _ => false
+        }
+        val upperOk = stripCast(f.upper) match {
+          case org.apache.spark.sql.catalyst.expressions.UnboundedFollowing => true
+          case org.apache.spark.sql.catalyst.expressions.CurrentRow => true
+          case Literal(v, _) => litNum(v).exists(_ >= 0.0)
+          case _ => false
+        }
+        lowerOk && upperOk
+      case _ => true // UnspecifiedFrame: both defaults include the current row
+    }
+
   /** Structural value-domain prover over one plan's alias definitions. */
   private class DomainProver(defs: Map[ExprId, (Expression, Boolean)]) {
 
@@ -213,10 +237,10 @@ class OverflowAuditSpec extends SparkTestBase {
       case a: AttributeReference => viaAttr(a, seen, pos)
       case al: Alias => pos(al.child, grouped, seen)
       case c: Cast => pos(c.child, grouped, seen)
-      case g: Greatest => g.children.exists {
+      case g: Greatest => g.children.exists(c => stripCast(c) match {
         case Literal(v, _) => litNum(v).exists(_ > 0.0)
         case _ => false
-      }
+      })
       case a: Add =>
         (pos(a.left, grouped, seen) && nonNeg(a.right, grouped, seen)) ||
           (nonNeg(a.left, grouped, seen) && pos(a.right, grouped, seen))
@@ -251,9 +275,13 @@ class OverflowAuditSpec extends SparkTestBase {
       }
       case we: WindowExpression => we.windowFunction match {
         case ae: AggregateExpression => ae.aggregateFunction match {
-          // the default/explicit frames in this repo include the
-          // current row, so a window count over it is ≥ 1
-          case c: Count => c.children.forall(!_.nullable)
+          // a window count is ≥ 1 only when the FRAME provably
+          // includes the current row (r11 ADVICE: a
+          // rowsBetween(MinValue, -1) frame is empty on its first row
+          // and counts 0); sum/min/max/avg over an empty frame yield
+          // NULL, which the null-or-positive lattice already admits
+          case c: Count =>
+            frameIncludesCurrentRow(we) && c.children.forall(!_.nullable)
           case s: Sum => pos(s.child, grouped, seen)
           case m: Min => pos(m.child, grouped, seen)
           case m: Max => pos(m.child, grouped, seen)
@@ -300,10 +328,10 @@ class OverflowAuditSpec extends SparkTestBase {
       case a: AttributeReference => viaAttr(a, seen, nonNeg)
       case al: Alias => nonNeg(al.child, grouped, seen)
       case c: Cast => nonNeg(c.child, grouped, seen)
-      case g: Greatest => g.children.exists {
+      case g: Greatest => g.children.exists(c => stripCast(c) match {
         case Literal(v, _) => litNum(v).exists(_ >= 0.0)
         case _ => false
-      }
+      })
       case _: Abs | _: Size | _: Length | _: Sqrt => true
       case m: Multiply if m.left.semanticEquals(m.right) => true
       case p: Pow => p.right match {
@@ -428,20 +456,59 @@ class OverflowAuditSpec extends SparkTestBase {
       case _ => false
     }
 
-    /** attribute closure of `e` (its refs plus the refs of their
-      * definitions, transitively) — used to match branch predicates
-      * against denominator subtrees across alias boundaries */
-    def deepRefs(e: Expression, depth: Int = 6): Set[ExprId] = {
-      val out = scala.collection.mutable.Set[ExprId]()
-      def go(x: Expression, d: Int): Unit =
-        x.references.foreach { a =>
-          if (!out(a.exprId)) {
-            out += a.exprId
-            if (d > 0) defs.get(a.exprId).foreach(p => go(p._1, d - 1))
-          }
-        }
-      go(e, depth)
-      out.toSet
+    /** semantic identity of two expressions across cast/alias strips
+      * and attribute-definition hops (bounded) — the matcher guards
+      * use to tie a predicate's witness to the flagged denominator */
+    def sameAs(a: Expression, b: Expression, depth: Int = 4): Boolean = {
+      val x = stripCast(a); val y = stripCast(b)
+      if (x.semanticEquals(y)) true
+      else if (depth <= 0) false
+      else (x, y) match {
+        case (ar: AttributeReference, _) if defs.contains(ar.exprId) =>
+          sameAs(defs(ar.exprId)._1, y, depth - 1)
+        case (_, br: AttributeReference) if defs.contains(br.exprId) =>
+          sameAs(x, defs(br.exprId)._1, depth - 1)
+        case _ => false
+      }
+    }
+  }
+
+  /** typed guard witnesses: the expressions this predicate proves
+    * positive ('p'), negative ('g'), merely non-zero ('z'), or
+    * non-negative ('n') WHEN IT HOLDS */
+  private def typedWitnesses(p: Expression): Seq[(Expression, Char)] = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Not}
+    // the analyzer wraps comparison literals in casts (`s > 0` is
+    // GreaterThan(s, cast(0 as bigint)) in the analyzed plan) — strip
+    // before matching; a cast around a numeric literal preserves value
+    def lit(e: Expression): Option[Double] = stripCast(e) match {
+      case Literal(v, _) => litNum(v)
+      case _ => None
+    }
+    p match {
+      case Not(EqualTo(a, b)) =>
+        if (lit(a).contains(0.0)) Seq((b, 'z'))
+        else if (lit(b).contains(0.0)) Seq((a, 'z'))
+        else Nil
+      case GreaterThan(w, l) if lit(l).exists(_ >= 0.0) => Seq((w, 'p'))
+      case GreaterThanOrEqual(w, l) if lit(l).exists(_ > 0.0) => Seq((w, 'p'))
+      case GreaterThanOrEqual(w, l) if lit(l).contains(0.0) => Seq((w, 'n'))
+      case LessThan(l, w) if lit(l).exists(_ >= 0.0) => Seq((w, 'p'))
+      case LessThanOrEqual(l, w) if lit(l).exists(_ > 0.0) => Seq((w, 'p'))
+      case LessThanOrEqual(l, w) if lit(l).contains(0.0) => Seq((w, 'n'))
+      case LessThan(w, l) if lit(l).exists(_ <= 0.0) => Seq((w, 'g'))
+      case GreaterThan(l, w) if lit(l).exists(_ <= 0.0) => Seq((w, 'g'))
+      // negated comparisons — the CASE/IF ELSE-branch guards arrive as
+      // Not(predicate): ¬(w ≤ l) ≡ w > l, ¬(w < l) ≡ w ≥ l, …
+      case Not(LessThanOrEqual(w, l)) if lit(l).exists(_ >= 0.0) => Seq((w, 'p'))
+      case Not(LessThan(w, l)) if lit(l).exists(_ > 0.0) => Seq((w, 'p'))
+      case Not(LessThan(w, l)) if lit(l).contains(0.0) => Seq((w, 'n'))
+      case Not(GreaterThanOrEqual(w, l)) if lit(l).exists(_ <= 0.0) => Seq((w, 'g'))
+      case Not(GreaterThan(w, l)) if lit(l).exists(_ < 0.0) => Seq((w, 'g'))
+      case Not(GreaterThanOrEqual(l, w)) if lit(l).exists(_ <= 0.0) => Seq((w, 'p'))
+      case Not(GreaterThan(l, w)) if lit(l).exists(_ > 0.0) => Seq((w, 'p'))
+      case And(a, b) => typedWitnesses(a) ++ typedWitnesses(b)
+      case _ => Nil
     }
   }
 
@@ -467,19 +534,50 @@ class OverflowAuditSpec extends SparkTestBase {
       fs.toList
     }
     // `guards`: predicates of the enclosing CASE/IF branches plus the
-    // plan's filters — a division whose denominator shares an attribute
-    // with one of them is considered author-guarded (the
-    // when(x > 0, y / x) idiom)
-    def guarded(guards: List[Expression], target: Expression): Boolean = {
-      val t = prover.deepRefs(target)
-      (guards ::: filterGuards).exists(g =>
-        prover.deepRefs(g).intersect(t).nonEmpty)
+    // plan's filters. need ∈ 'z' (non-zero: divide), 'n' (non-negative:
+    // sqrt/log1p), 'p' (positive: log): a guard counts ONLY when one of
+    // its typed witnesses IS the flagged denominator/argument (semantic
+    // identity across casts/aliases/attribute-definition hops) and the
+    // witness kind implies the need — merely sharing an attribute with
+    // the denominator proves nothing (the r11 ADVICE vacuous-guard
+    // class: any broad base-column filter silenced D3/D4/D5)
+    def guarded(guards: List[Expression], target: Expression,
+        need: Char, grouped: Boolean): Boolean = {
+      def implies(need: Char, kind: Char): Boolean = need match {
+        case 'z' => kind == 'p' || kind == 'g' || kind == 'z'
+        case 'n' => kind == 'p' || kind == 'n'
+        case 'p' => kind == 'p'
+        case _ => false
+      }
+      // a sqrt-wrapped denominator is non-zero when its ARGUMENT is
+      // witnessed positive (sqrt(x > 0) > 0), or witnessed non-zero
+      // with a provably non-negative argument (sqrt(x ≥ 0, x ≠ 0) > 0;
+      // a negative x would give NaN, itself a divergence)
+      val targets: Seq[(Expression, Char)] = (target, stripCast(target)) match {
+        case (_, sq: Sqrt) if need == 'z' =>
+          Seq((target, need), (sq.child, 'p')) ++
+            (if (prover.nonNeg(sq.child, grouped)) Seq((sq.child, 'z')) else Nil)
+        case _ => Seq((target, need))
+      }
+      val ws = (guards ::: filterGuards).flatMap(typedWitnesses)
+      targets.exists { case (t, n) =>
+        ws.exists { case (w, kind) => implies(n, kind) && prover.sameAs(w, t) } }
     }
+    // witness expressions usable INSIDE the prover's nonZero walk (the
+    // .where(held_us > 0) … x / (held_us · k) shape: the witness sits
+    // under a Multiply the guard matcher alone cannot decompose)
+    def nonZeroWs(guards: List[Expression]): Seq[Expression] =
+      (guards ::: filterGuards).flatMap(typedWitnesses)
+        .collect { case (w, k) if k == 'p' || k == 'g' || k == 'z' => w }
     def walkExpr(e: Expression, guards: List[Expression], grouped: Boolean): Unit = e match {
       case i: If =>
         walkExpr(i.predicate, guards, grouped)
         walkExpr(i.trueValue, i.predicate :: guards, grouped)
-        walkExpr(i.falseValue, i.predicate :: guards, grouped)
+        // the FALSE branch is guarded by the predicate's NEGATION
+        // (the when(d === 0, fallback).otherwise(x / d) idiom)
+        walkExpr(i.falseValue,
+          org.apache.spark.sql.catalyst.expressions.Not(i.predicate) :: guards,
+          grouped)
       // SQL AND is evaluated with the left conjunct guarding the right
       // in every author-written `d > 0 AND x / d ...` idiom
       case a: And =>
@@ -490,8 +588,12 @@ class OverflowAuditSpec extends SparkTestBase {
           walkExpr(p, guards, grouped)
           walkExpr(v, p :: guards, grouped)
         }
+        // the ELSE branch runs only when EVERY branch predicate is
+        // false — its guards are their negations
         cw.elseValue.foreach(v =>
-          walkExpr(v, cw.branches.map(_._1).toList ::: guards, grouped))
+          walkExpr(v, cw.branches.map(b =>
+            org.apache.spark.sql.catalyst.expressions.Not(b._1): Expression)
+            .toList ::: guards, grouped))
       // sum(x)/count(y) written inside ONE aggregate: the denominator
       // is 0 only on empty input, where the null-on-empty numerator
       // already nulls the division on BOTH engines (null/0 = NULL in
@@ -499,39 +601,41 @@ class OverflowAuditSpec extends SparkTestBase {
       case d: Divide if nullAgreeingMean(d) =>
         d.children.foreach(walkExpr(_, guards, grouped))
       case d: Divide =>
-        if (!prover.nonZero(d.right, grouped) && !guarded(guards, d.right))
+        if (!prover.nonZero(d.right, grouped, witnesses = nonZeroWs(guards)) &&
+            !guarded(guards, d.right, 'z', grouped))
           hits += s"unguarded-divide: ${d.sql.take(160)}"
         d.children.foreach(walkExpr(_, guards, grouped))
       case d: IntegralDivide =>
-        if (!prover.nonZero(d.right, grouped) && !guarded(guards, d.right))
+        if (!prover.nonZero(d.right, grouped, witnesses = nonZeroWs(guards)) &&
+            !guarded(guards, d.right, 'z', grouped))
           hits += s"unguarded-divide: ${d.sql.take(160)}"
         d.children.foreach(walkExpr(_, guards, grouped))
       case s: Sqrt =>
-        if (!prover.nonNeg(s.child, grouped) && !guarded(guards, s.child))
+        if (!prover.nonNeg(s.child, grouped) && !guarded(guards, s.child, 'n', grouped))
           hits += s"unguarded-sqrt: ${s.sql.take(160)}"
         s.children.foreach(walkExpr(_, guards, grouped))
       // D5 — log domain: Spark (ANSI off) returns NULL on log(x ≤ 0)
       // where DuckDB ERRORS the whole oracle query; the argument must
       // be provably POSITIVE (log1p: ≥ 0)
       case l: Log =>
-        if (!prover.pos(l.child, grouped) && !guarded(guards, l.child))
+        if (!prover.pos(l.child, grouped) && !guarded(guards, l.child, 'p', grouped))
           hits += s"unguarded-log: ${l.sql.take(160)}"
         l.children.foreach(walkExpr(_, guards, grouped))
       case l: Log2 =>
-        if (!prover.pos(l.child, grouped) && !guarded(guards, l.child))
+        if (!prover.pos(l.child, grouped) && !guarded(guards, l.child, 'p', grouped))
           hits += s"unguarded-log: ${l.sql.take(160)}"
         l.children.foreach(walkExpr(_, guards, grouped))
       case l: Log10 =>
-        if (!prover.pos(l.child, grouped) && !guarded(guards, l.child))
+        if (!prover.pos(l.child, grouped) && !guarded(guards, l.child, 'p', grouped))
           hits += s"unguarded-log: ${l.sql.take(160)}"
         l.children.foreach(walkExpr(_, guards, grouped))
       case l: Log1p =>
-        if (!prover.nonNeg(l.child, grouped) && !guarded(guards, l.child))
+        if (!prover.nonNeg(l.child, grouped) && !guarded(guards, l.child, 'n', grouped))
           hits += s"unguarded-log: ${l.sql.take(160)}"
         l.children.foreach(walkExpr(_, guards, grouped))
       case l: Logarithm =>
         if (l.children.exists(c =>
-          !prover.pos(c, grouped) && !guarded(guards, c)))
+          !prover.pos(c, grouped) && !guarded(guards, c, 'p', grouped)))
           hits += s"unguarded-log: ${l.sql.take(160)}"
         l.children.foreach(walkExpr(_, guards, grouped))
       case sq: SubqueryExpression =>
@@ -691,6 +795,38 @@ class OverflowAuditSpec extends SparkTestBase {
     "q_survival_km" -> ("n_risk = tot − cum(d+c) + d + c ≥ d + c ≥ 1 " +
       "for any emitted life-table row (the row's own events/censored " +
       "are still at risk at its own time)"),
+    "q_benford" -> ("the chi-square denominator is total·benford_p: " +
+      "benford_p is a positive literal CASE over digits 1..9, and " +
+      "total = Σ cnt over the SAME first-digit census that emitted the " +
+      "row (cross-join-total), so total ≥ cnt ≥ 1"),
+    "q_bm25_topk" -> ("avgdl = total_tokens/n_docs and n_docs are " +
+      "corpus constants computed from the posting rows themselves: a " +
+      "scored row exists only via a posting, so total_tokens ≥ df ≥ 1 " +
+      "and n_docs ≥ 1; the IDF log argument is 1 + (n_docs − df + " +
+      "0.5)/(df + 0.5) with n_docs ≥ df ≥ 1, hence > 1 — same family " +
+      "as the allowlisted q_rrf_fusion constants"),
+    "q_char_entropy" -> ("the log2 argument is the occurrence count of " +
+      "character c in s, for c drawn from s's OWN distinct characters " +
+      "— ≥ 1 by construction"),
+    "q_chunk_dup_docs" -> ("total_bytes = the doc's own chunk byte sum " +
+      "(Σ chunk lengths ≥ 4-byte floor per chunk) over the same census " +
+      "emitting the row — a doc without chunks emits no row"),
+    "q_containment_join" -> ("size(sh1) ≥ 1: a candidate pair arises " +
+      "only from a SHARED shingle (inverted-index construction), so " +
+      "both shingle sets are non-empty — the q_ngram_jaccard bound, " +
+      "directed"),
+    "q_dedup_incremental" -> ("size(array_union(sh1, sh2)) ≥ 1: LSH " +
+      "candidates band-join on shared signatures of non-empty shingle " +
+      "sets (empty sets produce no bands), so the verify union is " +
+      "non-empty"),
+    "q_minhash_neardup" -> "same band-join bound as q_dedup_incremental",
+    "q_setsim_join" -> ("same non-empty-set bound via the prefix " +
+      "inverted index: a candidate pair shares at least one prefix " +
+      "shingle, so the union size is ≥ 1"),
+    "q_triangle_stats" -> ("lcc is branch-guarded by deg ≥ 2, which " +
+      "bounds BOTH factors of deg·(deg−1) ≥ 2·1 > 0 — subtraction " +
+      "arithmetic the structural lattice cannot derive from the " +
+      "witness deg ≥ 2"),
     "q_zipf" -> ("intercept divides by the log2-bucket count n from " +
       "the same global aggregate emitting the row; on an empty bucket " +
       "set the numerator (sy − slope·sx) is NULL, so both engines " +

@@ -724,6 +724,32 @@ class StreamingSpec extends SparkTestBase {
           "https://www.b.example.com/r")).toDF("doc_id", "text", "url")
       deliver(incoming2, tmp, in, "b1")
       q.processAllAvailable()
+      // THIRD micro-batch (the r11 verdict's gap): content duplicates
+      // of a batch-1 ACCEPTED doc (106) — different URLs, so only the
+      // absorbed accepted-stream state can catch them — plus a
+      // within-batch near-dup pair, neither member known to any
+      // standing state
+      val incoming3 = Seq(
+        // byte-identical to accepted doc 106 -> exact dedup vs the
+        // accepted stream must kill it
+        (108L, "entirely fresh writing on volcanic island formation plate tectonics and basalt column geometry",
+          "https://late.example.com/p108"),
+        // one word changed vs accepted doc 106 -> incremental near-dup
+        // vs the accepted stream must kill it
+        (109L, "entirely fresh writing on volcanic island formation plate tectonics and basalt column patterns",
+          "https://late.example.com/p109"),
+        // within-batch near-dup pair (novel vs corpus AND stream):
+        // min doc_id survives, the other dies
+        (110L, "glacial meltwater rivers carve deep canyons through ancient limestone plateaus over long millennia",
+          "https://late.example.com/p110"),
+        (111L, "glacial meltwater rivers carve deep canyons through ancient limestone plateaus over long centuries",
+          "https://late.example.com/p111"),
+        // novel on every axis -> must survive
+        (112L, "desert varnish coats exposed sandstone surfaces with manganese oxides deposited across arid centuries",
+          "https://late.example.com/p112"))
+        .toDF("doc_id", "text", "url")
+      deliver(incoming3, tmp, in, "b2")
+      q.processAllAvailable()
     } finally {
       q.stop()
       graft.ext.TrainingPipeline.releaseIngestState(s"$tmp/out")
@@ -738,6 +764,15 @@ class StreamingSpec extends SparkTestBase {
       s"exactly one fetch of the shared canonical resource survives: $ids")
     assert(!ids.contains(107L),
       "a refetch in a LATER micro-batch must hit the watermarked state")
+    assert(!ids.contains(108L),
+      "an exact content-dup of an earlier batch's ACCEPTED doc must die")
+    assert(!ids.contains(109L),
+      "a near-dup of an earlier batch's ACCEPTED doc must die")
+    assert(ids.contains(110L),
+      "the smaller id of a within-batch near-dup pair survives")
+    assert(!ids.contains(111L),
+      "the larger id of a within-batch near-dup pair dies")
+    assert(ids.contains(112L), "the batch-3 novel doc must survive")
     // layout contract: the idempotent writer partitions by batch_id
     assert(out.columns.contains("batch_id"))
   }
