@@ -1353,6 +1353,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bounded near-dup REPORT: each doc's top-m best near-dup matches
+    * (jaccard ≥ 0.5), output O(n·m) under ANY skew — the 100 TB-safe
+    * twin of the all-pairs [[minhashNearDupPairs]] report, whose output
+    * is quadratic in docs under corpus-wide boilerplate (measured:
+    * 49,283,794 true pairs at sf1skew — BASELINE.md; REPORT semantics
+    * made that unavoidable for the all-pairs form). Same LSH +
+    * exact-verify machinery (the memoized shared pair relation, so a
+    * Verify/Bench run pays it once across the near-dup family), then
+    * one row_number cut per doc that Spark plans as WindowGroupLimit:
+    * partial per-map-partition heads run BEFORE the window exchange,
+    * so a doc near-dupping 10⁸ others ships m rows per upstream
+    * partition into the window sort, never 10⁸. Ties break by
+    * match_id — fully deterministic. The all-pairs form stays
+    * registered for exact-recall use; THIS is the report to schedule
+    * on boilerplate-heavy crawls.
+    */
+  def nearDupTopM(s: SparkSession, dir: String, m: Int = 3): DataFrame = {
+    val pairs = nearDupPairsShared(s, dir)
+    val sym = pairs
+      .select(col("id1").as("doc_id"), col("id2").as("match_id"), col("jaccard"))
+      .unionAll(pairs
+        .select(col("id2").as("doc_id"), col("id1").as("match_id"), col("jaccard")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("jaccard").desc, col("match_id").asc)
+    sym
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= m)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("match_id"), col("jaccard"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Shared oracle fragment: brute-force near-dup edges + recursive-CTE
     * connected components (DuckDB WITH RECURSIVE replays the transitive
     * closure the Spark loop computes).
@@ -1622,6 +1655,42 @@ object Dedup {
     // sets are collision-free here (64-bit hashes over ~10² shingles).
     GraftQuery("q_minhash_neardup", "MinHash+LSH near-dup pairs w/ exact Jaccard verify (brute-force oracle)",
       minhashQuery, Some(bruteForcePairsSql(2))),
+    // Same exact-pair oracle, reduced to each doc's top-3: containment
+    // in the brute-force pair list AND score agreement, per the r11
+    // verdict's bounded-report item. The oracle's row_number replays
+    // the (jaccard DESC, match_id) tie-break exactly.
+    GraftQuery("q_neardup_topm",
+      "bounded near-dup report: per-doc top-3 best matches (WindowGroupLimit cut) — O(n*m) output under corpus-wide boilerplate where the all-pairs report is quadratic",
+      (s, dir) => nearDupTopM(s, dir),
+      Some(
+        """WITH sets AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+          |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+          |    ELSE [] END) AS shingles
+          |  FROM (SELECT doc_id,
+          |          string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
+          |        FROM documents)
+          |),
+          |tok AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sets),
+          |ov AS (
+          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c,
+          |         any_value(a.n) AS na, any_value(b.n) AS nb
+          |  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id),
+          |p AS (
+          |  SELECT id1, id2, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+          |  FROM ov WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5),
+          |sym AS (
+          |  SELECT id1 AS doc_id, id2 AS match_id, jaccard FROM p
+          |  UNION ALL
+          |  SELECT id2, id1, jaccard FROM p),
+          |r AS (
+          |  SELECT doc_id, match_id, jaccard,
+          |         row_number() OVER (PARTITION BY doc_id
+          |                            ORDER BY jaccard DESC, match_id) AS rk
+          |  FROM sym)
+          |SELECT doc_id, rk, match_id, jaccard FROM r WHERE rk <= 3
+          |ORDER BY doc_id, rk""".stripMargin)),
     // Same oracle family at n=3, no data-gap argument needed: the prefix
     // lemma makes candidate recall 1.0 on ANY corpus, so pipeline ==
     // brute force by construction (the oracle just pins it cross-engine).

@@ -264,6 +264,17 @@ class PlanRulesSpec extends SparkTestBase {
       s"rank<=k must prune map-side:\n${plan.take(800)}")
   }
 
+  test("bounded near-dup report plans with WindowGroupLimit (O(n*m) output under skew)") {
+    // the whole point of q_neardup_topm vs the all-pairs report: a doc
+    // near-dupping 10^8 others must ship m rows per upstream partition
+    // into the window sort (partial WindowGroupLimit BEFORE the
+    // exchange), never its full pair fan-out
+    val plan = graft.ext.Dedup.nearDupTopM(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rk<=m must prune map-side:\n${plan.take(800)}")
+  }
+
   test("span-dedup stats plans without Expand; apply windows nothing and joins on the span key") {
     val stats = graft.ext.Dedup.spanDedupStats(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -123,6 +123,17 @@ class ScaleGenSpec extends SparkTestBase {
     val minDup = spans.agg(min("dup_chars")).head().getLong(0)
     assert(minDup >= ScaleGen.hotLine.length,
       s"hot region must register as duplicated chars in every doc: $minDup")
+    // the bounded near-dup report stays O(n·m) on exactly the corpus
+    // where the all-pairs report's TRUE output is quadratic (the
+    // boilerplate makes most docs pairwise similar): output ≤ 3·n and
+    // per-doc ranks are a clean 1..k prefix
+    val topm = graft.ext.Dedup.nearDupTopM(spark, d)
+    val topn = topm.count()
+    assert(topn <= 3 * n, s"top-m output must be ≤ 3·n = ${3 * n}: $topn")
+    val badRanks = topm.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"), max("rk").as("mx"))
+      .where(col("mx") =!= col("k")).count()
+    assert(badRanks == 0, "per-doc ranks must be the prefix 1..k")
   }
 
   test("reps outside 1..312 are rejected (313 would repeat an affine permutation)") {
