@@ -977,19 +977,41 @@ object Dedup {
       textCol: String, idCol: String, shingleN: Int = 2, numHashes: Int = 16,
       bands: Int = 8, threshold: Double = 0.5, maxBucket: Int = 10000,
       cacheSets: Boolean = false): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // each side's shingle sets feed banding (twice: the oversized-bucket
     // aggregate and the candidate join) AND the verify join — cacheSets
     // persists them per side, skipping two per-doc hashing passes
     // (opt-in; same ownership contract as [[minhashPairsCore]])
-    def sides(docs: DataFrame) = {
-      val sets = maybePersist(
-        hashedShingleSets(docs, textCol, idCol, shingleN), cacheSets)
-      val signed = sets.withColumn("sig", expr(s"graft_minhash_sig(shs, $numHashes)"))
-      (sets, lshBands(signed.drop("shs"), idCol, bands, rowsPerBand))
-    }
-    val (setsC, bandsC) = sides(corpus)
-    val (setsI, bandsI) = sides(incoming)
+    incrementalNearDupsFromSides(
+      lshSides(corpus, textCol, idCol, shingleN, numHashes, bands, cacheSets),
+      lshSides(incoming, textCol, idCol, shingleN, numHashes, bands, cacheSets),
+      idCol, numHashes, threshold, maxBucket)
+  }
+
+  /** The (hashed shingle sets, LSH band rows) pair for one side of an
+    * incremental near-dup probe — factored out so a STANDING side (a
+    * corpus probed every micro-batch) can be computed and persisted
+    * ONCE by the caller instead of re-hashed per batch
+    * ([[graft.ext.TrainingPipeline.streamingIngest]]).
+    */
+  private[graft] def lshSides(docs: DataFrame, textCol: String,
+      idCol: String, shingleN: Int = 2, numHashes: Int = 16,
+      bands: Int = 8, cacheSets: Boolean = false): (DataFrame, DataFrame) = {
+    val sets = maybePersist(
+      hashedShingleSets(docs, textCol, idCol, shingleN), cacheSets)
+    val signed = sets.withColumn("sig", expr(s"graft_minhash_sig(shs, $numHashes)"))
+    (sets, lshBands(signed.drop("shs"), idCol, bands, numHashes / bands))
+  }
+
+  /** Core of [[incrementalNearDups]] over prebuilt sides (see
+    * [[lshSides]]); parameters must match the sides' construction.
+    */
+  private[graft] def incrementalNearDupsFromSides(
+      corpusSides: (DataFrame, DataFrame),
+      incomingSides: (DataFrame, DataFrame), idCol: String,
+      numHashes: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    val (setsC, bandsC) = corpusSides
+    val (setsI, bandsI) = incomingSides
     val oversized = oversizedBuckets(
       bandsC.select("band_id", "band_hash").unionAll(bandsI.select("band_id", "band_hash")),
       maxBucket)

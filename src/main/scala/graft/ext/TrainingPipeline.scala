@@ -393,7 +393,17 @@ object TrainingPipeline {
       .select(unhex(TextOps.fingerprint(col("text"))).as("__fp"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    ingestState.put(outDir, Seq(corpusShared, corpusFp))
+    // the corpus side of the incremental LSH probe (shingle sets +
+    // band rows) is computed and persisted ONCE here: it is probed by
+    // EVERY micro-batch, and re-hashing the whole standing corpus per
+    // batch would dominate ingest wall-clock (the accepted-delta and
+    // batch sides below stay per-batch — they change every trigger)
+    val (corpusSets, corpusBands) = Dedup.lshSides(
+      corpusShared.select(col("doc_id"), col("text")), "text", "doc_id")
+    val corpusSetsP = corpusSets.persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusBandsP = corpusBands.persist(StorageLevel.MEMORY_AND_DISK)
+    ingestState.put(outDir,
+      Seq(corpusShared, corpusFp, corpusSetsP, corpusBandsP))
     val raw = spark.readStream
       .schema(corpus.schema)
       .option("pathGlobFilter", "*.parquet")
@@ -446,12 +456,16 @@ object TrainingPipeline {
         val exactNew = withFp.drop("__fp")
           .join(batchSurvivors, Seq("doc_id"), "left_semi")
         // incremental near-dup: batch probes the standing side
-        // (corpus ∪ accepted stream) — never standing×standing
-        val standing = corpusShared.select(col("doc_id"), col("text"))
-          .unionByName(accepted)
-        val flagged = Dedup.incrementalNearDups(
-          standing, exactNew, "text", "doc_id",
-          threshold = cfg.nearDupThreshold)
+        // (corpus ∪ accepted stream) — never standing×standing. The
+        // corpus sides come from the persisted one-time build above;
+        // only the accepted delta and the batch re-hash per trigger.
+        val (accSets, accBands) = Dedup.lshSides(accepted, "text", "doc_id")
+        val flagged = Dedup.incrementalNearDupsFromSides(
+          (corpusSetsP.unionByName(accSets),
+            corpusBandsP.unionByName(accBands)),
+          Dedup.lshSides(exactNew.select(col("doc_id"), col("text")),
+            "text", "doc_id"),
+          "doc_id", threshold = cfg.nearDupThreshold)
           .select(col("incoming_id").as("doc_id"))
         val survivors = exactNew.join(flagged, Seq("doc_id"), "left_anti")
           // feeds the self-pair LSH (sets + both verify sides) AND the

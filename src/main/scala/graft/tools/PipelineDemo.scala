@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions.col
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    val streamMode = args.length > 2 && args(2) == "stream"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,6 +39,7 @@ object PipelineDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (streamMode) { streamDemo(spark, sfDir, outDir); spark.stop(); return }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // stage 0 consumes a URL column; the fixture's planted refetch
     // population (the same generator q_url_dedup gates) supplies it
@@ -71,5 +74,78 @@ object PipelineDemo {
       println(f"[pipeline] $name%-12s $s%7.1f s  $r")
     }
     spark.stop()
+  }
+
+  /** `stream` mode (3rd arg): measured micro-batch ingest rate against
+    * the standing corpus — the BASELINE row for the streaming
+    * composition (r11 verdict item 8). Each of three micro-batches is
+    * ~10% of the corpus (sf1 standing → sf0.1-scale arrivals): half
+    * exact content-dups of standing docs under NEW ids and URLs (only
+    * content state can kill them — the absorbed-fingerprint path) and
+    * half novel (alphabet-rotated text; the rotation varies per batch
+    * so batches don't duplicate each other). Prints per-batch wall,
+    * docs/s, and cumulative survivors; expected survivor mass is the
+    * novel half of each batch, minus its near-dup casualties.
+    */
+  private def streamDemo(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("url", graft.ext.WebOps.refetchUrl)
+    val span = corpus.agg(max("doc_id")).head().getLong(0) + 1L
+    val in = s"$outDir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val q = graft.ext.TrainingPipeline.streamingIngest(
+      corpus, in, s"$outDir/out", s"$outDir/ckpt",
+      graft.ext.TrainingPipeline.Config(urlDedupCol = Some("url")))
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    try {
+      var prevOut = 0L
+      (1 to 3).foreach { b =>
+        // novelty transform must be affine a=25 (reversed alphabet):
+        // the ScaleGen fixture's replicas are Caesar rotations (a=1),
+        // so a Caesar-shifted "novel" doc would byte-match another
+        // replica's copy of the same base doc and die as an exact dup
+        val rev = abc.reverse
+        val rot = rev.drop(b * 3) + rev.take(b * 3)
+        val arriving = corpus
+          // slice residue (b-1) mod 10; the dup/novel split keys on
+          // mod 20 so it halves WITHIN the slice (mod 2 would correlate
+          // with the mod-10 residue and make whole batches one-sided)
+          .where(pmod(col("doc_id"), lit(10)) === lit((b - 1).toLong))
+          .select(
+            (col("doc_id") + lit(span * b)).as("doc_id"),
+            when(pmod(col("doc_id"), lit(20)) === lit((b - 1).toLong),
+              col("text"))
+              .otherwise(translate(col("text"), abc, rot)).as("text"),
+            col("lang"), col("source"),
+            length(col("text")).cast("long").as("n_chars"),
+            concat(lit(s"https://arrivals.example.com/b$b/"),
+              col("doc_id").cast("string")).as("url"))
+          .select(corpus.columns.map(col): _*)
+        val bn = arriving.count()
+        // stage then atomically move the part files into the watched dir
+        val stage = s"$outDir/stage_$b"
+        arriving.write.parquet(stage)
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex
+          .foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(in, s"b${b}_$i.parquet"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val s = (System.nanoTime() - t0) / 1e9
+        val outN = spark.read.parquet(s"$outDir/out").count()
+        println(f"[stream] batch $b: docs=$bn%d wall=$s%7.1f s " +
+          f"rate=${bn / s}%9.1f docs/s survivors=${outN - prevOut}%d " +
+          f"cumulative=$outN%d")
+        prevOut = outN
+      }
+    } finally {
+      q.stop()
+      graft.ext.TrainingPipeline.releaseIngestState(s"$outDir/out")
+    }
   }
 }
