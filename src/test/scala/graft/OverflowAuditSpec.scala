@@ -743,9 +743,6 @@ class OverflowAuditSpec extends SparkTestBase {
       "which yields no verified pairs and hence no rows"),
     "q_cusum" -> ("n is the day count cross-joined into every row — a " +
       "row exists only when daily revenue is non-empty, so n ≥ 1"),
-    "q_seasonal_anomalies" -> ("same cross-join-total bound as q_cusum " +
-      "(s1/n, s2/n over the residual census); the z division itself is " +
-      "CASE-guarded on both engines"),
     "q_decile_report" -> ("total_cents = Σ of o_totalprice cents; " +
       "TPC-H prices are > 0 by schema contract, so any row present " +
       "implies a positive total"),
@@ -820,6 +817,13 @@ class OverflowAuditSpec extends SparkTestBase {
       "sets (empty sets produce no bands), so the verify union is " +
       "non-empty"),
     "q_minhash_neardup" -> "same band-join bound as q_dedup_incremental",
+    "q_neardup_topm" -> ("reduces the SAME verified pair relation as " +
+      "q_minhash_neardup — the size(array_union) denominator carries " +
+      "the identical band-join bound"),
+    "q_seasonal_anomalies" -> ("s1/n, s2/n: cross-join-total — n is " +
+      "the residual-census row count cross-joined into every row, so " +
+      "a row's existence implies n ≥ 1; the z division itself is " +
+      "CASE-guarded (now witness-matched) on both engines"),
     "q_setsim_join" -> ("same non-empty-set bound via the prefix " +
       "inverted index: a candidate pair shares at least one prefix " +
       "shingle, so the union size is ≥ 1"),
