@@ -29,7 +29,19 @@ import graft.engine.GraftSession
   * with a written domain bound proving the product cannot reach 2⁶³ at
   * any corpus size. New unwidened sums fail this suite.
   */
-class OverflowAuditSpec extends SparkTestBase {
+class OverflowAuditSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  // the two full-surface walks below build every registered query —
+  // the session-memoized keys (near-dup trio, substring pair, reach
+  // paths) each pin a lazy persisted relation + its analyzed plan in
+  // the engine's static memo maps. In the shared single-JVM test run
+  // that heap stays pinned for every LATER suite (the r12
+  // inherited-state OOM); release it when this suite is done.
+  override def afterAll(): Unit = {
+    try graft.ext.Dedup.clearSessionMemos()
+    finally super.afterAll()
+  }
 
   /** name → justification for keys whose flagged products carry a
     * static domain bound (documented here, enforced nowhere else —

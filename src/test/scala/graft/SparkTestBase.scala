@@ -16,6 +16,14 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // All 35 suites share this one 8g JVM; the deep composed plans
+      // (TrainingPipeline.run at full config) can render multi-hundred-MB
+      // physicalPlanDescription strings on EVERY action (the listener
+      // event path builds them even with the UI off). The full test run
+      // OOM'd in exactly that StringConcat once the suite count grew
+      // (r12 inherited-state fix); plan strings are diagnostics, so a
+      // 4 MB cap truncates them without touching any semantics.
+      .config("spark.sql.maxPlanStringLength", (4 * 1024 * 1024).toString)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
