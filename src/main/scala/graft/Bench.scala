@@ -9,13 +9,17 @@ import org.apache.spark.sql.SparkSession
   * iteration only; the driver runs the full set).
   *
   * Cost-attribution caveat: queries that share a session-memoized
-  * computation (the near-dup trio — see Dedup.nearDupPairsShared /
-  * nearDupLabels — and, since r11, the exact-substring pair
-  * q_substring_dup_spans + q_substring_dedup_apply, which share one
-  * persisted duplicated-position relation via Dedup.substrDupPosShared) charge
-  * the shared work to whichever of them runs FIRST in map-iteration
-  * order; the others read the cache. Per-key numbers for those keys
-  * are attribution, not standalone cost — compare the GROUP's sum
+  * computation charge the shared work to whichever of them runs FIRST
+  * in map-iteration order; the others read the cache. The groups:
+  * the near-dup trio (Dedup.nearDupPairsShared / nearDupLabels), the
+  * exact-substring pair (Dedup.substrDupPosShared), and — since the
+  * r12 optimization round — the event-graph family (q_pagerank/q_hits/
+  * q_triangle_stats/q_kcore/q_kcore_fixpoint/q_label_propagation/
+  * q_reach_paths/q_graph_degrees share GraphOps.sharedEdges +
+  * sharedNodes), the containment pair (q_containment_join +
+  * q_pagerank_docs share Dedup.containmentPairsShared), and the typo
+  * twins (MiningOps' typoNamePairsShared). Per-key numbers for those
+  * keys are attribution, not standalone cost — compare the GROUP's sum
   * across rounds, or the run total.
   */
 object Bench {

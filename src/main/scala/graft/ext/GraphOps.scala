@@ -106,7 +106,8 @@ object GraphOps {
   }
 
   def pageRankQuery(s: SparkSession, dir: String): DataFrame =
-    pageRank(t(s, dir, "events"), iters = 3)
+    pageRankOnGraph(sharedEdges(s, dir), sharedNodes(s, dir), iters = 3)
+      .orderBy("node")
 
   /** HITS hubs-and-authorities (Kleinberg 1999) over the weighted
     * transition graph — the complementary centrality to [[pageRank]]:
@@ -124,11 +125,16 @@ object GraphOps {
     * join plus one map-side-combined dst aggregate; hub skew reduces
     * to partials; the max is a broadcast 1-row cross join.
     */
-  def hits(events: DataFrame): DataFrame = {
-    val e = transitionEdges(events)
-    val nodes = events
-      .select(get_json_object(col("props"), "$.k").cast("int").as("node"))
-      .where(col("node").isNotNull).distinct()
+  def hits(events: DataFrame): DataFrame =
+    hitsOnGraph(transitionEdges(events),
+      events
+        .select(get_json_object(col("props"), "$.k").cast("int").as("node"))
+        .where(col("node").isNotNull).distinct())
+
+  /** [[hits]] over a prebuilt (src, dst, w) edge list + node relation —
+    * the session-entry path hands the shared memoized graph here.
+    */
+  def hitsOnGraph(e: DataFrame, nodes: DataFrame): DataFrame = {
     // DECIMAL(38,0) iteration sums (HUGEINT in the oracle) and DOUBLE
     // unit outputs: scores grow multiplicatively per unrolled
     // iteration (h₁ ≤ (Σw)², past 2⁶³ near 3×10⁹ events), so neither
@@ -172,18 +178,22 @@ object GraphOps {
     * prefix-filter + maxDf bound; the rank loop is [[pageRankOnGraph]]'s
     * map-side-combined iteration (quote-hub skew reduces to partials).
     */
-  def docPageRank(docs: DataFrame, iters: Int = 3): DataFrame = {
+  def docPageRank(docs: DataFrame, iters: Int = 3): DataFrame =
     // localCheckpoint: unlike the event-transition graphs (where the
     // A/B in pageRankOnGraph showed persist is a net loss), these
     // edges cost a full containment join — without the cut, exchange
     // reuse is not guaranteed across the unrolled iterations and the
     // sf10 gate measured the join recomputed per round (~5× the
     // operator's own cost). Materialize once, iterate on the result.
-    val edges = Dedup
-      .containmentJoin(docs, "text", "doc_id", sorted = false)
-      .select(col("sup_id").as("src"), col("sub_id").as("dst"),
-        lit(1L).as("w"))
-      .localCheckpoint()
+    docPageRankOnPairs(docs,
+      Dedup.containmentJoin(docs, "text", "doc_id", sorted = false)
+        .localCheckpoint(),
+      iters)
+
+  private def docPageRankOnPairs(docs: DataFrame, pairs: DataFrame,
+      iters: Int): DataFrame = {
+    val edges = pairs.select(col("sup_id").as("src"),
+      col("sub_id").as("dst"), lit(1L).as("w"))
     val nodes = docs.select(col("doc_id").as("node")).distinct()
     pageRankOnGraph(edges, nodes, iters)
       .select(col("node").as("doc_id"), col("rank_units"))
@@ -191,7 +201,13 @@ object GraphOps {
   }
 
   def docPageRankQuery(s: SparkSession, dir: String): DataFrame =
-    docPageRank(t(s, dir, "documents"), iters = 3)
+    // the session-entry path iterates on the SAME memoized persisted
+    // containment-pair relation q_containment_join reads (see
+    // Dedup.containmentPairsShared) — persisted ⇒ already
+    // materialization-cut, so the df-level localCheckpoint above is
+    // redundant here
+    docPageRankOnPairs(t(s, dir, "documents"),
+      Dedup.containmentPairsShared(s, dir), iters = 3)
 
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     * the corpus word co-occurrence graph. Adjacent normalized tokens
@@ -258,8 +274,16 @@ object GraphOps {
     * no N² anywhere; the only driver data is the final sorted output.
     * The lcc divide happens once, on integers both engines share.
     */
-  def triangleStats(events: DataFrame): DataFrame = {
-    val und = undirectedEdges(transitionEdges(events))
+  def triangleStats(events: DataFrame): DataFrame =
+    triangleStatsOnUndirected(undirectedEdges(transitionEdges(events)))
+
+  /** [[triangleStats]] over a prebuilt canonical undirected edge list —
+    * the session-entry path hands `undirectedEdges(sharedEdges(...))`
+    * here, so the census's multiple `und` references re-scan the
+    * persisted edge relation instead of re-running the events window
+    * per subtree.
+    */
+  def triangleStatsOnUndirected(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -294,7 +318,7 @@ object GraphOps {
   }
 
   def triangleQuery(s: SparkSession, dir: String): DataFrame =
-    triangleStats(t(s, dir, "events"))
+    triangleStatsOnUndirected(undirectedEdges(sharedEdges(s, dir)))
 
   /** Synchronous label propagation (Raghavan et al. 2007) over the
     * weighted undirected transition graph — community detection, the
@@ -311,21 +335,30 @@ object GraphOps {
     * aggregate. Unrolled into one lazy plan at fixed iters (the CC
     * checkpoint loop is the unbounded-iteration tool).
     */
-  def labelPropagation(events: DataFrame, iters: Int = 3): DataFrame = {
+  def labelPropagation(events: DataFrame, iters: Int = 3): DataFrame =
+    labelPropagationOnGraph(transitionEdges(events),
+      // node universe = every observed page, the SAME universe pageRank
+      // ranks — a node seen only in self-loop transitions has no adj row
+      // but must still appear (as its own singleton community) or the
+      // graph keys disagree on what the graph's nodes are
+      events
+        .select(get_json_object(col("props"), "$.k").cast("int").as("node"))
+        .where(col("node").isNotNull).distinct(),
+      iters)
+
+  /** [[labelPropagation]] over a prebuilt (src, dst, w) edge list +
+    * node relation — the session-entry path hands the shared memoized
+    * graph here.
+    */
+  def labelPropagationOnGraph(edges: DataFrame, nodes: DataFrame,
+      iters: Int): DataFrame = {
     // weight = total transition count between the pair, both directions
-    val wAB = transitionEdges(events).where(col("src") =!= col("dst"))
+    val wAB = edges.where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("w"))
       .groupBy("a", "b").agg(sum(col("w")).as("w"))
     val adj = wAB.select(col("a").as("node"), col("b").as("nbr"), col("w"))
       .unionAll(wAB.select(col("b").as("node"), col("a").as("nbr"), col("w")))
-    // node universe = every observed page, the SAME universe pageRank
-    // ranks — a node seen only in self-loop transitions has no adj row
-    // but must still appear (as its own singleton community) or the
-    // graph keys disagree on what the graph's nodes are
-    val nodes = events
-      .select(get_json_object(col("props"), "$.k").cast("int").as("node"))
-      .where(col("node").isNotNull).distinct()
     var lab = nodes.withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {
       val best = adj
@@ -344,7 +377,8 @@ object GraphOps {
   }
 
   def labelPropQuery(s: SparkSession, dir: String): DataFrame =
-    labelPropagation(t(s, dir, "events"), iters = 3)
+    labelPropagationOnGraph(sharedEdges(s, dir), sharedNodes(s, dir),
+      iters = 3)
 
   /** Bounded-round k-core peel (Matula & Beck 1983; the Batagelj-
     * Zaversnik decomposition's single-k slice): iteratively delete
@@ -451,14 +485,13 @@ object GraphOps {
     kCoreOnEdges(undirectedEdges(transitionEdges(events)), k, rounds)
 
   def kCoreQuery(s: SparkSession, dir: String): DataFrame =
-    kCore(t(s, dir, "events"))
+    kCoreOnEdges(undirectedEdges(sharedEdges(s, dir)), k = 13, rounds = 4)
 
   /** Fixpoint k-core of the transition graph — the exact semantics;
     * [[kCore]] stays registered as the cheap bounded-round variant.
     */
   def kCoreFixpointQuery(s: SparkSession, dir: String): DataFrame =
-    kCoreFixpointOnEdges(
-      undirectedEdges(transitionEdges(t(s, dir, "events"))), 13)
+    kCoreFixpointOnEdges(undirectedEdges(sharedEdges(s, dir)), 13)
 
   /** Generated DuckDB mirror of [[kCore]]: one CTE per peel round so
     * the unroll count cannot drift between engines.
@@ -527,22 +560,60 @@ object GraphOps {
     * here is bounded by |nodes|·max_outdeg^depth — pick the loop style
     * accordingly at scale.
     */
-  // Session-memoized persisted edge list per (session, dir), same
-  // lifecycle policy as Dedup's near-dup memos: held until the session
-  // stops or [[Dedup.clearSessionMemos]] (the engine-wide release hook)
-  // runs. Without the memo, every reachPaths call re-registered a fresh
-  // MEMORY_AND_DISK relation — one orphaned cache per call per dir.
+  // Session-memoized persisted edge list + node set per (session, dir),
+  // same lifecycle policy as Dedup's near-dup memos: held until the
+  // session stops or [[Dedup.clearSessionMemos]] (the engine-wide
+  // release hook) runs. Originally reachPaths-only (UnionLoop re-runs
+  // the recursive step's subtree per level); since r12 EVERY registered
+  // graph key shares it: the whole family re-derived the SAME
+  // transition-edge relation — a full events scan + per-user lag window
+  // + aggregate — once per key AND once per intra-query reference
+  // (triangle census: 3+ subtrees; exchange reuse does not span keys,
+  // and within a key only canonically-equal subtrees dedup). The edge
+  // relation itself is page-domain²-bounded (and the node set
+  // domain-bounded) — persisting it is the guide §2.4/§5 cache-reused-
+  // relations case, NEVER corpus-scale, while the events window it
+  // replaces is corpus-scale work. Measured at sf0.1 (solo, local[32]):
+  // the 9-key family 29.9 s → 9.4 s (bench group total; first key pays
+  // the one materialization). Per-key bench numbers for the family are
+  // attribution, not standalone cost — the Bench docstring's shared-
+  // memo caveat applies.
   private val edgesMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val nodesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private[ext] def clearEdgesMemo(): Unit = {
-    val it = edgesMemo.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next(); it.remove()
-      try e.getValue.unpersist()
-      catch { case _: Exception => () } // a stopped session's blocks are already gone
+  /** The persisted per-(session, dir) transition-edge relation every
+    * registered graph key shares (lazy MEMORY_AND_DISK — plan-only
+    * consumers still see the full subtree; nothing runs until the
+    * first action).
+    */
+  private[graft] def sharedEdges(s: SparkSession, dir: String): DataFrame =
+    edgesMemo.computeIfAbsent((s, dir), _ =>
+      transitionEdges(t(s, dir, "events"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The persisted per-(session, dir) node universe (every observed
+    * props.k page id) — NOT derivable from [[sharedEdges]]: a page seen
+    * only as a user's first event, or only in self-loops, has no edge
+    * row but is still a graph node.
+    */
+  private[graft] def sharedNodes(s: SparkSession, dir: String): DataFrame =
+    nodesMemo.computeIfAbsent((s, dir), _ =>
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("node"))
+        .where(col("node").isNotNull).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private[ext] def clearEdgesMemo(): Unit =
+    Seq(edgesMemo, nodesMemo).foreach { m =>
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); it.remove()
+        try e.getValue.unpersist()
+        catch { case _: Exception => () } // a stopped session's blocks are already gone
+      }
     }
-  }
 
   def reachPaths(s: SparkSession, dir: String): DataFrame = {
     GraftSession.tuned(s) // also lifts spark.sql.cteRecursionRowLimit
@@ -554,10 +625,7 @@ object GraphOps {
     // blocks. Lazy persist, so plan pins stay honest. The view name is
     // session-global and rebound per call — sequential callers (the
     // harness) always see their own dir's edges.
-    edgesMemo.computeIfAbsent((s, dir), _ =>
-        transitionEdges(t(s, dir, "events"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      .createOrReplaceTempView("graft_reach_edges")
+    sharedEdges(s, dir).createOrReplaceTempView("graft_reach_edges")
     s.sql(
       """WITH RECURSIVE seed AS (
         |  SELECT min(src) AS node FROM graft_reach_edges),
@@ -577,7 +645,7 @@ object GraphOps {
     * oracle-visible pin of [[transitionEdges]]' construction.
     */
   def graphDegrees(s: SparkSession, dir: String): DataFrame = {
-    val edges = transitionEdges(t(s, dir, "events"))
+    val edges = sharedEdges(s, dir)
     val out = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("out_deg"), sum(col("w")).as("out_w"))
     val in = edges.groupBy(col("dst").as("node"))

@@ -1224,19 +1224,26 @@ object TextOps {
     docs
       .select(col("doc_id"), normalizeText(col("text")).as("s"))
       .where(length(col("s")) > 0)
-      .selectExpr(
-        "doc_id",
-        "length(s) AS n_chars_norm",
+      // stage the distinct-char list, then the per-char COUNTS, before
+      // the fold: the one-expression form evaluated replace(s, c, '')
+      // TWICE per char (count + log2 argument) and rebuilt the char
+      // list per consumer — with lambdas re-evaluating per element,
+      // that is 2·|alphabet| full-string scans where one suffices.
+      // Same chars, same counts, same fold order ⇒ identical ent_bits.
+      .selectExpr("doc_id", "s",
         // Spark's regex split keeps a trailing '' element (Java split
         // with limit -1); filter it so the 0-count char can't reach the
         // log2 and the distinct count matches DuckDB's string_split.
-        "size(filter(array_distinct(split(s, '')), c -> c <> '')) AS n_distinct_chars",
-        """aggregate(
-          |  filter(array_distinct(split(s, '')), c -> c <> ''), 0L,
-          |  (acc, c) -> acc +
-          |    (length(s) - length(replace(s, c, ''))) *
-          |    (CAST(floor(log2(length(s))) AS LONG) -
-          |     CAST(floor(log2(length(s) - length(replace(s, c, '')))) AS LONG)))
+        "filter(array_distinct(split(s, '')), c -> c <> '') AS cs")
+      .selectExpr("doc_id",
+        "length(s) AS n_chars_norm",
+        "CAST(floor(log2(length(s))) AS LONG) AS lg_n",
+        "size(cs) AS n_distinct_chars",
+        "transform(cs, c -> length(s) - length(replace(s, c, ''))) AS cnts")
+      .selectExpr("doc_id", "n_chars_norm", "n_distinct_chars",
+        """aggregate(cnts, 0L,
+          |  (acc, cnt) -> acc +
+          |    cnt * (lg_n - CAST(floor(log2(cnt)) AS LONG)))
           |AS ent_bits""".stripMargin)
       .withColumn("ent_bits_per_char",
         col("ent_bits").cast(DoubleType) / col("n_chars_norm").cast(DoubleType))
