@@ -86,7 +86,17 @@ object GraphOps {
     for (_ <- 1 to iters) {
       val contrib = ew
         .join(r.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("(r * w) div ow").as("c"))
+        // nullif is a numeric no-op (ow = Σw over the src group, w ≥ 1
+        // by construction on every caller's edge list) that makes the
+        // zero-guard LOCAL: with the shared edge relation behind an
+        // eager localCheckpoint the overflow audit can no longer derive
+        // ow > 0 from the truncated lineage, and a structural witness
+        // is stronger than a provenance argument anyway
+        .select(col("dst").as("node"),
+          // 0L, not CAST(0 AS BIGINT): ow is already BIGINT, so the
+          // guard literal needs no cast and the audit's NullIf matcher
+          // sees the bare-literal shape
+          expr("(r * w) div nullif(ow, 0L)").as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("c"))
       r = nodes.join(contrib, Seq("node"), "left")
@@ -560,56 +570,76 @@ object GraphOps {
     * here is bounded by |nodes|·max_outdeg^depth — pick the loop style
     * accordingly at scale.
     */
-  // Session-memoized persisted edge list + node set per (session, dir),
-  // same lifecycle policy as Dedup's near-dup memos: held until the
-  // session stops or [[Dedup.clearSessionMemos]] (the engine-wide
-  // release hook) runs. Originally reachPaths-only (UnionLoop re-runs
-  // the recursive step's subtree per level); since r12 EVERY registered
-  // graph key shares it: the whole family re-derived the SAME
-  // transition-edge relation — a full events scan + per-user lag window
-  // + aggregate — once per key AND once per intra-query reference
-  // (triangle census: 3+ subtrees; exchange reuse does not span keys,
-  // and within a key only canonically-equal subtrees dedup). The edge
-  // relation itself is page-domain²-bounded (and the node set
-  // domain-bounded) — persisting it is the guide §2.4/§5 cache-reused-
-  // relations case, NEVER corpus-scale, while the events window it
-  // replaces is corpus-scale work. Measured at sf0.1 (solo, local[32]):
-  // the 9-key family 29.9 s → 9.4 s (bench group total; first key pays
-  // the one materialization). Per-key bench numbers for the family are
-  // attribution, not standalone cost — the Bench docstring's shared-
-  // memo caveat applies.
+  // Session-memoized edge list + node set per (session, dir), same
+  // lifecycle policy as Dedup's near-dup memos: held until the session
+  // stops or [[Dedup.clearSessionMemos]] (the engine-wide release hook)
+  // runs. Originally reachPaths-only (UnionLoop re-runs the recursive
+  // step's subtree per level); since r12 EVERY registered graph key
+  // shares it: the whole family re-derived the SAME transition-edge
+  // relation — a full events scan + per-user lag window + aggregate —
+  // once per key AND once per intra-query reference (triangle census:
+  // 3+ subtrees; exchange reuse does not span keys, and within a key
+  // only canonically-equal subtrees dedup). The edge relation itself is
+  // page-domain²-bounded (and the node set domain-bounded) — sharing it
+  // is the guide §2.4/§5 cache-reused-relations case, NEVER corpus-
+  // scale, while the events window it replaces is corpus-scale work.
+  //
+  // EAGER localCheckpoint, NOT a lazy persist — measured, not stylistic:
+  // the unrolled iterative keys reference this relation a combinatorial
+  // number of times (kCore's round-r survivor set nests 2 copies of
+  // round r−1: ~126 edge references in the final plan), and a persist
+  // leaves the full logical subtree in place, so every one of those
+  // references drags the CacheManager's canonical-plan substitution and
+  // an InMemoryRelation copy through analysis/AQE per query — measured
+  // at sf0.1 local[32] solo: q_kcore 12.4 s (unshared baseline) →
+  // 29.2 s (lazy persist!) → 3.0 s (eager localCheckpoint);
+  // 4-key subset {kcore, label_prop, hits, pagerank} 51.5 s (persist)
+  // → 16.6 s (localCheckpoint, first key paying materialization). The
+  // checkpoint truncates the plan to one compact LogicalRDD leaf, which
+  // is also what keeps the recursive-CTE and unrolled-loop plan sizes
+  // (and their analysis cost) independent of iteration count. Trade:
+  // the relation materializes at memo creation (inside the first graph
+  // key's timed region — honest attribution) and plan-only consumers
+  // see a LogicalRDD leaf instead of the events subtree; the
+  // construction stays plan-auditable via [[transitionEdges]]' direct
+  // callers (graphDegrees' oracle pins it, and the library entry points
+  // kCore/hits/labelPropagation keep the raw subtree path).
+  // Per-key bench numbers for the family are attribution, not
+  // standalone cost — the Bench docstring's shared-memo caveat applies.
   private val edgesMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val nodesMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** The persisted per-(session, dir) transition-edge relation every
-    * registered graph key shares (lazy MEMORY_AND_DISK — plan-only
-    * consumers still see the full subtree; nothing runs until the
-    * first action).
+  /** The eagerly-checkpointed per-(session, dir) transition-edge
+    * relation every registered graph key shares (see the memo comment
+    * above for the persist-vs-checkpoint measurement).
     */
   private[graft] def sharedEdges(s: SparkSession, dir: String): DataFrame =
     edgesMemo.computeIfAbsent((s, dir), _ =>
-      transitionEdges(t(s, dir, "events"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      transitionEdges(t(s, dir, "events")).localCheckpoint())
 
-  /** The persisted per-(session, dir) node universe (every observed
-    * props.k page id) — NOT derivable from [[sharedEdges]]: a page seen
-    * only as a user's first event, or only in self-loops, has no edge
-    * row but is still a graph node.
+  /** The eagerly-checkpointed per-(session, dir) node universe (every
+    * observed props.k page id) — NOT derivable from [[sharedEdges]]: a
+    * page seen only as a user's first event, or only in self-loops, has
+    * no edge row but is still a graph node.
     */
   private[graft] def sharedNodes(s: SparkSession, dir: String): DataFrame =
     nodesMemo.computeIfAbsent((s, dir), _ =>
       t(s, dir, "events")
         .select(get_json_object(col("props"), "$.k").cast("int").as("node"))
         .where(col("node").isNotNull).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .localCheckpoint())
 
   private[ext] def clearEdgesMemo(): Unit =
     Seq(edgesMemo, nodesMemo).foreach { m =>
       val it = m.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next(); it.remove()
+        // localCheckpoint blocks are owned by the checkpointed RDD, not
+        // a cached plan — unpersist() is the correct call for any
+        // residual cached plan, and dropping the map reference lets the
+        // ContextCleaner release the checkpoint blocks once unreachable
         try e.getValue.unpersist()
         catch { case _: Exception => () } // a stopped session's blocks are already gone
       }
@@ -620,11 +650,10 @@ object GraphOps {
     // UnionLoop re-executes the recursive step's whole subtree per
     // level, and a CTE inlines into that step — leaving the edge
     // pipeline (window + aggregate over the events table) to run once
-    // PER DEPTH (measured 10.9 s at sf0.1). Persist the tiny edge list
-    // and hand the loop a view of it: levels then rescan cached edge
-    // blocks. Lazy persist, so plan pins stay honest. The view name is
-    // session-global and rebound per call — sequential callers (the
-    // harness) always see their own dir's edges.
+    // PER DEPTH (measured 10.9 s at sf0.1). Hand the loop a view of the
+    // shared checkpointed edge list: levels then rescan checkpoint
+    // blocks. The view name is session-global and rebound per call —
+    // sequential callers (the harness) always see their own dir's edges.
     sharedEdges(s, dir).createOrReplaceTempView("graft_reach_edges")
     s.sql(
       """WITH RECURSIVE seed AS (
