@@ -372,10 +372,21 @@ object Dedup {
       shingleN: Int = 3, threshold: Double = 0.5,
       sorted: Boolean = true): DataFrame = {
     val sets = hashedShingleSets(docs, textCol, idCol, shingleN)
-    val docFreq = sets.select(explode(col("shs")).as("sh"))
-      .groupBy("sh").agg(count(lit(1)).as("df"))
-    val ordered = sets.select(col(idCol), explode(col("shs")).as("sh"))
-      .join(docFreq, "sh")
+    // ONE sh-keyed exchange feeds the df census AND the rarity join
+    // (the substrDupPosOf lesson): unshared, the two subtrees shuffle
+    // different column sets, their exchanges don't canonicalize equal,
+    // and the corpus-scale shingle hashing + explode runs once per
+    // subtree. The census loses map-side combine, but its input IS the
+    // same token stream the rarity join must move anyway.
+    val tok = sets.select(col(idCol), explode(col("shs")).as("sh"))
+      .repartition(col("sh"))
+    // census pinned to a shuffle join like the containment twin: its
+    // true size is corpus-scale (distinct shingles) and a broadcast
+    // build of a post-aggregate AQE underestimate is the measured
+    // maxResultSize abort class
+    val docFreq = tok.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ordered = tok
+      .join(docFreq.hint("merge"), "sh")
       .groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("o"))
       .select(col(idCol), expr("transform(o, x -> x.sh)").as("oshs"))
@@ -393,10 +404,18 @@ object Dedup {
         lit(threshold) * greatest(col("n1"), col("n2")).cast("double"))
       .select("id1", "id2")
       .distinct()
+    // verify against the rarity-ordered arrays, NOT a fresh `sets`
+    // subtree: oshs is a permutation of shs (distinct hashes in, the
+    // df join preserves the multiset) and the Jaccard verify is
+    // set-valued, so the result is identical — while both verify sides
+    // now reference the SAME groupBy(id) subtree, whose exchange
+    // canonicalizes equal and is built once (ReuseExchange), instead of
+    // each re-running the shingle hashing over the corpus.
+    val bySet = ordered.select(col(idCol), col("oshs"))
     val verified = cands
-      .join(sets.select(col(idCol).as("id1"), col("shs").as("sh1"))
+      .join(bySet.select(col(idCol).as("id1"), col("oshs").as("sh1"))
         .hint("merge"), "id1")
-      .join(sets.select(col(idCol).as("id2"), col("shs").as("sh2"))
+      .join(bySet.select(col(idCol).as("id2"), col("oshs").as("sh2"))
         .hint("merge"), "id2")
       .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -444,8 +463,13 @@ object Dedup {
       shingleN: Int = 3, threshold: Double = 0.8,
       maxDf: Int = 10000, sorted: Boolean = true): DataFrame = {
     val sets = hashedShingleSets(docs, textCol, idCol, shingleN)
+    // ONE sh-keyed exchange feeds the df census, the rarity join AND
+    // the sup side of the candidate join (the substrDupPosOf lesson —
+    // see setSimJoin): unshared, each subtree re-runs the corpus-scale
+    // shingle hashing + explode under its own exchange.
     val tok = sets.select(col(idCol), size(col("shs")).as("n"),
       explode(col("shs")).as("sh"))
+      .repartition(col("sh"))
     val docFreq = tok.groupBy("sh").agg(count(lit(1)).as("df"))
     // rarity-ordered shingle list per doc; prefix = the rarest
     // |A| − ⌈t·|A|⌉ + 1 (≥ 1 for any non-empty set)
@@ -481,10 +505,17 @@ object Dedup {
         lit(threshold) * col("nsub").cast("double"))
       .select("sub_id", "sup_id")
       .distinct()
+    // verify against the rarity-ordered arrays, NOT a fresh `sets`
+    // subtree (see setSimJoin): only intersection/array SIZES are
+    // consumed, which are permutation-invariant over the distinct
+    // hashes, and both verify sides sharing one groupBy(id) subtree
+    // lets ReuseExchange build it once instead of re-hashing the corpus
+    // per side.
+    val bySet = ordered.select(col(idCol), col("oshs"))
     val verified = cands
-      .join(sets.select(col(idCol).as("sub_id"), col("shs").as("sh1"))
+      .join(bySet.select(col(idCol).as("sub_id"), col("oshs").as("sh1"))
         .hint("merge"), "sub_id")
-      .join(sets.select(col(idCol).as("sup_id"), col("shs").as("sh2"))
+      .join(bySet.select(col(idCol).as("sup_id"), col("oshs").as("sh2"))
         .hint("merge"), "sup_id")
       .select(col("sub_id"), col("sup_id"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
