@@ -1352,10 +1352,13 @@ object Dedup {
         keyLocks.remove(key)
       }
     }
-    // engine-wide hook: also release GraphOps' shared graph memo and
-    // MiningOps' shared typo name-pair memo
+    // engine-wide hook: also release GraphOps' shared graph memo,
+    // MiningOps' shared typo name-pair memo, and TimeSeries' shared
+    // day-grain revenue memo
     GraphOps.clearEdgesMemo()
     MiningOps.clearNamePairsMemo()
+    TimeSeries.clearDailyMemo()
+    graft.functions.TextOps.clearBpeMemo()
   }
 
   /** Default-parameter near-dup pairs over the documents table,

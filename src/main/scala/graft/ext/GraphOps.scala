@@ -731,7 +731,7 @@ object GraphOps {
            |SELECT node, CAST(r AS BIGINT) AS rank_units FROM r3 ORDER BY node""".stripMargin)),
     GraftQuery("q_hits",
       "HITS hubs/authorities (2 unrolled linear iterations, exact DECIMAL(38,0)/HUGEINT, one end normalization) over the transition graph",
-      (s, dir) => hits(t(s, dir, "events")),
+      (s, dir) => hitsOnGraph(sharedEdges(s, dir), sharedNodes(s, dir)),
       Some(
         s"""$graphPrefixSql,
            |a1 AS (SELECT dst AS node, sum(w) AS a FROM edges GROUP BY 1),

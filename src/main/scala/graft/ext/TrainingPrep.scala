@@ -350,8 +350,9 @@ object TrainingPrep {
     * single-task stage.
     */
   def sequencePackBpe(docs: DataFrame, budget: Int, iters: Int = 3,
-      numBuckets: Int = 0): DataFrame = {
-    val (vocab, _) = TextOps.bpeTrainCore(docs, iters)
+      numBuckets: Int = 0,
+      sharedTrain: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (vocab, _) = sharedTrain.getOrElse(TextOps.bpeTrainCore(docs, iters))
     val pieces = vocab.select(col("w"), size(col("syms")).as("n_pieces"))
     val perDoc = docs
       .select(col("doc_id"),
@@ -667,7 +668,8 @@ object TrainingPrep {
           |FROM tok ORDER BY doc_id""".stripMargin)),
     GraftQuery("q_sequence_pack_bpe",
       "token-budget batch packing on REAL BPE piece counts (3 learned merges) instead of the whitespace proxy",
-      (s, dir) => sequencePackBpe(t(s, dir, "documents"), budget = 4096),
+      (s, dir) => sequencePackBpe(t(s, dir, "documents"), budget = 4096,
+        sharedTrain = Some(TextOps.bpeTrainShared(s, dir))),
       Some(
         s"""WITH ${TextOps.bpeOracleCtes},
            |pieces AS (SELECT w, len(syms) AS n_pieces FROM v3),

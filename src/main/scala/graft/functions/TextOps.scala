@@ -817,6 +817,14 @@ object TextOps {
     * produces both.
     */
   def bpeTrainCore(docs: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    // eager lineage cuts (the CC-loop discipline the docstring above
+    // reserves for an unbounded trainer — r12 measured the fixed
+    // unroll needs it too): vocab_i is referenced by BOTH the next
+    // pair census and the next merge apply, so the lazy unroll nests
+    // the corpus word-census explode ~2^iters times (q_sequence_pack_
+    // bpe's static plan: 20 document scans). Cut the corpus collapse
+    // once, then each vocabulary-bounded round; every later stage is
+    // vocab-scale, orders of magnitude below corpus size.
     var vocab = docs
       .select(explode(split(normalizeText(col("text")), " ")).as("w"))
       .where(col("w") =!= "")
@@ -824,6 +832,7 @@ object TextOps {
       .select(col("w"), expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
         col("cnt"))
+      .localCheckpoint()
     var out: DataFrame = null
     for (step <- 1 to iters) {
       val pairs = vocab.where(size(col("syms")) >= 2)
@@ -848,12 +857,42 @@ object TextOps {
             |                          array(concat(ml, mr)))
             |              ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"),
           col("cnt"))
+        .localCheckpoint()
     }
     (vocab, out.orderBy("step"))
   }
 
-  def bpeMergeTrain(docs: DataFrame, iters: Int = 3): DataFrame =
-    bpeTrainCore(docs, iters)._2
+  // Session-memoized shared BPE training result per (session, dir) at
+  // the registered iters = 3: three registered keys (q_bpe_merge_train,
+  // q_bpe_encode, q_sequence_pack_bpe) each ran the identical corpus
+  // word census + 3-round greedy merge; the memo pays it once per
+  // Verify/Bench run. bpeTrainCore's rounds are already eagerly
+  // checkpointed, so the memo's only job is cross-key reuse — same
+  // lifecycle as the other memos, released by Dedup.clearSessionMemos
+  // via [[clearBpeMemo]]. Per-key numbers for the trio are attribution
+  // (the Bench docstring's shared-memo caveat).
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]()
+
+  private[graft] def bpeTrainShared(s: org.apache.spark.sql.SparkSession,
+      dir: String, iters: Int = 3): (DataFrame, DataFrame) = {
+    require(iters == 3, s"bpeTrainShared is memoized for iters = 3 only, got $iters")
+    bpeMemo.computeIfAbsent((s, dir), _ =>
+      bpeTrainCore(t(s, dir, "documents"), iters))
+  }
+
+  private[graft] def clearBpeMemo(): Unit = {
+    val it = bpeMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); it.remove()
+      try { e.getValue._1.unpersist(); e.getValue._2.unpersist() }
+      catch { case _: Exception => () } // a stopped session's blocks are already gone
+    }
+  }
+
+  def bpeMergeTrain(docs: DataFrame, iters: Int = 3,
+      sharedTrain: Option[(DataFrame, DataFrame)] = None): DataFrame =
+    sharedTrain.getOrElse(bpeTrainCore(docs, iters))._2
 
   /** Tokenizer APPLY under the learned merges: per-doc fertility stats
     * (words, BPE pieces, pieces/word) — the metric a tokenizer team
@@ -865,8 +904,9 @@ object TextOps {
     * (the doc↔vocab word join, 8-byte-ish keys, map-side combined
     * aggregate after).
     */
-  def bpeEncodeStats(docs: DataFrame, iters: Int = 3): DataFrame = {
-    val (vocab, _) = bpeTrainCore(docs, iters)
+  def bpeEncodeStats(docs: DataFrame, iters: Int = 3,
+      sharedTrain: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (vocab, _) = sharedTrain.getOrElse(bpeTrainCore(docs, iters))
     val pieces = vocab.select(col("w"), size(col("syms")).as("n_pieces"))
     docs
       .select(col("doc_id"), explode(split(normalizeText(col("text")), " ")).as("w"))
@@ -1592,7 +1632,8 @@ object TextOps {
            |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin)),
     GraftQuery("q_bpe_merges",
       "BPE merge training: 3 unrolled greedy iterations over the weighted vocabulary (learned merge table)",
-      (s, dir) => bpeMergeTrain(t(s, dir, "documents"), iters = 3),
+      (s, dir) => bpeMergeTrain(t(s, dir, "documents"), iters = 3,
+        sharedTrain = Some(bpeTrainShared(s, dir))),
       Some(
         s"""WITH $bpeOracleCtes
            |SELECT step, lhs, rhs, pair_cnt FROM (
@@ -1600,7 +1641,8 @@ object TextOps {
            |ORDER BY step""".stripMargin)),
     GraftQuery("q_bpe_encode",
       "tokenizer apply: per-doc BPE fertility stats (words, pieces, pieces/word) under the 3 learned merges",
-      (s, dir) => bpeEncodeStats(t(s, dir, "documents"), iters = 3),
+      (s, dir) => bpeEncodeStats(t(s, dir, "documents"), iters = 3,
+        sharedTrain = Some(bpeTrainShared(s, dir))),
       Some(
         s"""WITH $bpeOracleCtes,
            |pieces AS (SELECT w, len(syms) AS n_pieces FROM v3),

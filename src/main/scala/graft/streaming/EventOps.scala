@@ -1030,14 +1030,24 @@ object EventOps {
       .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("c"))
     val outT = trans.groupBy("src").agg(sum("c").as("ctot"))
-    val e = trans.join(broadcast(outT), "src")
+    // eager lineage cut on the |event_types|²-bounded edge relation
+    // (the sharedEdges lesson, intra-query): unrolled, every iteration's
+    // plan re-nested the corpus-scale user-keyed lag window — 160
+    // parquet scans / 160 window ops in the static plan at iters = 6 —
+    // while the relation it derives is ~|event_types|² rows. Checkpoint
+    // it (and the state universe) once; the power iterations then run
+    // over two tiny RDD leaves. Measured at sf0.1: 3.49 → see
+    // OPTIMIZATION_r12.md. nullif(ctot, 0L) keeps the div guard LOCAL
+    // (ctot = Σc ≥ 1 — a numeric no-op) now that the audit can't derive
+    // positivity through the truncated lineage.
+    val e = trans.join(broadcast(outT), "src").localCheckpoint()
     val states = e.select(col("src").as("state"))
-      .union(e.select(col("dst"))).distinct()
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
     var p = states.withColumn("p", lit(1000000L))
     for (_ <- 1 to iters) {
       val nxt = e.join(p.withColumnRenamed("state", "src"), "src")
         .select(col("dst").as("state"),
-          expr("(CAST(p AS DECIMAL(38,0)) * c) div ctot").as("m"))
+          expr("(CAST(p AS DECIMAL(38,0)) * c) div nullif(ctot, 0L)").as("m"))
         .groupBy("state").agg(sum(col("m")).as("m"))
       p = states.join(nxt, Seq("state"), "left")
         .select(col("state"), coalesce(col("m"), lit(0L)).as("p"))
