@@ -675,7 +675,9 @@ object Dedup {
       md5Simhash32(t(s, dir, "documents").where(col("doc_id") < 500),
         "text", "doc_id"),
       "doc_id", "simhash32", totalBits = 32, maxHamming = 3,
-      maxBucket = Int.MaxValue)
+      // cacheHashed: the md5-vote signature feeds the census and both
+      // pair sides — the same 3×-recompute the phash twin fixed in r12
+      maxBucket = Int.MaxValue, cacheHashed = true)
 
   /** Generator null-semantics: explode_outer preserves rows whose array
     * is empty (as a NULL element) where explode would drop them — the

@@ -244,11 +244,20 @@ object GraphOps {
           |  p -> p.src != p.dst AND p.src != '' AND p.dst != '')""".stripMargin))
         .as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    // eager lineage cuts (the sharedEdges lesson, intra-query): the
+    // unrolled rank loop references the edge list ~2 + 2·iters times
+    // and the node set once per round; lazy, each reference re-ran the
+    // corpus tokenize + pair explode (static plan: 32 document scans).
+    // Both relations are vocabulary(²)-bounded — far below corpus
+    // scale — so the checkpoint is the cache-reused-relations case,
+    // never a corpus materialization.
     val edges = dir0
       .unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
     val nodes = toks.select(explode(col("t")).as("node"))
       .where(col("node") =!= "").distinct()
+      .localCheckpoint()
     pageRankOnGraph(edges, nodes, iters)
       .orderBy(col("rank_units").desc, col("node"))
       .limit(k)

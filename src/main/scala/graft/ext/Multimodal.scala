@@ -298,7 +298,12 @@ object Multimodal {
     Dedup.hammingBlockedPairs(
       md5Phash32(assets(t(s, dir, "documents"))),
       "asset_id", "simhash32", totalBits = 32, maxHamming = 3,
-      maxBucket = Int.MaxValue)
+      // cacheHashed for the same reason as [[phashPairs]]: the (id,
+      // hash) relation (~16 bytes/asset) feeds the census and both
+      // pair sides, and the md5-vote signature behind it is the
+      // expensive per-byte-shingle pass — the twin was the one caller
+      // recomputing it 3×
+      maxBucket = Int.MaxValue, cacheHashed = true)
 
   /** Content-addressable storage dedup report: assets grouped by the
     * md5 digest of their binary payload, rolled into the one-row
