@@ -675,9 +675,11 @@ object Dedup {
       md5Simhash32(t(s, dir, "documents").where(col("doc_id") < 500),
         "text", "doc_id"),
       "doc_id", "simhash32", totalBits = 32, maxHamming = 3,
-      // cacheHashed: the md5-vote signature feeds the census and both
-      // pair sides — the same 3×-recompute the phash twin fixed in r12
-      maxBucket = Int.MaxValue, cacheHashed = true)
+      // NO cacheHashed, unlike the phash twin: this corpus is capped at
+      // 500 docs at every SF (see above), so the persist round-trip
+      // costs more than the 3× recompute it saves — measured +0.2-0.4 s
+      // at sf0.1 when r12 tried it
+      maxBucket = Int.MaxValue)
 
   /** Generator null-semantics: explode_outer preserves rows whose array
     * is empty (as a NULL element) where explode would drop them — the
