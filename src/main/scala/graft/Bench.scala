@@ -17,10 +17,14 @@ import org.apache.spark.sql.SparkSession
   * q_triangle_stats/q_kcore/q_kcore_fixpoint/q_label_propagation/
   * q_reach_paths/q_graph_degrees share GraphOps.sharedEdges +
   * sharedNodes), the containment pair (q_containment_join +
-  * q_pagerank_docs share Dedup.containmentPairsShared), and the typo
-  * twins (MiningOps' typoNamePairsShared). Per-key numbers for those
-  * keys are attribution, not standalone cost — compare the GROUP's sum
-  * across rounds, or the run total.
+  * q_pagerank_docs share Dedup.containmentPairsShared), the typo
+  * twins (MiningOps' typoNamePairsShared), the time-series family
+  * (q_seasonality/q_acf/q_ljung_box/q_cusum/q_stl_decompose/
+  * q_seasonal_anomalies/q_siegel_trend/q_theil_sen share
+  * TimeSeries.sharedDailyRevenue), and the BPE trio (q_bpe_merges/
+  * q_bpe_encode/q_sequence_pack_bpe share TextOps.bpeTrainShared).
+  * Per-key numbers for those keys are attribution, not standalone
+  * cost — compare the GROUP's sum across rounds, or the run total.
   */
 object Bench {
   /** (load1, iowait_jiffies, steal_jiffies, total_jiffies) from
