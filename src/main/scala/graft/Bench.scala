@@ -21,12 +21,56 @@ import org.apache.spark.sql.SparkSession
   * twins (MiningOps' typoNamePairsShared), the time-series family
   * (q_seasonality/q_acf/q_ljung_box/q_cusum/q_stl_decompose/
   * q_seasonal_anomalies/q_siegel_trend/q_theil_sen share
-  * TimeSeries.sharedDailyRevenue), and the BPE trio (q_bpe_merges/
+  * TimeSeries.sharedDailyRevenue; the STL pair additionally shares
+  * TimeSeries.sharedStlResidual), and the BPE trio (q_bpe_merges/
   * q_bpe_encode/q_sequence_pack_bpe share TextOps.bpeTrainShared).
   * Per-key numbers for those keys are attribution, not standalone
   * cost — compare the GROUP's sum across rounds, or the run total.
   */
 object Bench {
+  /** Driver-facing final stdout line. The driver keeps only a BOUNDED
+    * log tail (measured: 2000 bytes — every BENCH_r*.json since r01
+    * carries exactly len(tail)==2000), so the full 273-key per-query
+    * JSON (~6.4 KB) can NEVER survive it, wherever it is printed; it
+    * has been front-truncated (`parsed: null`) in ALL 12 rounds. This
+    * line therefore carries the contract fields (metric/value/unit/
+    * queries/sf) with the TOP-K most expensive queries — the ones that
+    * carry the total — greedily packed under `budget` bytes so the
+    * line survives the tail complete, plus `queries_omitted` (count)
+    * and `omitted_max_s` (upper bound on every omitted key's seconds)
+    * so a consumer knows exactly what the truncation hides. No query
+    * is removed from the RUN: all keys are timed, summed into `value`,
+    * and recorded in the artifact file + the early `total_full` stdout
+    * line, which keep the complete map. Selection is by measured
+    * seconds (desc, name tie-break) — deterministic given the timings.
+    */
+  def compactTotalLine(ok: Seq[(String, Double)], nErrors: Int,
+      loadJson: String, sfDir: String, budget: Int = 1650): String = {
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val total = ok.map(_._2).sum
+    val ranked = ok.sortBy { case (k, v) => (-v, k) }
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${ok.size},"errors":$nErrors,"""
+    val tailFixedMax = // worst-case suffix: omitted fields + load + sf
+      s""""queries_omitted":${ok.size},"omitted_max_s":99999.999,$loadJson,"sf":"$sfDir"}""".length
+    var used = head.length + "\"queries\":{}".length + tailFixedMax
+    val taken = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var i = 0
+    var full = true
+    while (i < ranked.length && full) {
+      val (k, v) = ranked(i)
+      val entry = s""""$k":${fmt(v)}""".length + 1 // +1 for comma
+      if (used + entry <= budget) { taken += ((k, v)); used += entry; i += 1 }
+      else full = false
+    }
+    val omitted = ranked.drop(taken.length)
+    val omittedMax = if (omitted.isEmpty) 0.0 else omitted.map(_._2).max
+    val qs = taken.map { case (k, v) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    head + s""""queries":$qs,"queries_omitted":${omitted.length},""" +
+      s""""omitted_max_s":${fmt(omittedMax)},$loadJson,"sf":"$sfDir"}"""
+  }
+
   /** (load1, iowait_jiffies, steal_jiffies, total_jiffies) from
     * /proc/loadavg + /proc/stat — ambient-contention evidence recorded
     * at run start AND end inside every artifact, so a promote decision
@@ -103,18 +147,21 @@ object Bench {
         s""""iowait_pct":${fmt(100.0 * (iowait1 - iowait0) / math.max(1L, jiffies1 - jiffies0))},""" +
         s""""steal_pct":${fmt(100.0 * (steal1 - steal0) / math.max(1L, jiffies1 - jiffies0))}}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,$loadJson,"sf":"$sfDir"}"""
-    println(line)
-    // the driver's bounded log-tail capture can truncate the big
-    // per-query JSON mid-object (BENCH_r10.json carried "parsed": null
-    // for exactly that reason). A compact summary ALSO goes out as the
-    // program's very LAST stdout write (after the artifact block below)
-    // so a bounded tail ends with a complete, parseable object. It
-    // carries metric "total_compact", NOT "total": a consumer summing
-    // or scanning metric=="total" records must see exactly one per run
-    // (the full line above); compact-line consumers key on
-    // bench_total_s.
-    val compactLine =
-      s"""{"metric":"total_compact","bench_total_s":${fmt(total)},"unit":"sec","n":${ok.size},"errors":${errs.size},$loadJson,"sf":"$sfDir"}"""
+    // Full per-query map to stdout EARLY, under metric "total_full":
+    // exactly ONE metric=="total" object goes to stdout per run (the
+    // driver-facing final line below). The artifact file (written
+    // further down) keeps the full map under metric "total", unchanged
+    // from every previous round's artifact format.
+    println(line.replaceFirst("\"metric\":\"total\"", "\"metric\":\"total_full\""))
+    // Driver-facing line: the full 273-key map (~6.4 KB) has been
+    // front-truncated by the driver's 2000-byte log tail in ALL 12
+    // rounds (`parsed: null` in every BENCH_r*.json). The final stdout
+    // write is a COMPLETE metric=="total" object sized to survive that
+    // tail: contract fields + the top-K most expensive queries +
+    // queries_omitted/omitted_max_s (see compactTotalLine). Replaces
+    // r11/r12's "total_compact" line, which carried no queries map at
+    // all and a non-contract metric name — the driver parsed nothing.
+    val compactLine = compactTotalLine(ok.toSeq, errs.size, loadJson, sfDir)
     // the driver captures a BOUNDED log tail (BENCH_r03.json lost 52 of
     // 136 queries to truncation) — also land the full line in a file so
     // an artifact always carries every query. Artifact-of-record
