@@ -1362,6 +1362,7 @@ object Dedup {
     GraphOps.clearEdgesMemo()
     MiningOps.clearNamePairsMemo()
     TimeSeries.clearDailyMemo()
+    Similarity.clearGramMemo()
     graft.functions.TextOps.clearBpeMemo()
   }
 

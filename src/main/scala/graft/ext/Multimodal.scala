@@ -143,14 +143,26 @@ object Multimodal {
       // full windows only: sequence(0, n div bytes - 1) enumerates them;
       // the >= guard avoids Spark's downward-stepping sequence(0, -1)
       .where(col("meta.n_bytes") >= bytesPerWin)
-      // hex ONCE per asset (before the window explode): DuckDB has no
-      // BLOB substring, so both engines slice the shared hex STRING —
-      // sample si of window w lives at hex offset (w·bytes + 2·si)·2
-      .select(col("asset_id"), hex(col("payload")).as("hx"),
-        expr(s"explode(sequence(0, meta.n_bytes div $bytesPerWin - 1))")
-          .as("window_idx"))
+      // hex PER WINDOW SLICE, not per asset: the r12 shape hex'd the
+      // whole payload once and exploded window indexes beside it, but
+      // GenerateExec copies the generator's REQUIRED CHILD OUTPUT into
+      // every emitted row — a B-byte asset materialized (B/64)·2B hex
+      // chars, O(B²) per asset (the md5Phash32 hex-hoist lesson, in
+      // reverse: there the lambda re-evaluated hex per element; here
+      // the explode re-CARRIED it per row). Slicing the payload first
+      // makes each window row carry exactly its own 2·$bytesPerWin hex
+      // chars: hex work stays O(B) per asset and the generate output
+      // is window-sized. Byte-identical samples — hex is per-byte, so
+      // hex(substring(payload, w·bpw + 1, bpw)) is precisely the
+      // window's slice of hex(payload); the DuckDB oracle keeps the
+      // shared-hex-string form (no BLOB substring there).
       .select(col("asset_id"),
-        col("window_idx").cast("int").as("window_idx"), // div yields BIGINT
+        expr(
+          s"""posexplode(transform(sequence(0, meta.n_bytes div $bytesPerWin - 1),
+             |  w -> hex(substring(payload, w * $bytesPerWin + 1, $bytesPerWin))))"""
+            .stripMargin).as(Seq("window_idx", "whx")))
+      .select(col("asset_id"),
+        col("window_idx"), // posexplode pos is already INT
         // samples materialized ONCE per window, in order, as a
         // plan-typed array<bigint>; both features fold over this array.
         // Parse: 2 bytes big-endian → unsigned via base-16 conv, then
@@ -158,9 +170,7 @@ object Multimodal {
         expr(
           s"""transform(
              |  transform(sequence(0, $windowSamples - 1),
-             |    si -> CAST(conv(substring(hx,
-             |            (window_idx * $bytesPerWin + si * 2) * 2 + 1, 4),
-             |          16, 10) AS BIGINT)),
+             |    si -> CAST(conv(substring(whx, si * 4 + 1, 4), 16, 10) AS BIGINT)),
              |  u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)""".stripMargin)
           .as("samples"))
   }

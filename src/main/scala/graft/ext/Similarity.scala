@@ -839,6 +839,14 @@ object Similarity {
     * the same exact integers on both engines.
     */
   def embedGram(embeddings: DataFrame): DataFrame =
+    embedGramCore(embeddings).orderBy("i", "j")
+
+  /** [[embedGram]] without the presentation sort — shared by the
+    * registered gram key (plus ORDER BY) and [[pcaProject]]'s driver
+    * collect, so the session memo can hold ONE d²-bounded relation for
+    * the pair.
+    */
+  private def embedGramCore(embeddings: DataFrame): DataFrame =
     embeddings
       .selectExpr(
         """transform(embedding,
@@ -854,7 +862,30 @@ object Similarity {
       .groupBy("i", "j")
       .agg(sum(col("p")).as("g"))
       .selectExpr("i", "j", "CAST(g AS DOUBLE) AS gram")
-      .orderBy("i", "j")
+
+  // Session-memoized Gram matrix per (session, dir) — q_embed_gram and
+  // q_pca_project both reduce the full embedding corpus to the SAME
+  // d(d+1)/2-row relation (gram consumes it sorted, PCA collects it to
+  // solve the d×d eigenproblem), yet each key re-ran the corpus-scale
+  // explode+aggregate. The relation is d²-BOUNDED (d = 64 → 2080 rows
+  // — never corpus-scale), so an eager localCheckpoint is the right
+  // materialization; same lifecycle and first-runner attribution
+  // caveats as TimeSeries.sharedDailyRevenue.
+  private val gramMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def sharedEmbedGram(s: SparkSession, dir: String): DataFrame =
+    gramMemo.computeIfAbsent((s, dir), _ =>
+      embedGramCore(t(s, dir, "embeddings")).localCheckpoint())
+
+  private[ext] def clearGramMemo(): Unit = {
+    val it = gramMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); it.remove()
+      try e.getValue.unpersist()
+      catch { case _: Exception => () } // a stopped session's blocks are already gone
+    }
+  }
 
   /** Driver-side power iteration over a [[embedGram]]-shaped d×d matrix
     * (symmetric PSD): returns the dominant eigenvector (deterministic
@@ -895,8 +926,11 @@ object Similarity {
     * rows-only key, pinned by [[embedGram]]'s oracle-green twin plus
     * the AnalyticsOpsSpec variance-dominance and determinism pins.
     */
-  def pcaProject(embeddings: DataFrame): DataFrame = {
-    val cells = embedGram(embeddings).collect()
+  def pcaProject(embeddings: DataFrame,
+      sharedGram: Option[DataFrame] = None): DataFrame = {
+    // the collect consumes the UNSORTED gram relation (cells are
+    // written into g by their own (i, j)) — order never mattered here
+    val cells = sharedGram.getOrElse(embedGramCore(embeddings)).collect()
     val d = cells.map(_.getAs[Int]("j")).max + 1
     val g = Array.ofDim[Double](d, d)
     cells.foreach { r =>
@@ -1070,11 +1104,12 @@ object Similarity {
           |FROM cc, tot, off GROUP BY 1 ORDER BY bucket""".stripMargin)),
     GraftQuery("q_pca_project",
       "distributed PCA: Gram-matrix reduce + driver power iteration + broadcast dominant-component projection",
-      (s, dir) => pcaProject(t(s, dir, "embeddings")),
+      (s, dir) => pcaProject(t(s, dir, "embeddings"),
+        sharedGram = Some(sharedEmbedGram(s, dir))),
       None),
     GraftQuery("q_embed_gram",
       "distributed Gram matrix of the embedding store: row-local pair fan-out + exact DECIMAL(38,0) micro-unit sums",
-      (s, dir) => embedGram(t(s, dir, "embeddings")),
+      (s, dir) => sharedEmbedGram(s, dir).orderBy("i", "j"),
       Some(
         """WITH q AS (
           |  SELECT vec_id,

@@ -468,8 +468,30 @@ object TextOps {
     * string) plus a re-measured cost case — which the A/B above
     * already shows does not exist.
     */
-  def gopherRepetitionOf(docs: DataFrame, hashedGrams: Boolean = false): DataFrame = {
-    val base = docs
+  def gopherRepetitionOf(docs: DataFrame, hashedGrams: Boolean = false,
+      sharedUnits: Boolean = false): DataFrame = {
+    // sharedUnits = true is PROBE-ONLY, MEASURED OUT in r13 (the r12
+    // verdict's item 3 — the third recorded rejection for this key):
+    // one doc_id-keyed exchange of the raw text feeding all three unit
+    // censuses + the final join does satisfy every downstream
+    // ClusteredDistribution (keys all start with doc_id; executed plan
+    // confirms 2 reuse lines and no unit-level exchange), but it LOSES
+    // the interleaved A/B decisively — GopherShareProbe, same-JVM
+    // A/B/A/B: sf0.1 median 5.11 s shared vs 4.20 s unshared, sf1
+    // 14.74 vs 10.01 s (−47%). Why the §2.4 unification does not
+    // transfer here: each census RE-READS (decompresses) the full
+    // shuffled raw text from the shared exchange — 4 shuffle-read
+    // passes over corpus text — while the unshared censuses each scan
+    // cached columnar parquet and shuffle only map-side-COMBINED unit
+    // streams, which the shared shape's post-exchange complete
+    // aggregation gives up. The substring/setsim precedent shuffles
+    // hashed TOKENS either way; here the shared exchange carries raw
+    // text, which is the heavier payload.
+    val src =
+      if (sharedUnits) docs.select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
+      else docs
+    val base = src
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("__t"),
         normalizeText(col("text")).as("__norm"))
       .withColumn("__nc", length(col("__norm")).cast("long"))

@@ -292,6 +292,34 @@ class DedupSpec extends SparkTestBase {
       s"expected 302 directed pairs, got ${uncapped.size}")
   }
 
+  test("containment pair list stays output-bounded under a planted boilerplate flood (memo-safety bound)") {
+    // The r12 verdict's item 6: containmentPairsShared PERSISTS the
+    // thresholded pair list (Dedup.containmentMemo), so corpus-wide
+    // boilerplate must not be able to inflate it quadratically — the
+    // q_neardup all-pairs lesson (49.3M pairs at sf1skew) applied to
+    // the directed variant. This plants a 1500-doc boilerplate flood
+    // (every doc shares one hot trigram block, df = 1500 >> cap) plus
+    // exactly one true containment pair through RARE shingles, and
+    // asserts the capped output is EXACTLY that pair — 1 row, not the
+    // ~1500² hot-only candidates. The bound argument this pins:
+    // candidates = Σ_{df ≤ maxDf} prefixCount(sh)·df(sh) ≤
+    // maxDf · Σ|prefix| — LINEAR in the corpus at fixed cap — because
+    // pruneGroups removes every shingle with df > maxDf from BOTH join
+    // sides before the candidate join; the persisted list is smaller
+    // still (thresholded survivors only).
+    val n = 1500
+    val texts =
+      (0 until n).map(i => s"terms of service apply here u$i v$i w$i x$i y$i z$i") ++
+        Seq(
+          "quick brown foxes jump over lazy dogs",
+          "quick brown foxes jump over lazy dogs tonight quietly")
+    val docs = docsDf(texts)
+    val got = Dedup.containmentJoin(docs, "text", "doc_id", maxDf = 100)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == List((n.toLong, n.toLong + 1, 1.0)),
+      s"flood must be cap-bounded to the one rare-shingle pair, got ${got.size} rows")
+  }
+
   test("incrementalNearDups == exact O(n²) cross brute force on the fixture") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sets = Dedup.shingleSets(docs, "text", 2).select(col("doc_id"), col("shingles"))
