@@ -23,7 +23,9 @@ import org.apache.spark.sql.SparkSession
   * q_seasonal_anomalies/q_siegel_trend/q_theil_sen share
   * TimeSeries.sharedDailyRevenue; the STL pair additionally shares
   * TimeSeries.sharedStlResidual), the Gram pair (q_embed_gram +
-  * q_pca_project share Similarity.sharedEmbedGram), and the BPE trio (q_bpe_merges/
+  * q_pca_project share Similarity.sharedEmbedGram), the IVF pair
+  * (q_ann_ivf_topk + q_ann_ivfpq_topk share
+  * Similarity.sharedKmeansCentroids), and the BPE trio (q_bpe_merges/
   * q_bpe_encode/q_sequence_pack_bpe share TextOps.bpeTrainShared).
   * Per-key numbers for those keys are attribution, not standalone
   * cost — compare the GROUP's sum across rounds, or the run total.

@@ -1363,6 +1363,7 @@ object Dedup {
     MiningOps.clearNamePairsMemo()
     TimeSeries.clearDailyMemo()
     Similarity.clearGramMemo()
+    Similarity.clearCentroidsMemo()
     graft.functions.TextOps.clearBpeMemo()
   }
 

@@ -237,6 +237,25 @@ object Similarity {
     centroids
   }
 
+  // Session-memoized k-means centroid table per (session, dir, k,
+  // iters) — q_ann_ivf_topk and q_ann_ivfpq_topk train the IDENTICAL
+  // coarse quantizer (16 lists × 3 Lloyd's iterations = 3 scan+collect
+  // actions each) over the same embeddings table. The result is a
+  // k·dim driver-side array (16×64 doubles), deterministic by
+  // construction (stride-sample init, fixed iterations, 1e-9-rounded
+  // means), so sharing it is value-invisible. Same (session, dir)
+  // lifecycle discipline as the DataFrame memos; plain data, nothing
+  // to unpersist.
+  private val centroidsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), Array[(Int, Seq[Double])]]()
+
+  private[graft] def sharedKmeansCentroids(s: SparkSession, dir: String,
+      k: Int, iters: Int): Array[(Int, Seq[Double])] =
+    centroidsMemo.computeIfAbsent((s, dir, k, iters), _ =>
+      kmeansCentroids(t(s, dir, "embeddings"), k, iters))
+
+  private[ext] def clearCentroidsMemo(): Unit = centroidsMemo.clear()
+
   /** IVF list assignment: each vector goes to its nearest centroid (by
     * cosine against the broadcast centroid-table literal). `graft_srp_bucket`'s
     * sibling pattern: the argmax runs row-local over a plan literal, so
@@ -267,10 +286,11 @@ object Similarity {
     * probe is a partition-pruned read.
     */
   def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int,
-      numLists: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
-    val centroids =
+      numLists: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3,
+      sharedCentroids: Option[Array[(Int, Seq[Double])]] = None): DataFrame = {
+    val centroids = sharedCentroids.getOrElse(
       if (kmeansIters > 0) kmeansCentroids(emb, numLists, kmeansIters)
-      else sampleCentroids(emb, numLists)
+      else sampleCentroids(emb, numLists))
     val assigned = withIvfList(emb, centroids)
     val qVec = emb.where(col("vec_id") === queryVecId)
       .select(col("embedding")).head().getSeq[Any](0).map {
@@ -483,8 +503,10 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, queryVecId: Long, k: Int,
       numLists: Int = 16, nProbe: Int = 8, kmeansIters: Int = 3,
       m: Int = 8, kSub: Int = 32, pqIters: Int = 3,
-      shortlist: Option[Int] = None): DataFrame = {
-    val centroids = kmeansCentroids(emb, numLists, kmeansIters)
+      shortlist: Option[Int] = None,
+      sharedCentroids: Option[Array[(Int, Seq[Double])]] = None): DataFrame = {
+    val centroids = sharedCentroids.getOrElse(
+      kmeansCentroids(emb, numLists, kmeansIters))
     val assigned = withIvfList(emb, centroids)
     val qVec = emb.where(col("vec_id") === queryVecId)
       .select(col("embedding")).head().getSeq[Any](0).map {
@@ -561,7 +583,8 @@ object Similarity {
     * cluster far tighter and probe fewer lists.
     */
   def ivfTopkQuery(s: SparkSession, dir: String): DataFrame =
-    ivfTopK(t(s, dir, "embeddings"), queryVecId = 0L, k = 10, nProbe = 8)
+    ivfTopK(t(s, dir, "embeddings"), queryVecId = 0L, k = 10, nProbe = 8,
+      sharedCentroids = Some(sharedKmeansCentroids(s, dir, 16, 3)))
 
   /** Threshold 0.3: the synthetic embeddings are near-orthogonal random
     * vectors (max pairwise cosine ≈ 0.44 at sf0.01), so a classic 0.8+
@@ -1176,7 +1199,8 @@ object Similarity {
       Some(annOracleSql(k = 10))),
     GraftQuery("q_ann_ivfpq_topk",
       "IVF-PQ composed ANN (IVFADC layout): nProbe-pruned lists + 8-byte ADC scan + exact re-rank (oracle = exact top-k)",
-      (s, dir) => ivfPqTopK(t(s, dir, "embeddings"), queryVecId = 0L, k = 10),
+      (s, dir) => ivfPqTopK(t(s, dir, "embeddings"), queryVecId = 0L, k = 10,
+        sharedCentroids = Some(sharedKmeansCentroids(s, dir, 16, 3))),
       Some(annOracleSql(k = 10))),
     GraftQuery("q_embed_neardup", "embedding-cosine near-dup pairs, SRP-blocked + multiprobe (0.3 on near-orthogonal data -> rows-only; blocking proven by q_embed_planted_twin)",
       nearDupQuery, None),
