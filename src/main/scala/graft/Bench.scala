@@ -83,7 +83,7 @@ object Bench {
     * Zeros when /proc is unreadable (non-Linux dev box) — fields still
     * present so consumers need no schema branch.
     */
-  private def loadSnapshot(): (Double, Long, Long, Long) = {
+  private[graft] def loadSnapshot(): (Double, Long, Long, Long) = {
     def readFile(p: String): Option[String] =
       try Some(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8))

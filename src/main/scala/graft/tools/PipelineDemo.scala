@@ -99,6 +99,11 @@ object PipelineDemo {
       corpus, in, s"$outDir/out", s"$outDir/ckpt",
       graft.ext.TrainingPipeline.Config(urlDedupCol = Some("url")))
     val abc = "abcdefghijklmnopqrstuvwxyz"
+    // ambient-load evidence per batch, same fields as the batch bench
+    // rows (the r12 verdict's item 9: make the streaming throughput a
+    // TRACKED number — a rate regression must be distinguishable from
+    // a contended window)
+    var (load1Prev, iowaitPrev, stealPrev, jiffiesPrev) = graft.Bench.loadSnapshot()
     try {
       var prevOut = 0L
       (1 to 3).foreach { b =>
@@ -138,9 +143,15 @@ object PipelineDemo {
         q.processAllAvailable()
         val s = (System.nanoTime() - t0) / 1e9
         val outN = spark.read.parquet(s"$outDir/out").count()
+        val (load1, iowait, steal, jiffies) = graft.Bench.loadSnapshot()
+        val dj = math.max(1L, jiffies - jiffiesPrev)
         println(f"[stream] batch $b: docs=$bn%d wall=$s%7.1f s " +
           f"rate=${bn / s}%9.1f docs/s survivors=${outN - prevOut}%d " +
-          f"cumulative=$outN%d")
+          f"cumulative=$outN%d load1=$load1%.2f " +
+          f"iowait=${100.0 * (iowait - iowaitPrev) / dj}%.3f%% " +
+          f"steal=${100.0 * (steal - stealPrev) / dj}%.3f%%")
+        load1Prev = load1; iowaitPrev = iowait; stealPrev = steal
+        jiffiesPrev = jiffies
         prevOut = outN
       }
     } finally {
